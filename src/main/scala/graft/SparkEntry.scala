@@ -1,13 +1,654 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Grain
+import graft.dialect.PgDialect
+import graft.functions.{TextFns, VectorFns}
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-runnable oracle in `oracleSql`.
+  *
+  * Numeric-determinism conventions (so Spark and DuckDB hash-match):
+  *  - money/measure sums go through DECIMAL (exact, order-independent) and
+  *    are cast back to DOUBLE at the end;
+  *  - doubles are never summed across rows directly;
+  *  - per-row double arithmetic uses identical expression shapes on both
+  *    sides (IEEE ops are bit-deterministic given identical inputs);
+  *  - every ranking has a unique tie-breaker column.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum of a 2-dp measure, reported as double. */
+  private def dsum2(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact decimal sum of a 4-dp product, reported as double. */
+  private def dsum4(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  private def revenue(li: DataFrame): Column =
+    li("l_extendedprice") * (lit(1.0) - li("l_discount"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q3SegmentRevenue(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- q1
+  /** A1/A3/A5: grouped exact sums, conditional sum, distinct count. */
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum2(when(col("l_returnflag") === "R", col("l_quantity"))).as("sum_returned_qty"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  // ---------------------------------------------------------------- q2
+  /** P1/P4/P6/P8: projection, ILIKE, IN-list, string prefix. */
+  private def q2FilterProject(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    p.filter(PgDialect.ilike(col("p_type"), "%o%")
+        && col("p_size").isin(1, 5, 10, 15, 20, 25, 30)
+        && PgDialect.leftStr(col("p_brand"), 5) === "Brand")
+      .select(
+        col("p_partkey"),
+        col("p_brand"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        lower(col("p_type")).as("type_lc"),
+        col("p_retailprice").as("retail"))
+  }
+
+  // ---------------------------------------------------------------- q3
+  /** J6/A1: 3-way join, grouped exact revenue. */
+  private def q3SegmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        dsum4(revenue(li)).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  // ---------------------------------------------------------------- q4
+  /** J6: broadcast dimension joins supplier→nation→region. */
+  private def q4RegionSupplier(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+    val na = t(s, dir, "nation")
+    val re = t(s, dir, "region")
+    su.join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+      .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        countDistinct(col("n_name")).as("n_nations"),
+        dsum2(col("s_acctbal")).as("sum_acctbal"))
+  }
+
+  // ------------------------------------------------------------ q5 rollups
+  /** Grain-parameterized measure rollup (reference spend_* family). */
+  private def q5Spend(grain: Grain)(s: SparkSession, dir: String): DataFrame =
+    Rollups.measureRollup(
+      t(s, dir, "orders"), col("o_orderdate"), grain,
+      Seq("order_status" -> col("o_orderstatus")),
+      Seq(dsum2(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n_orders")))
+
+  // ---------------------------------------------------------------- q6
+  /** S4/J1: generated date spine left-joined to aggregate blocks. */
+  private def q6SpineMetrics(s: SparkSession, dir: String): DataFrame = {
+    val spine = DateSpine.spine(s, Grain.Month,
+        java.time.LocalDate.parse("1995-01-01"),
+        java.time.LocalDate.parse("2001-08-01"))
+      .select(col("period_start"), col("period_num").cast("long").as("period_num"))
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+
+    val ordersM = o.groupBy(Grain.periodStart(col("o_orderdate"), Grain.Month).as("period_start"))
+      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("order_total"))
+    val urgentM = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(Grain.periodStart(col("o_orderdate"), Grain.Month).as("period_start"))
+      .agg(count(lit(1)).as("n_urgent"))
+    val liM = li.groupBy(Grain.periodStart(col("l_shipdate"), Grain.Month).as("period_start"))
+      .agg(dsum2(col("l_quantity")).as("qty_shipped"))
+    val retM = li.filter(col("l_returnflag") === "R")
+      .groupBy(Grain.periodStart(col("l_shipdate"), Grain.Month).as("period_start"))
+      .agg(count(lit(1)).as("n_returned"))
+
+    spine
+      .join(ordersM, Seq("period_start"), "left")
+      .join(urgentM, Seq("period_start"), "left")
+      .join(liM, Seq("period_start"), "left")
+      .join(retM, Seq("period_start"), "left")
+      .select(
+        col("period_start"), col("period_num"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("order_total"), lit(0.0)).as("order_total"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("qty_shipped"), lit(0.0)).as("qty_shipped"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"))
+  }
+
+  // ---------------------------------------------------------------- q7
+  /** W2/J2/A6: first-value flags, composite-key join back, FILTER counts. */
+  private def q7NewRepeat(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val firstW = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val flags = o.select(col("o_custkey"), col("o_orderdate")).distinct()
+      .withColumn("first_dt", first(col("o_orderdate")).over(firstW))
+      .withColumn("cust_flag",
+        when(col("o_orderdate") === col("first_dt"), lit("New")).otherwise(lit("Repeat")))
+      .drop("first_dt")
+    o.join(flags, Seq("o_custkey", "o_orderdate"))
+      .groupBy(Grain.periodStart(col("o_orderdate"), Grain.Month).as("order_month"))
+      .agg(
+        count(when(col("cust_flag") === "New", 1)).as("n_new"),
+        count(when(col("cust_flag") === "Repeat", 1)).as("n_repeat"),
+        dsum2(col("o_totalprice")).as("total_price"))
+  }
+
+  // ---------------------------------------------------------------- q8
+  /** W3: row_number dedup — latest order per customer. */
+  private def q8LatestOrder(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    TopPerGroup.top1(o,
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderstatus"))
+  }
+
+  // ---------------------------------------------------------------- q9
+  /** W1: grand-total window share per nation. */
+  private def q9NationShare(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val na = t(s, dir, "nation")
+    val agg = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(na), c("c_nationkey") === na("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("nat_dec"),
+        count(lit(1)).as("n_orders"))
+    agg
+      .withColumn("total_dec", sum(col("nat_dec")).over(Window.partitionBy()))
+      .select(
+        col("n_name"),
+        col("n_orders"),
+        col("nat_dec").cast("double").as("nation_total"),
+        (col("nat_dec").cast("double") / col("total_dec").cast("double")).as("share"))
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** U2: UNION with distinct semantics across overlapping arms. */
+  private def q10UnionDedup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val arm1 = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val arm2 = o.filter(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    arm1.union(arm2).distinct()
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** P2/P3/P5: CASE-chain classification (first-match-wins) + filter. */
+  private def q11CaseClassify(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val rules = Seq(
+      RegexBank.Rule("promo_large", "^PROMO", 300),
+      RegexBank.Rule("economy", "ECONOMY", 200),
+      RegexBank.Rule("small_type", "SMALL", 150),
+      RegexBank.Rule("standard", "STANDARD", 100))
+    val cls = RegexBank.bestMatchChain(rules)(col("p_type"))
+    p.withColumn("type_class", coalesce(cls, lit("other")))
+      .filter(col("p_retailprice") > 500.0)
+      .groupBy(col("type_class"), col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        dsum2(col("p_retailprice")).as("sum_retail"))
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** J7: explode(split(...)) token flatten + grouped counts. */
+  private def q12TokenExplode(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** J3/P10: priority regex-bank best-match classification (scale path:
+    * compiled bank in a single pass per row — no lateral join).
+    */
+  private val docRules = Seq(
+    RegexBank.Rule("spark_doc", "\\bspark\\b", 300),
+    RegexBank.Rule("query_doc", "\\bquery\\b", 250),
+    RegexBank.Rule("big_data", "\\bbig (data|table)\\b", 220),
+    RegexBank.Rule("stream_doc", "\\bstream\\b", 210),
+    RegexBank.Rule("misc_doc", "\\b(table|row)\\b", 100))
+
+  private def q13RegexBank(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.withColumn("doc_class",
+        coalesce(RegexBank.bestMatchExpr(docRules)(col("text")), lit("unclassified")))
+      .groupBy(col("doc_class"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Streaming-shaped tumbling window aggregation (batch-checked). */
+  private def q14EventsHourly(s: SparkSession, dir: String): DataFrame =
+    EventsOps.tumblingStats(t(s, dir, "events"), "1 hour")
+
+  // ---------------------------------------------------------------- q15
+  /** Scalar regex extraction from semi-structured props. */
+  private def q15EventsProps(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long")).as("sum_k"),
+        dsum2(col("value")).as("sum_value"))
+  }
+
+  // ---------------------------------------------------------------- d*
+  private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+
+  private def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.2, maxDocFreq = 50L)
+
+  private def d3MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.3)
+
+  private def d4Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+
+  private val stopWords = Seq("the", "a", "of", "and")
+
+  private def d5TextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextFns.tokens(col("text"))
+    val stopArr = array(stopWords.map(lit): _*)
+    d.select(
+        col("lang"), col("source"),
+        size(toks).as("n_toks"),
+        size(filter(toks, tk => array_contains(stopArr, tk))).as("n_stops"),
+        length(col("text")).as("n_chars_txt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("sum_tokens"),
+        sum(col("n_stops").cast("long")).as("sum_stopwords"),
+        sum(col("n_chars_txt").cast("long")).as("sum_chars"))
+      .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("stop_ratio", col("sum_stopwords").cast("double") / col("sum_tokens").cast("double"))
+  }
+
+  private def d6QualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextFns.tokens(col("text"))
+    val stopArr = array(stopWords.map(lit): _*)
+    val scored = d.select(
+        col("lang"),
+        size(toks).cast("double").as("n_toks"),
+        size(filter(toks, tk => array_contains(stopArr, tk))).cast("double").as("n_stops"),
+        length(regexp_replace(col("text"), " ", "")).cast("double").as("n_chars_ns"))
+      .withColumn("score",
+        lit(0.4) * least(col("n_toks") / lit(100.0), lit(1.0))
+          + lit(0.3) * (col("n_stops") / col("n_toks"))
+          + lit(0.3) * least((col("n_chars_ns") / col("n_toks")) / lit(8.0), lit(1.0)))
+    scored.groupBy(floor(col("score") * 10).cast("int").as("score_bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a", "customer"),
+    "es" -> Seq("data", "query"),
+    "de" -> Seq("window", "group"),
+    "fr" -> Seq("stream", "batch"),
+    "zh" -> Seq("spark", "table"))
+
+  private def d7LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.withColumn("predicted", TextFns.langId(col("text"), langMarkers))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private def d8Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.withColumn("fp", TextFns.fingerprint(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+  }
+
+  // ---------------------------------------------------------------- v*
+  private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def v2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, numPlanes = 6, dim = 64)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  // ================================================================ maps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1Pricing _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_segment_revenue" -> (q3SegmentRevenue _),
+    "q4_region_supplier" -> (q4RegionSupplier _),
+    "q5_spend_weekly" -> q5Spend(Grain.Week) _,
+    "q5_spend_monthly" -> q5Spend(Grain.Month) _,
+    "q5_spend_quarterly" -> q5Spend(Grain.Quarter) _,
+    "q6_spine_metrics" -> (q6SpineMetrics _),
+    "q7_new_repeat" -> (q7NewRepeat _),
+    "q8_latest_order" -> (q8LatestOrder _),
+    "q9_nation_share" -> (q9NationShare _),
+    "q10_union_dedup" -> (q10UnionDedup _),
+    "q11_case_classify" -> (q11CaseClassify _),
+    "q12_token_explode" -> (q12TokenExplode _),
+    "q13_regex_bank" -> (q13RegexBank _),
+    "q14_events_hourly" -> (q14EventsHourly _),
+    "q15_events_props" -> (q15EventsProps _),
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d3_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash" -> (d4Simhash _),
+    "d5_text_stats" -> (d5TextStats _),
+    "d6_quality_buckets" -> (d6QualityBuckets _),
+    "d7_langid" -> (d7LangId _),
+    "d8_fingerprint" -> (d8Fingerprint _),
+    "v1_ann_bruteforce" -> (v1AnnBruteForce _),
+    "v2_ann_lsh" -> (v2AnnLsh _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_returned_qty,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT p_partkey, p_brand,
+        |  SUBSTRING(p_name, 1, 5) AS name_prefix,
+        |  LOWER(p_type) AS type_lc,
+        |  p_retailprice AS retail
+        |FROM part
+        |WHERE LOWER(p_type) LIKE '%o%'
+        |  AND p_size IN (1,5,10,15,20,25,30)
+        |  AND SUBSTRING(p_brand, 1, 5) = 'Brand'""".stripMargin,
+
+    "q3_segment_revenue" ->
+      """SELECT c_mktsegment, EXTRACT(YEAR FROM o_orderdate) AS order_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q4_region_supplier" ->
+      """SELECT r_name,
+        |  COUNT(*) AS n_suppliers,
+        |  COUNT(DISTINCT n_name) AS n_nations,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "q5_spend_weekly" -> spendOracle("week"),
+    "q5_spend_monthly" -> spendOracle("month"),
+    "q5_spend_quarterly" -> spendOracle("quarter"),
+
+    "q6_spine_metrics" ->
+      """WITH spine AS (
+        |  SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '2001-08-01', INTERVAL 1 MONTH)) AS DATE) AS period_start
+        |), om AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period_start,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total
+        |  FROM orders GROUP BY 1
+        |), um AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period_start, COUNT(*) AS n_urgent
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        |), lm AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period_start,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_shipped
+        |  FROM lineitem GROUP BY 1
+        |), rm AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period_start, COUNT(*) AS n_returned
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+        |)
+        |SELECT spine.period_start,
+        |  EXTRACT(MONTH FROM spine.period_start) AS period_num,
+        |  COALESCE(om.n_orders, 0) AS n_orders,
+        |  COALESCE(om.order_total, 0.0) AS order_total,
+        |  COALESCE(um.n_urgent, 0) AS n_urgent,
+        |  COALESCE(lm.qty_shipped, 0.0) AS qty_shipped,
+        |  COALESCE(rm.n_returned, 0) AS n_returned
+        |FROM spine
+        |LEFT JOIN om USING (period_start)
+        |LEFT JOIN um USING (period_start)
+        |LEFT JOIN lm USING (period_start)
+        |LEFT JOIN rm USING (period_start)""".stripMargin,
+
+    "q7_new_repeat" ->
+      """WITH flags AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CASE WHEN o_orderdate = FIRST_VALUE(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |      THEN 'New' ELSE 'Repeat' END AS cust_flag
+        |  FROM (SELECT DISTINCT o_custkey, o_orderdate FROM orders)
+        |)
+        |SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+        |  COUNT(CASE WHEN f.cust_flag = 'New' THEN 1 END) AS n_new,
+        |  COUNT(CASE WHEN f.cust_flag = 'Repeat' THEN 1 END) AS n_repeat,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o
+        |JOIN flags f ON o.o_custkey = f.o_custkey AND o.o_orderdate = f.o_orderdate
+        |GROUP BY 1""".stripMargin,
+
+    "q8_latest_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderstatus
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1""".stripMargin,
+
+    "q9_nation_share" ->
+      """WITH agg AS (
+        |  SELECT n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS nat_dec,
+        |    COUNT(*) AS n_orders
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1
+        |)
+        |SELECT n_name, n_orders,
+        |  CAST(nat_dec AS DOUBLE) AS nation_total,
+        |  CAST(nat_dec AS DOUBLE) / CAST(SUM(nat_dec) OVER () AS DOUBLE) AS share
+        |FROM agg""".stripMargin,
+
+    "q10_union_dedup" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 300000.0""".stripMargin,
+
+    "q11_case_classify" ->
+      """SELECT CASE
+        |    WHEN regexp_matches(p_type, '(?i)^PROMO') THEN 'promo_large'
+        |    WHEN regexp_matches(p_type, '(?i)ECONOMY') THEN 'economy'
+        |    WHEN regexp_matches(p_type, '(?i)SMALL') THEN 'small_type'
+        |    WHEN regexp_matches(p_type, '(?i)STANDARD') THEN 'standard'
+        |    ELSE 'other' END AS type_class,
+        |  p_brand,
+        |  COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+        |FROM part WHERE p_retailprice > 500.0
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q12_token_explode" ->
+      """SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+        |WHERE LENGTH(token) > 0
+        |GROUP BY 1""".stripMargin,
+
+    "q13_regex_bank" ->
+      """SELECT CASE
+        |    WHEN regexp_matches(text, '(?i)\bspark\b') THEN 'spark_doc'
+        |    WHEN regexp_matches(text, '(?i)\bquery\b') THEN 'query_doc'
+        |    WHEN regexp_matches(text, '(?i)\bbig (data|table)\b') THEN 'big_data'
+        |    WHEN regexp_matches(text, '(?i)\bstream\b') THEN 'stream_doc'
+        |    WHEN regexp_matches(text, '(?i)\b(table|row)\b') THEN 'misc_doc'
+        |    ELSE 'unclassified' END AS doc_class,
+        |  lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q14_events_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q15_events_props" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), exploded AS (
+        |  SELECT id, len(shingles) AS set_size, UNNEST(shingles) AS sh FROM docs
+        |), rare AS (
+        |  SELECT * FROM (
+        |    SELECT id, set_size, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM exploded
+        |  ) WHERE df <= 50
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) AS jaccard
+        |FROM rare a JOIN rare b ON a.sh = b.sh AND a.id < b.id
+        |GROUP BY a.id, b.id, a.set_size, b.set_size
+        |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) >= 0.2""".stripMargin,
+
+    "d5_text_stats" ->
+      """SELECT lang, source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and'], t)))) AS BIGINT) AS sum_stopwords,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and'], t)))) AS DOUBLE)
+        |    / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS stop_ratio
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "d6_quality_buckets" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |    + 0.3 * (CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and'], t))) AS DOUBLE)
+        |             / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * LEAST((CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+        |             / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) AS score
+        |  FROM documents
+        |)
+        |SELECT CAST(FLOOR(score * 10) AS INT) AS score_bucket, lang, COUNT(*) AS n_docs
+        |FROM scored GROUP BY 1, 2""".stripMargin,
+
+    "d7_langid" ->
+      """WITH scores AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','customer'], t))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), t -> list_contains(['data','query'], t))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), t -> list_contains(['window','group'], t))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), t -> list_contains(['stream','batch'], t))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), t -> list_contains(['spark','table'], t))) AS s_zh
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CASE
+        |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+        |    WHEN s_es > s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+        |    WHEN s_de > s_en AND s_de > s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+        |    WHEN s_fr > s_en AND s_fr > s_es AND s_fr > s_de AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+        |    WHEN s_zh > s_en AND s_zh > s_es AND s_zh > s_de AND s_zh > s_fr AND s_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS predicted,
+        |  COUNT(*) AS n_docs
+        |FROM scores GROUP BY 1, 2""".stripMargin,
+
+    "d8_fingerprint" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT TRIM(regexp_replace(LOWER(text), ' +', ' ', 'g'))) AS n_distinct_fp
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "v1_ann_bruteforce" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8
+        |), pairs AS (
+        |  SELECT q.query_id, c.vec_id AS nbr_id,
+        |    list_dot_product(qv, v) / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))) AS sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+        |)
+        |SELECT query_id, nbr_id, rank FROM (
+        |  SELECT query_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM pairs
+        |) WHERE rank <= 5""".stripMargin,
+    // d3_minhash_lsh, d4_simhash, v2_ann_lsh: hash-seeded / LSH operators are
+    // not SQL-expressible → driver records the weaker rows-only check.
+  )
+
+  private def spendOracle(grain: String): String =
+    s"""SELECT CAST(date_trunc('$grain', o_orderdate) AS DATE) AS date_period,
+       |  o_orderstatus AS order_status,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+       |  COUNT(*) AS n_orders
+       |FROM orders GROUP BY 1, 2""".stripMargin
 }

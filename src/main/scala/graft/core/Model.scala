@@ -1,0 +1,77 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** A named derived table in the transformation DAG — the Spark-native analogue
+  * of a dbt model (reference dbt_project.yml:14-16 materializes every model as
+  * a table; the DAG is reference target/graph_summary.json). `deps` play the
+  * role of `ref()`: the runner resolves them topologically and passes the
+  * already-built DataFrames in.
+  */
+trait Model {
+  def name: String
+  def deps: Seq[String] = Nil
+  def transform(spark: SparkSession, in: Map[String, DataFrame]): DataFrame
+}
+
+object Model {
+  /** Build an anonymous model from a function. */
+  def apply(modelName: String, dependencies: Seq[String] = Nil)(
+      fn: (SparkSession, Map[String, DataFrame]) => DataFrame): Model = new Model {
+    val name = modelName
+    override val deps = dependencies
+    def transform(spark: SparkSession, in: Map[String, DataFrame]) = fn(spark, in)
+  }
+}
+
+/** Topological runner over registered models — the engine-side replacement for
+  * `dbt run` (reference logs/dbt.log:215 ran the 31-node DAG on 1 thread; here
+  * independent subtrees could run concurrently, and each model's plan is
+  * optimized by Catalyst before any write).
+  */
+final class ModelRegistry {
+  private val models = mutable.LinkedHashMap.empty[String, Model]
+
+  def register(m: Model): this.type = { models.put(m.name, m); this }
+  def get(name: String): Option[Model] = models.get(name)
+  def names: Seq[String] = models.keys.toSeq
+
+  /** Dependency-respecting order over all registered models (stable: keeps
+    * registration order among independent nodes). Sources (deps not
+    * registered as models) are expected in `sources`.
+    */
+  def topoOrder: Seq[Model] = {
+    val order = mutable.ArrayBuffer.empty[Model]
+    val state = mutable.Map.empty[String, Int] // 0=unseen 1=visiting 2=done
+    def visit(n: String): Unit = models.get(n).foreach { m =>
+      state.getOrElse(n, 0) match {
+        case 2 => ()
+        case 1 => throw new IllegalStateException(s"cycle at model $n")
+        case _ =>
+          state(n) = 1
+          m.deps.foreach(visit)
+          state(n) = 2
+          order += m
+      }
+    }
+    models.keys.foreach(visit)
+    order.toSeq
+  }
+
+  /** Materialize every model in dependency order. `sources` seeds the
+    * resolution map; each model's output becomes available to its dependents
+    * under its name. Returns all built frames by name.
+    */
+  def runAll(spark: SparkSession, sources: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val built = mutable.Map[String, DataFrame](sources.toSeq: _*)
+    topoOrder.foreach { m =>
+      val in = m.deps.map { d =>
+        d -> built.getOrElse(d,
+          throw new IllegalArgumentException(s"model ${m.name}: unresolved dep $d"))
+      }.toMap
+      built(m.name) = m.transform(spark, in)
+    }
+    built.toMap
+  }
+}

@@ -1,0 +1,61 @@
+package graft.dialect
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The small Postgres-dialect kit (SURVEY §2.8). Column combinators over
+  * codegen'd built-ins where possible — predicates stay pushdown-able and
+  * inside whole-stage codegen; the one genuine gap (first-occurrence
+  * regexp_replace) is a custom Expression in [[RegexpReplaceFirst]].
+  */
+object PgDialect {
+
+  /** Postgres `ILIKE` (reference models/card_merchants_model.sql:7 — used
+    * ~700×). Lower both sides; LIKE itself is codegen'd.
+    */
+  def ilike(c: Column, pattern: String): Column =
+    lower(c).like(pattern.toLowerCase)
+
+  /** Postgres `~*` (case-insensitive POSIX regex match, reference
+    * models/classified_card_transactions.sql:139-144) with the dialect
+    * translated for java.util.regex.
+    */
+  def pgRegexMatch(c: Column, pgPattern: String): Column =
+    c.rlike("(?i)" + translateRegex(pgPattern))
+
+  /** Translate a Postgres POSIX regex to java.util.regex dialect.
+    * `\y` (PG word boundary — 79 patterns in reference
+    * seeds/merchant_regex.csv, e.g. line 5 `^NATERA\y`) → Java `\b`;
+    * `\m`/`\M` (begin/end-of-word) → `\b` as the closest Java equivalent.
+    */
+  def translateRegex(pg: String): String =
+    pg.replace("\\y", "\\b").replace("\\m", "\\b").replace("\\M", "\\b")
+
+  /** Postgres single-occurrence `regexp_replace(s, p, r)` (no 'g' flag) and
+    * the 6-arg first-occurrence form (reference
+    * models/classified_card_transactions.sql:85-87). Spark's built-in
+    * regexp_replace replaces every match, so this is a custom Expression.
+    * `flags` as in PG: 'i' for case-insensitive.
+    */
+  def regexpReplaceFirst(s: Column, pattern: String, replacement: String,
+      flags: String = ""): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    var p = translateRegex(pattern)
+    if (flags.contains("i")) p = "(?i)" + p
+    column(RegexpReplaceFirst(
+      expression(s), expression(lit(p)), expression(lit(replacement))))
+  }
+
+  /** PG `left(s, n)` (reference classified_card_transactions.sql:265). */
+  def leftStr(c: Column, n: Int): Column = substring(c, 1, n)
+
+  /** PG `right(s, n)` (reference classified_card_transactions.sql:273). */
+  def rightStr(c: Column, n: Int): Column =
+    when(length(c) <= n, c).otherwise(substring(c, -n, n))
+
+  /** PG `position(x in y)` (reference classified_card_transactions.sql:174-177)
+    * — 1-based index, 0 when absent; column-vs-column capable.
+    */
+  def positionIn(needle: Column, hay: Column): Column =
+    call_function("instr", hay, needle)
+}

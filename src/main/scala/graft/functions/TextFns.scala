@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus processing (training-data
+  * pipeline surface; BASELINE.json north star). Everything is a pure Column
+  * expression over codegen'd built-ins — no UDFs, no shuffle: each document
+  * is scored within its own row, so these scale linearly with the scan.
+  */
+object TextFns {
+
+  /** Whitespace tokenization. Single-space split keeps oracle (DuckDB
+    * string_split) parity; use tokensWs for arbitrary whitespace runs.
+    */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokensWs(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Ratio of tokens found in `stops` (quality-scoring feature). */
+  def stopwordRatio(c: Column, stops: Seq[String]): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(stopArr, t))).cast("double") /
+      size(tokens(c)).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(c: Column): Column =
+    length(regexp_replace(c, " ", "")).cast("double") /
+      size(tokens(c)).cast("double")
+
+  /** Word n-gram shingles as space-joined strings (dedup feature space). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingles (set semantics for Jaccard). */
+  def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+
+  /** Heuristic language ID: per-language marker-word hit counts with a fixed
+    * tie-break priority (first in `markers` wins ties). Integer scores keep
+    * the decision exactly reproducible in any SQL engine.
+    */
+  def langId(c: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(c)
+    val scores = markers.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t)))
+    }
+    // lang_i wins if its score strictly exceeds every earlier lang's and is
+    // >= every later lang's — first-maximum semantics, CASE-chain shape.
+    val best = scores.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, s), i), acc) =>
+        val beatsEarlier = scores.take(i).map { case (_, s2) => s > s2 }
+        val tiesLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
+        val cond = (beatsEarlier ++ tiesLater :+ (s > 0)).reduce(_ && _)
+        when(cond, lit(lang)).otherwise(acc)
+    }
+    best
+  }
+
+  /** Normalization for fingerprinting: lowercase, collapse space runs, trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), " +", " "))
+
+  /** 64-bit content fingerprint of the normalized text (xxhash64). Distinct
+    * fingerprints == distinct normalized texts up to hash collision.
+    */
+  def fingerprint(c: Column): Column = xxhash64(normalizeText(c))
+
+  /** MinHash signature: `numHashes` independent permutations approximated by
+    * seeded xxhash64 over the shingle set; each signature slot is the min
+    * hash across shingles. Null/empty shingle sets yield nulls in the slots.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** 64-bit SimHash over tokens: per-token 64-bit hash votes +1/-1 on each
+    * bit, bit set where the sum is positive. Computed entirely within the
+    * row (aggregate + zip_with): no shuffle, no UDF.
+    */
+  def simhash64(c: Column): Column = {
+    val toks = tokens(c)
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, bitIdx,
+          (a, b) => a + when(
+            call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1
+          ).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, bitIdx,
+        (cnt, b) => when(cnt > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash. All variants follow the same scale
+  * shape: per-row feature extraction (no shuffle) → one shuffle keyed by a
+  * blocking value (hash / shingle / band / chunk) → pair generation only
+  * within blocks. Nothing is ever O(N²) across the whole corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the minimum id as canonical.
+    * One hash-aggregate shuffle on the text (at very large scale, group on
+    * xxhash64(text) instead to shrink shuffle payload — same result up to
+    * hash collision).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** N-gram Jaccard near-dup pairs. Exact set-Jaccard over word n-gram
+    * shingles, computed distributively: explode distinct shingles, self-join
+    * on shingle (the blocking key), count intersections per pair, then
+    * |A∪B| = |A|+|B|−|A∩B|. `maxDocFreq` drops shingles occurring in more
+    * than that many docs — non-discriminative high-frequency shingles that
+    * would otherwise create quadratic blocks (standard blocking hygiene; the
+    * LSH variant below is the true 100 TB path).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Long = 100L): DataFrame = {
+    val docs = df.select(
+      col(idCol).as("id"),
+      TextFns.shingleSet(col(textCol), n).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+      .filter(col("set_size") > 0)
+
+    val exploded = docs
+      .select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
+
+    val rare = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
+
+    val a = rare.select(col("id").as("id_a"), col("set_size").as("size_a"), col("sh"))
+    val b = rare.select(col("id").as("id_b"), col("set_size").as("size_b"), col("sh"))
+
+    a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** MinHash + LSH candidate pairs. Signature of `numHashes` min-hashes per
+    * doc (computed per-row), banded into `bands` groups; docs sharing any
+    * band hash become candidates (one shuffle on the band key). Estimated
+    * Jaccard = fraction of agreeing signature slots.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val signed = df.select(
+      col(idCol).as("id"),
+      TextFns.shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TextFns.minhashSignature(col("sh"), numHashes))
+      .select("id", "sig")
+
+    val banded = signed.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until bands).map { bIdx =>
+        xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
+      }: _*)).as(Seq("band", "band_hash")))
+
+    val l = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_hash"))
+    val r = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_hash"))
+
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc (per-row), blocked by
+    * 16-bit chunks — any pair within Hamming distance ≤3 must agree on at
+    * least one of the 4 chunks (pigeonhole), so the chunk join finds all such
+    * pairs with one shuffle; exact Hamming filter afterwards.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunk blocking is exact only for hamming <= 3")
+    val sigs = df.select(col(idCol).as("id"),
+      TextFns.simhash64(col(textCol)).as("sig"))
+
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map { i =>
+        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+
+    val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("chunk_idx"), col("chunk"))
+    val r = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk_idx"), col("chunk"))
+
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

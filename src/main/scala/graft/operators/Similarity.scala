@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine top-k is the correctness baseline;
+  * sign-LSH bucketing is the scale path (candidates restricted to the query's
+  * bucket — the broadcast × scan stays, but the pair space shrinks by ~2^planes).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. The query side is
+    * broadcast (it must be small — that is the contract of "k-NN for these
+    * queries"); candidates stream through the scan once; per-query ranking is
+    * one shuffle on query id. Ties broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+      .withColumn("nbr_norm", VectorFns.norm(col("nbr_vec")))
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+
+    val scored = cand.join(broadcast(qs), col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("nbr_vec")),
+        col("q_norm"), col("nbr_norm")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: both sides hashed into sign-LSH buckets
+    * from the same deterministic hyperplanes; candidates considered only
+    * within the query's bucket. Recall < 1 by construction; raise recall by
+    * lowering `numPlanes` or probing neighboring buckets (future work).
+    */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = VectorFns.hyperplanes(numPlanes, dim)
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+      .withColumn("bucket", VectorFns.lshBucket(col("nbr_vec"), planes))
+      .withColumn("nbr_norm", VectorFns.norm(col("nbr_vec")))
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("bucket", VectorFns.lshBucket(col("q_vec"), planes))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+
+    val scored = cand.join(broadcast(qs), Seq("bucket"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("nbr_vec")),
+        col("q_norm"), col("nbr_norm")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
+}

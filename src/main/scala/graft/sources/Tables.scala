@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source-table access (SURVEY §2.1 S1/S2). Tables are parquet files named
+  * `<table>.parquet` under a scale-factor directory; seeds are small
+  * broadcast-sized CSVs with explicit schemas (never inferSchema — schema
+  * drift would silently change join semantics at scale).
+  */
+object Tables {
+
+  val testdataTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one parquet table from a scale-factor dir. Column pruning and
+    * predicate pushdown reach the scan because this stays a plain relation.
+    *
+    * The `events` table stores INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; it is read as raw nanos and truncated to microsecond
+    * timestamps (exactly what engines with native ns support do on read).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Seed ingest (reference `dbt seed`, SURVEY §2.1 S2): header CSV with an
+    * explicit schema, empty strings as nulls — matching dbt's agate loader
+    * behavior on the reference seed CSVs.
+    */
+  def loadSeedCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("nullValue", "")
+      .schema(schema)
+      .csv(path)
+}
