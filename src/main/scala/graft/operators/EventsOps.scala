@@ -11,13 +11,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventsOps {
 
-  /** Tumbling-window counts and exact (decimal) sums per event type. */
-  def tumblingStats(events: DataFrame, width: String): DataFrame =
+  /** Tumbling-window counts and exact (decimal) sums per event type.
+    * `exactDistinct` = false swaps count_distinct for approx_count_distinct —
+    * required on the streaming path (Spark's streaming planner rejects exact
+    * distinct aggregation) and the right trade at 100 TB anyway.
+    */
+  def tumblingStats(events: DataFrame, width: String,
+      exactDistinct: Boolean = true): DataFrame =
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        count_distinct(col("user_id")).as("n_users"),
+        (if (exactDistinct) count_distinct(col("user_id"))
+         else approx_count_distinct(col("user_id"))).as("n_users"),
         sum(col("value").cast(DecimalType(18, 2))).as("sum_value_dec"))
       .select(
         col("w.start").as("window_start"),
@@ -29,7 +35,8 @@ object EventsOps {
   /** Same aggregation with a watermark, for streaming use. */
   def tumblingStatsStreaming(events: DataFrame, width: String,
       watermark: String): DataFrame =
-    tumblingStats(events.withWatermark("ts", watermark), width)
+    tumblingStats(events.withWatermark("ts", watermark), width,
+      exactDistinct = false)
 
   /** Session windows per user (gap-based). Streaming-capable via
     * session_window; in batch it is the oracle for the streaming path.

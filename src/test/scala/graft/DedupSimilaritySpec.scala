@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to min id") {
+    val got = Dedup.exactGroups(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 2L) // keep_id 1 has 2 copies
+    assert(got(3L) == 1L && got(4L) == 1L)
+  }
+
+  test("ngramJaccardPairs finds exact and near dups with correct jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3,
+        threshold = 0.3, maxDocFreq = 10)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashLshPairs surfaces the exact-dup pair with est 1.0") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+  }
+
+  test("simhashPairs: identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+    (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L), k = 3)
+      .orderBy("rank").select("nbr_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK returns a subset consistent with rank contract") {
+    val got = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0L), k = 3,
+      numPlanes = 2, dim = 2)
+    val ranks = got.select("rank").as[Long].collect()
+    assert(ranks.sorted.sameElements(1L to ranks.length))
+  }
+}

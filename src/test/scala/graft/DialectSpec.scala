@@ -1,0 +1,49 @@
+package graft
+
+import graft.dialect.PgDialect
+import org.apache.spark.sql.functions._
+
+class DialectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ilike is case-insensitive LIKE") {
+    val df = Seq("WAYFAIR INC", "wayfair.com", "target").toDF("s")
+    val got = df.filter(PgDialect.ilike(col("s"), "%WayFair%")).as[String].collect()
+    assert(got.toSet == Set("WAYFAIR INC", "wayfair.com"))
+  }
+
+  test("translateRegex rewrites PG word boundaries") {
+    assert(PgDialect.translateRegex("^NATERA\\y") == "^NATERA\\b")
+    assert(PgDialect.translateRegex("\\mfoo\\M") == "\\bfoo\\b")
+  }
+
+  test("pgRegexMatch: \\y behaves as word boundary after translation") {
+    val df = Seq("NATERA 123", "NATERAX", "natera co").toDF("s")
+    val got = df.filter(PgDialect.pgRegexMatch(col("s"), "^NATERA\\y")).as[String].collect()
+    assert(got.toSet == Set("NATERA 123", "natera co"))
+  }
+
+  test("regexpReplaceFirst replaces only the first occurrence") {
+    val df = Seq("aXbXc").toDF("s")
+    val got = df.select(PgDialect.regexpReplaceFirst(col("s"), "X", "-")).as[String].head()
+    assert(got == "a-bXc")
+  }
+
+  test("regexpReplaceFirst honors the 'i' flag and group refs") {
+    val df = Seq("Foo bar foo").toDF("s")
+    val got = df.select(
+      PgDialect.regexpReplaceFirst(col("s"), "(foo)", "<$1>", "i")).as[String].head()
+    assert(got == "<Foo> bar foo")
+  }
+
+  test("left/right/position match PG semantics") {
+    val df = Seq(("venmo payment", "pay")).toDF("s", "needle")
+    val row = df.select(
+      PgDialect.leftStr(col("s"), 5),
+      PgDialect.rightStr(col("s"), 7),
+      PgDialect.positionIn(col("needle"), col("s"))).head()
+    assert(row.getString(0) == "venmo")
+    assert(row.getString(1) == "payment")
+    assert(row.getInt(2) == 7)
+  }
+}
