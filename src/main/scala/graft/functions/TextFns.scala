@@ -76,12 +76,18 @@ object TextFns {
 
   /** MinHash signature: `numHashes` independent permutations approximated by
     * seeded xxhash64 over the shingle set; each signature slot is the min
-    * hash across shingles. Null/empty shingle sets yield nulls in the slots.
+    * hash across shingles. Single pass over the shingles (one aggregate with
+    * an element-wise `least` fold) — not `numHashes` separate array scans.
+    * Empty shingle sets yield the Long.MaxValue sentinel signature.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, transform(seeds, i => xxhash64(i, s)),
+        (a, h) => least(a, h)))
+  }
 
   /** 64-bit SimHash over tokens: per-token 64-bit hash votes +1/-1 on each
     * bit, bit set where the sum is positive. Computed entirely within the

@@ -41,6 +41,8 @@ object Dedup {
     val exploded = docs
       .select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
 
+    // Both sides of the pair self-join read this; Spark reuses the window's
+    // shuffle exchange for the self-join, so no explicit persist is needed.
     val rare = exploded
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
@@ -72,27 +74,34 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
+    // Signatures are reused three times (band hashing + both sides of the
+    // est-Jaccard lookup); persist so the shingle+hash work runs once.
     val signed = df.select(
       col(idCol).as("id"),
       TextFns.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", TextFns.minhashSignature(col("sh"), numHashes))
       .select("id", "sig")
+      .persist()
 
+    // Band join carries only (band, band_hash, id) — signatures stay out of
+    // the shuffle; candidate ids are deduped before signatures re-attach.
     val banded = signed.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(array((0 until bands).map { bIdx =>
         xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
       }: _*)).as(Seq("band", "band_hash")))
 
-    val l = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("band_hash"))
-    val r = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("band_hash"))
+    val l = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
+    val r = banded.select(col("id").as("id_b"), col("band"), col("band_hash"))
 
-    l.join(r, Seq("band", "band_hash"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select("id_a", "id_b").distinct()
+
+    candidates
+      .join(signed.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(signed.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -111,6 +120,7 @@ object Dedup {
     require(maxHamming <= 3, "chunk blocking is exact only for hamming <= 3")
     val sigs = df.select(col(idCol).as("id"),
       TextFns.simhash64(col(textCol)).as("sig"))
+      .persist()
 
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map { i =>
