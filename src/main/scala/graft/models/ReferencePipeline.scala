@@ -1,0 +1,121 @@
+package graft.models
+
+import graft.core.{Grain, Model, ModelRegistry}
+import graft.operators.{RegexBank, Rollups}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.time.LocalDate
+
+/** Wires the full reference DAG (27 models + 4 seeds; reference
+  * target/graph_summary.json) as a ModelRegistry over this engine's
+  * grain-parameterized transformations. Sources and seeds are supplied by
+  * name; `runAll` materializes every model in dependency order, the engine
+  * analogue of `dbt run`.
+  */
+object ReferencePipeline {
+
+  /** Explicit seed schemas (reference seed CSV headers; FIXTURES.md). */
+  val accountsLeafSchema: StructType = StructType(Seq(
+    StructField("account_id", StringType), StructField("gl_code", IntegerType),
+    StructField("account_name", StringType), StructField("category", StringType),
+    StructField("subcategory", StringType), StructField("billing_model", StringType),
+    StructField("spend_nature", StringType), StructField("discretion", StringType),
+    StructField("is_mandatory", StringType)))
+
+  val merchantRegexSchema: StructType = StructType(Seq(
+    StructField("regex_key", StringType), StructField("merchant_key", StringType),
+    StructField("pattern_regex", StringType), StructField("priority", IntegerType),
+    StructField("active_from", DateType), StructField("active_to", DateType),
+    StructField("notes", StringType)))
+
+  val merchantsSchema: StructType = StructType(Seq(
+    StructField("merchant_key", StringType), StructField("merchant_name", StringType)))
+
+  val merchantAccountMapSchema: StructType = StructType(Seq(
+    StructField("merchant_key", StringType), StructField("account_id", StringType),
+    StructField("is_default", StringType), StructField("effective_from", DateType),
+    StructField("effective_to", DateType)))
+
+  val grains: Seq[Grain] = Seq(Grain.Week, Grain.Month, Grain.Quarter, Grain.Year)
+
+  /** Build the registry. Required source names: card_transactions,
+    * exercise_log, recipe_log, shopping_log, weights, and seeds
+    * accounts_leaf, merchant_regex, merchants, merchant_account_map.
+    */
+  def registry(asOf: LocalDate): ModelRegistry = {
+    val reg = new ModelRegistry
+
+    reg.register(Model("card_names") { (s, _) => CardModels.cardNames(s) })
+
+    reg.register(Model("card_transactions_model", Seq("card_transactions")) {
+      (_, in) => CardModels.cardTransactionsModel(in("card_transactions"))
+    })
+
+    reg.register(Model("classified_card_transactions",
+      Seq("card_transactions", "merchant_regex", "merchants",
+        "merchant_account_map", "accounts_leaf")) { (_, in) =>
+      val rules = in("merchant_regex")
+        .select("merchant_key", "pattern_regex", "priority")
+        .collect()
+        .map(r => RegexBank.Rule(r.getString(0), r.getString(1), r.getInt(2)))
+        .toSeq
+      val names = in("merchants").select("merchant_key", "merchant_name")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      CardModels.classifiedCardTransactions(
+        in("card_transactions"), rules, in("merchants"),
+        in("merchant_account_map"), in("accounts_leaf"), names)
+    })
+
+    reg.register(Model("card_merchants_model", Seq("classified_card_transactions")) {
+      (_, in) => CardModels.merchantSpendShare(in("classified_card_transactions"))
+    })
+
+    // spend_* family (reference spend_daily..yearly): one parameterized model
+    // per grain over the classified output.
+    (Grain.Day +: grains).foreach { g =>
+      reg.register(Model(s"spend_${g.key}", Seq("classified_card_transactions")) {
+        (_, in) =>
+          Rollups.measureRollup(in("classified_card_transactions"),
+            col("date"), g,
+            Seq("merchant_name" -> col("merchant_name"),
+              "category" -> col("category")),
+            Seq(sum(col("amount")).cast("double").as("total_spend"),
+              count(lit(1)).as("n_transactions")))
+      })
+    }
+
+    reg.register(Model("exercise_log_flattened", Seq("exercise_log")) {
+      (_, in) => HealthModels.exerciseLogFlattened(in("exercise_log"))
+    })
+    reg.register(Model("recipe_log_flattened", Seq("recipe_log")) {
+      (_, in) => HealthModels.recipeLogFlattened(in("recipe_log"))
+    })
+
+    grains.foreach { g =>
+      reg.register(Model(s"metrics_${g.key}",
+        Seq("exercise_log", "weights", "recipe_log",
+          "recipe_log_flattened", "shopping_log")) { (s, in) =>
+        HealthModels.metrics(s, g, asOf, in("exercise_log"),
+          in("weights"), in("recipe_log"), in("recipe_log_flattened"),
+          in("shopping_log"))
+      })
+      reg.register(Model(s"recipes_${g.key}", Seq("recipe_log")) { (_, in) =>
+        HealthModels.entityRollup(in("recipe_log"), "Date", "Dish", g)
+      })
+      reg.register(Model(s"plants_${g.key}", Seq("recipe_log_flattened")) { (_, in) =>
+        HealthModels.entityRollup(in("recipe_log_flattened"), "Date", "plant", g)
+      })
+      reg.register(Model(s"workouts_${g.key}", Seq("exercise_log_flattened")) { (_, in) =>
+        HealthModels.entityRollup(in("exercise_log_flattened"), "Date", "Exercise Label", g)
+      })
+    }
+
+    reg
+  }
+
+  /** Run the whole DAG over the given sources. */
+  def runAll(spark: SparkSession, sources: Map[String, DataFrame],
+      asOf: LocalDate): Map[String, DataFrame] =
+    registry(asOf).runAll(spark, sources)
+}

@@ -1,0 +1,66 @@
+package graft.models
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.LocalDate
+
+/** CLI runner for the reference-shaped DAG — the engine's `dbt run`.
+  *
+  * Usage: runMain graft.models.RunReferencePipeline <seedsDir> [asOfDate]
+  * `seedsDir` must hold the 4 seed CSVs (accounts_leaf, merchant_regex,
+  * merchants, merchant_account_map). Fact sources default to a small built-in
+  * sample so the DAG is runnable standalone; point a real deployment at its
+  * own parquet/CSV facts via ReferencePipeline.runAll directly.
+  */
+object RunReferencePipeline {
+  def main(args: Array[String]): Unit = {
+    val seedsDir = args.headOption.getOrElse("src/test/resources/fixtures")
+    val asOf = LocalDate.parse(
+      if (args.length > 1) args(1) else "2022-03-15")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def seed(name: String, schema: org.apache.spark.sql.types.StructType) =
+      Tables.loadSeedCsv(spark, s"$seedsDir/$name.csv", schema)
+
+    val d = java.sql.Date.valueOf(_: String)
+    val sources: Map[String, DataFrame] = Map(
+      "accounts_leaf" -> seed("accounts_leaf", ReferencePipeline.accountsLeafSchema),
+      "merchant_regex" -> seed("merchant_regex", ReferencePipeline.merchantRegexSchema),
+      "merchants" -> seed("merchants", ReferencePipeline.merchantsSchema),
+      "merchant_account_map" -> seed("merchant_account_map",
+        ReferencePipeline.merchantAccountMapSchema),
+      "card_transactions" -> Seq(
+        ("s1", d("2022-01-10"), BigDecimal("120.00"), 3206, "WF WAYFAIR 1", null: String, null: String, null: String),
+        ("s2", d("2022-02-11"), BigDecimal("6.50"), 3206, "SQ *CAFE 9", null: String, null: String, null: String),
+        ("s3", d("2022-02-12"), BigDecimal("40.00"), 3221, "ONLINE PYMT", null: String, null: String, null: String))
+        .toDF("key", "date", "amount", "card_last4", "description", "category", "type", "intermediate_key"),
+      "exercise_log" -> Seq(
+        (d("2022-01-05"), "Treadmill", "Cardio", "", 3.0, 300.0, 30.0, 0.0, 0.0),
+        (d("2022-01-06"), "Bench Press", "Weights", "Chest, Arms", 0.0, 0.0, 0.0, 10.0, 3.0))
+        .toDF("Date", "Exercise Label", "Type", "Target Areas", "Distance (mi)",
+          "Calories", "Duration (min)", "Reps", "Sets"),
+      "weights" -> Seq((d("2022-01-07"), 180.0)).toDF("Measurement Date", "Weight"),
+      "recipe_log" -> Seq((d("2022-01-08"), "Curry", "Onion, Garlic", BigDecimal("12.50")))
+        .toDF("Date", "Dish", "Plants", "Cost"),
+      "shopping_log" -> Seq((d("2022-01-09"), "Onion", 3.0, BigDecimal("2.40")))
+        .toDF("Date", "Ingredient", "Quantity", "Price"))
+
+    val t0 = System.nanoTime()
+    val built = ReferencePipeline.runAll(spark, sources, asOf)
+    ReferencePipeline.registry(asOf).topoOrder.foreach { m =>
+      val n = built(m.name).count()
+      println(f"OK  ${m.name}%-32s $n%6d rows")
+    }
+    println(f"DAG complete: ${built.size - sources.size} models in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}
