@@ -267,6 +267,12 @@ object SparkEntry {
         dsum2(col("value")).as("sum_value"))
   }
 
+  // ---------------------------------------------------------------- q16
+  /** Gap-based sessionization via session_window (streaming-capable). */
+  private def q16Sessions(s: SparkSession, dir: String): DataFrame =
+    EventsOps.sessionStats(t(s, dir, "events"), "30 minutes")
+      .select("user_id", "session_start", "n_events", "sum_value")
+
   // ---------------------------------------------------------------- d*
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -349,6 +355,13 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  private def v3AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        centroidStride = 97L, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   private def v2AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, numPlanes = 6, dim = 64)
@@ -375,6 +388,7 @@ object SparkEntry {
     "q13_regex_bank" -> (q13RegexBank _),
     "q14_events_hourly" -> (q14EventsHourly _),
     "q15_events_props" -> (q15EventsProps _),
+    "q16_sessions" -> (q16Sessions _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -385,6 +399,7 @@ object SparkEntry {
     "d8_fingerprint" -> (d8Fingerprint _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
+    "v3_ann_ivf" -> (v3AnnIvf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -551,6 +566,57 @@ object SparkEntry {
         |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q16_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE
+        |      THEN 0 ELSE 1 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "v3_ann_ivf" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS cent_id, v AS cv,
+        |    SQRT(list_dot_product(v, v)) AS cn
+        |  FROM c WHERE vec_id % 97 = 0
+        |), assigned AS (
+        |  SELECT nbr_id, nbr_vec, cent_id FROM (
+        |    SELECT c.vec_id AS nbr_id, c.v AS nbr_vec, cent.cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(c.v, cent.cv) / (SQRT(list_dot_product(c.v, c.v)) * cent.cn) DESC,
+        |        cent.cent_id ASC) AS rn
+        |    FROM c CROSS JOIN cent
+        |  ) WHERE rn = 1
+        |), probes AS (
+        |  SELECT query_id, q_vec, cent_id FROM (
+        |    SELECT c.vec_id AS query_id, c.v AS q_vec, cent.cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(c.v, cent.cv) / (SQRT(list_dot_product(c.v, c.v)) * cent.cn) DESC,
+        |        cent.cent_id ASC) AS rn
+        |    FROM c CROSS JOIN cent WHERE c.vec_id < 8
+        |  ) WHERE rn <= 2
+        |), scored AS (
+        |  SELECT p.query_id, a.nbr_id,
+        |    list_dot_product(p.q_vec, a.nbr_vec)
+        |      / (SQRT(list_dot_product(p.q_vec, p.q_vec)) * SQRT(list_dot_product(a.nbr_vec, a.nbr_vec))) AS sim
+        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        |  WHERE a.nbr_id <> p.query_id
+        |)
+        |SELECT query_id, nbr_id, rank FROM (
+        |  SELECT query_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -38,6 +38,56 @@ object Similarity {
       .select("query_id", "nbr_id", "rank")
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer (every
+    * `centroidStride`-th vector acts as a centroid — swap for trained k-means
+    * centroids in production), each candidate assigned to its nearest
+    * centroid (inverted list), each query probing its `nprobe` nearest
+    * lists. At scale: centroids broadcast, the candidate table is
+    * hash-partitioned by `cent_id` once and reused across query batches, and
+    * each query touches ~nprobe/K of the corpus.
+    */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      centroidStride: Long = 97L, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+      .withColumn("nbr_norm", VectorFns.norm(col("nbr_vec")))
+    val cents = candidates
+      .filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("cent_id"), VectorFns.toDouble(col(vecCol)).as("cent_vec"))
+      .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
+
+    def nearestCentroids(df: DataFrame, vec: String, norm: String, id: String,
+        n: Int): DataFrame = {
+      val scored = df.join(broadcast(cents))
+        .withColumn("cent_sim", VectorFns.cosinePre(
+          VectorFns.dot(col(vec), col("cent_vec")), col(norm), col("cent_norm")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cent_sim").desc, col("cent_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("cent_vec", "cent_norm", "cent_sim", "crank")
+    }
+
+    val assigned = nearestCentroids(cand, "nbr_vec", "nbr_norm", "nbr_id", 1)
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+    val probes = nearestCentroids(qs, "q_vec", "q_norm", "query_id", nprobe)
+
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("nbr_vec")),
+        col("q_norm"), col("nbr_norm")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: both sides hashed into sign-LSH buckets
     * from the same deterministic hyperplanes; candidates considered only
     * within the query's bucket. Recall < 1 by construction; raise recall by
