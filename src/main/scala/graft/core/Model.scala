@@ -62,15 +62,28 @@ final class ModelRegistry {
   /** Materialize every model in dependency order. `sources` seeds the
     * resolution map; each model's output becomes available to its dependents
     * under its name. Returns all built frames by name.
+    *
+    * With a `writer`, each model is physically written (S3 table
+    * materialization) and dependents read the materialized table — exactly
+    * dbt's table semantics, and at scale the write acts as a stage barrier
+    * that truncates lineage per model.
     */
-  def runAll(spark: SparkSession, sources: Map[String, DataFrame]): Map[String, DataFrame] = {
+  def runAll(spark: SparkSession, sources: Map[String, DataFrame],
+      writer: Option[graft.sources.TableWriter] = None,
+      partitioning: Map[String, Seq[String]] = Map.empty): Map[String, DataFrame] = {
     val built = mutable.Map[String, DataFrame](sources.toSeq: _*)
     topoOrder.foreach { m =>
       val in = m.deps.map { d =>
         d -> built.getOrElse(d,
           throw new IllegalArgumentException(s"model ${m.name}: unresolved dep $d"))
       }.toMap
-      built(m.name) = m.transform(spark, in)
+      val out = m.transform(spark, in)
+      built(m.name) = writer match {
+        case Some(w) =>
+          w.materialize(m.name, out, partitioning.getOrElse(m.name, Nil))
+          w.read(spark, m.name)
+        case None => out
+      }
     }
     built.toMap
   }
