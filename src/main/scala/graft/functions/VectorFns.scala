@@ -12,7 +12,16 @@ object VectorFns {
 
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd dense dot product (see [[DotProduct]]); same left-to-right
+    * fold as the HOF formulation, bit-identical results.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(DotProduct(expression(a), expression(b)))
+  }
+
+  /** Interpreted HOF formulation, kept as the reference/property check. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

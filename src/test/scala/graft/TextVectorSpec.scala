@@ -44,6 +44,17 @@ class TextVectorSpec extends SparkSpec {
     assert(sigs._1.length == 16 && sigs._1 == sigs._2)
   }
 
+  test("codegen dot product is bit-identical to the HOF fold") {
+    val vecs = graft.SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(VectorFns.toDouble(col("embedding")).as("v"))
+    val mismatch = vecs.crossJoin(vecs.limit(3).select(col("v").as("w")))
+      .select(VectorFns.dot(col("v"), col("w")).as("a"),
+        VectorFns.dotHof(col("v"), col("w")).as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(mismatch.count() == 0)
+  }
+
   test("vector dot / cosine on known values") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f))).toDF("a", "b")
     val (d, c) = df.select(
