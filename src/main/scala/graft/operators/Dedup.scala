@@ -41,19 +41,25 @@ object Dedup {
     val exploded = docs
       .select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
 
-    // Both sides of the pair self-join read this; Spark reuses the window's
-    // shuffle exchange for the self-join, so no explicit persist is needed.
-    val rare = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
+    // One shuffle keyed by shingle: collect the (bounded) posting list per
+    // shingle, drop non-discriminative shingles whose document frequency
+    // exceeds maxDocFreq, and generate the id<id pairs *inside the row* with
+    // higher-order functions — no self-join, no second pass over the corpus.
+    val postings = exploded
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("id"), col("set_size"))).as("lst"))
+      .filter(size(col("lst")).between(2, maxDocFreq))
+      .withColumn("lst", array_sort(col("lst")))
 
-    val a = rare.select(col("id").as("id_a"), col("set_size").as("size_a"), col("sh"))
-    val b = rare.select(col("id").as("id_b"), col("set_size").as("size_b"), col("sh"))
+    val pairs = postings.select(explode(expr(
+      """flatten(transform(sequence(0, size(lst) - 2),
+        |  i -> transform(slice(lst, i + 2, size(lst) - i - 1),
+        |    w -> struct(lst[i].id AS id_a, w.id AS id_b,
+        |                lst[i].set_size AS size_a, w.set_size AS size_b))))
+        |""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.size_a"), col("p.size_b"))
 
-    a.join(b, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
+    pairs
       .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
