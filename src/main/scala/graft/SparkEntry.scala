@@ -273,6 +273,24 @@ object SparkEntry {
     EventsOps.sessionStats(t(s, dir, "events"), "30 minutes")
       .select("user_id", "session_start", "n_events", "sum_value")
 
+  // ---------------------------------------------------------------- q17
+  /** SQL entry surface with ordinal GROUP BY/ORDER BY (§2 A2/O3 — the
+    * reference's `group by 1`/`order by 1 desc` shape) and SQL ilike.
+    */
+  private def q17SqlOrdinals(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_v")
+    s.sql(
+      """SELECT p_brand,
+        |  lower(p_type) AS type_lc,
+        |  COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+        |FROM part_v
+        |WHERE p_type ILIKE '%econ%'
+        |GROUP BY 1, 2
+        |ORDER BY 1 DESC, 3 ASC
+        |""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- d*
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -389,6 +407,7 @@ object SparkEntry {
     "q14_events_hourly" -> (q14EventsHourly _),
     "q15_events_props" -> (q15EventsProps _),
     "q16_sessions" -> (q16Sessions _),
+    "q17_sql_ordinals" -> (q17SqlOrdinals _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -581,6 +600,16 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q17_sql_ordinals" ->
+      """SELECT p_brand,
+        |  lower(p_type) AS type_lc,
+        |  COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+        |FROM part
+        |WHERE p_type ILIKE '%econ%'
+        |GROUP BY 1, 2
+        |ORDER BY 1 DESC, 3 ASC""".stripMargin,
 
     "v3_ann_ivf" ->
       """WITH c AS (

@@ -76,11 +76,19 @@ object TextFns {
 
   /** MinHash signature: `numHashes` independent permutations approximated by
     * seeded xxhash64 over the shingle set; each signature slot is the min
-    * hash across shingles. Single pass over the shingles (one aggregate with
-    * an element-wise `least` fold) — not `numHashes` separate array scans.
-    * Empty shingle sets yield the Long.MaxValue sentinel signature.
+    * hash across shingles. Computed by the [[MinHashSig]] expression (single
+    * tight loop per row). Empty shingle sets yield the Long.MaxValue
+    * sentinel signature.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(MinHashSig(expression(shingleCol), numHashes))
+  }
+
+  /** HOF formulation of [[minhashSignature]] — kept as the property-check
+    * reference (identical hash chain, identical signatures).
+    */
+  def minhashSignatureHof(shingleCol: Column, numHashes: Int): Column = {
     val seeds = sequence(lit(0), lit(numHashes - 1))
     aggregate(
       shingleCol,

@@ -35,6 +35,18 @@ class TextVectorSpec extends SparkSpec {
     assert(row.getBoolean(0) && !row.getBoolean(1))
   }
 
+  test("MinHashSig expression is bit-identical to the HOF hash chain") {
+    val docs = graft.SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextFns.shingleSet(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val mism = docs.select(
+        TextFns.minhashSignature(col("sh"), 32).as("a"),
+        TextFns.minhashSignatureHof(col("sh"), 32).as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(mism.count() == 0)
+  }
+
   test("minhash signature: identical sets identical, length = numHashes") {
     val df = Seq(("a b c d e f", "a b c d e f")).toDF("a", "b")
     val sigs = df.select(
