@@ -291,6 +291,22 @@ object SparkEntry {
         |""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q18
+  /** Dialect-kit scalar surface (§2.8): first-occurrence regexp_replace
+    * (custom expression — DuckDB's default IS replace-first, making it a
+    * direct oracle), left/right/position, trim/lower.
+    */
+  private def q18StringFuncs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      PgDialect.regexpReplaceFirst(col("text"), "table", "TBL").as("replaced_first"),
+      PgDialect.leftStr(col("text"), 12).as("left12"),
+      PgDialect.rightStr(col("text"), 7).as("right7"),
+      PgDialect.positionIn(lit("spark"), col("text")).cast("long").as("spark_pos"),
+      trim(lower(substring(col("text"), 1, 20))).as("norm_prefix"))
+  }
+
   // ---------------------------------------------------------------- d*
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -408,6 +424,7 @@ object SparkEntry {
     "q15_events_props" -> (q15EventsProps _),
     "q16_sessions" -> (q16Sessions _),
     "q17_sql_ordinals" -> (q17SqlOrdinals _),
+    "q18_string_funcs" -> (q18StringFuncs _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -610,6 +627,15 @@ object SparkEntry {
         |WHERE p_type ILIKE '%econ%'
         |GROUP BY 1, 2
         |ORDER BY 1 DESC, 3 ASC""".stripMargin,
+
+    "q18_string_funcs" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, 'table', 'TBL') AS replaced_first,
+        |  SUBSTRING(text, 1, 12) AS left12,
+        |  CASE WHEN LENGTH(text) <= 7 THEN text ELSE RIGHT(text, 7) END AS right7,
+        |  CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos,
+        |  TRIM(LOWER(SUBSTRING(text, 1, 20))) AS norm_prefix
+        |FROM documents""".stripMargin,
 
     "v3_ann_ivf" ->
       """WITH c AS (

@@ -23,4 +23,20 @@ final class TableWriter(warehouseDir: String) extends Serializable {
 
   def read(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.read.parquet(path(name))
+
+  /** Bucketed materialization: pre-shuffles the table into `numBuckets` by
+    * `bucketCols` so equi-joins and aggregations on those keys read
+    * co-located buckets with NO runtime exchange — the cluster-scale answer
+    * to repeated joins on the same key (bucket both fact tables identically
+    * and the 100 TB join is shuffle-free). Registered in the session catalog
+    * (bucketing metadata lives there).
+    */
+  def materializeBucketed(df: DataFrame, name: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path(name))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Skew
+import graft.sources.TableWriter
+import org.apache.spark.sql.functions._
+
+class SkewBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the unsalted join and spreads hot keys") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H"), ("cold10", "C")).toDF("k", "label")
+
+    val plain = big.join(small, Seq("k")).select("k", "v", "label")
+    val salted = Skew.saltedJoin(big, small, "k", numSalts = 8,
+      saltSource = col("v")).select("k", "v", "label")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables join without a runtime exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    val w = new TableWriter(dir)
+    val a = (1L to 500L).map(i => (i, s"a$i")).toDF("id", "pa")
+    val b = (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "vb")
+    w.materializeBucketed(a, "bk_a", Seq("id"), 4)
+    w.materializeBucketed(b, "bk_b", Seq("id"), 4)
+
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), Seq("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
+}
