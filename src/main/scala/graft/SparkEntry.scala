@@ -307,6 +307,20 @@ object SparkEntry {
       trim(lower(substring(col("text"), 1, 20))).as("norm_prefix"))
   }
 
+  // ---------------------------------------------------------------- q19
+  /** Sketch aggregations for 100 TB profiling: HLL distinct + quantile
+    * sketches (no oracle — sketch internals are engine-specific; driver
+    * records the rows-only check).
+    */
+  private def q19Sketches(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+  }
+
   // ---------------------------------------------------------------- d*
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -425,6 +439,7 @@ object SparkEntry {
     "q16_sessions" -> (q16Sessions _),
     "q17_sql_ordinals" -> (q17SqlOrdinals _),
     "q18_string_funcs" -> (q18StringFuncs _),
+    "q19_sketches" -> (q19Sketches _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),

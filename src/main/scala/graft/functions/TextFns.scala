@@ -99,9 +99,15 @@ object TextFns {
 
   /** 64-bit SimHash over tokens: per-token 64-bit hash votes +1/-1 on each
     * bit, bit set where the sum is positive. Computed entirely within the
-    * row (aggregate + zip_with): no shuffle, no UDF.
+    * row by the [[SimHashSig]] expression — no shuffle, single loop.
     */
   def simhash64(c: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(SimHashSig(expression(tokens(c))))
+  }
+
+  /** HOF formulation of [[simhash64]] — the property-check reference. */
+  def simhash64Hof(c: Column): Column = {
     val toks = tokens(c)
     val bitIdx = sequence(lit(0), lit(63))
     val counts = aggregate(

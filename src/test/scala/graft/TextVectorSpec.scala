@@ -27,6 +27,16 @@ class TextVectorSpec extends SparkSpec {
     assert(r)
   }
 
+  test("SimHashSig expression is bit-identical to the HOF formulation") {
+    val docs = graft.SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val mism = docs.select(
+        TextFns.simhash64(col("text")).as("a"),
+        TextFns.simhash64Hof(col("text")).as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(mism.count() == 0)
+  }
+
   test("simhash: identical texts agree, disjoint texts differ") {
     val df = Seq(("x y z w", "x y z w", "p q r s")).toDF("a", "b", "c")
     val row = df.select(
