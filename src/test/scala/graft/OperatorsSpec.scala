@@ -29,6 +29,23 @@ class OperatorsSpec extends SparkSpec {
     assert(both.filter(!(col("a") <=> col("b"))).count() == 0)
   }
 
+  test("RegexBank chain survives reference-scale branch counts (300 rules)") {
+    // The reference's legacy classifier is a ~600-branch CASE
+    // (card_merchants_model.sql:2-620); prove the codegen'd chain compiles
+    // and first-match-wins holds at that depth.
+    val manyRules = (1 to 300).map(i =>
+      RegexBank.Rule(s"k$i", s"\\btoken$i\\b", 1000 - i))
+    val df = Seq("has token7 here", "token299 and token300", "none").toDF("s")
+    val got = df.select(
+        RegexBank.bestMatchChain(manyRules)(col("s")).as("k"))
+      .as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("k7"), Some("k299"), None))
+    val gotUdf = df.select(
+        RegexBank.bestMatchExpr(manyRules)(col("s")).as("k"))
+      .as[Option[String]].collect()
+    assert(gotUdf.toSeq == got.toSeq)
+  }
+
   test("TopPerGroup.top1 is deterministic under ties") {
     val df = Seq((1, "a", 10), (1, "b", 10), (2, "c", 5)).toDF("grp", "id", "score")
     val got = TopPerGroup.top1(df, Seq(col("grp")),
