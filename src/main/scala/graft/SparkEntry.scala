@@ -307,6 +307,24 @@ object SparkEntry {
       trim(lower(substring(col("text"), 1, 20))).as("norm_prefix"))
   }
 
+  // ---------------------------------------------------------------- q20
+  /** Backward as-of join: each error event picks up the user's most recent
+    * click at-or-before it (DuckDB's native ASOF JOIN is the oracle).
+    */
+  private def q20AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    AsOfJoin.backward(errors, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("asof_ts").as("click_ts"),
+        col("asof_value").as("click_value"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+  }
+
   // ---------------------------------------------------------------- q19
   /** Sketch aggregations for 100 TB profiling: HLL distinct + quantile
     * sketches (no oracle — sketch internals are engine-specific; driver
@@ -440,6 +458,7 @@ object SparkEntry {
     "q17_sql_ordinals" -> (q17SqlOrdinals _),
     "q18_string_funcs" -> (q18StringFuncs _),
     "q19_sketches" -> (q19Sketches _),
+    "q20_asof_join" -> (q20AsofJoin _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -651,6 +670,19 @@ object SparkEntry {
         |  CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos,
         |  TRIM(LOWER(SUBSTRING(text, 1, 20))) AS norm_prefix
         |FROM documents""".stripMargin,
+
+    "q20_asof_join" ->
+      """WITH errors AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        |), clicks AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  c.ts AS click_ts,
+        |  c.value AS click_value,
+        |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
 
     "v3_ann_ivf" ->
       """WITH c AS (

@@ -46,6 +46,24 @@ class OperatorsSpec extends SparkSpec {
     assert(gotUdf.toSeq == got.toSeq)
   }
 
+  test("AsOfJoin.backward: latest at-or-before match per key, null when none") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00")),
+      (3L, "u2", ts("2024-01-01 09:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 1.0),
+      ("u1", ts("2024-01-01 12:00:00"), 2.0), // equal ts → included
+      ("u2", ts("2024-01-01 11:00:00"), 3.0)) // after left → no match
+      .toDF("k", "t", "v")
+    val got = graft.operators.AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
+  }
+
   test("TopPerGroup.top1 is deterministic under ties") {
     val df = Seq((1, "a", 10), (1, "b", 10), (2, "c", 5)).toDF("grp", "id", "score")
     val got = TopPerGroup.top1(df, Seq(col("grp")),
