@@ -1,0 +1,66 @@
+package graft
+
+import graft.dialect.RegexpReplaceFirst
+import graft.functions.{DotProduct, MinHashSig, SimHashSig}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration of the engine's custom expressions, so `spark.sql`
+  * users get the dialect too:
+  *
+  *   regexp_replace_first(s, pattern, replacement)
+  *   graft_dot(arrayA, arrayB)
+  *   minhash_sig(shingleArray, numHashes)
+  *   simhash_sig(tokenArray)
+  *
+  * Two paths: [[GraftFunctions.register]] on a live session, or
+  * `spark.sql.extensions=graft.GraftExtensions` at session build time
+  * (the SparkSessionExtensions route for deployments).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "regexp_replace_first" -> { es =>
+      require(es.length == 3, "regexp_replace_first(s, pattern, replacement)")
+      RegexpReplaceFirst(es(0), es(1), es(2))
+    },
+    "graft_dot" -> { es =>
+      require(es.length == 2, "graft_dot(a, b)")
+      DotProduct(es(0), es(1))
+    },
+    "minhash_sig" -> { es =>
+      require(es.length == 2, "minhash_sig(shingles, numHashes)")
+      MinHashSig(es(0), intLit(es(1), "numHashes"))
+    },
+    "simhash_sig" -> { es =>
+      require(es.length == 1, "simhash_sig(tokens)")
+      SimHashSig(es(0))
+    })
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+}
+
+/** Session-build-time registration:
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        b))
+    }
+}

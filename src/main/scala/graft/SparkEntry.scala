@@ -325,6 +325,19 @@ object SparkEntry {
         (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
   }
 
+  // ---------------------------------------------------------------- q21
+  /** Bucketized point-in-interval range join vs a literal band table. */
+  private def q21RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (1L, 0.0, 4.99), (2L, 5.0, 9.99), (3L, 10.0, 14.99), (4L, 15.0, 100.0))
+      .toDF("band_id", "lo", "hi")
+    val e = t(s, dir, "events").select(col("event_type"), col("value"))
+    RangeJoin.pointInInterval(e, bands, "value", "lo", "hi", bucketWidth = 5.0)
+      .groupBy(col("band_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+  }
+
   // ---------------------------------------------------------------- q19
   /** Sketch aggregations for 100 TB profiling: HLL distinct + quantile
     * sketches (no oracle — sketch internals are engine-specific; driver
@@ -459,6 +472,7 @@ object SparkEntry {
     "q18_string_funcs" -> (q18StringFuncs _),
     "q19_sketches" -> (q19Sketches _),
     "q20_asof_join" -> (q20AsofJoin _),
+    "q21_range_join" -> (q21RangeJoin _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -683,6 +697,17 @@ object SparkEntry {
         |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+
+    "q21_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (
+        |  VALUES (CAST(1 AS BIGINT), 0.0, 4.99), (CAST(2 AS BIGINT), 5.0, 9.99),
+        |         (CAST(3 AS BIGINT), 10.0, 14.99), (CAST(4 AS BIGINT), 15.0, 100.0)
+        |)
+        |SELECT band_id, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value <= hi
+        |GROUP BY 1, 2""".stripMargin,
 
     "v3_ann_ivf" ->
       """WITH c AS (

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from spark.sql after registration") {
+    GraftFunctions.register(spark)
+    Seq(("aXbXc", "the quick fox", "a b c d")).toDF("s", "txt", "toks")
+      .createOrReplaceTempView("sql_surface_v")
+    val row = spark.sql(
+      """SELECT
+        |  regexp_replace_first(s, 'X', '-') AS rep,
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  size(minhash_sig(split(txt, ' '), 16)) AS sig_len,
+        |  simhash_sig(split(toks, ' ')) AS sh
+        |FROM sql_surface_v""".stripMargin).head()
+    assert(row.getString(0) == "a-bXc")
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getInt(2) == 16)
+    // simhash of "a b c d" must equal the Column-API value
+    val viaCol = Seq("a b c d").toDF("t")
+      .select(graft.functions.TextFns.simhash64(col("t"))).as[Long].head()
+    assert(row.getLong(3) == viaCol)
+  }
+
+  test("GraftExtensions injects without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // builder registration must not throw
+  }
+
+  test("bucketized range join equals the naive inequality join") {
+    val points = (1 to 200).map(i => (i.toLong, i * 0.5)).toDF("pid", "x")
+    val intervals = Seq(
+      (1L, 0.0, 10.0), (2L, 9.5, 20.0), (3L, 50.0, 60.0), (4L, 99.0, 100.5))
+      .toDF("iid", "lo", "hi")
+    val naive = points.join(intervals,
+      col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid")
+    val bucketized = RangeJoin.pointInInterval(points, intervals,
+      "x", "lo", "hi", bucketWidth = 5.0)
+      .select("pid", "iid")
+    assert(bucketized.count() == naive.count())
+    assert(bucketized.exceptAll(naive).isEmpty && naive.exceptAll(bucketized).isEmpty)
+  }
+}
