@@ -40,8 +40,17 @@ object TextFns {
     ).otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct shingles (set semantics for Jaccard). */
-  def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+  /** Distinct shingles (set semantics for Jaccard) — single-loop
+    * [[ShingleSetExpr]]; identical to `array_distinct(shingles(c, n))`
+    * (property-tested).
+    */
+  def shingleSet(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(ShingleSetExpr(expression(c), n))
+  }
+
+  /** HOF formulation of [[shingleSet]] — the property-check reference. */
+  def shingleSetHof(c: Column, n: Int): Column = array_distinct(shingles(c, n))
 
   /** Heuristic language ID: per-language marker-word hit counts with a fixed
     * tie-break priority (first in `markers` wins ties). Integer scores keep

@@ -13,6 +13,18 @@ class TextVectorSpec extends SparkSpec {
     assert(got(1) == Seq.empty)
   }
 
+  test("ShingleSetExpr is identical to the HOF formulation on real docs") {
+    val docs = graft.SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val mism = docs.select(
+          TextFns.shingleSet(col("text"), n).as("a"),
+          TextFns.shingleSetHof(col("text"), n).as("b"))
+        .filter(!(col("a") <=> col("b")))
+      assert(mism.count() == 0, s"n=$n")
+    }
+  }
+
   test("langId picks max-marker language with priority tie-break") {
     val markers = Seq("en" -> Seq("the"), "fr" -> Seq("le"))
     val df = Seq("the cat", "le chat", "nothing here", "the le").toDF("s")
