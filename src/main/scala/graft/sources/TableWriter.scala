@@ -24,6 +24,23 @@ final class TableWriter(warehouseDir: String) extends Serializable {
   def read(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.read.parquet(path(name))
 
+  /** Incremental materialization (the dbt `incremental` analogue on plain
+    * parquet): dynamic partition overwrite replaces ONLY the partitions
+    * present in `df`, leaving history untouched — the idempotent daily-load
+    * pattern at 100 TB (re-running a day rewrites just that day's
+    * partition).
+    */
+  def upsertPartitions(df: DataFrame, name: String,
+      partitionBy: Seq[String]): String = {
+    require(partitionBy.nonEmpty, "incremental upsert needs partition columns")
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionBy: _*)
+      .parquet(path(name))
+    path(name)
+  }
+
   /** Bucketed materialization: pre-shuffles the table into `numBuckets` by
     * `bucketCols` so equi-joins and aggregations on those keys read
     * co-located buckets with NO runtime exchange — the cluster-scale answer
