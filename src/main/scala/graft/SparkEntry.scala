@@ -325,6 +325,31 @@ object SparkEntry {
         (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
   }
 
+  // ---------------------------------------------------------------- q22
+  /** U1: inline literal dimension unioned with a scanned table. */
+  private def q22UnionLiteral(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val extra = Seq((100L, "EXTRA1"), (101L, "EXTRA2")).toDF("id", "name")
+    t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      .unionByName(extra)
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** O2: explicit nulls-last ordering inside a window rank (the reference's
+    * `desc nulls last`, exercised on a synthesized nullable measure).
+    */
+  private def q23NullOrdering(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("np",
+        when(col("o_orderstatus") === "P", lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+    TopPerGroup.top1(o,
+        Seq(col("o_custkey")),
+        Seq(col("np").desc_nulls_last, col("o_orderkey").asc))
+      .select(col("o_custkey"), col("o_orderkey"), col("np"))
+  }
+
   // ---------------------------------------------------------------- q21
   /** Bucketized point-in-interval range join vs a literal band table. */
   private def q21RangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -454,9 +479,11 @@ object SparkEntry {
     "q2_filter_project" -> (q2FilterProject _),
     "q3_segment_revenue" -> (q3SegmentRevenue _),
     "q4_region_supplier" -> (q4RegionSupplier _),
+    "q5_spend_daily" -> q5Spend(Grain.Day) _,
     "q5_spend_weekly" -> q5Spend(Grain.Week) _,
     "q5_spend_monthly" -> q5Spend(Grain.Month) _,
     "q5_spend_quarterly" -> q5Spend(Grain.Quarter) _,
+    "q5_spend_yearly" -> q5Spend(Grain.Year) _,
     "q6_spine_metrics" -> (q6SpineMetrics _),
     "q7_new_repeat" -> (q7NewRepeat _),
     "q8_latest_order" -> (q8LatestOrder _),
@@ -473,6 +500,8 @@ object SparkEntry {
     "q19_sketches" -> (q19Sketches _),
     "q20_asof_join" -> (q20AsofJoin _),
     "q21_range_join" -> (q21RangeJoin _),
+    "q22_union_literal" -> (q22UnionLiteral _),
+    "q23_null_ordering" -> (q23NullOrdering _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -526,9 +555,11 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,
 
+    "q5_spend_daily" -> spendOracle("day"),
     "q5_spend_weekly" -> spendOracle("week"),
     "q5_spend_monthly" -> spendOracle("month"),
     "q5_spend_quarterly" -> spendOracle("quarter"),
+    "q5_spend_yearly" -> spendOracle("year"),
 
     "q6_spine_metrics" ->
       """WITH spine AS (
@@ -697,6 +728,21 @@ object SparkEntry {
         |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+
+    "q22_union_literal" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation
+        |UNION ALL
+        |SELECT * FROM (VALUES (CAST(100 AS BIGINT), 'EXTRA1'), (CAST(101 AS BIGINT), 'EXTRA2')) t(id, name)""".stripMargin,
+
+    "q23_null_ordering" ->
+      """SELECT o_custkey, o_orderkey, np FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS np,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY
+        |      (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END) DESC NULLS LAST,
+        |      o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1""".stripMargin,
 
     "q21_range_join" ->
       """WITH bands(band_id, lo, hi) AS (
