@@ -350,6 +350,31 @@ object SparkEntry {
       .select(col("o_custkey"), col("o_orderkey"), col("np"))
   }
 
+  // ---------------------------------------------------------------- q24
+  /** Window-function suite beyond the reference: lag, explicit ROWS frame
+    * running sum (exact decimal), dense ranking.
+    */
+  private def q24WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wRun)
+        .cast("double").as("running_total"),
+      row_number().over(w).cast("long").as("order_seq"))
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** ROLLUP grouping sets (free in Spark; absent from the reference). */
+  private def q25Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"))
+  }
+
   // ---------------------------------------------------------------- q21
   /** Bucketized point-in-interval range join vs a literal band table. */
   private def q21RangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -502,6 +527,8 @@ object SparkEntry {
     "q21_range_join" -> (q21RangeJoin _),
     "q22_union_literal" -> (q22UnionLiteral _),
     "q23_null_ordering" -> (q23NullOrdering _),
+    "q24_window_suite" -> (q24WindowSuite _),
+    "q25_rollup_sets" -> (q25Rollup _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -743,6 +770,23 @@ object SparkEntry {
         |      o_orderkey ASC) AS rn
         |  FROM orders
         |) WHERE rn = 1""".stripMargin,
+
+    "q24_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q25_rollup_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q21_range_join" ->
       """WITH bands(band_id, lo, hi) AS (
