@@ -477,6 +477,35 @@ object SparkEntry {
         countDistinct(col("fp")).as("n_distinct_fp"))
   }
 
+  /** Repetition profile: distinct-token ratio per doc, bucketed. */
+  private def d9Repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextFns.tokens(col("text"))
+    d.select(col("lang"),
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+          .as("distinct_ratio"))
+      .groupBy(floor(col("distinct_ratio") * 10).cast("int").as("ratio_bucket"),
+        col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Embedding-cosine near-dup pairs — exact pairwise form (the oracle and
+    * correctness baseline; the LSH-bucketed path in Similarity is the 100 TB
+    * variant of the same predicate).
+    */
+  private def d10EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("sim") >= 0.4)
+      .select("id_a", "id_b", "sim")
+  }
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -537,6 +566,8 @@ object SparkEntry {
     "d6_quality_buckets" -> (d6QualityBuckets _),
     "d7_langid" -> (d7LangId _),
     "d8_fingerprint" -> (d8Fingerprint _),
+    "d9_repetition" -> (d9Repetition _),
+    "d10_embedding_neardup" -> (d10EmbeddingNearDup _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -908,6 +939,23 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT TRIM(regexp_replace(LOWER(text), ' +', ' ', 'g'))) AS n_distinct_fp
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "d9_repetition" ->
+      """SELECT CAST(FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10) AS INT) AS ratio_bucket,
+        |  lang, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "d10_embedding_neardup" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v)
+        |    / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) AS sim
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
 
     "v1_ann_bruteforce" ->
       """WITH c AS (
