@@ -568,6 +568,8 @@ object SparkEntry {
     "d8_fingerprint" -> (d8Fingerprint _),
     "d9_repetition" -> (d9Repetition _),
     "d10_embedding_neardup" -> (d10EmbeddingNearDup _),
+    "d11_dedup_clusters" -> ((s: SparkSession, dir: String) =>
+      Dedup.clusters(d2NgramJaccard(s, dir))),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -870,25 +872,7 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
 
-    "d2_ngram_jaccard" ->
-      """WITH docs AS (
-        |  SELECT doc_id AS id,
-        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |  WHERE len(toks) >= 3
-        |), exploded AS (
-        |  SELECT id, len(shingles) AS set_size, UNNEST(shingles) AS sh FROM docs
-        |), rare AS (
-        |  SELECT * FROM (
-        |    SELECT id, set_size, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM exploded
-        |  ) WHERE df <= 50
-        |)
-        |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common,
-        |  CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) AS jaccard
-        |FROM rare a JOIN rare b ON a.sh = b.sh AND a.id < b.id
-        |GROUP BY a.id, b.id, a.set_size, b.set_size
-        |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) >= 0.2""".stripMargin,
+    "d2_ngram_jaccard" -> d2OracleSql,
 
     "d5_text_stats" ->
       """SELECT lang, source,
@@ -957,6 +941,8 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v)
         |    / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
 
+    "d11_dedup_clusters" -> d11Oracle,
+
     "v1_ann_bruteforce" ->
       """WITH c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -975,6 +961,46 @@ object SparkEntry {
     // d3_minhash_lsh, d4_simhash, v2_ann_lsh: hash-seeded / LSH operators are
     // not SQL-expressible → driver records the weaker rows-only check.
   )
+
+  private val d2OracleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), exploded AS (
+      |  SELECT id, len(shingles) AS set_size, UNNEST(shingles) AS sh FROM docs
+      |), rare AS (
+      |  SELECT * FROM (
+      |    SELECT id, set_size, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM exploded
+      |  ) WHERE df <= 50
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) AS jaccard
+      |FROM rare a JOIN rare b ON a.sh = b.sh AND a.id < b.id
+      |GROUP BY a.id, b.id, a.set_size, b.set_size
+      |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) >= 0.2""".stripMargin
+
+  /** Connected components as a recursive transitive closure over the d2
+    * near-dup pairs: cluster id = minimum reachable member id.
+    */
+  private def d11Oracle: String = {
+    val pairsSql = d2OracleSql
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSql
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS member_id, LEAST(src, MIN(dst)) AS cluster_id
+       |FROM reach GROUP BY src""".stripMargin
+  }
 
   private def spendOracle(grain: String): String =
     s"""SELECT CAST(date_trunc('$grain', o_orderdate) AS DATE) AS date_period,

@@ -116,6 +116,47 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Connected components over a near-dup pair list → dedup clusters: every
+    * member maps to the minimum id reachable through any chain of pairs (the
+    * canonical representative). Iterative min-label propagation — each round
+    * is one aggregation + one join, labels only ever decrease, and the round
+    * count is bounded by the component diameter (near-dup clusters are
+    * shallow; switch to pointer-doubling if deep chains ever appear). The
+    * standard large-graph CC shape: hash-partitioned by id, no driver-side
+    * graph.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+
+    // labels: node -> current cluster label (start: own id and min neighbor)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // propagate: my new label = min(my label, min over neighbors' labels)
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per doc (per-row), blocked by
     * 16-bit chunks — any pair within Hamming distance ≤3 must agree on at
     * least one of the 4 chunks (pigeonhole), so the chunk join finds all such

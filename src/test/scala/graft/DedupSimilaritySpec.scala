@@ -38,6 +38,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("clusters: min-label connected components over pair chains") {
+    // chain 1-2, 2-3, 3-4 (one cluster, rep 1); pair 10-11; isolated via 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("simhashPairs: identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
