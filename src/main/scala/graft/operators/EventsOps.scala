@@ -1,8 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+import java.sql.Timestamp
+
+/** Typed event row for the stateful API. */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Emitted closed session. */
+final case class Session(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, sum_value: Double)
+
+/** Session state buffer — primitive arrays keep the Encoder simple. */
+final case class SessBuf(tsMs: Array[Long], vals: Array[Double])
 
 /** Event-stream operators. Each transformation is written once against an
   * unbounded-friendly shape (time windows, watermark-compatible aggregations)
@@ -37,6 +50,58 @@ object EventsOps {
       watermark: String): DataFrame =
     tumblingStats(events.withWatermark("ts", watermark), width,
       exactDistinct = false)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the arbitrary-
+    * state streaming surface (vs the declarative session_window in
+    * [[sessionStats]]). Buffers per-user events in GroupState, closes and
+    * emits a session once the event-time watermark has passed its end + gap
+    * (so it can no longer grow), with an event-time timeout flushing idle
+    * users. Input must carry a watermark on `ts`.
+    */
+  def statefulSessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def toSessions(uid: Long, evs: List[(Long, Double)]): List[Session] = {
+      val sorted = evs.sortBy(_._1)
+      val groups = sorted.foldLeft(List.empty[List[(Long, Double)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._1 - cur.head._1 <= gapMs => (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }
+      groups.reverse.map { g =>
+        val s = g.reverse
+        Session(uid, new Timestamp(s.head._1), new Timestamp(s.last._1),
+          s.length.toLong,
+          // exact 2-dp sum in cents, matching the decimal-sum convention
+          s.map(e => math.round(e._2 * 100)).sum / 100.0)
+      }
+    }
+
+    def fn(uid: Long, it: Iterator[Event],
+        state: GroupState[SessBuf]): Iterator[Session] = {
+      val buffered: List[(Long, Double)] = state.getOption
+        .map(b => b.tsMs.zip(b.vals).toList).getOrElse(Nil)
+      val all = buffered ++ it.map(e => (e.ts.getTime, e.value)).toList
+      val wm = state.getCurrentWatermarkMs()
+      if (all.isEmpty) { state.remove(); return Iterator.empty }
+      val sessions = toSessions(uid, all)
+      // a session is closed once the watermark passed end + gap
+      val (closed, open) = sessions.partition(s => s.session_end.getTime + gapMs < wm)
+      if (open.isEmpty) state.remove()
+      else {
+        val keep = all.filter(_._1 > wm - gapMs)
+        state.update(SessBuf(keep.map(_._1).toArray, keep.map(_._2).toArray))
+        // earliest close time among open sessions — each timeout closes the
+        // oldest session(s) and re-arms for the next
+        state.setTimeoutTimestamp(open.map(_.session_end.getTime).min + gapMs + 1)
+      }
+      closed.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Session windows per user (gap-based). Streaming-capable via
     * session_window; in batch it is the oracle for the streaming path.

@@ -37,6 +37,40 @@ class EventsOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 1L, 1L))
   }
 
+  test("stateful sessionization closes sessions as the watermark passes") {
+    import graft.operators.{Event, Session}
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+
+    val part1 = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 10L, "click", 1.25),
+      Event(2L, ts("2024-01-01 00:10:00"), 10L, "click", 2.50)).toDS()
+    part1.write.parquet(s"$dir/p1")
+
+    val schema = part1.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/p*")
+      .withWatermark("ts", "1 minute").as[Event]
+    val sessions = graft.operators.EventsOps.statefulSessions(
+      stream, gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // nothing closed yet
+
+      // a much later event advances the watermark past session 1's close
+      Seq(Event(3L, ts("2024-01-01 10:00:00"), 10L, "click", 9.0)).toDS()
+        .write.parquet(s"$dir/p2")
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out").as[Session].collect()
+      assert(got.length == 1)
+      assert(got.head.user_id == 10L)
+      assert(got.head.session_start.toString == "2024-01-01 00:00:00.0")
+      assert(got.head.session_end.toString == "2024-01-01 00:10:00.0")
+      assert(got.head.n_events == 2L && got.head.sum_value == 3.75)
+    } finally q.stop()
+  }
+
   test("streaming path produces the same hourly aggregation as batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     events.write.mode("overwrite").parquet(dir)
