@@ -506,6 +506,39 @@ object SparkEntry {
       .select("id_a", "id_b", "sim")
   }
 
+  // ---------------------------------------------------------------- q26
+  /** Set operations beyond the reference: INTERSECT / EXCEPT (distinct). */
+  private def q26SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val bigSpender = o.filter(col("o_totalprice") > 250000.0)
+      .select(col("o_custkey"))
+    val both = urgent.intersect(bigSpender)
+      .select(col("o_custkey"), lit("both").as("segment"))
+    val urgentOnly = urgent.except(bigSpender)
+      .select(col("o_custkey"), lit("urgent_only").as("segment"))
+    both.union(urgentOnly)
+  }
+
+  /** BPE-ish regex token counting next to whitespace tokens (training-data
+    * token accounting): letter runs / digit runs / single punctuation.
+    */
+  private def d12BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    d.select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe"),
+        TextFns.tokenCount(col("text")).as("n_ws"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe").cast("long")).as("sum_bpe_tokens"),
+        sum(col("n_ws").cast("long")).as("sum_ws_tokens"))
+      .withColumn("bpe_per_ws",
+        col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens").cast("double"))
+  }
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -570,6 +603,8 @@ object SparkEntry {
     "d10_embedding_neardup" -> (d10EmbeddingNearDup _),
     "d11_dedup_clusters" -> ((s: SparkSession, dir: String) =>
       Dedup.clusters(d2NgramJaccard(s, dir))),
+    "d12_bpe_tokens" -> (d12BpeTokens _),
+    "q26_setops" -> (q26SetOps _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -942,6 +977,25 @@ object SparkEntry {
         |    / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
 
     "d11_dedup_clusters" -> d11Oracle,
+
+    "d12_bpe_tokens" ->
+      """SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS DOUBLE)
+        |    / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS bpe_per_ws
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q26_setops" ->
+      """WITH urgent AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |), big AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
+        |)
+        |SELECT o_custkey, 'both' AS segment FROM (SELECT * FROM urgent INTERSECT SELECT * FROM big)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS segment FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)""".stripMargin,
 
     "v1_ann_bruteforce" ->
       """WITH c AS (
