@@ -109,6 +109,19 @@ object Multimodal {
       .select(col("media_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame_bytes")))
   }
 
+  /** Batched per-partition processing — the Scala analogue of mapInPandas:
+    * rows stream through in fixed-size batches (the Arrow-batch shape codec
+    * libraries want), the codec callback sees a whole batch, and output
+    * rows flatten back into the partition iterator. No shuffle; partition
+    * boundaries and ordering within a partition are preserved.
+    */
+  def mapBatched(df: DataFrame, batchSize: Int,
+      outSchema: StructType)(fn: Seq[org.apache.spark.sql.Row] => Seq[org.apache.spark.sql.Row]): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions(it => it.grouped(batchSize).flatMap(fn))(enc)
+  }
+
   /** Size-aware repartitioning for payload-heavy frames: target a byte
     * budget per partition (payload rows are wildly skewed; row-count
     * partitioning would OOM on the heavy tail).

@@ -43,6 +43,21 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(length(col("frame_bytes")) === 0).count() == 0)
   }
 
+  test("mapBatched: codec sees fixed-size batches, rows round-trip") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("batch_len", IntegerType)))
+    val df = spark.range(10).toDF("media_id")
+    val got = Multimodal.mapBatched(df, batchSize = 4, outSchema) { batch =>
+      assert(batch.length <= 4)
+      batch.map(r => Row(r.getLong(0), batch.length))
+    }
+    assert(got.count() == 10)
+    // every batch the codec saw was bounded by batchSize
+    assert(got.agg(max(col("batch_len"))).head().getInt(0) <= 4)
+  }
+
   test("byte-budget repartitioning sizes partitions by payload, not rows") {
     val df = Multimodal.repartitionByBytes(mediaDf, targetBytesPerPartition = 200L)
     assert(df.rdd.getNumPartitions == 2) // 480 payload bytes / 200 → 2

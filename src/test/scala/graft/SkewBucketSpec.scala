@@ -19,6 +19,17 @@ class SkewBucketSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salting spreads a hot key across partitions") {
+    val big = (1 to 10000).map(i => ("hot", i)).toDF("k", "v")
+    val small = Seq(("hot", "H")).toDF("k", "label")
+    val salted = graft.operators.Skew.saltedJoin(big, small, "k",
+      numSalts = 8, saltSource = col("v"))
+    // the join output of a single hot key must occupy many partitions
+    val parts = salted
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(parts >= 4, s"hot key landed on only $parts partitions")
+  }
+
   test("bucketed tables join without a runtime exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bk").toString
     val w = new TableWriter(dir)
