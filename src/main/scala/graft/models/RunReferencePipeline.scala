@@ -53,13 +53,19 @@ object RunReferencePipeline {
       "shopping_log" -> Seq((d("2022-01-09"), "Onion", 3.0, BigDecimal("2.40")))
         .toDF("Date", "Ingredient", "Quantity", "Price"))
 
+    // With SPARK_GRAFT_WAREHOUSE set, every model materializes to parquet
+    // (dbt table semantics) and dependents read the written tables.
+    val writer = sys.env.get("SPARK_GRAFT_WAREHOUSE")
+      .map(new graft.sources.TableWriter(_))
+
     val t0 = System.nanoTime()
-    val built = ReferencePipeline.runAll(spark, sources, asOf)
+    val built = ReferencePipeline.registry(asOf).runAll(spark, sources, writer)
     ReferencePipeline.registry(asOf).topoOrder.foreach { m =>
       val n = built(m.name).count()
       println(f"OK  ${m.name}%-32s $n%6d rows")
     }
-    println(f"DAG complete: ${built.size - sources.size} models in " +
+    val mode = if (writer.isDefined) "materialized" else "in-memory"
+    println(f"DAG complete ($mode): ${built.size - sources.size} models in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }

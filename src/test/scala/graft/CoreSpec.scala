@@ -15,6 +15,17 @@ class CoreSpec extends SparkSpec {
     assert(df.as[java.sql.Date].head().toString == "2022-01-03")
   }
 
+  test("week truncation corners: Sunday rolls back to Monday; ISO week at year boundary") {
+    // 2022-01-09 is a Sunday → its ISO week starts Monday 2022-01-03
+    val sunday = Seq("2022-01-09").toDF("d").select(
+      Grain.periodStart(to_date(col("d")), Grain.Week).cast("string")).as[String].head()
+    assert(sunday == "2022-01-03")
+    // 2022-01-01 (Saturday) belongs to ISO week 52 of 2021 — PG extract(week) parity
+    val w = Seq("2022-01-01").toDF("d")
+      .select(weekofyear(to_date(col("d")))).as[Int].head()
+    assert(w == 52)
+  }
+
   test("date spine monthly: bounds inclusive, period_end is month end") {
     val sp = DateSpine.spine(spark, Grain.Month,
       LocalDate.parse("2022-01-01"), LocalDate.parse("2022-04-01"))
