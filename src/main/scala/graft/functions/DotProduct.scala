@@ -17,13 +17,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL parity with the HOF fold it replaces: unequal lengths (zip_with
+  // null-pads) or any null element yield NULL, even for non-null inputs.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -35,13 +41,20 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n && !$bad; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |    else { $sum += $a.getDouble($i) * $b.getDouble($i); }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

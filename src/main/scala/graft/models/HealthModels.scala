@@ -44,14 +44,12 @@ object HealthModels {
       .filter(length(col("plant")) > 0)
 
   /** Entity-count rollup family (reference {recipes,plants,workouts}_*.sql):
-    * count + distinct count of an entity per period.
+    * count + distinct count of an entity per period, presentation-ordered.
+    * Delegates to the generic [[graft.operators.Rollups.entityCounts]].
     */
   def entityRollup(df: DataFrame, dateCol: String, entityCol: String,
       grain: Grain): DataFrame =
-    df.groupBy(Grain.periodStart(col(dateCol), grain).as("date_period"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col(entityCol)).as(s"n_distinct"))
+    graft.operators.Rollups.entityCounts(df, col(dateCol), col(entityCol), grain)
       .orderBy(col("date_period").desc)
 
   /** Spine parameters per grain (reference metrics_*.sql:9: weekly starts

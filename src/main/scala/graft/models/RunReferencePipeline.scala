@@ -59,8 +59,9 @@ object RunReferencePipeline {
       .map(new graft.sources.TableWriter(_))
 
     val t0 = System.nanoTime()
-    val built = ReferencePipeline.registry(asOf).runAll(spark, sources, writer)
-    ReferencePipeline.registry(asOf).topoOrder.foreach { m =>
+    val registry = ReferencePipeline.registry(asOf)
+    val built = registry.runAll(spark, sources, writer)
+    registry.topoOrder.foreach { m =>
       val n = built(m.name).count()
       println(f"OK  ${m.name}%-32s $n%6d rows")
     }

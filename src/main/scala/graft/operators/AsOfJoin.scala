@@ -38,8 +38,11 @@ object AsOfJoin {
       .withColumn("__rv", lit(null).cast(taggedRight.schema("__rv").dataType))
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    // __rv as the final order key: right rows tied on (ts) resolve
+    // deterministically (greatest value struct wins); left rows' null __rv
+    // sorts last within their (ts, side) slot and never affects the match.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned

@@ -150,10 +150,17 @@ object Dedup {
         .persist()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") < col("old")).limit(1).count()
+      // `changed` materialized `next`; the previous round's cache is dead.
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations rounds " +
+          "(component diameter too large) — raise maxIterations or switch " +
+          "to pointer-doubling")
     labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
   }
 

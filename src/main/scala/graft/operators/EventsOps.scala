@@ -90,7 +90,11 @@ object EventsOps {
       val (closed, open) = sessions.partition(s => s.session_end.getTime + gapMs < wm)
       if (open.isEmpty) state.remove()
       else {
-        val keep = all.filter(_._1 > wm - gapMs)
+        // keep EVERY event of a still-open session (an old open session's
+        // early events must survive until it closes), drop only events that
+        // belong to just-closed sessions
+        val minOpenStart = open.map(_.session_start.getTime).min
+        val keep = all.filter(_._1 >= minOpenStart)
         state.update(SessBuf(keep.map(_._1).toArray, keep.map(_._2).toArray))
         // earliest close time among open sessions — each timeout closes the
         // oldest session(s) and re-arms for the next

@@ -19,6 +19,12 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       numSalts: Int, saltSource: Column, joinType: String = "inner"): DataFrame = {
+    // Right/full outer would emit each unmatched small-side row once per
+    // salt replica — only big-side-preserving join types are equivalent.
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports big-side-preserving joins only, got $joinType")
     val b = big.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(numSalts)).cast("int"))
     val s = small.withColumn("__salt",

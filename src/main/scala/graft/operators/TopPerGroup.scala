@@ -15,17 +15,18 @@ import org.apache.spark.sql.functions._
 object TopPerGroup {
 
   def top1(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column]): DataFrame =
-    topK(df, 1, partitionBy, orderBy).drop("__rank")
+    topK(df, 1, partitionBy, orderBy)
 
-  /** Keeps `__rank` (1-based) when k > 1. Order columns MUST form a total
-    * order within each group for deterministic results — always append a
-    * unique tie-breaker.
+  /** Keeps `__rank` (1-based) when k > 1; for k == 1 the rank column is
+    * dropped (it is constant). Order columns MUST form a total order within
+    * each group for deterministic results — always append a unique
+    * tie-breaker.
     */
   def topK(df: DataFrame, k: Int, partitionBy: Seq[Column],
       orderBy: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
     val ranked = df.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
-    if (k == 1) ranked else ranked
+    if (k == 1) ranked.drop("__rank") else ranked
   }
 }

@@ -22,11 +22,17 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _)),
+              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+                Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _)),
             Literal(zero: Double, DoubleType),
-            LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
+            LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+              Seq(aAcc: NamedLambdaVariable, aV: NamedLambdaVariable), _),
             finishLambda)
-          if zero == 0.0 && isIdentity(finishLambda) =>
+          // the multiply/add must consume exactly the lambda's own two
+          // distinct arguments in order — x*x or v+v is NOT a dot product
+          if zero == 0.0 && isIdentity(finishLambda)
+            && x.exprId == ax.exprId && y.exprId == ay.exprId
+            && acc.exprId == aAcc.exprId && v.exprId == aV.exprId =>
         Some((a, b))
       case _ => None
     }

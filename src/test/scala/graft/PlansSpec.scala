@@ -32,4 +32,33 @@ class PlansSpec extends SparkSpec {
       spark.experimental.extraOptimizations = prev
     }
   }
+
+  test("RewriteDotProduct does NOT fire on sum-of-squares (x*x) folds") {
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ RewriteDotProduct
+      val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(VectorFns.toDouble(col("embedding")).as("v"))
+        .select(aggregate(zip_with(col("v"), col("v"), (x, _) => x * x),
+          lit(0.0), (acc, e) => acc + e).as("sumsq"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("graft_dot"), s"false rewrite:\n$optimized")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("DotProduct NULL parity: unequal lengths and null elements") {
+    import graft.SparkTestBase.spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val both = df.select(
+      VectorFns.dot(col("a"), col("b")).as("x"),
+      VectorFns.dotHof(col("a"), col("b")).as("y")).head()
+    assert(both.isNullAt(0) && both.isNullAt(1))
+    val withNull = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")).as("x"),
+        VectorFns.dotHof(col("a"), col("b")).as("y")).head()
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
 }
