@@ -506,6 +506,23 @@ object SparkEntry {
       .select("id_a", "id_b", "sim")
   }
 
+  // ---------------------------------------------------------------- q27
+  /** RANGE window frame: per-customer trailing-30-day exact order totals
+    * (the value-based frame next to q24's ROWS frame).
+    */
+  private def q27RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("ts_us", unix_micros(col("o_orderdate").cast("timestamp")))
+    val thirtyDaysUs = 30L * 24 * 3600 * 1000000
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts_us"))
+      .rangeBetween(-thirtyDaysUs, 0)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+        .cast("double").as("trailing_30d_total"),
+      count(lit(1)).over(w).as("trailing_30d_orders"))
+  }
+
   // ---------------------------------------------------------------- q26
   /** Set operations beyond the reference: INTERSECT / EXCEPT (distinct). */
   private def q26SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -605,6 +622,7 @@ object SparkEntry {
       Dedup.clusters(d2NgramJaccard(s, dir))),
     "d12_bpe_tokens" -> (d12BpeTokens _),
     "q26_setops" -> (q26SetOps _),
+    "q27_range_frame" -> (q27RangeFrame _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -986,6 +1004,14 @@ object SparkEntry {
         |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS DOUBLE)
         |    / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS bpe_per_ws
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q27_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_30d_total,
+        |  COUNT(*) OVER w AS trailing_30d_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q26_setops" ->
       """WITH urgent AS (

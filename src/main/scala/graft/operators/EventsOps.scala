@@ -107,6 +107,19 @@ object EventsOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming-safe exact dedup on an id column: with a watermark, state for
+    * ids older than the delay is dropped automatically (bounded state at
+    * unbounded input — the streaming counterpart of Dedup.exactGroups).
+    * Works identically on batch frames (plain dropDuplicates).
+    */
+  def dedupEvents(events: DataFrame, idCols: Seq[String],
+      watermark: Option[String] = None): DataFrame = {
+    val base = watermark.fold(events)(events.withWatermark("ts", _))
+    if (base.isStreaming && watermark.isDefined)
+      base.dropDuplicatesWithinWatermark(idCols)
+    else base.dropDuplicates(idCols)
+  }
+
   /** Session windows per user (gap-based). Streaming-capable via
     * session_window; in batch it is the oracle for the streaming path.
     */

@@ -71,6 +71,23 @@ class EventsOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents: streaming dropDuplicatesWithinWatermark removes replays") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val withDup = events.union(events.limit(2)) // replayed first two events
+    withDup.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = graft.operators.EventsOps
+      .dedupEvents(stream, Seq("event_id"), Some("1 hour"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 4) // 6 rows in, 2 replays dropped
+    } finally q.stop()
+    // batch path: plain exact dedup
+    assert(graft.operators.EventsOps.dedupEvents(withDup, Seq("event_id")).count() == 4)
+  }
+
   test("streaming path produces the same hourly aggregation as batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     events.write.mode("overwrite").parquet(dir)
