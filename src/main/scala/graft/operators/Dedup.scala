@@ -144,14 +144,21 @@ object Dedup {
           col("dst") === col("dst_id"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val propagated = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
+      // pointer-jump (label <- label's label): compresses chains so rounds
+      // needed drop from O(diameter) to O(log diameter). localCheckpoint
+      // truncates the logical plan each round — the self-referential loop
+      // would otherwise double the lineage every iteration.
+      val next = propagated.alias("p")
+        .join(propagated.select(col("id").as("l_id"), col("label").as("l_label")).alias("l"),
+          col("p.label") === col("l_id"), "left")
+        .select(col("p.id").as("id"),
+          least(col("p.label"), coalesce(col("l_label"), col("p.label"))).as("label"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") < col("old")).limit(1).count()
-      // `changed` materialized `next`; the previous round's cache is dead.
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       i += 1

@@ -47,6 +47,13 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clusters: 60-node chain converges via pointer jumping") {
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(chain).as[(Long, Long)].collect()
+    assert(got.length == 60)
+    assert(got.forall(_._2 == 1L)) // everything collapses to the minimum id
+  }
+
   test("simhashPairs: identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
