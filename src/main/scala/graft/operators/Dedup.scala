@@ -135,6 +135,9 @@ object Dedup {
     // labels: node -> current cluster label (start: own id and min neighbor)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
+    // labels only ever decrease → the label sum strictly decreases until the
+    // fixpoint; comparing sums is a cheap aggregation instead of a join.
+    var prevSum = Long.MaxValue
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -157,10 +160,10 @@ object Dedup {
         .select(col("p.id").as("id"),
           least(col("p.label"), coalesce(col("l_label"), col("p.label"))).as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).limit(1).count()
+      val sumNow = next.agg(sum(col("label"))).head().getLong(0)
       labels = next
-      converged = changed == 0
+      converged = sumNow == prevSum
+      prevSum = sumNow
       i += 1
     }
     if (!converged)
