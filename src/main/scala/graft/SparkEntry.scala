@@ -621,6 +621,11 @@ object SparkEntry {
     "d11_dedup_clusters" -> ((s: SparkSession, dir: String) =>
       Dedup.clusters(d2NgramJaccard(s, dir))),
     "d12_bpe_tokens" -> (d12BpeTokens _),
+    "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
+      Dedup.applyDedup(t(s, dir, "documents"), d2NgramJaccard(s, dir), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("sum_chars", col("sum_chars").cast("long"))),
     "q26_setops" -> (q26SetOps _),
     "q27_range_frame" -> (q27RangeFrame _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
@@ -996,6 +1001,8 @@ object SparkEntry {
 
     "d11_dedup_clusters" -> d11Oracle,
 
+    "d13_dedup_apply" -> d13Oracle,
+
     "d12_bpe_tokens" ->
       """SELECT lang,
         |  COUNT(*) AS n_docs,
@@ -1081,6 +1088,30 @@ object SparkEntry {
        |SELECT src AS member_id, LEAST(src, MIN(dst)) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
   }
+
+  /** Deduped-corpus oracle: drop every non-canonical member of the d11
+    * transitive-closure clusters, then aggregate the survivors.
+    */
+  private def d13Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$d2OracleSql
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), cc AS (
+       |  SELECT src AS member_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT member_id FROM cc WHERE member_id <> cluster_id)
+       |GROUP BY 1""".stripMargin
 
   private def spendOracle(grain: String): String =
     s"""SELECT CAST(date_trunc('$grain', o_orderdate) AS DATE) AS date_period,

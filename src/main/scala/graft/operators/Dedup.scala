@@ -174,6 +174,18 @@ object Dedup {
     labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end dedup application: given the corpus and a near-dup pair
+    * list, keep exactly one document per connected near-dup cluster (the
+    * minimum id) plus every unpaired document — the "give me the cleaned
+    * corpus" API the pair/cluster primitives exist for.
+    */
+  def applyDedup(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val drop = clusters(pairs)
+      .filter(col("member_id") =!= col("cluster_id"))
+      .select(col("member_id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per doc (per-row), blocked by
     * 16-bit chunks — any pair within Hamming distance ≤3 must agree on at
     * least one of the 4 chunks (pigeonhole), so the chunk join finds all such

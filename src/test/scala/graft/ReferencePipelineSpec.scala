@@ -145,6 +145,19 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(mar.isNullAt(mar.fieldIndex("workout_days"))) // empty period → nulls
   }
 
+  test("metrics_week: ISO-week golden values for the week of 2022-01-03") {
+    val w = built("metrics_week")
+      .filter(col("period_start") === d("2022-01-03")).head()
+    assert(w.getAs[Long]("workout_days") == 1L)   // Jan 5 (both exercises)
+    assert(w.getAs[Long]("weigh_ins") == 1L)      // Jan 7
+    assert(w.getAs[Double]("avg_weight") == 180.0)
+    assert(w.getAs[Long]("dishes_cooked") == 1L)  // Curry on Jan 8
+    assert(w.getAs[Long]("new_dishes") == 1L)
+    assert(w.getAs[Long]("distinct_ingredients") == 1L) // Onion on Jan 9
+    // spine: Mondays from 2022-01-03 through asOf 2022-03-15 inclusive
+    assert(built("metrics_week").count() == 11)
+  }
+
   test("flatten: target areas explode with trim, Cardio excluded") {
     val f = built("exercise_log_flattened")
     assert(f.select("target_area").as[String].collect().toSet ==
