@@ -631,6 +631,10 @@ object SparkEntry {
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
+    "v4_ann_topk_agg" -> ((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1030,24 +1034,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_custkey, 'urgent_only' AS segment FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)""".stripMargin,
 
-    "v1_ann_bruteforce" ->
-      """WITH c AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8
-        |), pairs AS (
-        |  SELECT q.query_id, c.vec_id AS nbr_id,
-        |    list_dot_product(qv, v) / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))) AS sim
-        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
-        |)
-        |SELECT query_id, nbr_id, rank FROM (
-        |  SELECT query_id, nbr_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
-        |  FROM pairs
-        |) WHERE rank <= 5""".stripMargin,
+    // v4 computes the identical exact top-k as v1 (partial-agg formulation)
+    "v4_ann_topk_agg" -> v1OracleSql,
+    "v1_ann_bruteforce" -> v1OracleSql,
     // d3_minhash_lsh, d4_simhash, v2_ann_lsh: hash-seeded / LSH operators are
     // not SQL-expressible → driver records the weaker rows-only check.
   )
+
+  private val v1OracleSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8
+      |), pairs AS (
+      |  SELECT q.query_id, c.vec_id AS nbr_id,
+      |    list_dot_product(qv, v) / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))) AS sim
+      |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+      |)
+      |SELECT query_id, nbr_id, rank FROM (
+      |  SELECT query_id, nbr_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+      |  FROM pairs
+      |) WHERE rank <= 5""".stripMargin
 
   private val d2OracleSql: String =
     """WITH docs AS (

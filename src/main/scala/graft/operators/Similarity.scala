@@ -38,6 +38,41 @@ object Similarity {
       .select("query_id", "nbr_id", "rank")
   }
 
+  /** Brute-force top-k via the bounded [[graft.functions.TopKAggregator]]:
+    * identical results to [[bruteForceTopK]], but the per-query ranking runs
+    * as a partial (map-side) aggregation — each input partition ships at
+    * most k candidates per query into the shuffle, instead of every scored
+    * row crossing the wire for the window sort. The form to use at 100 TB.
+    */
+  def bruteForceTopKAgg(candidates: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import candidates.sparkSession.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+      .withColumn("nbr_norm", VectorFns.norm(col("nbr_vec")))
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+
+    val scored = cand.join(broadcast(qs), col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("nbr_vec")),
+        col("q_norm"), col("nbr_norm")))
+      .select(col("query_id"), col("sim"), col("nbr_id"))
+      .as[(Long, Double, Long)]
+
+    val topk = new TopKAggregator(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, sim, id) => Scored(sim, id) }
+      .agg(topk.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("nbr_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer (every
     * `centroidStride`-th vector acts as a centroid — swap for trained k-means
     * centroids in production), each candidate assigned to its nearest
