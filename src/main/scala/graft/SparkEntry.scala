@@ -464,7 +464,14 @@ object SparkEntry {
 
   private def d7LangId(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    d.withColumn("predicted", TextFns.langId(col("text"), langMarkers))
+    // scores projected once (the decision chain references each ~2n times)
+    val scored = d.select(
+      col("lang") +: langMarkers.map { case (l, ws) =>
+        TextFns.markerScore(col("text"), ws).as(s"s_$l")
+      }: _*)
+    scored
+      .withColumn("predicted", TextFns.langIdFromScores(
+        langMarkers.map { case (l, _) => l -> col(s"s_$l") }))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
   }

@@ -52,27 +52,36 @@ object TextFns {
   /** HOF formulation of [[shingleSet]] — the property-check reference. */
   def shingleSetHof(c: Column, n: Int): Column = array_distinct(shingles(c, n))
 
-  /** Heuristic language ID: per-language marker-word hit counts with a fixed
-    * tie-break priority (first in `markers` wins ties). Integer scores keep
-    * the decision exactly reproducible in any SQL engine.
+  /** Per-language marker-word hit count (integer — exactly reproducible in
+    * any SQL engine).
     */
-  def langId(c: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val toks = tokens(c)
-    val scores = markers.map { case (lang, words) =>
-      val arr = array(words.map(lit): _*)
-      lang -> size(filter(toks, t => array_contains(arr, t)))
-    }
-    // lang_i wins if its score strictly exceeds every earlier lang's and is
-    // >= every later lang's — first-maximum semantics, CASE-chain shape.
-    val best = scores.zipWithIndex.foldRight(lit("und")) {
+  def markerScore(c: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(arr, t)))
+  }
+
+  /** First-maximum decision over already-computed score columns: lang_i wins
+    * if its score strictly exceeds every earlier lang's and is >= every
+    * later lang's (fixed tie-break priority = `scores` order). Pass
+    * PROJECTED columns, not raw expressions — the chain references each
+    * score up to 2·n times.
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column =
+    scores.zipWithIndex.foldRight(lit("und")) {
       case (((lang, s), i), acc) =>
         val beatsEarlier = scores.take(i).map { case (_, s2) => s > s2 }
         val tiesLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
         val cond = (beatsEarlier ++ tiesLater :+ (s > 0)).reduce(_ && _)
         when(cond, lit(lang)).otherwise(acc)
     }
-    best
-  }
+
+  /** Heuristic language ID in one expression — convenient for few languages;
+    * for wide marker sets project [[markerScore]] columns first and use
+    * [[langIdFromScores]] (each score is evaluated once instead of ~2·n
+    * times).
+    */
+  def langId(c: Column, markers: Seq[(String, Seq[String])]): Column =
+    langIdFromScores(markers.map { case (l, ws) => l -> markerScore(c, ws) })
 
   /** Normalization for fingerprinting: lowercase, collapse space runs, trim. */
   def normalizeText(c: Column): Column =
