@@ -126,9 +126,38 @@ object Dedup {
     * graph.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      maxIterations: Int = 20, smallGraphThreshold: Int = 100000): DataFrame = {
+    // Hybrid strategy (the broadcast-join pattern applied to graphs): when
+    // the pair list fits comfortably on the driver, a local union-find is
+    // exact and skips 3+ distributed rounds; past the threshold the
+    // iterative min-label propagation below takes over.
+    val persistedPairs = pairs.select(col(idA).cast("long").as("a"),
+      col(idB).cast("long").as("b")).persist()
+    val probe = persistedPairs.limit(smallGraphThreshold + 1).collect()
+    if (probe.length <= smallGraphThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo; parent.getOrElseUpdate(lo, lo) }
+      }
+      val members = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val out = members.map(m => (m, find(m)))
+      val spark = pairs.sparkSession
+      persistedPairs.unpersist(blocking = false)
+      import spark.implicits._
+      return out.toSeq.toDF("member_id", "cluster_id")
+    }
+
+    val edges = persistedPairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(persistedPairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist()
 

@@ -47,11 +47,14 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("clusters: 60-node chain converges via pointer jumping") {
+  test("clusters: 60-node chain, local union-find and distributed paths agree") {
     val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.clusters(chain).as[(Long, Long)].collect()
-    assert(got.length == 60)
-    assert(got.forall(_._2 == 1L)) // everything collapses to the minimum id
+    val local = Dedup.clusters(chain).as[(Long, Long)].collect()
+    assert(local.length == 60 && local.forall(_._2 == 1L))
+    // force the distributed min-label/pointer-jump path
+    val dist = Dedup.clusters(chain, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect()
+    assert(dist.sorted.sameElements(local.sorted))
   }
 
   test("simhashPairs: identical docs at hamming 0") {
