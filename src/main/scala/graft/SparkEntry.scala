@@ -563,6 +563,24 @@ object SparkEntry {
         col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens").cast("double"))
   }
 
+  /** Percentile-band corpus trim (drop the extreme-length tails — a stock
+    * training-data cleaning step). Exact interpolated percentiles over
+    * integer token counts are engine-reproducible.
+    */
+  private def d14LengthFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("n_toks", TextFns.tokenCount(col("text")).cast("long"))
+    val bounds = d.agg(
+      expr("percentile(n_toks, 0.05)").as("lo"),
+      expr("percentile(n_toks, 0.95)").as("hi"))
+    d.crossJoin(broadcast(bounds))
+      .filter(col("n_toks") >= col("lo") && col("n_toks") <= col("hi"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_toks")).as("sum_tokens"))
+      .withColumn("sum_tokens", col("sum_tokens").cast("long"))
+  }
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -628,6 +646,7 @@ object SparkEntry {
     "d11_dedup_clusters" -> ((s: SparkSession, dir: String) =>
       Dedup.clusters(d2NgramJaccard(s, dir))),
     "d12_bpe_tokens" -> (d12BpeTokens _),
+    "d14_length_filter" -> (d14LengthFilter _),
     "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
       Dedup.applyDedup(t(s, dir, "documents"), d2NgramJaccard(s, dir), "doc_id")
         .groupBy(col("lang"))
@@ -1013,6 +1032,17 @@ object SparkEntry {
     "d11_dedup_clusters" -> d11Oracle,
 
     "d13_dedup_apply" -> d13Oracle,
+
+    "d14_length_filter" ->
+      """WITH toks AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents
+        |), bounds AS (
+        |  SELECT quantile_cont(n_toks, 0.05) AS lo, quantile_cont(n_toks, 0.95) AS hi FROM toks
+        |)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+        |FROM toks CROSS JOIN bounds
+        |WHERE n_toks >= lo AND n_toks <= hi
+        |GROUP BY 1""".stripMargin,
 
     "d12_bpe_tokens" ->
       """SELECT lang,

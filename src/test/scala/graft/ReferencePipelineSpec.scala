@@ -175,6 +175,29 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(workoutsM == 2L) // Chest, Arms (Bench Press flattened)
   }
 
+  test("quarterly and yearly grains: hand-computed goldens") {
+    val q1 = built("metrics_quarter")
+      .filter(col("period_start") === d("2022-01-01")).head()
+    assert(q1.getAs[Long]("workout_days") == 2L)      // Jan 5 + Feb 10
+    assert(q1.getAs[Long]("dishes_cooked") == 3L)
+    assert(q1.getAs[Double]("recipe_cost") == 28.5)
+    assert(q1.getAs[Long]("distinct_plants") == 5L)   // Onion Garlic Ginger Lettuce Tomato
+    val y = built("metrics_year")
+      .filter(col("period_start") === d("2022-01-01")).head()
+    assert(y.getAs[Long]("weigh_ins") == 3L)
+    assert(y.getAs[Double]("avg_weight") == 178.0)
+    val spendQ = built("spend_quarter")
+      .filter(col("merchant_name") === "Wayfair").select("total_spend")
+      .as[Double].head()
+    assert(spendQ == 120.0)
+  }
+
+  test("card_names literal dimension has the 4 expected rows") {
+    val names = built("card_names").as[(Int, String)].collect().toMap
+    assert(names == Map(3206 -> "blue_cash", 9155 -> "gold_card",
+      3221 -> "checking", 4245 -> "savings"))
+  }
+
   test("spend rollup over classified output") {
     val s = built("spend_month")
       .filter(col("merchant_name") === "Wayfair")
