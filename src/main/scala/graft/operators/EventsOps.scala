@@ -107,6 +107,28 @@ object EventsOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events of the same key whose timestamp falls in
+    * [left.ts - before, left.ts + after]. The time bound plus both
+    * watermarks lets Spark expire join state — mandatory for unbounded
+    * inputs. Works identically on batch frames (the bound becomes a plain
+    * range predicate).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      before: String, after: String, watermark: String): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+      .select(col(key), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("value").as("l_value"))
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+      .drop("r_key")
+  }
+
   /** Streaming-safe exact dedup on an id column: with a watermark, state for
     * ids older than the delay is dropped automatically (bounded state at
     * unbounded input — the streaming counterpart of Dedup.exactGroups).

@@ -116,6 +116,34 @@ class EventsOpsSpec extends SparkSpec {
     assert(missing.isEmpty, "closed windows missing from the sink table")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val clicks = events.filter(col("event_type") === "click")
+    // views for the same user so the interval join has matches: one inside
+    // the ±2h bound of each click, one far outside
+    val views = Seq(
+      (20L, ts("2024-01-01 00:30:00"), 10L, "view", 5.0),
+      (21L, ts("2024-01-03 09:00:00"), 10L, "view", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    clicks.write.parquet(s"$dir/clicks")
+    views.write.parquet(s"$dir/views")
+
+    val batchJoined = EventsOps.intervalJoin(clicks, views, "user_id",
+      before = "2 hours", after = "2 hours", watermark = "10 minutes")
+    val cs = spark.readStream.schema(events.schema).parquet(s"$dir/clicks")
+    val vs = spark.readStream.schema(events.schema).parquet(s"$dir/views")
+    val q = EventsOps.intervalJoin(cs, vs, "user_id",
+        before = "2 hours", after = "2 hours", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+      assert(got.count() == batchJoined.count() && got.count() > 0)
+      assert(got.exceptAll(batchJoined).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming path produces the same hourly aggregation as batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     events.write.mode("overwrite").parquet(dir)
