@@ -36,6 +36,17 @@ class DialectSpec extends SparkSpec {
     assert(got == "<Foo> bar foo")
   }
 
+  test("anchored patterns: replace-all equals replace-first (SURVEY §4 note)") {
+    // The reference's three 6-arg regexp_replace calls use ^-anchored
+    // patterns, where replace-first and replace-all coincide — documented
+    // equivalence, verified here.
+    val df = Seq("SQ *CAFE SQ *TWICE", "plain").toDF("s")
+    val rows = df.select(
+      PgDialect.regexpReplaceFirst(col("s"), "^SQ \\*", "", "i").as("first"),
+      regexp_replace(col("s"), "(?i)^SQ \\*", "").as("all")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("left/right/position match PG semantics") {
     val df = Seq(("venmo payment", "pay")).toDF("s", "needle")
     val row = df.select(
