@@ -530,6 +530,20 @@ object SparkEntry {
       count(lit(1)).over(w).as("trailing_30d_orders"))
   }
 
+  // ---------------------------------------------------------------- q28
+  /** Pivot reshape: order counts per year spread across status columns
+    * (explicit value list keeps the schema deterministic).
+    */
+  private def q28Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("order_year"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_partial"))
+
   // ---------------------------------------------------------------- q26
   /** Set operations beyond the reference: INTERSECT / EXCEPT (distinct). */
   private def q26SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -654,6 +668,7 @@ object SparkEntry {
         .withColumn("sum_chars", col("sum_chars").cast("long"))),
     "q26_setops" -> (q26SetOps _),
     "q27_range_frame" -> (q27RangeFrame _),
+    "q28_pivot" -> (q28Pivot _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1060,6 +1075,13 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
         |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_filled,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_partial
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q26_setops" ->
       """WITH urgent AS (
