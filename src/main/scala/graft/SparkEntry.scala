@@ -544,6 +544,23 @@ object SparkEntry {
         coalesce(col("F"), lit(0L)).as("n_filled"),
         coalesce(col("P"), lit(0L)).as("n_partial"))
 
+  // ---------------------------------------------------------------- q29
+  /** Unpivot (wide → long): per-flag measure sums melted into
+    * (measure, value) rows via Dataset.unpivot.
+    */
+  private def q29Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_price"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("sum_disc_price")),
+      "measure", "value")
+  }
+
   // ---------------------------------------------------------------- q26
   /** Set operations beyond the reference: INTERSECT / EXCEPT (distinct). */
   private def q26SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -669,6 +686,7 @@ object SparkEntry {
     "q26_setops" -> (q26SetOps _),
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_pivot" -> (q28Pivot _),
+    "q29_unpivot" -> (q29Unpivot _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1075,6 +1093,18 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
         |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q29_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |UNION ALL SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM wide""".stripMargin,
 
     "q28_pivot" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
