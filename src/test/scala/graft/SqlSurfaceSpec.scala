@@ -26,6 +26,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(row.getLong(3) == viaCol)
   }
 
+  test("GraftSession.install is idempotent and wires functions + rule") {
+    GraftSession.install(spark)
+    GraftSession.install(spark) // second call must not duplicate the rule
+    assert(spark.experimental.extraOptimizations
+      .count(_ == graft.plans.RewriteDotProduct) == 1)
+    assert(spark.sql("SELECT graft_dot(array(1.0D), array(2.0D))")
+      .head().getDouble(0) == 2.0)
+  }
+
   test("GraftExtensions injects without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder registration must not throw
