@@ -561,6 +561,19 @@ object SparkEntry {
       "measure", "value")
   }
 
+  // ---------------------------------------------------------------- q30
+  /** Distribution ranking functions: ntile quartiles, cume_dist,
+    * percent_rank over customer balances (unique tie-break).
+    */
+  private def q30Ranking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      ntile(4).over(w).cast("long").as("balance_quartile"),
+      cume_dist().over(w).as("cume"),
+      percent_rank().over(w).as("pct_rank"))
+  }
+
   // ---------------------------------------------------------------- q26
   /** Set operations beyond the reference: INTERSECT / EXCEPT (distinct). */
   private def q26SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -687,6 +700,7 @@ object SparkEntry {
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_pivot" -> (q28Pivot _),
     "q29_unpivot" -> (q29Unpivot _),
+    "q30_ranking" -> (q30Ranking _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1093,6 +1107,14 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
         |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q30_ranking" ->
+      """SELECT c_custkey,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS balance_quartile,
+        |  CUME_DIST() OVER w AS cume,
+        |  PERCENT_RANK() OVER w AS pct_rank
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin,
 
     "q29_unpivot" ->
       """WITH wide AS (
