@@ -118,4 +118,31 @@ object ReferencePipeline {
   def runAll(spark: SparkSession, sources: Map[String, DataFrame],
       asOf: LocalDate): Map[String, DataFrame] =
     registry(asOf).runAll(spark, sources)
+
+  /** Schema tests over the built DAG — the `dbt build` test phase the
+    * reference never had (SURVEY §5). Returns one (model, check,
+    * violations) row per check; all-zero violations = green.
+    */
+  def checkAll(built: Map[String, DataFrame]): DataFrame = {
+    import graft.core.Checks
+    val perModel: Seq[(String, Seq[Checks.Check])] = Seq(
+      "classified_card_transactions" -> Seq(
+        Checks.notNull("key"), Checks.unique("key"),
+        Checks.notNull("merchant_key"), Checks.notNull("account_id"),
+        Checks.notNull("category")),
+      "card_transactions_model" -> Seq(
+        Checks.notNull("key"),
+        Checks.acceptedValues("clean_type", Seq("Sale", "Payment"))),
+      "card_merchants_model" -> Seq(
+        Checks.notNull("merchant_name"), Checks.unique("merchant_name")),
+      "exercise_log_flattened" -> Seq(Checks.notNull("target_area")),
+      "recipe_log_flattened" -> Seq(Checks.notNull("plant")))
+    val reports = perModel.map { case (model, cks) =>
+      Checks.run(built(model), cks)
+        .select(org.apache.spark.sql.functions.lit(model).as("model"),
+          org.apache.spark.sql.functions.col("check"),
+          org.apache.spark.sql.functions.col("violations"))
+    }
+    reports.reduce(_ unionByName _)
+  }
 }

@@ -198,6 +198,14 @@ class ReferencePipelineSpec extends SparkSpec {
       3221 -> "checking", 4245 -> "savings"))
   }
 
+  test("checkAll: schema tests over the built DAG are all green") {
+    val report = ReferencePipeline.checkAll(built)
+    val violations = report.filter(col("violations") > 0)
+      .collect().map(_.toString).toSeq
+    assert(violations.isEmpty, s"check violations: $violations")
+    assert(report.count() == 11L)
+  }
+
   test("spend rollup over classified output") {
     val s = built("spend_month")
       .filter(col("merchant_name") === "Wayfair")
