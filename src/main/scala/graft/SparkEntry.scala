@@ -574,6 +574,22 @@ object SparkEntry {
       percent_rank().over(w).as("pct_rank"))
   }
 
+  // ---------------------------------------------------------------- q31
+  /** Schema'd JSON parsing of the semi-structured props column
+    * (from_json with an explicit struct schema — the production path next
+    * to q15's regexp extraction).
+    */
+  private def q31JsonParse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("p.k").cast("long")).as("sum_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"),
+        count(col("p.k")).as("n_parsed"))
+
   // ---------------------------------------------------------------- q26
   /** Set operations beyond the reference: INTERSECT / EXCEPT (distinct). */
   private def q26SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -701,6 +717,7 @@ object SparkEntry {
     "q28_pivot" -> (q28Pivot _),
     "q29_unpivot" -> (q29Unpivot _),
     "q30_ranking" -> (q30Ranking _),
+    "q31_json_parse" -> (q31JsonParse _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1107,6 +1124,14 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
         |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q31_json_parse" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(props::JSON->>'k' AS INT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props::JSON->>'k' AS INT)) AS min_k,
+        |  MAX(CAST(props::JSON->>'k' AS INT)) AS max_k,
+        |  COUNT(CAST(props::JSON->>'k' AS INT)) AS n_parsed
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q30_ranking" ->
       """SELECT c_custkey,
