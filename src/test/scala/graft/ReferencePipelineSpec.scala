@@ -33,7 +33,8 @@ class ReferencePipelineSpec extends SparkSpec {
     ("t4", d("2022-01-13"), BigDecimal("99.00"), 9155, "NATERAX LLC", null, null, null),
     ("t5", d("2022-01-14"), BigDecimal("20.00"), 3206, "venmo payment 123", null, null, "alice"),
     ("t6", d("2022-01-15"), BigDecimal("500.00"), 3221, "ONLINE PYMT CHASE", null, null, null),
-    ("t8", d("2022-01-16"), BigDecimal("45.00"), 3206, "JOES GRILL", null, null, null))
+    ("t8", d("2022-01-16"), BigDecimal("45.00"), 3206, "JOES GRILL", null, null, null),
+    ("t9", d("2022-01-17"), BigDecimal("7.77"), 3206, "ZZZZ 123", null, null, null))
     .toDF("key", "date", "amount", "card_last4", "description", "category",
       "type", "intermediate_key")
 
@@ -88,6 +89,17 @@ class ReferencePipelineSpec extends SparkSpec {
     // no name containment → demoted regex key still used
     val t8 = cc.filter(col("key") === "t8").select("merchant_key").as[String].head()
     assert(t8 == "restaurants_misc")
+  }
+
+  test("classified: no rule, no name → unknown merchant with defaults") {
+    val t9 = built("classified_card_transactions")
+      .filter(col("key") === "t9")
+      .select("merchant_key", "merchant_name", "account_id", "category")
+      .head()
+    assert(t9.getString(0) == "unknown")
+    assert(t9.getString(1) == "Unknown")
+    assert(t9.getString(2) == "acct_unknown")
+    assert(t9.getString(3) == "Uncategorized")
   }
 
   test("classified: name fallback catches non-word-boundary variant") {
