@@ -641,6 +641,15 @@ object SparkEntry {
       .withColumn("sum_tokens", col("sum_tokens").cast("long"))
   }
 
+  /** The composed corpus-cleaning pipeline end to end (length trim →
+    * quality filter → near-dup dedup), reported per language.
+    */
+  private def d15CorpusPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.clean(t(s, dir, "documents"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -707,6 +716,7 @@ object SparkEntry {
       Dedup.clusters(d2NgramJaccard(s, dir))),
     "d12_bpe_tokens" -> (d12BpeTokens _),
     "d14_length_filter" -> (d14LengthFilter _),
+    "d15_corpus_pipeline" -> (d15CorpusPipeline _),
     "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
       Dedup.applyDedup(t(s, dir, "documents"), d2NgramJaccard(s, dir), "doc_id")
         .groupBy(col("lang"))
@@ -1096,6 +1106,7 @@ object SparkEntry {
     "d11_dedup_clusters" -> d11Oracle,
 
     "d13_dedup_apply" -> d13Oracle,
+    "d15_corpus_pipeline" -> d15Oracle,
 
     "d14_length_filter" ->
       """WITH toks AS (
@@ -1232,6 +1243,60 @@ object SparkEntry {
        |SELECT src AS member_id, LEAST(src, MIN(dst)) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
   }
+
+  /** Full corpus-pipeline oracle: length band → quality filter → near-dup
+    * pairs on survivors → transitive-closure clusters → canonical keep →
+    * per-language report. Mirrors CorpusPipeline.clean stage by stage.
+    */
+  private def d15Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and'], t))) AS DOUBLE) AS n_stops,
+      |    CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) AS chars_ns
+      |  FROM documents
+      |), bounds AS (
+      |  SELECT quantile_cont(n_toks, 0.05) AS lo, quantile_cont(n_toks, 0.95) AS hi FROM toks
+      |), lenok AS (
+      |  SELECT toks.* FROM toks CROSS JOIN bounds WHERE n_toks >= lo AND n_toks <= hi
+      |), base AS (
+      |  SELECT doc_id, lang, n_chars, text FROM lenok
+      |  WHERE 0.4 * LEAST(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+      |      + 0.3 * (n_stops / CAST(n_toks AS DOUBLE))
+      |      + 0.3 * LEAST((chars_ns / CAST(n_toks AS DOUBLE)) / 8.0, 1.0) >= 0.35
+      |), docs AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(generate_series(1, len(ts) - 2),
+      |      i -> array_to_string(ts[i:i+2], ' '))) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM base)
+      |  WHERE len(ts) >= 3
+      |), exploded AS (
+      |  SELECT id, len(shingles) AS set_size, UNNEST(shingles) AS sh FROM docs
+      |), rare AS (
+      |  SELECT * FROM (
+      |    SELECT id, set_size, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM exploded
+      |  ) WHERE df <= 50
+      |), pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.id < b.id
+      |  GROUP BY a.id, b.id, a.set_size, b.set_size
+      |  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) >= 0.2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |), cc AS (
+      |  SELECT src AS member_id, LEAST(src, MIN(dst)) AS cluster_id
+      |  FROM reach GROUP BY src
+      |)
+      |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM base
+      |WHERE doc_id NOT IN (SELECT member_id FROM cc WHERE member_id <> cluster_id)
+      |GROUP BY 1""".stripMargin
 
   /** Deduped-corpus oracle: drop every non-canonical member of the d11
     * transitive-closure clusters, then aggregate the survivors.

@@ -1,0 +1,36 @@
+package graft
+
+import graft.pipeline.CorpusPipeline
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clean: trims tails, filters low quality, keeps one doc per dup cluster") {
+    val base = "the quick brown fox jumps over the lazy dog and then rests"
+    val corpus = Seq(
+      (1L, base),                                   // keeper
+      (2L, base),                                   // exact dup of 1 → dropped
+      (3L, base.replace("lazy", "sleepy")),         // near dup of 1 → dropped
+      (4L, "completely different content about the spark engine and its joins"),
+      (5L, "x"),                                    // below p5 length tail
+      (6L, Seq.fill(400)("word").mkString(" ")))    // above p95 length tail
+      .toDF("doc_id", "text")
+
+    val cleaned = CorpusPipeline.clean(corpus,
+      cfg = CorpusPipeline.Config(minQuality = 0.2))
+    val kept = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L) && !kept.contains(3L)) // dup cluster collapsed
+    assert(!kept.contains(5L) && !kept.contains(6L)) // length tails trimmed
+  }
+
+  test("clean preserves the input schema") {
+    val corpus = Seq((1L, "some reasonable document text here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cleaned = CorpusPipeline.clean(corpus,
+      cfg = CorpusPipeline.Config(minQuality = 0.0, lengthLoQ = 0.0, lengthHiQ = 1.0))
+    assert(cleaned.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(cleaned.count() == 1)
+  }
+}
