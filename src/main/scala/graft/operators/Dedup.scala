@@ -105,7 +105,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    candidates
+    // The pair output is tiny relative to the corpus: materialize it
+    // (localCheckpoint truncates lineage) so the signature cache can be
+    // released here instead of leaking into the caller's session.
+    val out = candidates
       .join(signed.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(signed.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
@@ -114,6 +117,9 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
+      .localCheckpoint()
+    signed.unpersist(blocking = false)
+    out
   }
 
   /** Connected components over a near-dup pair list → dedup clusters: every
@@ -195,6 +201,10 @@ object Dedup {
       prevSum = sumNow
       i += 1
     }
+    // `labels` is localCheckpoint-ed every round, so it no longer depends on
+    // the cached edges/pairs — release both before returning.
+    edges.unpersist(blocking = false)
+    persistedPairs.unpersist(blocking = false)
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIterations rounds " +
@@ -237,11 +247,14 @@ object Dedup {
     val r = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("chunk_idx"), col("chunk"))
 
-    l.join(r, Seq("chunk_idx", "chunk"))
+    val out = l.join(r, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .localCheckpoint() // small pair output; lets the sig cache go now
+    sigs.unpersist(blocking = false)
+    out
   }
 }

@@ -33,9 +33,10 @@ final class TableWriter(warehouseDir: String) extends Serializable {
   def upsertPartitions(df: DataFrame, name: String,
       partitionBy: Seq[String]): String = {
     require(partitionBy.nonEmpty, "incremental upsert needs partition columns")
-    df.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Scoped to this write only — mutating the session conf would silently
+    // turn later full-rebuild overwrites into partial (dynamic) ones.
     df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*)
       .parquet(path(name))
     path(name)

@@ -29,11 +29,18 @@ class DialectSpec extends SparkSpec {
     assert(got == "a-bXc")
   }
 
-  test("regexpReplaceFirst honors the 'i' flag and group refs") {
+  test("regexpReplaceFirst honors the 'i' flag and PG-style backrefs") {
     val df = Seq("Foo bar foo").toDF("s")
     val got = df.select(
-      PgDialect.regexpReplaceFirst(col("s"), "(foo)", "<$1>", "i")).as[String].head()
+      PgDialect.regexpReplaceFirst(col("s"), "(foo)", "<\\1>", "i")).as[String].head()
     assert(got == "<Foo> bar foo")
+  }
+
+  test("regexpReplaceFirst treats '$' in the replacement as a literal (PG)") {
+    val df = Seq("price 12 usd").toDF("s")
+    val got = df.select(
+      PgDialect.regexpReplaceFirst(col("s"), "([0-9]+) usd", "$\\1", "")).as[String].head()
+    assert(got == "price $12")
   }
 
   test("anchored patterns: replace-all equals replace-first (SURVEY §4 note)") {
