@@ -650,6 +650,37 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
 
+  // ---------------------------------------------------------------- q32/q33
+  /** The full-fidelity reference end-state model over the deterministic
+    * card fixture (synthesized from orders; seeds single-sourced in
+    * CardFixture) — every classification path oracle-checked against the
+    * DuckDB translation of reference classified_card_transactions.sql.
+    */
+  private def cardClassified(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_cardfix")
+    val tx = s.sql(graft.models.CardFixture.txSql("orders_cardfix"))
+    graft.models.CardModels.classifiedCardTransactions(
+      tx, graft.models.CardFixture.rules,
+      graft.models.CardFixture.merchantsDf(s),
+      graft.models.CardFixture.mapDf(s),
+      graft.models.CardFixture.leafDf(s),
+      graft.models.CardFixture.merchantSeed)
+  }
+
+  private def q32Classified(s: SparkSession, dir: String): DataFrame =
+    cardClassified(s, dir).withColumn("amount", col("amount").cast("double"))
+
+  /** Reference spend_daily (spend_daily.sql:2-12): the 10-key rollup over
+    * the classified output — exact decimal sums reported as double.
+    */
+  private def q33SpendDaily(s: SparkSession, dir: String): DataFrame =
+    Rollups.measureRollup(
+      cardClassified(s, dir), col("date"), Grain.Day,
+      Seq("merchant_name", "category", "subcategory", "billing_model",
+        "spend_nature", "discretion", "gl_code", "account_name",
+        "account_id").map(n => n -> col(n)),
+      Seq(dsum2(col("amount")).as("total_spend")))
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -728,6 +759,8 @@ object SparkEntry {
     "q29_unpivot" -> (q29Unpivot _),
     "q30_ranking" -> (q30Ranking _),
     "q31_json_parse" -> (q31JsonParse _),
+    "q32_classified" -> (q32Classified _),
+    "q33_spend_daily" -> (q33SpendDaily _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1143,6 +1176,9 @@ object SparkEntry {
         |  MAX(CAST(props::JSON->>'k' AS INT)) AS max_k,
         |  COUNT(CAST(props::JSON->>'k' AS INT)) AS n_parsed
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q32_classified" -> graft.models.CardFixture.classifiedOracleSql,
+    "q33_spend_daily" -> graft.models.CardFixture.spendDailyOracleSql,
 
     "q30_ranking" ->
       """SELECT c_custkey,

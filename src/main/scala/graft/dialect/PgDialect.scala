@@ -53,6 +53,18 @@ object PgDialect {
   def rightStr(c: Column, n: Int): Column =
     when(length(c) <= n, c).otherwise(substring(c, -n, n))
 
+  /** PG `right(s, n)` with a COLUMN length, including PG's negative-n
+    * semantics (reference classified_card_transactions.sql:271
+    * `right(description, length(description)-6)`): n ≥ len → whole string;
+    * 0 ≤ n < len → last n chars; n < 0 → drop the first |n| chars (so
+    * right('venmo', -1) = 'enmo'). DuckDB's right() matches PG here, making
+    * it a direct oracle.
+    */
+  def rightStrCol(c: Column, n: Column): Column =
+    when(n >= length(c), c)
+      .when(n >= 0, c.substr(length(c) - n + lit(1), n))
+      .otherwise(c.substr(-n + lit(1), greatest(length(c) + n, lit(0))))
+
   /** PG `position(x in y)` (reference classified_card_transactions.sql:174-177)
     * — 1-based index, 0 when absent; column-vs-column capable.
     */

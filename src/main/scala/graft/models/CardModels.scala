@@ -9,29 +9,56 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Spend-analytics family — the Spark re-expression of the reference card
   * pipeline (reference models/card_transactions_model.sql,
-  * card_merchants_model.sql, classified_card_transactions.sql). The dataflow
-  * (filter Sales → normalize descriptions → priority regex match → name
-  * fallback → dimension joins → defaults → venmo/bank-transfer arms → UNION
-  * distinct) is preserved; the rule content lives in seed tables (broadcast),
-  * not in a 600-branch literal CASE — the end-state the reference itself
-  * moved to (classified_card_transactions.sql vs the legacy
-  * card_merchants_model.sql).
+  * card_merchants_model.sql, classified_card_transactions.sql).
+  *
+  * [[classifiedCardTransactions]] reproduces the end-state model at full
+  * fidelity: the exact normalization-variant set (desc_keep/nohyphen/noagg/
+  * noagg_nohyphen/tail/alias + the alpha forms,
+  * classified_card_transactions.sql:34-116), the priority lateral ranked
+  * across ALL variants (:126-147), the name fallback gated on regex-null-or-
+  * restaurants_misc (:173), the `coalesce(rx, nf)` resolution where a
+  * non-null regex hit always wins (:188-193), the full 14-column enriched
+  * projection (:247-261), and the venmo (:266-318) / bank-transfer
+  * (:322-364) arms with the reference's rule content, UNION-distinct
+  * across arms.
+  *
+  * Scale shape: normalization is all codegen'd built-ins in the scan; the
+  * two matcher UDFs carry the compiled rule bank / name automaton in their
+  * closures (broadcast once per executor) and run one pass per row — no
+  * lateral join, no shuffle until the dimension joins, which broadcast.
   */
 object CardModels {
 
-  /** P3 `clean_type` derivation (reference card_transactions_model.sql:6-15;
-    * variant patterns added by classified_card_transactions.sql:18,24 are
-    * passed in by the caller).
+  /** Payment-card list compared with NOT IN by both reference models
+    * (card_transactions_model.sql:8, classified_card_transactions.sql:18).
     */
-  def cleanType(tpe: Column, cardLast4: Column, desc: Column,
-      paymentCards: Seq[Int] = Seq(3221, 4245, 5083, 6823),
-      extraPaymentPatterns: Seq[String] = Nil): Column = {
-    val basePatterns = Seq("%payment thank you%", "%autopay%", "%online pymt%")
-    val pats = basePatterns ++ extraPaymentPatterns
-    val descIsPayment = pats.map(p => PgDialect.ilike(desc, p)).reduce(_ || _)
-    when(tpe.isNotNull && length(trim(tpe)) > 0, tpe)
-      .when(cardLast4.isin(paymentCards: _*), lit("Payment"))
-      .when(descIsPayment, lit("Payment"))
+  val paymentCards: Seq[Int] = Seq(3221, 4245, 5083, 6823)
+
+  /** Legacy-model clean_type (reference card_transactions_model.sql:6-15).
+    * NOTE the reference's own arm order: a null-type row on a card OUTSIDE
+    * the 4-card list is 'Payment'; the description patterns only decide
+    * rows whose card IS in the list.
+    */
+  def cleanTypeLegacy(tpe: Column, cardLast4: Column, desc: Column): Column = {
+    val pats = Seq("%online transfer%", "%edward jones%", "%jpmorgan chase%",
+      "%fedwire%", "%automatic payment%")
+    when(tpe.isNotNull, tpe)
+      .when(!cardLast4.isin(paymentCards: _*), lit("Payment"))
+      .when(pats.map(p => PgDialect.ilike(desc, p)).reduce(_ || _), lit("Payment"))
+      .otherwise(lit("Sale"))
+  }
+
+  /** End-state-model clean_type (reference
+    * classified_card_transactions.sql:15-27) — the legacy CASE plus the
+    * '%Online Payment%' and '%Payment Thank You - Web%' patterns.
+    */
+  def cleanTypeEndState(tpe: Column, cardLast4: Column, desc: Column): Column = {
+    val pats = Seq("%online payment%", "%online transfer%", "%edward jones%",
+      "%jpmorgan chase%", "%fedwire%", "%automatic payment%",
+      "%payment thank you - web%")
+    when(tpe.isNotNull, tpe)
+      .when(!cardLast4.isin(paymentCards: _*), lit("Payment"))
+      .when(pats.map(p => PgDialect.ilike(desc, p)).reduce(_ || _), lit("Payment"))
       .otherwise(lit("Sale"))
   }
 
@@ -44,16 +71,18 @@ object CardModels {
       .toDF("card_last4", "card_name")
   }
 
-  /** Cleaned transactions (reference card_transactions_model.sql): derive
-    * clean_type, drop payment-card rows, presentation order.
+  /** Cleaned transactions (reference card_transactions_model.sql): project
+    * with derived clean_type; no filter (the reference's WHERE is 1=1);
+    * presentation order by amount desc.
     */
   def cardTransactionsModel(tx: DataFrame): DataFrame =
-    tx.withColumn("clean_type",
-        cleanType(col("type"), col("card_last4"), col("description")))
-      .filter(!col("card_last4").isin(3221, 4245, 5083, 6823))
-      .select(col("key"), col("date"), col("amount"), col("card_last4"),
-        col("description"), col("category"), col("clean_type"))
-      .orderBy(col("date").desc_nulls_last, col("key"))
+    tx.select(col("key"), col("date"), col("amount"), col("card_last4"),
+        cleanTypeLegacy(col("type"), col("card_last4"), col("description"))
+          .as("clean_type"),
+        col("description").as("raw_description"),
+        col("category").as("raw_category"),
+        col("type").as("raw_type"))
+      .orderBy(col("amount").desc)
 
   /** Spend per merchant with grand-total share (reference
     * card_merchants_model.sql:621-639 — A1 + W1 over the classified output).
@@ -72,28 +101,70 @@ object CardModels {
           .as("percent_spend"))
   }
 
-  /** The 6 normalized description variants the regex bank probes (reference
-    * classified_card_transactions.sql:34-116 builds 8; the variants here:
-    * raw, entity-decoded, aggregator-prefix-stripped, no-digits, collapsed
-    * whitespace, lowercase). First-occurrence replaces use the custom
-    * expression where PG used the 'g'-less form.
+  /** Aggregator-prefix strip pattern (reference
+    * classified_card_transactions.sql:60-66): Square/Stripe/Eventbrite/
+    * PayPal/TST/SumUp/Zettle tags with one optional punctuation char.
     */
-  def normalizedVariants(desc: Column): Column = {
-    val entity = replace(desc, lit("&amp;"), lit("&"))
-    // Aggregator prefixes: SQ *, TST*, PY *, EB , SumUp, Zettle_* — strip
-    // once at the start (PG used first-occurrence regexp_replace,
-    // classified_card_transactions.sql:85-87).
-    val noAgg = PgDialect.regexpReplaceFirst(entity,
-      "^(SQ \\*|TST\\*|PY \\*|EB |SumUp |Zettle_\\*?)", "", "i")
-    val noDigits = regexp_replace(noAgg, "[0-9]+", " ")
-    val squeezed = trim(regexp_replace(noDigits, " +", " "))
-    array_distinct(array(
-      desc, entity, noAgg, squeezed, lower(desc), lower(squeezed)))
+  private val aggPrefix = "^(?:SPO|SQ|EB|PY|TST|SUMUP|ZETTLE)\\s*[^A-Za-z0-9]?\\s*"
+
+  /** Airline alias expansions (reference :81-86). Pattern, replacement. */
+  private val aliasRules: Seq[(String, String)] = Seq(
+    "^BRITISH A\\b" -> "BRITISH AIRWAYS ",
+    "^AMERICAN AI\\b" -> "AMERICAN AIRLINES ",
+    "^UA\\s*INFLT\\b" -> "UNITED AIRLINES INFLIGHT ")
+
+  /** Adds the full normalization-variant column set of the reference `norm`
+    * CTE (classified_card_transactions.sql:34-116) to `df`. All built-ins —
+    * stays inside whole-stage codegen. Added columns: desc_base, desc_keep,
+    * desc_nohyphen, desc_noagg, desc_noagg_nohyphen, desc_tail, desc_alias
+    * (nullable), desc_alpha, desc_alpha_noagg, desc_alphanospace,
+    * desc_alpha_noagg_nospace.
+    */
+  def withNormVariants(df: DataFrame, desc: Column): DataFrame = {
+    // clean HTML entity + smart/backtick quotes, collapse whitespace (:38-45)
+    val base = trim(regexp_replace(
+      replace(replace(replace(desc, lit("&amp;"), lit("&")),
+        lit("\u2019"), lit("'")), lit("`"), lit("'")),
+      "\\s+", " "))
+    val alias = aliasRules.foldRight(lit(null).cast("string")) {
+      case ((pat, repl), acc) =>
+        when(col("desc_base").rlike("(?i)" + pat),
+          regexp_replace(col("desc_base"), "(?i)" + pat, repl)).otherwise(acc)
+    }
+    df.withColumn("desc_base", base)
+      .withColumn("desc_keep", col("desc_base"))
+      .withColumn("desc_nohyphen",
+        regexp_replace(col("desc_base"), "\\s*[-/]\\s*", " "))
+      .withColumn("desc_noagg",
+        regexp_replace(col("desc_base"), "(?i)" + aggPrefix, ""))
+      .withColumn("desc_noagg_nohyphen",
+        regexp_replace(col("desc_noagg"), "\\s*[-/]\\s*", " "))
+      .withColumn("desc_tail",
+        regexp_replace(col("desc_base"), "(?i)\\s*,\\s*[A-Z]{2}\\s*$", ""))
+      .withColumn("desc_alias", alias)
+      .withColumn("desc_alpha",
+        lower(regexp_replace(col("desc_base"), "[^A-Za-z0-9]+", " ")))
+      .withColumn("desc_alpha_noagg",
+        lower(regexp_replace(col("desc_noagg"), "[^A-Za-z0-9]+", " ")))
+      .withColumn("desc_alphanospace",
+        regexp_replace(col("desc_alpha"), "\\s+", ""))
+      .withColumn("desc_alpha_noagg_nospace",
+        regexp_replace(col("desc_alpha_noagg"), "\\s+", ""))
   }
 
-  /** Best regex-rule key across all variants, with the reference's runtime
-    * demotion of generic keys (classified_card_transactions.sql:141-144:
-    * restaurants_misc/unknown/misc at priority −100000).
+  /** The 6 variants the regex lateral probes, in reference order (:139-144).
+    * desc_alias participates only when non-null — bestKeyAny skips nulls.
+    */
+  def regexVariantCols: Seq[String] = Seq(
+    "desc_keep", "desc_nohyphen", "desc_noagg", "desc_noagg_nohyphen",
+    "desc_tail", "desc_alias")
+
+  /** Best regex-rule key across ALL variants with the reference's runtime
+    * demotion of generic keys (classified_card_transactions.sql:133-141:
+    * restaurants_misc/unknown/misc at priority −100000). Rules are ranked
+    * (adjusted priority desc, pattern length desc, key asc) and the FIRST
+    * rule matching ANY variant wins — a low-priority rule hitting an early
+    * variant cannot shadow a high-priority rule hitting a later one.
     */
   def regexRuleMatch(rules: Seq[RegexBank.Rule], demoted: Set[String])(
       variants: Column): Column = {
@@ -102,57 +173,81 @@ object CardModels {
     }
     val bank = new RegexBank.CompiledBank(adjusted, caseInsensitive = true)
     val f = udf { (vs: Seq[String]) =>
-      if (vs == null) None
-      else vs.iterator.map(bank.bestKey).collectFirst { case k if k != null => k }
+      if (vs == null) None else Option(bank.bestKeyAny(vs))
     }
     f(variants)
   }
 
+  /** Reference stoplist for hyper-generic fallback names (:182). */
+  val nameStopList: Set[String] =
+    Set("bar", "cafe", "market", "grill", "store", "shop")
+
+  private def alphaForm(s: String): String =
+    s.replaceAll("[^A-Za-z0-9]+", " ").toLowerCase
+
   /** Name-containment fallback (reference
-    * classified_card_transactions.sql:152-184): longest merchant name (≥4
-    * chars, generic names stop-listed) contained in any variant; name
-    * variants include parenthetical-stripped and no-space forms.
+    * classified_card_transactions.sql:150-184): merchants with raw name
+    * length ≥ 4 and non-stoplisted base-alpha form, probed as 4 normalized
+    * forms (alpha, base-alpha with parentheticals stripped, and their
+    * no-space variants) against desc_alpha_noagg / desc_alpha_noagg_nospace;
+    * longest raw name wins (merchant_key asc tie-break for determinism — the
+    * reference's bare LIMIT 1 leaves ties to the engine).
     */
   def nameFallbackMatch(merchants: Seq[(String, String)],
-      stopList: Set[String])(variants: Column): Column = {
-    val prepared: Array[(String, Array[String])] = merchants
+      stopList: Set[String] = nameStopList)(
+      descAlphaNoagg: Column, descAlphaNoaggNospace: Column): Column = {
+    val prepared: Array[(String, Array[String], Array[String])] = merchants
       .filter { case (_, name) => name != null && name.length >= 4 }
-      .filterNot { case (_, name) => stopList.contains(name.toLowerCase) }
       .map { case (key, name) =>
-        val base = name.toLowerCase.trim
-        val noParen = base.replaceAll("\\s*\\(.*\\)$", "").trim
-        val noSpace = noParen.replace(" ", "")
-        (key, Array(base, noParen, noSpace).distinct.filter(_.length >= 4))
+        val nameAlpha = alphaForm(name)
+        val nameBase = name.replaceAll("\\s*\\([^)]*\\)\\s*", " ")
+        val nameBaseAlpha = alphaForm(nameBase)
+        val spaced = Array(nameAlpha, nameBaseAlpha).distinct
+        val nospace = spaced.map(_.replaceAll("\\s+", "")).distinct
+        (key, name.length, nameBaseAlpha, spaced, nospace)
       }
-      .sortBy { case (key, vs) => (-vs.map(_.length).max, key) }
+      .filterNot { case (_, _, baseAlpha, _, _) => stopList.contains(baseAlpha) }
+      .sortBy { case (key, len, _, _, _) => (-len, key) }
+      .map { case (key, _, _, spaced, nospace) => (key, spaced, nospace) }
       .toArray
-    val f = udf { (vs: Seq[String]) =>
-      if (vs == null) None
-      else {
-        val lowered = vs.filter(_ != null).map(_.toLowerCase)
-        prepared.collectFirst {
-          case (key, names) if names.exists(n => lowered.exists(_.contains(n))) => key
-        }
+    val f = udf { (alphaNoagg: String, alphaNoaggNospace: String) =>
+      if (alphaNoagg == null) None
+      else prepared.collectFirst {
+        case (key, spaced, nospace)
+            if spaced.exists(alphaNoagg.contains)
+              || nospace.exists(n =>
+                alphaNoaggNospace != null && alphaNoaggNospace.contains(n)) =>
+          key
       }
     }
-    f(variants)
+    f(descAlphaNoagg, descAlphaNoaggNospace)
   }
 
   /** W3 window dedup of the merchant→account map (reference
-    * classified_card_transactions.sql:205-221): one row per merchant by
-    * (is_default desc, effective_from desc nulls last, account_id desc).
+    * classified_card_transactions.sql:200-216): one row per merchant by
+    * (coalesce(is_default,'TRUE') desc, effective_from desc nulls last,
+    * account_id desc).
     */
   def mapOne(merchantAccountMap: DataFrame): DataFrame =
     TopPerGroup.top1(merchantAccountMap,
       Seq(col("merchant_key")),
-      Seq(col("is_default").desc,
+      Seq(coalesce(col("is_default"), lit("TRUE")).desc,
         col("effective_from").desc_nulls_last,
         col("account_id").desc))
 
-  /** Full classification pipeline (reference
-    * classified_card_transactions.sql). Seeds are small: regex rules and
-    * merchant names ride broadcast inside the matcher closures; the account
-    * dimensions join with explicit broadcast hints.
+  /** The 7 enrichment columns carried from accounts_leaf (:223-236). */
+  private val leafCols = Seq("category", "subcategory", "billing_model",
+    "spend_nature", "discretion", "gl_code", "account_name")
+
+  /** Full-fidelity classification pipeline (reference
+    * classified_card_transactions.sql). Output schema is the reference's
+    * final 14-column projection: date, amount, card_last4, description,
+    * merchant_key, merchant_name, category, subcategory, billing_model,
+    * spend_nature, discretion, account_id, gl_code, account_name — UNION
+    * (distinct) across the card / venmo / bank arms, no surrogate key.
+    *
+    * Seeds are small: regex rules and merchant names ride broadcast inside
+    * the matcher closures; the dimension joins use explicit broadcast hints.
     */
   def classifiedCardTransactions(
       tx: DataFrame,
@@ -161,85 +256,131 @@ object CardModels {
       merchantAccountMap: DataFrame,
       accountsLeaf: DataFrame,
       merchantNameList: Seq[(String, String)],
-      nameStopList: Set[String] = Set("market", "store", "online", "restaurant"),
+      stopList: Set[String] = nameStopList,
       demotedKeys: Set[String] = Set("restaurants_misc", "unknown", "misc")): DataFrame = {
 
-    // base: Sales only, card rows, non-venmo (venmo handled by its own arm).
-    // The upstream `category` is renamed so the accounts_leaf `category`
-    // wins in the enriched output (as in the reference's final projection).
-    val typed = tx
-      .withColumnRenamed("category", "raw_category")
-      .withColumn("clean_type",
-        cleanType(col("type"), col("card_last4"), col("description"),
-          extraPaymentPatterns = Seq("%online payment%", "%payment thank you - web%")))
-    val base = typed
-      .filter(col("clean_type") === "Sale")
-      .filter(PgDialect.leftStr(lower(col("description")), 5) =!= "venmo")
+    // base (:4-29): Sales by the end-state clean_type CASE. The reference
+    // excludes venmo-prefixed rows in the final card-arm WHERE
+    // (:264-265, case-sensitive on the raw description) — filtered here
+    // early, result-identical and pushdown-friendly. A NULL description
+    // fails `left(d,5) != 'venmo'` in PG and is dropped — `=!=` matches.
+    val base = tx
+      .filter(cleanTypeEndState(col("type"), col("card_last4"),
+        col("description")) === "Sale")
+      .filter(PgDialect.leftStr(col("description"), 5) =!= "venmo")
+      .withColumnRenamed("category", "category_old")
 
-    val norm = base.withColumn("variants", normalizedVariants(col("description")))
+    val norm = withNormVariants(base, col("description"))
 
     val matched = norm
-      .withColumn("regex_key", regexRuleMatch(merchantRegex, demotedKeys)(col("variants")))
-      .withColumn("name_key",
-        nameFallbackMatch(merchantNameList, nameStopList)(col("variants")))
-      // A demoted (generic) regex hit loses to the name fallback but still
-      // beats 'unknown' (reference merchant_resolved coalesce order,
-      // classified_card_transactions.sql:188-193).
-      .withColumn("merchant_key",
-        when(col("regex_key").isNotNull
-            && !col("regex_key").isin(demotedKeys.toSeq: _*), col("regex_key"))
-          .otherwise(coalesce(col("name_key"), col("regex_key"), lit("unknown"))))
+      .withColumn("rx_key", regexRuleMatch(merchantRegex, demotedKeys)(
+        array(regexVariantCols.map(col): _*)))
+      // fallback computed only when regex failed or hit restaurants_misc
+      // (:173); resolution is coalesce(rx, nf) (:190) — a non-null regex
+      // key (even restaurants_misc) always wins, so the fallback decides
+      // only regex-null rows. The reference's lateral computes nf for
+      // restaurants_misc rows too and then discards it; the gate here is
+      // the same semantics minus the dead work.
+      .withColumn("nf_key",
+        when(col("rx_key").isNull,
+          nameFallbackMatch(merchantNameList, stopList)(
+            col("desc_alpha_noagg"), col("desc_alpha_noagg_nospace"))))
+      .withColumn("merchant_key", coalesce(col("rx_key"), col("nf_key")))
 
     val enriched = matched
-      .join(broadcast(merchants), Seq("merchant_key"), "left")
-      .join(broadcast(mapOne(merchantAccountMap).select("merchant_key", "account_id")),
-        Seq("merchant_key"), "left")
-      .join(broadcast(accountsLeaf), Seq("account_id"), "left")
+      .join(broadcast(merchants.select(col("merchant_key"),
+        col("merchant_name"))), Seq("merchant_key"), "left")
+      .join(broadcast(mapOne(merchantAccountMap)
+        .select("merchant_key", "account_id")), Seq("merchant_key"), "left")
+      .join(broadcast(accountsLeaf.select(
+        (Seq("account_id") ++ leafCols).map(col): _*)),
+        Seq("account_id"), "left")
 
+    // final card-arm projection (:247-261): Unknown defaults on every
+    // enrichment column except gl_code (coalesce(gl_code, null) = gl_code).
     val cardArm = enriched.select(
-      col("key"), col("date"),
-      col("amount").cast(DecimalType(18, 2)).as("amount"),
+      col("date"),
+      col("amount"),
+      col("card_last4"),
       col("description"),
-      col("merchant_key"),
+      coalesce(col("merchant_key"), lit("Unknown")).as("merchant_key"),
       coalesce(col("merchant_name"), lit("Unknown")).as("merchant_name"),
-      coalesce(col("account_id"), lit("acct_unknown")).as("account_id"),
-      coalesce(col("category"), lit("Uncategorized")).as("category"),
-      coalesce(col("subcategory"), lit("Uncategorized")).as("subcategory"),
-      lit("card").as("arm"))
+      coalesce(col("category"), lit("Unknown")).as("category"),
+      coalesce(col("subcategory"), lit("Unknown")).as("subcategory"),
+      coalesce(col("billing_model"), lit("Unknown")).as("billing_model"),
+      coalesce(col("spend_nature"), lit("Unknown")).as("spend_nature"),
+      coalesce(col("discretion"), lit("Unknown")).as("discretion"),
+      coalesce(col("account_id"), lit("Unknown")).as("account_id"),
+      col("gl_code"),
+      coalesce(col("account_name"), lit("Unknown")).as("account_name"))
 
-    // venmo arm (reference :269-318): counterparty from intermediate_key.
-    val venmo = typed
-      .filter(col("clean_type") === "Sale")
-      .filter(PgDialect.leftStr(lower(col("description")), 5) === "venmo")
+    // venmo arm (:266-318): ALL venmo-prefixed rows (no type filter),
+    // 6-char prefix stripped with PG right() semantics, counterparty CASE
+    // on raw description / intermediate_key.
+    def anyIlike(c: Column, pat: String): Column = PgDialect.ilike(c, pat)
+    val fertility = anyIlike(col("description"), "%proto faff surplus seed fund%")
+    val lorna = anyIlike(col("intermediate_key"), "%Lorna Kerry%")
+    val lisa = anyIlike(col("intermediate_key"), "%Lisa Raich%")
+    val sofia = anyIlike(col("intermediate_key"), "%Sofia Mesa%")
+    val venmo = tx
+      .filter(PgDialect.leftStr(col("description"), 5) === "venmo")
       .select(
-        col("key"), col("date"),
-        col("amount").cast(DecimalType(18, 2)).as("amount"),
-        col("description"),
+        col("date"),
+        col("amount"),
+        lit(0).as("card_last4"),
+        PgDialect.rightStrCol(col("description"),
+          length(col("description")) - 6).as("description"),
         lit("venmo").as("merchant_key"),
-        coalesce(col("intermediate_key"), lit("Venmo")).as("merchant_name"),
-        lit("acct_venmo").as("account_id"),
-        lit("Transfers").as("category"),
-        lit("Venmo").as("subcategory"),
-        lit("venmo").as("arm"))
+        lit("Venmo").as("merchant_name"),
+        when(fertility, "Health & Wellness").when(lorna, "Food & Groceries")
+          .when(lisa, "Personal Services")
+          .when(sofia, "Entertainment & Events")
+          .otherwise("Personal Services").as("category"),
+        when(fertility, "Fertility").when(lorna, "Groceries")
+          .when(lisa, "Personal Care").when(sofia, "Bars & Nightlife")
+          .otherwise("Personal Care").as("subcategory"),
+        lit("one_off").as("billing_model"),
+        lit("consumption").as("spend_nature"),
+        lit("discretionary").as("discretion"),
+        when(fertility, "acct_93cc197271").when(lorna, "acct_a0f371c808")
+          .when(lisa, "acct_f183bb01ee").when(sofia, "acct_252a9dfee6")
+          .otherwise("acct_f183bb01ee").as("account_id"),
+        when(fertility, 5550).when(lorna, 5110).when(lisa, 6110)
+          .when(sofia, 5730).otherwise(6110).as("gl_code"),
+        when(fertility, "Health—Fertility").when(lorna, "Food—Groceries")
+          .when(lisa, "Services—Personal Care")
+          .when(sofia, "Entertainment—Bars & Nightlife")
+          .otherwise("Services—Personal Care").as("account_name"))
 
-    // bank-transfer arm (reference :322-364): Payment rows, sign-classified.
-    val bank = typed
-      .filter(col("clean_type") === "Payment")
+    // bank-transfer arm (:322-364): the 2 transfer cards + counterparty
+    // filter, sign-dependent Travel/Flights vs Housing/Rent enrichment
+    // (amount = 0 → NULL category/subcategory/... — the reference CASE has
+    // no ELSE).
+    val neg = col("amount") < 0
+    val pos = col("amount") > 0
+    val bank = tx
+      .filter(col("card_last4").isin(3206, 9155)
+        && anyIlike(col("description"), "%Lorna%"))
       .select(
-        col("key"), col("date"),
-        col("amount").cast(DecimalType(18, 2)).as("amount"),
+        col("date"),
+        col("amount"),
+        col("card_last4"),
         col("description"),
         lit("bank_transfer").as("merchant_key"),
-        when(col("amount") < 0, lit("Inbound Transfer"))
-          .otherwise(lit("Outbound Transfer")).as("merchant_name"),
-        lit("acct_transfer").as("account_id"),
-        lit("Transfers").as("category"),
-        lit("Bank").as("subcategory"),
-        lit("bank").as("arm"))
+        lit("Bank Transfer").as("merchant_name"),
+        when(neg, "Travel").when(pos, "Housing").as("category"),
+        when(neg, "Flights").when(pos, "Rent").as("subcategory"),
+        when(neg, "one_off").when(pos, "subscription").as("billing_model"),
+        lit("consumption").as("spend_nature"),
+        when(neg, "discretionary").when(pos, "mandatory").as("discretion"),
+        when(neg, "acct_1d9ae90683").when(pos, "acct_329a7781bd").as("account_id"),
+        when(neg, 5310).when(pos, 5010).as("gl_code"),
+        // the reference mixes em-dash and ASCII hyphen here — kept verbatim
+        when(neg, "Travel—Flights").when(pos, "Housing-Rent").as("account_name"))
 
-    // UNION (distinct) across arms, PG semantics (reference :267,320) —
-    // dedup over every column.
+    // UNION (distinct) across arms, PG semantics (:263,320) — dedup over
+    // all 14 columns. Presentation ORDER BY (date desc, amount asc) omitted:
+    // result-set contract is unordered.
     cardArm.union(venmo).union(bank).distinct()
-      .orderBy(col("date").desc_nulls_last, col("key").asc)
   }
 }

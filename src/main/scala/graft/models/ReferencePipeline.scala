@@ -72,16 +72,19 @@ object ReferencePipeline {
     })
 
     // spend_* family (reference spend_daily..yearly): one parameterized model
-    // per grain over the classified output.
+    // per grain over the classified output, grouped by the reference's full
+    // 10 keys (spend_daily.sql:2-12: date_period + merchant_name, category,
+    // subcategory, billing_model, spend_nature, discretion, gl_code,
+    // account_name, account_id).
     (Grain.Day +: grains).foreach { g =>
       reg.register(Model(s"spend_${g.key}", Seq("classified_card_transactions")) {
         (_, in) =>
           Rollups.measureRollup(in("classified_card_transactions"),
             col("date"), g,
-            Seq("merchant_name" -> col("merchant_name"),
-              "category" -> col("category")),
-            Seq(sum(col("amount")).cast("double").as("total_spend"),
-              count(lit(1)).as("n_transactions")))
+            Seq("merchant_name", "category", "subcategory", "billing_model",
+              "spend_nature", "discretion", "gl_code", "account_name",
+              "account_id").map(n => n -> col(n)),
+            Seq(sum(col("amount")).cast("double").as("total_spend")))
       })
     }
 
@@ -127,12 +130,11 @@ object ReferencePipeline {
     import graft.core.Checks
     val perModel: Seq[(String, Seq[Checks.Check])] = Seq(
       "classified_card_transactions" -> Seq(
-        Checks.notNull("key"), Checks.unique("key"),
-        Checks.notNull("merchant_key"), Checks.notNull("account_id"),
-        Checks.notNull("category")),
+        Checks.notNull("merchant_key"), Checks.notNull("merchant_name"),
+        Checks.notNull("account_id"), Checks.notNull("category"),
+        Checks.notNull("spend_nature")),
       "card_transactions_model" -> Seq(
-        Checks.notNull("key"),
-        Checks.acceptedValues("clean_type", Seq("Sale", "Payment"))),
+        Checks.notNull("key"), Checks.notNull("clean_type")),
       "card_merchants_model" -> Seq(
         Checks.notNull("merchant_name"), Checks.unique("merchant_name")),
       "exercise_log_flattened" -> Seq(Checks.notNull("target_area")),

@@ -50,6 +50,30 @@ object RegexBank {
       }
       null
     }
+
+    /** Best key across a SET of string variants: rules are walked in
+      * (priority desc, length desc, key) order and the first rule matching
+      * ANY variant wins — the reference lateral's semantics
+      * (classified_card_transactions.sql:126-147: one `ORDER BY prio DESC
+      * ... LIMIT 1` over rules matching any of the OR'd variants). A
+      * variant-major walk (bestKey per variant, first non-null) is WRONG:
+      * it lets a low-priority rule on an early variant shadow a
+      * high-priority rule that only matches a later variant.
+      */
+    def bestKeyAny(vs: Seq[String]): String = {
+      if (vs == null) return null
+      var i = 0
+      while (i < compiled.length) {
+        val p = compiled(i)._1
+        val it = vs.iterator
+        while (it.hasNext) {
+          val s = it.next()
+          if (s != null && p.matcher(s).find()) return compiled(i)._2
+        }
+        i += 1
+      }
+      null
+    }
   }
 
   /** Column returning the winning rule key (null if no rule matches). */

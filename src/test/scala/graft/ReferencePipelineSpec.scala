@@ -24,17 +24,25 @@ class ReferencePipelineSpec extends SparkSpec {
     "merchant_account_map" -> Tables.loadSeedCsv(spark, fixture("merchant_account_map"),
       ReferencePipeline.merchantAccountMapSchema))
 
+  // Sale rows carry a card from the 4-card NOT IN list (3221/4245/5083/6823)
+  // with a null type: the reference's end-state clean_type CASE
+  // (classified_card_transactions.sql:15-27) marks null-type rows on OTHER
+  // cards as 'Payment'.
   lazy val cardTransactions: DataFrame = Seq(
     // key, date, amount, card_last4, description, category, type, intermediate_key
-    ("t1", d("2022-01-10"), BigDecimal("120.00"), 3206, "WF WAYFAIR 12345", null, null, null),
-    ("t1", d("2022-01-10"), BigDecimal("120.00"), 3206, "WF WAYFAIR 12345", null, null, null), // dup row
-    ("t2", d("2022-01-11"), BigDecimal("6.50"), 3206, "SQ *BLUE BOTTLE COFFEE 4242", null, null, null),
-    ("t3", d("2022-01-12"), BigDecimal("250.00"), 9155, "NATERA 555", null, null, null),
-    ("t4", d("2022-01-13"), BigDecimal("99.00"), 9155, "NATERAX LLC", null, null, null),
+    ("t1", d("2022-01-10"), BigDecimal("120.00"), 3221, "WF WAYFAIR 12345", null, null, null),
+    ("t1", d("2022-01-10"), BigDecimal("120.00"), 3221, "WF WAYFAIR 12345", null, null, null), // dup row
+    ("t2", d("2022-01-11"), BigDecimal("6.50"), 3221, "BLUE BOTTLE COFFEE SHOP", null, null, null),
+    ("t3", d("2022-01-12"), BigDecimal("250.00"), 4245, "NATERA 555", null, null, null),
+    ("t4", d("2022-01-13"), BigDecimal("99.00"), 4245, "NATERAX LLC", null, null, null),
     ("t5", d("2022-01-14"), BigDecimal("20.00"), 3206, "venmo payment 123", null, null, "alice"),
-    ("t6", d("2022-01-15"), BigDecimal("500.00"), 3221, "ONLINE PYMT CHASE", null, null, null),
-    ("t8", d("2022-01-16"), BigDecimal("45.00"), 3206, "JOES GRILL", null, null, null),
-    ("t9", d("2022-01-17"), BigDecimal("7.77"), 3206, "ZZZZ 123", null, null, null))
+    ("t6", d("2022-01-15"), BigDecimal("500.00"), 3206, "Online Transfer from Lorna", null, null, null),
+    ("t7", d("2022-01-15"), BigDecimal("-75.00"), 9155, "Lorna transfer out", null, null, null),
+    ("t8", d("2022-01-16"), BigDecimal("45.00"), 3221, "JOES GRILL", null, null, null),
+    ("t9", d("2022-01-17"), BigDecimal("7.77"), 3221, "ZZZZ 123", null, null, null),
+    ("t10", d("2022-01-18"), BigDecimal("30.00"), 3221, "SQ *NATERA 77", null, null, null),
+    ("t11", d("2022-01-19"), BigDecimal("410.00"), 5083, "BRITISH A 321 LHR", null, null, null),
+    ("t12", d("2022-01-20"), BigDecimal("80.00"), 6823, "venmo proto faff surplus seed fund", null, null, null))
     .toDF("key", "date", "amount", "card_last4", "description", "category",
       "type", "intermediate_key")
 
@@ -67,62 +75,120 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(reg.topoOrder.length == 27)
   }
 
-  test("classified: regex priority match with account enrichment") {
-    val cc = built("classified_card_transactions")
-      .select("key", "merchant_key", "merchant_name", "account_id", "category",
-        "subcategory", "arm")
-      .as[(String, String, String, String, String, String, String)]
-      .collect().map(r => r._1 -> r).toMap
-    assert(cc("t1") == (("t1", "wayfair", "Wayfair", "acct_home", "Home", "Furniture", "card")))
-    // typo account id must fail the accounts_leaf join exactly as in PG
-    assert(cc("t3") == (("t3", "natera", "Natera", "acfct_0aedc981ef",
-      "Uncategorized", "Uncategorized", "card")))
+  /** Rows of the classified output keyed by their (possibly stripped)
+    * description — the reference's final projection has no surrogate key.
+    */
+  def classifiedBy(desc: String): org.apache.spark.sql.Row =
+    built("classified_card_transactions")
+      .filter(col("description") === desc).head()
+
+  test("classified: regex priority match with full account enrichment") {
+    val t1 = classifiedBy("WF WAYFAIR 12345")
+    assert(t1.getAs[String]("merchant_key") == "wayfair")
+    assert(t1.getAs[String]("merchant_name") == "Wayfair")
+    assert(t1.getAs[String]("account_id") == "acct_home") // mapOne picks is_default TRUE
+    assert(t1.getAs[String]("category") == "Home")
+    assert(t1.getAs[String]("subcategory") == "Furniture")
+    assert(t1.getAs[String]("billing_model") == "one_off")
+    assert(t1.getAs[String]("spend_nature") == "durable")
+    assert(t1.getAs[String]("discretion") == "discretionary")
+    assert(t1.getAs[Int]("gl_code") == 5100)
+    assert(t1.getAs[String]("account_name") == "Home-Furniture")
+    // typo account id must fail the accounts_leaf join exactly as in PG:
+    // enrichment columns fall to 'Unknown', gl_code stays NULL
+    val t3 = classifiedBy("NATERA 555")
+    assert(t3.getAs[String]("merchant_key") == "natera")
+    assert(t3.getAs[String]("account_id") == "acfct_0aedc981ef")
+    assert(t3.getAs[String]("category") == "Unknown")
+    assert(t3.isNullAt(t3.fieldIndex("gl_code")))
   }
 
-  test("classified: demoted generic hit loses to name fallback") {
-    val cc = built("classified_card_transactions")
-    val t2 = cc.filter(col("key") === "t2")
-      .select("merchant_key", "merchant_name", "account_id").head()
-    assert(t2.getString(0) == "bluebottle")
-    assert(t2.getString(1) == "Blue Bottle Coffee")
-    assert(t2.getString(2) == "acct_dining")
-    // no name containment → demoted regex key still used
-    val t8 = cc.filter(col("key") === "t8").select("merchant_key").as[String].head()
-    assert(t8 == "restaurants_misc")
+  test("classified: non-null regex hit always beats the name fallback") {
+    // 'COFFEE' hits the demoted generic 'misc' rule; the reference's
+    // coalesce(rx, nf) keeps the regex key even though 'Blue Bottle
+    // Coffee' would match by name (classified_card_transactions.sql:190)
+    val t2 = classifiedBy("BLUE BOTTLE COFFEE SHOP")
+    assert(t2.getAs[String]("merchant_key") == "misc")
+    assert(t2.getAs[String]("merchant_name") == "Miscellaneous")
+    // demoted restaurants_misc hit with no account mapping
+    val t8 = classifiedBy("JOES GRILL")
+    assert(t8.getAs[String]("merchant_key") == "restaurants_misc")
+    assert(t8.getAs[String]("account_id") == "Unknown")
   }
 
-  test("classified: no rule, no name → unknown merchant with defaults") {
-    val t9 = built("classified_card_transactions")
-      .filter(col("key") === "t9")
-      .select("merchant_key", "merchant_name", "account_id", "category")
-      .head()
-    assert(t9.getString(0) == "unknown")
-    assert(t9.getString(1) == "Unknown")
-    assert(t9.getString(2) == "acct_unknown")
-    assert(t9.getString(3) == "Uncategorized")
+  test("classified: high-priority rule on a later variant wins (bestKeyAny)") {
+    // raw matches only '^SQ \*' (prio 10); desc_noagg matches '^NATERA\y'
+    // (prio 208) — rule-major ranking must pick natera, not square_agg
+    val t10 = classifiedBy("SQ *NATERA 77")
+    assert(t10.getAs[String]("merchant_key") == "natera")
+  }
+
+  test("classified: alias variant feeds the regex bank") {
+    val t11 = classifiedBy("BRITISH A 321 LHR")
+    assert(t11.getAs[String]("merchant_key") == "british_air")
+    assert(t11.getAs[String]("account_id") == "acct_flights")
+    assert(t11.getAs[String]("account_name") == "Travel-Flights")
+  }
+
+  test("classified: no rule, no name → Unknown defaults, null gl_code") {
+    val t9 = classifiedBy("ZZZZ 123")
+    assert(t9.getAs[String]("merchant_key") == "Unknown")
+    assert(t9.getAs[String]("merchant_name") == "Unknown")
+    assert(t9.getAs[String]("account_id") == "Unknown")
+    assert(t9.getAs[String]("category") == "Unknown")
+    assert(t9.isNullAt(t9.fieldIndex("gl_code")))
   }
 
   test("classified: name fallback catches non-word-boundary variant") {
-    val t4 = built("classified_card_transactions")
-      .filter(col("key") === "t4").select("merchant_key").as[String].head()
-    assert(t4 == "natera")
+    val t4 = classifiedBy("NATERAX LLC")
+    assert(t4.getAs[String]("merchant_key") == "natera")
   }
 
-  test("classified: venmo and bank arms, union dedups the duplicate row") {
+  test("classified: venmo arm strips prefix and maps counterparties") {
+    val t5 = classifiedBy("payment 123") // right('venmo payment 123', len-6)
+    assert(t5.getAs[String]("merchant_key") == "venmo")
+    assert(t5.getAs[String]("merchant_name") == "Venmo")
+    assert(t5.getAs[Int]("card_last4") == 0)
+    assert(t5.getAs[String]("category") == "Personal Services") // 'alice' → else arm
+    assert(t5.getAs[Int]("gl_code") == 6110)
+    val t12 = classifiedBy("proto faff surplus seed fund")
+    assert(t12.getAs[String]("category") == "Health & Wellness")
+    assert(t12.getAs[String]("subcategory") == "Fertility")
+    assert(t12.getAs[String]("account_id") == "acct_93cc197271")
+    assert(t12.getAs[String]("account_name") == "Health—Fertility")
+  }
+
+  test("classified: bank arm sign-classifies the two transfer cards") {
+    val t6 = classifiedBy("Online Transfer from Lorna")
+    assert(t6.getAs[String]("merchant_key") == "bank_transfer")
+    assert(t6.getAs[String]("category") == "Housing")
+    assert(t6.getAs[String]("subcategory") == "Rent")
+    assert(t6.getAs[String]("billing_model") == "subscription")
+    assert(t6.getAs[String]("discretion") == "mandatory")
+    assert(t6.getAs[Int]("gl_code") == 5010)
+    val t7 = classifiedBy("Lorna transfer out")
+    assert(t7.getAs[String]("category") == "Travel")
+    assert(t7.getAs[String]("subcategory") == "Flights")
+    assert(t7.getAs[String]("discretion") == "discretionary")
+    assert(t7.getAs[String]("account_name") == "Travel—Flights")
+  }
+
+  test("classified: union dedups the duplicate row; payment rows excluded") {
     val cc = built("classified_card_transactions")
-    assert(cc.filter(col("key") === "t1").count() == 1) // dup collapsed
-    val t5 = cc.filter(col("key") === "t5")
-      .select("arm", "merchant_name").as[(String, String)].head()
-    assert(t5 == (("venmo", "alice")))
-    val t6 = cc.filter(col("key") === "t6")
-      .select("arm", "merchant_name").as[(String, String)].head()
-    assert(t6 == (("bank", "Outbound Transfer")))
+    assert(cc.filter(col("description") === "WF WAYFAIR 12345").count() == 1)
+    // t5's raw venmo row must not ALSO appear via the card arm
+    assert(cc.filter(col("description").startsWith("venmo")).count() == 0)
   }
 
-  test("card_transactions_model drops payment cards and derives clean_type") {
+  test("card_transactions_model keeps all rows and derives clean_type") {
     val m = built("card_transactions_model")
-    assert(m.filter(col("card_last4") === 3221).count() == 0)
-    assert(m.filter(col("clean_type") =!= "Sale").count() == 0)
+    assert(m.count() == cardTransactions.count())
+    val byKey = m.select("key", "clean_type").as[(String, String)]
+      .collect().toMap
+    assert(byKey("t1") == "Sale")     // 3221 + null type + plain desc
+    assert(byKey("t5") == "Payment")  // 3206 not in the 4-card list
+    assert(byKey("t6") == "Payment")
+    assert(byKey("t12") == "Sale")    // 6823 in list, desc not payment-like
   }
 
   test("merchant spend share sums to 1") {
