@@ -563,15 +563,21 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q30
   /** Distribution ranking functions: ntile quartiles, cume_dist,
-    * percent_rank over customer balances (unique tie-break).
+    * percent_rank over customer balances (unique tie-break). Uses the
+    * distributed two-pass Ranking.globalPosition instead of a global
+    * `Window.orderBy` — the latter is a single-task sort that dies at
+    * scale (RankingSpec pins the plan to have no SinglePartition exchange).
     */
   private def q30Ranking(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    t(s, dir, "customer").select(
+    val keys = Seq(col("c_acctbal").asc, col("c_custkey").asc)
+    val parts = s.sparkContext.defaultParallelism
+    val (pos, total) = Ranking.globalPosition(
+      t(s, dir, "customer"), keys, "pos", parts)
+    pos.select(
       col("c_custkey"),
-      ntile(4).over(w).cast("long").as("balance_quartile"),
-      cume_dist().over(w).as("cume"),
-      percent_rank().over(w).as("pct_rank"))
+      Ranking.ntileFromPosition(col("pos"), total, 4).as("balance_quartile"),
+      Ranking.cumeDistFromPosition(col("pos"), total).as("cume"),
+      Ranking.percentRankFromPosition(col("pos"), total).as("pct_rank"))
   }
 
   // ---------------------------------------------------------------- q31
@@ -625,16 +631,15 @@ object SparkEntry {
 
   /** Percentile-band corpus trim (drop the extreme-length tails — a stock
     * training-data cleaning step). Exact interpolated percentiles over
-    * integer token counts are engine-reproducible.
+    * integer token counts are engine-reproducible — this entry IS the
+    * oracle twin; the mergeable approx_percentile scale path is the same
+    * Percentiles.bandFilter with exact=false (PercentilesSpec pins the two
+    * paths to agree at test scale).
     */
   private def d14LengthFilter(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .withColumn("n_toks", TextFns.tokenCount(col("text")).cast("long"))
-    val bounds = d.agg(
-      expr("percentile(n_toks, 0.05)").as("lo"),
-      expr("percentile(n_toks, 0.95)").as("hi"))
-    d.crossJoin(broadcast(bounds))
-      .filter(col("n_toks") >= col("lo") && col("n_toks") <= col("hi"))
+    Percentiles.bandFilter(d, col("n_toks"), 0.05, 0.95, exact = true)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_toks")).as("sum_tokens"))

@@ -21,7 +21,12 @@ object CorpusPipeline {
       lengthLoQ: Double = 0.05,
       lengthHiQ: Double = 0.95,
       minQuality: Double = 0.35,
-      stopWords: Seq[String] = Seq("the", "a", "of", "and"))
+      stopWords: Seq[String] = Seq("the", "a", "of", "and"),
+      // exact percentile() is the oracle form; its agg buffer holds every
+      // value — set false at corpus scale for the mergeable
+      // approx_percentile sketch (see operators.Percentiles)
+      exactPercentiles: Boolean = true,
+      percentileAccuracy: Int = 10000)
 
   /** Returns the cleaned corpus (original columns preserved). */
   def clean(df: DataFrame, idCol: String = "doc_id",
@@ -37,11 +42,9 @@ object CorpusPipeline {
         length(regexp_replace(col(textCol), " ", "")).cast("double"))
 
     // stage 1: percentile band on token counts (drop extreme-length tails)
-    val bounds = annotated.agg(
-      expr(s"percentile(__n_toks, ${cfg.lengthLoQ})").as("__lo"),
-      expr(s"percentile(__n_toks, ${cfg.lengthHiQ})").as("__hi"))
-    val lengthOk = annotated.crossJoin(broadcast(bounds))
-      .filter(col("__n_toks") >= col("__lo") && col("__n_toks") <= col("__hi"))
+    val lengthOk = graft.operators.Percentiles.bandFilter(
+      annotated, col("__n_toks"), cfg.lengthLoQ, cfg.lengthHiQ,
+      exact = cfg.exactPercentiles, accuracy = cfg.percentileAccuracy)
 
     // stage 2: heuristic quality score (same shape as the d6 scorer)
     val scored = lengthOk.withColumn("__score",

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Ranking
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random values with a unique tie-breaker id
+  private lazy val df = (1 to 997)
+    .map(i => (i.toLong, (i * 7919 % 401).toDouble))
+    .toDF("id", "v")
+
+  private lazy val keys = Seq(col("v").asc, col("id").asc)
+
+  test("globalPosition matches the single-partition window rank") {
+    val (pos, total) = Ranking.globalPosition(df, keys, "pos", 8)
+    assert(total == 997L)
+    val expected = df.withColumn("pos0",
+      row_number().over(Window.orderBy(keys: _*)).cast("long"))
+    val joined = pos.join(expected.select("id", "pos0"), "id")
+    assert(joined.filter(col("pos") =!= col("pos0")).count() == 0)
+  }
+
+  test("closed-form ntile/cume_dist/percent_rank match the window forms") {
+    val (pos, total) = Ranking.globalPosition(df, keys, "pos", 8)
+    val ours = pos.select(col("id"),
+      Ranking.ntileFromPosition(col("pos"), total, 4).as("q"),
+      Ranking.cumeDistFromPosition(col("pos"), total).as("cd"),
+      Ranking.percentRankFromPosition(col("pos"), total).as("pr"))
+    val w = Window.orderBy(keys: _*)
+    val ref = df.select(col("id"),
+      ntile(4).over(w).cast("long").as("q0"),
+      cume_dist().over(w).as("cd0"),
+      percent_rank().over(w).as("pr0"))
+    val j = ours.join(ref, "id")
+    assert(j.filter(col("q") =!= col("q0")).count() == 0)
+    // positions are exact → the double formulas are bit-identical
+    assert(j.filter(col("cd") =!= col("cd0")).count() == 0)
+    assert(j.filter(col("pr") =!= col("pr0")).count() == 0)
+  }
+
+  test("ntile remainder handling when buckets do not divide total") {
+    // 10 rows, 4 tiles → sizes 3,3,2,2
+    val (pos, total) = Ranking.globalPosition(
+      (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+      Seq(col("v").asc, col("id").asc), "pos", 3)
+    val tiles = pos.select(Ranking.ntileFromPosition(col("pos"), total, 4).as("q"))
+      .groupBy("q").count().as[(Long, Long)].collect().toMap
+    assert(tiles == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("fewer rows than buckets: tile = position") {
+    val (pos, total) = Ranking.globalPosition(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"),
+      Seq(col("v").asc, col("id").asc), "pos", 2)
+    val tiles = pos.select(col("id"),
+      Ranking.ntileFromPosition(col("pos"), total, 4).as("q"))
+      .as[(Long, Long)].collect().toMap
+    assert(tiles == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("the distributed plan has no single-partition exchange") {
+    val (pos, total) = Ranking.globalPosition(df, keys, "pos", 8)
+    val out = pos.select(col("id"),
+      Ranking.ntileFromPosition(col("pos"), total, 4).as("q"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange found in plan:\n$plan")
+    // and the baseline DOES have one (the assertion actually bites)
+    val bad = df.select(ntile(4).over(Window.orderBy(keys: _*)))
+      .queryExecution.executedPlan.toString
+    assert(bad.contains("SinglePartition"))
+  }
+}
