@@ -686,6 +686,52 @@ object SparkEntry {
         "account_id").map(n => n -> col(n)),
       Seq(dsum2(col("amount")).as("total_spend")))
 
+  // ------------------------------------------------------------ q34-q37
+  /** The reference health-domain DAG over deterministic fixtures derived
+    * from orders/customer (value expressions single-sourced with the
+    * DuckDB oracle CTEs in HealthFixture).
+    */
+  private def healthLogs(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_hf")
+    t(s, dir, "customer").createOrReplaceTempView("customer_hf")
+    (s.sql(graft.models.HealthFixture.exerciseSparkSql("orders_hf")),
+      s.sql(graft.models.HealthFixture.weightsSparkSql("customer_hf")),
+      s.sql(graft.models.HealthFixture.recipeSparkSql("orders_hf")),
+      s.sql(graft.models.HealthFixture.shoppingSparkSql("orders_hf")))
+  }
+
+  /** Reference metrics_monthly: spine + 5 broadcast aggregate blocks. */
+  private def q34MetricsMonth(s: SparkSession, dir: String): DataFrame = {
+    val (ex, wt, rc, sh) = healthLogs(s, dir)
+    graft.models.HealthModels.metrics(s, Grain.Month,
+        java.time.LocalDate.parse(graft.models.HealthFixture.asOf),
+        ex, wt, rc, graft.models.HealthModels.recipeLogFlattened(rc), sh)
+      .withColumn("period_num", col("period_num").cast("long"))
+  }
+
+  /** Reference plants_weekly: flatten + weekly entity counts. */
+  private def q35PlantsWeek(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, rc, _) = healthLogs(s, dir)
+    graft.models.HealthModels.entityRollup(
+      graft.models.HealthModels.recipeLogFlattened(rc), "Date", "plant",
+      Grain.Week)
+  }
+
+  /** Reference workouts_yearly: flatten + yearly entity counts. */
+  private def q36WorkoutsYear(s: SparkSession, dir: String): DataFrame = {
+    val (ex, _, _, _) = healthLogs(s, dir)
+    graft.models.HealthModels.entityRollup(
+      graft.models.HealthModels.exerciseLogFlattened(ex), "Date",
+      "Exercise Label", Grain.Year)
+  }
+
+  /** Reference recipes_quarterly: quarterly dish counts. */
+  private def q37RecipesQuarter(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, rc, _) = healthLogs(s, dir)
+    graft.models.HealthModels.entityRollup(rc, "Date", "Dish", Grain.Quarter)
+  }
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -766,6 +812,10 @@ object SparkEntry {
     "q31_json_parse" -> (q31JsonParse _),
     "q32_classified" -> (q32Classified _),
     "q33_spend_daily" -> (q33SpendDaily _),
+    "q34_metrics_month" -> (q34MetricsMonth _),
+    "q35_plants_week" -> (q35PlantsWeek _),
+    "q36_workouts_year" -> (q36WorkoutsYear _),
+    "q37_recipes_quarter" -> (q37RecipesQuarter _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1184,6 +1234,10 @@ object SparkEntry {
 
     "q32_classified" -> graft.models.CardFixture.classifiedOracleSql,
     "q33_spend_daily" -> graft.models.CardFixture.spendDailyOracleSql,
+    "q34_metrics_month" -> graft.models.HealthFixture.metricsMonthOracleSql,
+    "q35_plants_week" -> graft.models.HealthFixture.plantsWeekOracleSql,
+    "q36_workouts_year" -> graft.models.HealthFixture.workoutsYearOracleSql,
+    "q37_recipes_quarter" -> graft.models.HealthFixture.recipesQuarterOracleSql,
 
     "q30_ranking" ->
       """SELECT c_custkey,
