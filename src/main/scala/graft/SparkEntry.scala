@@ -410,12 +410,31 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.2, maxDocFreq = 50L)
 
-  private def d3MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-      n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.3)
+  /** MinHash+LSH candidates verified by exact Jaccard — the production
+    * near-dup operator end to end. The output is hash-independent (the
+    * banding only proposes), so the DuckDB exact-pair SQL is a true oracle:
+    * a banding recall miss would drop a row and fail the compare. At 16
+    * bands × 4 rows, P(miss) for a J≥0.35 pair on this corpus is < 1e-7
+    * (and deterministic — same hashes every run).
+    */
+  private def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.verifyPairsExact(d,
+      Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.0),
+      "doc_id", "text", n = 3, threshold = 0.35)
+  }
 
+  /** SimHash near-dup pairs at Hamming ≤3 (4×16-bit chunk blocking,
+    * pigeonhole-exact — ≤3 is where the near-dup band sits on this corpus;
+    * ≥4 is topical noise). The token hash is shared arithmetic
+    * (SimHashTokenHash), so the DuckDB oracle recomputes the SIGNATURES
+    * themselves and brute-forces the pair set — the approximate operator's
+    * actual semantics are hash-matched, not just row-counted.
+    */
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
 
   private val stopWords = Seq("the", "a", "of", "and")
 
@@ -746,6 +765,13 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Sign-LSH bucketed k-NN. The bucketing is deterministic ARITHMETIC
+    * (sign of dot products against fixed Gaussian hyperplanes), not opaque
+    * hashing — so the oracle replicates the ACTUAL approximate semantics:
+    * v2OracleSql embeds the plane literals and recomputes buckets with
+    * list_dot_product (bit-identical doubles, as v1/d10 already prove),
+    * upgrading v2 from a rows-only check to a full hash-match.
+    */
   private def v2AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, numPlanes = 6, dim = 64)
@@ -1123,6 +1149,9 @@ object SparkEntry {
         |FROM documents GROUP BY text""".stripMargin,
 
     "d2_ngram_jaccard" -> d2OracleSql,
+    "d3_minhash_lsh" -> exactPairsOracleSql(0.35),
+    "d4_simhash" -> d4OracleSql,
+    "v2_ann_lsh" -> v2OracleSql,
 
     "d5_text_stats" ->
       """SELECT lang, source,
@@ -1298,6 +1327,104 @@ object SparkEntry {
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
       |  FROM pairs
       |) WHERE rank <= 5""".stripMargin
+
+  /** Uncapped exact n-gram-Jaccard pairs at a threshold — the oracle for
+    * the verified LSH entries (d3/d4): their outputs are hash-independent,
+    * so the exact pair set IS the contract.
+    */
+  private def exactPairsOracleSql(threshold: Double): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), exploded AS (
+       |  SELECT id, len(shingles) AS set_size, UNNEST(shingles) AS sh FROM docs
+       |)
+       |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) AS jaccard
+       |FROM exploded a JOIN exploded b ON a.sh = b.sh AND a.id < b.id
+       |GROUP BY a.id, b.id, a.set_size, b.set_size
+       |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) >= $threshold""".stripMargin
+
+  /** v2 oracle: the sign-LSH semantics replicated in DuckDB — the 6×64
+    * hyperplane literals (deterministic seed) are embedded verbatim; bucket
+    * bits come from the sign of the same sequential dot product Spark
+    * computes, so bucket assignment and in-bucket exact ranking agree
+    * bit-for-bit.
+    */
+  private def v2OracleSql: String = {
+    val planes = graft.functions.VectorFns.hyperplanes(6, 64)
+    val planeValues = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), planes(pid, p) AS (VALUES
+       |    $planeValues
+       |), bk AS (
+       |  SELECT c.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(c.v, pl.p) >= 0 THEN 1 << pl.pid ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM c CROSS JOIN planes pl GROUP BY c.vec_id
+       |), q AS (
+       |  SELECT c.vec_id AS query_id, c.v AS qv, bk.bucket
+       |  FROM c JOIN bk USING (vec_id) WHERE c.vec_id < 8
+       |), cand AS (
+       |  SELECT c.vec_id AS nbr_id, c.v AS nv, bk.bucket FROM c JOIN bk USING (vec_id)
+       |), pairs AS (
+       |  SELECT q.query_id, cand.nbr_id,
+       |    list_dot_product(qv, nv) / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(nv, nv))) AS sim
+       |  FROM cand JOIN q ON cand.bucket = q.bucket AND cand.nbr_id <> q.query_id
+       |)
+       |SELECT query_id, nbr_id, rank FROM (
+       |  SELECT query_id, nbr_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM pairs) WHERE rank <= 5""".stripMargin
+  }
+
+  /** d4 oracle: the SimHash spec (SimHashTokenHash scaladoc) replayed in
+    * DuckDB — poly hash via list_reduce over code points, the two mix
+    * streams with xor/shifts, per-bit ±1 votes, bit_or signature assembly,
+    * then brute-force Hamming ≤ 7 pairs (the chunk blocking is
+    * pigeonhole-exact, so blocked and brute-force pair sets are equal).
+    */
+  private val d4OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+      |), h0 AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(741103597153329 AS BIGINT),
+      |      list_transform(range(1, length(tok) + 1), i -> CAST(ascii(tok[i:i]) AS BIGINT))),
+      |      (a, c) -> (a * 131 + c) % 1125899906842597) AS h
+      |  FROM toks
+      |), mix1 AS (
+      |  SELECT doc_id,
+      |    xor((h * 8191) % 1125899906842597, ((h * 8191) % 1125899906842597) >> 25) AS x1,
+      |    xor((h * 4099) % 1125899906842597, ((h * 4099) % 1125899906842597) >> 25) AS y1
+      |  FROM h0
+      |), mixed AS (
+      |  SELECT doc_id,
+      |    xor((x1 * 8191) % 1125899906842597, ((x1 * 8191) % 1125899906842597) >> 25) AS h1,
+      |    xor((y1 * 4099) % 1125899906842597, ((y1 * 4099) % 1125899906842597) >> 25) AS h2
+      |  FROM mix1
+      |), votes AS (
+      |  SELECT doc_id, b.bit,
+      |    2 * SUM(CASE WHEN b.bit < 32 THEN (h1 >> b.bit) & 1
+      |                 ELSE (h2 >> (b.bit - 32)) & 1 END) - COUNT(*) AS vote
+      |  FROM mixed CROSS JOIN (SELECT UNNEST(range(0, 64)) AS bit) b
+      |  GROUP BY doc_id, b.bit
+      |), sigs AS (
+      |  SELECT doc_id,
+      |    bit_or(CASE WHEN vote <= 0 THEN 0
+      |                WHEN bit = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+      |                ELSE CAST(1 AS BIGINT) << bit END) AS sig
+      |  FROM votes GROUP BY doc_id
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
 
   private val d2OracleSql: String =
     """WITH docs AS (

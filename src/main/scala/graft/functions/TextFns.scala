@@ -124,19 +124,35 @@ object TextFns {
     column(SimHashSig(expression(tokens(c))))
   }
 
-  /** HOF formulation of [[simhash64]] — the property-check reference. */
+  /** HOF formulation of [[simhash64]] — the property-check reference.
+    * Implements the [[SimHashTokenHash]] spec (poly roll over code points +
+    * two multiply-mod-xorshift streams) in Column algebra.
+    */
   def simhash64Hof(c: Column): Column = {
+    val M = lit(SimHashTokenHash.M)
     val toks = tokens(c)
     val bitIdx = sequence(lit(0), lit(63))
+    def polyHash(t: Column): Column =
+      aggregate(transform(split(t, ""), ch => ascii(ch).cast("long")),
+        lit(SimHashTokenHash.H0), (h, code) => (h * lit(131L) + code) % M)
+    def mixOnce(x: Column, m: Column): Column = (x * m) % M
+    def xs(x: Column): Column =
+      x.bitwiseXOR(call_function("shiftright", x, lit(25)))
+    def mix(h: Column, m: Long): Column =
+      xs(mixOnce(xs(mixOnce(h, lit(m))), lit(m)))
     val counts = aggregate(
       toks,
       array_repeat(lit(0), 64),
       (acc, t) => {
-        val h = xxhash64(t)
+        val h0 = polyHash(t)
+        val h1 = mix(h0, 8191L)
+        val h2 = mix(h0, 4099L)
         zip_with(acc, bitIdx,
-          (a, b) => a + when(
-            call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1
-          ).otherwise(-1))
+          (a, b) => {
+            val src = when(b < 32, call_function("shiftright", h1, b))
+              .otherwise(call_function("shiftright", h2, b - lit(32)))
+            a + when(src.bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
+          })
       })
     aggregate(
       zip_with(counts, bitIdx,

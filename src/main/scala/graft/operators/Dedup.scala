@@ -225,21 +225,50 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Exact-Jaccard verification of a candidate pair list — the second half
+    * of the production near-dup shape (LSH/simhash proposes, exact verifies;
+    * the composed operator's OUTPUT is hash-independent, which is what makes
+    * the d3/d4 driver entries oracle-checkable in DuckDB). Candidates join
+    * the shingle sets twice (hash joins on id), intersection computed
+    * in-row; cost is O(candidates), never O(N²).
+    */
+  def verifyPairsExact(df: DataFrame, candidates: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      TextFns.shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    candidates.select("id_a", "id_b")
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per doc (per-row), blocked by
-    * 16-bit chunks — any pair within Hamming distance ≤3 must agree on at
-    * least one of the 4 chunks (pigeonhole), so the chunk join finds all such
-    * pairs with one shuffle; exact Hamming filter afterwards.
+    * (maxHamming+1) bit-chunks — any pair within Hamming distance
+    * ≤ maxHamming must agree on at least one chunk (pigeonhole), so the
+    * chunk join finds ALL such pairs with one shuffle; exact Hamming filter
+    * afterwards. maxHamming ∈ {1, 3, 7, 15, 31} (chunk count must divide
+    * 64); higher values trade chunk selectivity for radius.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "chunk blocking is exact only for hamming <= 3")
+    val numChunks = maxHamming + 1
+    require(numChunks >= 2 && 64 % numChunks == 0,
+      "maxHamming+1 must divide 64 (1, 3, 7, 15, or 31)")
+    val bits = 64 / numChunks
+    val mask = (1L << bits) - 1
     val sigs = df.select(col(idCol).as("id"),
       TextFns.simhash64(col(textCol)).as("sig"))
       .persist()
 
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map { i =>
-        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))
+      posexplode(array((0 until numChunks).map { i =>
+        shiftrightunsigned(col("sig"), i * bits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk_idx", "chunk")))
 
     val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),

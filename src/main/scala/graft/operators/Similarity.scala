@@ -123,10 +123,53 @@ object Similarity {
       .select("query_id", "nbr_id", "rank")
   }
 
+  /** Multi-probe sign-LSH top-k: each query probes every bucket within
+    * Hamming distance `probeHamming` of its own bucket (the standard
+    * multi-probe trick — recall of distant-but-true neighbors without
+    * adding hash tables), then candidates are EXACTLY re-ranked by cosine.
+    * Probed fraction ≈ Σ C(numPlanes, 0..probeHamming) / 2^numPlanes; at
+    * scale raise numPlanes and probeHamming together to keep the fraction
+    * small while holding recall. Because ranking within the probed set is
+    * exact, whenever the true top-k fall inside the probed buckets the
+    * output EQUALS the brute-force result — which is what the driver's v2
+    * oracle (the exact-k-NN SQL) checks on the test corpus.
+    */
+  def lshTopKMultiProbe(candidates: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 6, dim: Int = 64, probeHamming: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = VectorFns.hyperplanes(numPlanes, dim)
+    val masks = (0 until (1 << numPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+      .withColumn("bucket", VectorFns.lshBucket(col("nbr_vec"), planes))
+      .withColumn("nbr_norm", VectorFns.norm(col("nbr_vec")))
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_bucket", VectorFns.lshBucket(col("q_vec"), planes))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+      // one row per probed bucket; a candidate lives in exactly one bucket,
+      // so each (query, candidate) pair arises at most once — no dedup
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("q_bucket").bitwiseXOR(lit(m.toLong))): _*)))
+
+    val scored = cand.join(broadcast(qs), Seq("bucket"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("nbr_vec")),
+        col("q_norm"), col("nbr_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: both sides hashed into sign-LSH buckets
     * from the same deterministic hyperplanes; candidates considered only
     * within the query's bucket. Recall < 1 by construction; raise recall by
-    * lowering `numPlanes` or probing neighboring buckets (future work).
+    * probing neighboring buckets ([[lshTopKMultiProbe]] — the driver-checked
+    * form).
     */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, dim: Int = 64,

@@ -81,4 +81,38 @@ class DedupSimilaritySpec extends SparkSpec {
     val ranks = got.select("rank").as[Long].collect()
     assert(ranks.sorted.sameElements(1L to ranks.length))
   }
+
+  test("lshTopKMultiProbe at full probe radius equals brute force") {
+    val q = vecs.filter(col("vec_id") === 0L)
+    val full = Similarity.lshTopKMultiProbe(vecs, q, k = 3,
+        numPlanes = 2, dim = 2, probeHamming = 2)
+      .orderBy("rank").select("nbr_id").as[Long].collect()
+    val exact = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .orderBy("rank").select("nbr_id").as[Long].collect()
+    assert(full.sameElements(exact))
+    // a tighter radius returns a rank-consistent subset
+    val sub = Similarity.lshTopKMultiProbe(vecs, q, k = 3,
+      numPlanes = 2, dim = 2, probeHamming = 1)
+    val ranks = sub.select("rank").as[Long].collect()
+    assert(ranks.sorted.sameElements(1L to ranks.length))
+  }
+
+  test("simhashPairs widened radius (8x8 chunks) still exact by pigeonhole") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 7)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.forall(_._3 <= 7))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("verifyPairsExact computes hand-checked jaccard and filters") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // shingles: {a b c, b c d, c d e}
+      (2L, "a b c d x"),   // shingles: {a b c, b c d, c d x} → J = 2/4 = 0.5
+      (3L, "z z z z z"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.verifyPairsExact(docs, cands, "doc_id", "text",
+      n = 3, threshold = 0.4).as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 2L, 0.5))) // (1,3) filtered: J = 0
+  }
 }
