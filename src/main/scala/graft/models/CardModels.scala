@@ -185,18 +185,15 @@ object CardModels {
   private def alphaForm(s: String): String =
     s.replaceAll("[^A-Za-z0-9]+", " ").toLowerCase
 
-  /** Name-containment fallback (reference
-    * classified_card_transactions.sql:150-184): merchants with raw name
-    * length ≥ 4 and non-stoplisted base-alpha form, probed as 4 normalized
-    * forms (alpha, base-alpha with parentheticals stripped, and their
-    * no-space variants) against desc_alpha_noagg / desc_alpha_noagg_nospace;
-    * longest raw name wins (merchant_key asc tie-break for determinism — the
-    * reference's bare LIMIT 1 leaves ties to the engine).
+  /** The fallback candidate list: entries sorted by the reference's
+    * priority (raw name length desc; merchant_key asc tie-break — the
+    * reference's bare LIMIT 1 leaves ties to the engine), each with its
+    * spaced (alpha, base-alpha) and no-space normal forms
+    * (classified_card_transactions.sql:157-170).
     */
-  def nameFallbackMatch(merchants: Seq[(String, String)],
-      stopList: Set[String] = nameStopList)(
-      descAlphaNoagg: Column, descAlphaNoaggNospace: Column): Column = {
-    val prepared: Array[(String, Array[String], Array[String])] = merchants
+  private[graft] def prepareFallback(merchants: Seq[(String, String)],
+      stopList: Set[String]): Array[(String, Array[String], Array[String])] =
+    merchants
       .filter { case (_, name) => name != null && name.length >= 4 }
       .map { case (key, name) =>
         val nameAlpha = alphaForm(name)
@@ -210,14 +207,58 @@ object CardModels {
       .sortBy { case (key, len, _, _, _) => (-len, key) }
       .map { case (key, _, _, spaced, nospace) => (key, spaced, nospace) }
       .toArray
+
+  /** Reference semantics of the fallback for ONE row — the property-check
+    * twin of the Aho-Corasick path (first entry whose spaced form is
+    * contained in desc_alpha_noagg or no-space form in the no-space
+    * haystack).
+    */
+  private[graft] def fallbackNaive(
+      prepared: Array[(String, Array[String], Array[String])])(
+      alphaNoagg: String, alphaNoaggNospace: String): Option[String] =
+    if (alphaNoagg == null) None
+    else prepared.collectFirst {
+      case (key, spaced, nospace)
+          if spaced.exists(alphaNoagg.contains)
+            || nospace.exists(n =>
+              alphaNoaggNospace != null && alphaNoaggNospace.contains(n)) =>
+        key
+    }
+
+  /** Name-containment fallback (reference
+    * classified_card_transactions.sql:150-184): merchants with raw name
+    * length ≥ 4 and non-stoplisted base-alpha form, probed as 4 normalized
+    * forms against desc_alpha_noagg / desc_alpha_noagg_nospace; longest raw
+    * name wins. Matching runs on two Aho-Corasick automata (one per
+    * haystack form) — O(|text|) per row instead of O(names × |text|); the
+    * automata ride the UDF closure, built once per executor.
+    */
+  def nameFallbackMatch(merchants: Seq[(String, String)],
+      stopList: Set[String] = nameStopList)(
+      descAlphaNoagg: Column, descAlphaNoaggNospace: Column): Column = {
+    val prepared = prepareFallback(merchants, stopList)
+    val keys: Array[String] = prepared.map(_._1)
+    val spacedPats = new scala.collection.mutable.ArrayBuffer[String]
+    val spacedEntry = new scala.collection.mutable.ArrayBuffer[Int]
+    val nospacePats = new scala.collection.mutable.ArrayBuffer[String]
+    val nospaceEntry = new scala.collection.mutable.ArrayBuffer[Int]
+    prepared.zipWithIndex.foreach { case ((_, spaced, nospace), rank) =>
+      spaced.foreach { p => spacedPats += p; spacedEntry += rank }
+      nospace.foreach { p => nospacePats += p; nospaceEntry += rank }
+    }
+    val ac1 = new graft.functions.AhoCorasick(spacedPats.toArray)
+    val ac2 = new graft.functions.AhoCorasick(nospacePats.toArray)
+    val e1Of = spacedEntry.toArray
+    val e2Of = nospaceEntry.toArray
     val f = udf { (alphaNoagg: String, alphaNoaggNospace: String) =>
       if (alphaNoagg == null) None
-      else prepared.collectFirst {
-        case (key, spaced, nospace)
-            if spaced.exists(alphaNoagg.contains)
-              || nospace.exists(n =>
-                alphaNoaggNospace != null && alphaNoaggNospace.contains(n)) =>
-          key
+      else {
+        val m1 = ac1.bestMatch(alphaNoagg)
+        val r1 = if (m1 < 0) Int.MaxValue else e1Of(m1)
+        val m2 = if (alphaNoaggNospace == null) -1 else ac2.bestMatch(alphaNoaggNospace)
+        val r2 = if (m2 < 0) Int.MaxValue else e2Of(m2)
+        val r = math.min(r1, r2)
+        if (r == Int.MaxValue) None else Some(keys(r))
       }
     }
     f(descAlphaNoagg, descAlphaNoaggNospace)

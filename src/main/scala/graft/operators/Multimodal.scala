@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * per-partition transformations.
   *
   * The Spark-side plumbing — schema, partition sizing, batch iteration shape,
-  * deterministic outputs — is real and tested. The codec calls themselves are
-  * STUBS (`FakeCodec`): this container has no image/audio libraries, so the
-  * stub derives deterministic pseudo-content from the bytes. Swapping in a
-  * real codec is a one-function change (`Codec` trait).
+  * deterministic outputs — is real and tested. The IMAGE path is a real
+  * codec ([[ImageIOCodec]]: JDK javax.imageio JPEG/PNG decode, bilinear
+  * resize, luminance-grid features — no external dependency). Audio/video
+  * decode remains a STUB (`FakeCodec`): this container has no media
+  * libraries; the stub derives deterministic pseudo-content from the bytes,
+  * and swapping in a real decoder is a one-function change (`Codec` trait).
   */
 object Multimodal {
 
@@ -40,9 +42,79 @@ object Multimodal {
     def videoFrame(bytes: Array[Byte], frameIdx: Int): Array[Byte]
   }
 
-  /** STUB codec — deterministic fake: features are seeded by a rolling hash
-    * of the payload; resize re-headers the payload; frames are byte slices.
-    * ??? -> replace with a JNI/javacpp-backed codec in a real deployment.
+  /** Real image codec on the JDK's built-in javax.imageio — decodes
+    * JPEG/PNG/BMP/GIF payloads, extracts a luminance-grid feature vector,
+    * and resizes via bilinear Graphics2D re-encode (PNG out, lossless and
+    * byte-deterministic for a given raster). Video frames fall back to
+    * [[FakeCodec]] — the JDK ships no video decoder; that half of the
+    * trait is the remaining stub.
+    */
+  object ImageIOCodec extends Codec {
+    private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"payload (${bytes.length} bytes) is not a decodable image")
+      img
+    }
+
+    /** Mean luminance (0..1) over a ceil(sqrt(dim))-square grid, row-major,
+      * first `dim` cells — a deterministic classical pixel feature (the
+      * shape a perceptual-hash or embedding model slot expects).
+      */
+    def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img = decode(bytes)
+      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val (cx, cy) = (i % g, i / g)
+        val x0 = cx * w / g; val x1 = math.max(x0 + 1, (cx + 1) * w / g)
+        val y0 = cy * h / g; val y1 = math.max(y0 + 1, (cy + 1) * h / g)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val gg = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            sum += (0.299 * r + 0.587 * gg + 0.114 * b) / 255.0
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(i) = if (n == 0) 0.0f else (sum / n).toFloat
+        i += 1
+      }
+      out
+    }
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = decode(bytes)
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = dst.createGraphics()
+      try {
+        gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(src, 0, 0, w, h, null)
+      } finally gfx.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+
+    def videoFrame(bytes: Array[Byte], frameIdx: Int): Array[Byte] =
+      FakeCodec.videoFrame(bytes, frameIdx)
+  }
+
+  /** STUB codec — deterministic fake, now scoped to the audio/video
+    * modalities (images use [[ImageIOCodec]]): features are seeded by a
+    * rolling hash of the payload; resize re-headers the payload; frames are
+    * byte slices. Replace with a JNI/javacpp-backed decoder in a real
+    * deployment.
     */
   object FakeCodec extends Codec {
     private def hash64(bytes: Array[Byte], seed: Long): Long = {

@@ -16,6 +16,48 @@ class MultimodalSpec extends SparkSpec {
       spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
   }
 
+  /** Real PNG payload: left half black, right half white. */
+  def halfPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIOCodec: real PNG decode, luminance features see the halves") {
+    val png = halfPng(64, 64)
+    val df = Seq(Tuple1(png)).toDF("bytes")
+    val feat = df.select(Multimodal.imageFeatureCol(col("bytes"), 16,
+      Multimodal.ImageIOCodec)).as[Seq[Float]].head()
+    assert(feat.length == 16)
+    // 4x4 grid row-major: columns 0-1 black (≈0), columns 2-3 white (≈1)
+    for (row <- 0 until 4) {
+      assert(feat(row * 4) < 0.05f && feat(row * 4 + 1) < 0.05f)
+      assert(feat(row * 4 + 2) > 0.95f && feat(row * 4 + 3) > 0.95f)
+    }
+  }
+
+  test("ImageIOCodec: resize re-encodes a real decodable PNG at target size") {
+    val out = Multimodal.ImageIOCodec.resize(halfPng(64, 32), 16, 8)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getWidth == 16 && back.getHeight == 8)
+    // still half black / half white after bilinear downscale
+    val feats = Multimodal.ImageIOCodec.imageFeatures(out, 4)
+    assert(feats(0) < 0.2f && feats(1) > 0.8f)
+    // deterministic re-encode
+    assert(out.sameElements(Multimodal.ImageIOCodec.resize(halfPng(64, 32), 16, 8)))
+  }
+
+  test("ImageIOCodec: undecodable payload raises a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIOCodec.imageFeatures(Array.fill[Byte](32)(3), 4)
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
   test("image features: deterministic, right dimension, null-safe") {
     val feats = mediaDf.filter(col("modality") === "image")
       .withColumn("feat", Multimodal.imageFeatureCol(col("bytes"), 8))
