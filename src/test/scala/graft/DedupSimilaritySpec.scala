@@ -57,6 +57,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dist.sorted.sameElements(local.sorted))
   }
 
+  test("clusters at size: 2^17-node chain converges in ~log(diameter) rounds") {
+    // worst-case diameter for the propagation loop; pointer-jumping must
+    // finish in O(log N) rounds or maxIterations trips and throws
+    val n = 1 << 17
+    val chain = spark.range(0, n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    val out = Dedup.clusters(chain, smallGraphThreshold = 0,
+      maxIterations = 17 + 4) // log2(2^17) + slack — far below O(diameter)
+    val agg = out.agg(count(lit(1)), countDistinct(col("cluster_id")),
+      min(col("cluster_id")), max(col("member_id"))).head()
+    assert(agg.getLong(0) == n)      // every member labeled
+    assert(agg.getLong(1) == 1L)     // single component
+    assert(agg.getLong(2) == 0L)     // canonical = min id
+    assert(agg.getLong(3) == n - 1L)
+  }
+
+  test("clusters at size: 1M-edge star converges in constant rounds") {
+    val m = 1000000L
+    val star = spark.range(1, m + 1).selectExpr("CAST(0 AS BIGINT) AS id_a", "id AS id_b")
+    val out = Dedup.clusters(star, smallGraphThreshold = 0, maxIterations = 5)
+    val agg = out.agg(count(lit(1)), countDistinct(col("cluster_id"))).head()
+    assert(agg.getLong(0) == m + 1)
+    assert(agg.getLong(1) == 1L)
+  }
+
   test("simhashPairs: identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
