@@ -769,6 +769,16 @@ object SparkEntry {
     graft.models.HealthModels.entityRollup(rc, "Date", "Dish", Grain.Quarter)
   }
 
+  /** Embedding near-dup pairs via sign-LSH bucketing + exact cosine verify
+    * — the scale path next to d10's exact all-pairs oracle twin (O(N²) is
+    * banned from any composed pipeline; THIS is the form that ships).
+    * Bucketing is deterministic plane arithmetic, so the oracle replays the
+    * full approximate semantics in SQL.
+    */
+  private def d16EmbeddingLshPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4,
+      numPlanes = 6, dim = 64, probeHamming = 1)
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -841,6 +851,7 @@ object SparkEntry {
     "d11_dedup_clusters" -> ((s: SparkSession, dir: String) =>
       Dedup.clusters(d2PairsShared(s, dir))),
     "d12_bpe_tokens" -> (d12BpeTokens _),
+    "d16_embedding_lsh" -> (d16EmbeddingLshPairs _),
     "d14_length_filter" -> (d14LengthFilter _),
     "d15_corpus_pipeline" -> (d15CorpusPipeline _),
     "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
@@ -1170,6 +1181,17 @@ object SparkEntry {
     "d3_minhash_lsh" -> exactPairsOracleSql(0.35),
     "d4_simhash" -> d4OracleSql,
     "v2_ann_lsh" -> v2OracleSql,
+    "d16_embedding_lsh" ->
+      s"""$lshBucketCtes, withb AS (
+         |  SELECT c.vec_id, c.v, bk.bucket,
+         |    SQRT(list_dot_product(c.v, c.v)) AS nrm
+         |  FROM c JOIN bk USING (vec_id)
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |FROM withb a JOIN withb b
+         |  ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
 
     "d5_text_stats" ->
       """SELECT lang, source,
@@ -1372,7 +1394,10 @@ object SparkEntry {
     * computes, so bucket assignment and in-bucket exact ranking agree
     * bit-for-bit.
     */
-  private def v2OracleSql: String = {
+  /** Shared CTE prefix replaying the sign-LSH bucket arithmetic in DuckDB
+    * (plane literals + dot-product signs) — used by the v2 and d16 oracles.
+    */
+  private def lshBucketCtes: String = {
     val planes = graft.functions.VectorFns.hyperplanes(6, 64)
     val planeValues = planes.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -1385,7 +1410,11 @@ object SparkEntry {
        |  SELECT c.vec_id,
        |    CAST(SUM(CASE WHEN list_dot_product(c.v, pl.p) >= 0 THEN 1 << pl.pid ELSE 0 END) AS BIGINT) AS bucket
        |  FROM c CROSS JOIN planes pl GROUP BY c.vec_id
-       |), q AS (
+       |)""".stripMargin
+  }
+
+  private def v2OracleSql: String = {
+    s"""$lshBucketCtes, q AS (
        |  SELECT c.vec_id AS query_id, c.v AS qv, bk.bucket
        |  FROM c JOIN bk USING (vec_id) WHERE c.vec_id < 8
        |), cand AS (

@@ -165,6 +165,41 @@ object Similarity {
       .select("query_id", "nbr_id", "rank")
   }
 
+  /** LSH-bucketed embedding near-dup pairs — the 100 TB replacement for the
+    * exact all-pairs cosine join (O(N²)): vectors pair only when their
+    * sign-LSH buckets differ in ≤ `probeHamming` bits (the left side emits
+    * one bucket row, the right side its probe fan-out, so each qualifying
+    * pair joins exactly once), then the cosine is verified EXACTLY.
+    * Pair space shrinks ~2^numPlanes; tune numPlanes with corpus size and
+    * probeHamming for recall. The semantics (bucketing included) are pure
+    * arithmetic over fixed hyperplanes — the driver oracle replays them in
+    * SQL, so this approximate operator is hash-match checked, not
+    * rows-only.
+    */
+  def lshNearDupPairs(candidates: DataFrame, threshold: Double,
+      numPlanes: Int = 6, dim: Int = 64, probeHamming: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = VectorFns.hyperplanes(numPlanes, dim)
+    val masks = (0 until (1 << numPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val base = candidates.select(
+      col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", VectorFns.lshBucket(col("v"), planes))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+    val l = base.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val r = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m.toLong))): _*))
+        .as("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: both sides hashed into sign-LSH buckets
     * from the same deterministic hyperplanes; candidates considered only
     * within the query's bucket. Recall < 1 by construction; raise recall by
