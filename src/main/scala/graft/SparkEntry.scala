@@ -389,17 +389,22 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- q19
-  /** Sketch aggregations for 100 TB profiling: HLL distinct + quantile
-    * sketches (no oracle — sketch internals are engine-specific; driver
-    * records the rows-only check).
+  /** Sketch aggregations for 100 TB profiling — deterministic mergeable
+    * sketches with shared-arithmetic hashing, so the DuckDB oracle replays
+    * the sketch semantics exactly: KMV (k=256) distinct-user estimate +
+    * equi-width-histogram (B=1000) p50/p99 of value. (Spark's built-in
+    * HLL/GK remain available as `approx_count_distinct`/`percentile_approx`
+    * where engine-specific internals are fine; they cannot be
+    * oracle-compared by construction.)
     */
   private def q19Sketches(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
-    e.groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+    val kmv = Sketches.kmvDistinct(e, col("event_type"), col("user_id"),
+      k = 256, "event_type", "approx_users")
+    val qnt = Sketches.histQuantiles(e, col("event_type"), col("value"),
+        buckets = 1000, qs = Seq("p50_value" -> 0.5, "p99_value" -> 0.99))
+      .withColumnRenamed("__g", "event_type")
+    kmv.join(qnt, Seq("event_type"))
   }
 
   // ---------------------------------------------------------------- d*
@@ -1181,6 +1186,7 @@ object SparkEntry {
     "d3_minhash_lsh" -> exactPairsOracleSql(0.35),
     "d4_simhash" -> d4OracleSql,
     "v2_ann_lsh" -> v2OracleSql,
+    "q19_sketches" -> q19OracleSql,
     "d16_embedding_lsh" ->
       s"""$lshBucketCtes, withb AS (
          |  SELECT c.vec_id, c.v, bk.bucket,
@@ -1472,6 +1478,80 @@ object SparkEntry {
       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+
+  /** q19 oracle: the KMV and histogram sketches replayed in DuckDB — the
+    * shared numeric hash chain (two multiply-mod-xorshift rounds), the
+    * k-th-smallest-distinct-hash estimate, and the bucket/cumulative-count
+    * quantile rule, all plain SQL arithmetic.
+    */
+  private val q19OracleSql: String =
+    """WITH hx AS (
+      |  SELECT event_type,
+      |    (((user_id % 1125899906842597) + 1125899906842597) % 1125899906842597
+      |      + 741103597153329) % 1125899906842597 AS x0
+      |  FROM events
+      |), h1 AS (
+      |  SELECT event_type,
+      |    xor((x0 * 8191) % 1125899906842597, ((x0 * 8191) % 1125899906842597) >> 25) AS x1
+      |  FROM hx
+      |), h2 AS (
+      |  SELECT event_type,
+      |    xor((x1 * 8191) % 1125899906842597, ((x1 * 8191) % 1125899906842597) >> 25) AS x2
+      |  FROM h1
+      |), h3 AS (
+      |  SELECT event_type,
+      |    xor((x2 * 4099) % 1125899906842597, ((x2 * 4099) % 1125899906842597) >> 25) AS x3
+      |  FROM h2
+      |), h4 AS (
+      |  SELECT event_type,
+      |    xor((x3 * 4099) % 1125899906842597, ((x3 * 4099) % 1125899906842597) >> 25) AS x4
+      |  FROM h3
+      |), h5 AS (
+      |  SELECT event_type,
+      |    xor((x4 * 5851) % 1125899906842597, ((x4 * 5851) % 1125899906842597) >> 25) AS x5
+      |  FROM h4
+      |), hfin AS (
+      |  SELECT event_type,
+      |    xor((x5 * 5851) % 1125899906842597, ((x5 * 5851) % 1125899906842597) >> 25) AS h
+      |  FROM h5
+      |), ranked AS (
+      |  SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM (SELECT DISTINCT event_type, h FROM hfin)
+      |), kmv AS (
+      |  SELECT event_type,
+      |    CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS DOUBLE)
+      |         ELSE (CAST(255 AS DOUBLE) * CAST(1125899906842597 AS DOUBLE))
+      |              / CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE) END AS approx_users
+      |  FROM ranked GROUP BY 1
+      |), mm AS (
+      |  SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+      |  FROM events
+      |), bkt AS (
+      |  SELECT e.event_type,
+      |    CASE WHEN (mm.hi - mm.lo) / 1000 = 0 THEN 0
+      |         ELSE LEAST(999, GREATEST(0,
+      |           CAST(FLOOR((CAST(e.value AS DOUBLE) - mm.lo) / ((mm.hi - mm.lo) / 1000)) AS INTEGER))) END AS b,
+      |    COUNT(*) AS c
+      |  FROM events e CROSS JOIN mm
+      |  GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, b, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM bkt
+      |), qb AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN CAST(cumc AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE) THEN b END) AS b50,
+      |    MIN(CASE WHEN CAST(cumc AS DOUBLE) >= 0.99 * CAST(n AS DOUBLE) THEN b END) AS b99
+      |  FROM cum GROUP BY 1
+      |)
+      |SELECT k.event_type, k.approx_users,
+      |  mm.lo + CAST(q.b50 + 1 AS DOUBLE) * ((mm.hi - mm.lo) / 1000) AS p50_value,
+      |  mm.lo + CAST(q.b99 + 1 AS DOUBLE) * ((mm.hi - mm.lo) / 1000) AS p99_value
+      |FROM kmv k JOIN qb q ON k.event_type = q.event_type CROSS JOIN mm""".stripMargin
 
   private val d2OracleSql: String =
     """WITH docs AS (

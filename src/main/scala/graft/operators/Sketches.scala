@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.{KmvAggregator, SimHashTokenHash}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic mergeable sketches for 100 TB profiling — the
+  * oracle-checkable counterparts of HLL / t-digest. Both are bounded-memory
+  * partial aggregates (map-side combine before one shuffle), and both are
+  * pure shared arithmetic, so the driver's DuckDB oracle replays the exact
+  * semantics instead of settling for a rows-only check (Spark's built-in
+  * `approx_count_distinct` / `percentile_approx` remain available where
+  * engine-specific internals are acceptable).
+  */
+object Sketches {
+
+  /** The shared 64-bit-safe numeric hash: reduce into [0, M), then two
+    * multiply-mod-xorshift rounds per SimHashTokenHash's bounds (all
+    * intermediates < 2^63 — replayable in plain integer SQL).
+    */
+  def numHash(c: Column): Column = {
+    val M = SimHashTokenHash.M
+    def mixSql(x: Column, m: Long): Column = {
+      val x1 = (x * lit(m)) % lit(M)
+      val x2 = x1.bitwiseXOR(call_function("shiftright", x1, lit(25)))
+      val x3 = (x2 * lit(m)) % lit(M)
+      x3.bitwiseXOR(call_function("shiftright", x3, lit(25)))
+    }
+    // the H0 offset guarantees the first multiply wraps mod M even for
+    // small inputs — without it the k smallest hashes (KMV's tail) come
+    // from the non-wrapped, non-uniform low range
+    val seeded = (pmod(c.cast("long"), lit(M)) + lit(SimHashTokenHash.H0)) % lit(M)
+    mixSql(mixSql(mixSql(seeded, 8191L), 4099L), 5851L)
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group: keep the k
+    * smallest distinct hashes; estimate = (k-1)*M / h_k, or the exact
+    * distinct count while fewer than k hashes were seen. Buffer is O(k)
+    * and mergeable — each input partition ships at most k values.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: Column, valueCol: Column,
+      k: Int, groupName: String, estimateName: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val keyed = df.select(groupCol.cast("string").as("__g"),
+      numHash(valueCol).as("__h")).as[(String, Long)]
+    val agg = new KmvAggregator(k).toColumn
+    keyed.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name(estimateName))
+      .toDF(groupName, estimateName)
+  }
+
+  /** Equi-width histogram quantiles per group: B buckets over the column's
+    * exact global [min, max]; the q-quantile estimate is the upper edge of
+    * the first bucket whose cumulative count reaches q*n. Bucket counts are
+    * a plain group-by (mergeable vector), memory O(B) per group.
+    */
+  def histQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+      buckets: Int, qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.agg(min(valueCol).cast("double"), max(valueCol).cast("double")).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val width = (hi - lo) / buckets
+    val bucket =
+      if (width == 0.0) lit(0)
+      else least(lit(buckets - 1),
+        greatest(lit(0), floor((valueCol.cast("double") - lit(lo)) / lit(width)).cast("int")))
+    val counts = df.groupBy(groupCol.as("__g"), bucket.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("__g"))))
+    val quantCols = qs.map { case (name, q) =>
+      min(when(col("__cum").cast("double") >= lit(q) * col("__n").cast("double"),
+        col("__b"))).as(s"__b_$name")
+    }
+    cum.groupBy(col("__g"))
+      .agg(quantCols.head, quantCols.tail: _*)
+      .select(col("__g") +: qs.map { case (name, _) =>
+        (lit(lo) + (col(s"__b_$name") + lit(1)).cast("double") * lit(width))
+          .as(name)
+      }: _*)
+  }
+}
