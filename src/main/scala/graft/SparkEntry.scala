@@ -608,7 +608,7 @@ object SparkEntry {
     val keys = Seq(col("c_acctbal").asc, col("c_custkey").asc)
     val parts = s.sparkContext.defaultParallelism
     val (pos, total) = Ranking.globalPosition(
-      t(s, dir, "customer"), keys, "pos", parts)
+      t(s, dir, "customer"), col("c_acctbal"), keys, "pos", parts)
     pos.select(
       col("c_custkey"),
       Ranking.ntileFromPosition(col("pos"), total, 4).as("balance_quartile"),

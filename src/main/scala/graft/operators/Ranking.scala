@@ -10,43 +10,59 @@ import org.apache.spark.sql.functions._
   * "Moving all data to a single partition").
   *
   * Two-pass shape that survives 100 TB:
-  *   1. range-repartition on the order keys (distributed sort), tag each
-  *      row with its range-partition id;
-  *   2. per-partition row_number (a partitionBy(pid) window — parallel),
-  *      plus a driver-collected per-partition COUNT (≤ numPartitions rows,
+  *   1. assign each row an ordered bucket from DETERMINISTIC quantile
+  *      boundaries of the leading sort key (approx_percentile — mergeable
+  *      sketch, one pass). Plain `repartitionByRange` is NOT usable here:
+  *      its boundaries come from per-action reservoir sampling, so the
+  *      offsets pass and the output pass can disagree on who lives where
+  *      (observed as wrong ranks at sf0.1);
+  *   2. per-bucket row_number (a partitionBy(bucket) window — parallel),
+  *      plus a driver-collected per-bucket COUNT (≤ numBuckets rows,
   *      bounded by cluster width not data size) turned into broadcast
   *      cumulative offsets;
-  *   3. global position = offset(pid) + local row_number, from which
+  *   3. global position = offset(bucket) + local row_number, from which
   *      ntile/cume_dist/percent_rank are closed-form when the order keys
   *      are a total order (unique tie-breaker — same determinism
   *      convention as every ranking in SparkEntry).
   */
 object Ranking {
 
-  /** Adds a 1-based global position column ordered by `keys` (which must be
-    * a total order) without any single-partition exchange. Returns the
-    * frame and the total row count (obtained from the same per-partition
-    * count pass, no extra job over the data).
+  /** Adds a 1-based global position column ordered by `keys` (which must
+    * be a total order whose leading component is the numeric `bucketKey`)
+    * without any single-partition exchange. Returns the frame and the
+    * total row count (obtained from the same per-bucket count pass, no
+    * extra job over the data).
     */
-  def globalPosition(df: DataFrame, keys: Seq[Column], posCol: String,
-      numPartitions: Int): (DataFrame, Long) = {
-    val ranged = df.repartitionByRange(numPartitions, keys: _*)
-      .withColumn("__rank_pid", spark_partition_id())
+  def globalPosition(df: DataFrame, bucketKey: Column, keys: Seq[Column],
+      posCol: String, numPartitions: Int): (DataFrame, Long) = {
+    // deterministic ordered bucketing: quantile cutpoints of the leading
+    // key; bucket = #cutpoints strictly below the key (monotone in the
+    // sort order, ties share a bucket)
+    val qs = (1 until numPartitions).map(_.toDouble / numPartitions)
+    val cuts: Seq[Double] =
+      if (qs.isEmpty) Nil
+      else df.select(percentile_approx(bucketKey.cast("double"),
+          array(qs.map(lit): _*), lit(10000)).as("c"))
+        .head().getSeq[Double](0)
+    val bucketExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("__rank_bucket", bucketExpr)
     // one narrow count pass; at most numPartitions rows reach the driver
-    val counts = ranged.groupBy(col("__rank_pid")).count()
+    val counts = bucketed.groupBy(col("__rank_bucket")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Int, Long] =
-      counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
-        .tail.zip(counts).map { case ((pid, cum), (_, n)) => (pid, cum - n) }
+      counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+        .tail.zip(counts).map { case ((b, cum), (_, n)) => (b, cum - n) }
         .toMap
     val total = counts.map(_._2).sum
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__rank_pid") === pid, lit(off)).otherwise(acc)
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__rank_bucket") === b, lit(off)).otherwise(acc)
     }
-    val localW = Window.partitionBy(col("__rank_pid")).orderBy(keys: _*)
-    val out = ranged
+    val localW = Window.partitionBy(col("__rank_bucket")).orderBy(keys: _*)
+    val out = bucketed
       .withColumn(posCol, row_number().over(localW).cast("long") + offsetExpr)
-      .drop("__rank_pid")
+      .drop("__rank_bucket")
     (out, total)
   }
 

@@ -15,7 +15,7 @@ class RankingSpec extends SparkSpec {
   private lazy val keys = Seq(col("v").asc, col("id").asc)
 
   test("globalPosition matches the single-partition window rank") {
-    val (pos, total) = Ranking.globalPosition(df, keys, "pos", 8)
+    val (pos, total) = Ranking.globalPosition(df, col("v"), keys, "pos", 8)
     assert(total == 997L)
     val expected = df.withColumn("pos0",
       row_number().over(Window.orderBy(keys: _*)).cast("long"))
@@ -24,7 +24,7 @@ class RankingSpec extends SparkSpec {
   }
 
   test("closed-form ntile/cume_dist/percent_rank match the window forms") {
-    val (pos, total) = Ranking.globalPosition(df, keys, "pos", 8)
+    val (pos, total) = Ranking.globalPosition(df, col("v"), keys, "pos", 8)
     val ours = pos.select(col("id"),
       Ranking.ntileFromPosition(col("pos"), total, 4).as("q"),
       Ranking.cumeDistFromPosition(col("pos"), total).as("cd"),
@@ -45,7 +45,7 @@ class RankingSpec extends SparkSpec {
     // 10 rows, 4 tiles → sizes 3,3,2,2
     val (pos, total) = Ranking.globalPosition(
       (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
-      Seq(col("v").asc, col("id").asc), "pos", 3)
+      col("v"), Seq(col("v").asc, col("id").asc), "pos", 3)
     val tiles = pos.select(Ranking.ntileFromPosition(col("pos"), total, 4).as("q"))
       .groupBy("q").count().as[(Long, Long)].collect().toMap
     assert(tiles == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L))
@@ -54,15 +54,37 @@ class RankingSpec extends SparkSpec {
   test("fewer rows than buckets: tile = position") {
     val (pos, total) = Ranking.globalPosition(
       Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"),
-      Seq(col("v").asc, col("id").asc), "pos", 2)
+      col("v"), Seq(col("v").asc, col("id").asc), "pos", 2)
     val tiles = pos.select(col("id"),
       Ranking.ntileFromPosition(col("pos"), total, 4).as("q"))
       .as[(Long, Long)].collect().toMap
     assert(tiles == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("positions are stable across repeated actions at size") {
+    // regression: range-exchange boundary sampling is per-action, so a
+    // sampling-based implementation can hand the offsets pass and the
+    // output pass different partitionings (caught at sf0.1) — quantile
+    // cutpoints are collected once and embedded as literals instead
+    val big = (1 to 100000)
+      .map(i => (i.toLong, (i * 48271L % 99991L).toDouble))
+      .toDF("id", "v")
+    val (pos, total) = Ranking.globalPosition(big, col("v"),
+      Seq(col("v").asc, col("id").asc), "pos", 32)
+    assert(total == 100000L)
+    val run1 = pos.select("id", "pos").as[(Long, Long)].collect().sortBy(_._1)
+    val run2 = pos.select("id", "pos").as[(Long, Long)].collect().sortBy(_._1)
+    assert(run1.sameElements(run2))
+    // spot-check correctness: global min key has position 1, max has N
+    val byPos = run1.map(_.swap).toMap
+    val sorted = (1 to 100000).map(i => ((i * 48271L % 99991L), i.toLong))
+      .sorted
+    assert(byPos(1L) == sorted.head._2)
+    assert(byPos(100000L) == sorted.last._2)
+  }
+
   test("the distributed plan has no single-partition exchange") {
-    val (pos, total) = Ranking.globalPosition(df, keys, "pos", 8)
+    val (pos, total) = Ranking.globalPosition(df, col("v"), keys, "pos", 8)
     val out = pos.select(col("id"),
       Ranking.ntileFromPosition(col("pos"), total, 4).as("q"))
     val plan = out.queryExecution.executedPlan.toString
