@@ -784,6 +784,20 @@ object SparkEntry {
     Similarity.lshNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4,
       numPlanes = 6, dim = 64, probeHamming = 1)
 
+  /** Deterministic quota sampling (corpus mixing): per-language keep rates
+    * as pure id-hash membership — reproducible, repartition-stable, zero
+    * shuffles before the reporting rollup, and oracle-replayable.
+    */
+  private val d17Rates = Map("en" -> 0.5, "de" -> 0.25)
+  private val d17Default = 0.1
+
+  private def d17QuotaSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.quotaSample(t(s, dir, "documents"), col("lang"), col("doc_id"),
+        d17Rates, d17Default)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -857,6 +871,7 @@ object SparkEntry {
       Dedup.clusters(d2PairsShared(s, dir))),
     "d12_bpe_tokens" -> (d12BpeTokens _),
     "d16_embedding_lsh" -> (d16EmbeddingLshPairs _),
+    "d17_quota_sample" -> (d17QuotaSample _),
     "d14_length_filter" -> (d14LengthFilter _),
     "d15_corpus_pipeline" -> (d15CorpusPipeline _),
     "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
@@ -1187,6 +1202,7 @@ object SparkEntry {
     "d4_simhash" -> d4OracleSql,
     "v2_ann_lsh" -> v2OracleSql,
     "q19_sketches" -> q19OracleSql,
+    "d17_quota_sample" -> d17OracleSql,
     "d16_embedding_lsh" ->
       s"""$lshBucketCtes, withb AS (
          |  SELECT c.vec_id, c.v, bk.bucket,
@@ -1552,6 +1568,50 @@ object SparkEntry {
       |  mm.lo + CAST(q.b50 + 1 AS DOUBLE) * ((mm.hi - mm.lo) / 1000) AS p50_value,
       |  mm.lo + CAST(q.b99 + 1 AS DOUBLE) * ((mm.hi - mm.lo) / 1000) AS p99_value
       |FROM kmv k JOIN qb q ON k.event_type = q.event_type CROSS JOIN mm""".stripMargin
+
+  /** d17 oracle: the quota-sampling membership hash replayed in DuckDB —
+    * same chain as q19's numeric hash, thresholds emitted from the SAME
+    * Sampling.thresholds longs the Spark filter uses.
+    */
+  private def d17OracleSql: String = {
+    val (ts, dt) = Sampling.thresholds(d17Rates, d17Default)
+    val cases = ts.map { case (g, t) => s"WHEN lang = '$g' THEN $t" }
+      .mkString(" ")
+    s"""WITH nh0 AS (
+       |  SELECT lang, n_chars,
+       |    ((((doc_id % 1125899906842597) + 1125899906842597) % 1125899906842597)
+       |      + 741103597153329) % 1125899906842597 AS x0
+       |  FROM documents
+       |), nh1 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x0 * 8191) % 1125899906842597, ((x0 * 8191) % 1125899906842597) >> 25) AS x1
+       |  FROM nh0
+       |), nh2 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x1 * 8191) % 1125899906842597, ((x1 * 8191) % 1125899906842597) >> 25) AS x2
+       |  FROM nh1
+       |), nh3 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x2 * 4099) % 1125899906842597, ((x2 * 4099) % 1125899906842597) >> 25) AS x3
+       |  FROM nh2
+       |), nh4 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x3 * 4099) % 1125899906842597, ((x3 * 4099) % 1125899906842597) >> 25) AS x4
+       |  FROM nh3
+       |), nh5 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x4 * 5851) % 1125899906842597, ((x4 * 5851) % 1125899906842597) >> 25) AS x5
+       |  FROM nh4
+       |), nh6 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x5 * 5851) % 1125899906842597, ((x5 * 5851) % 1125899906842597) >> 25) AS h
+       |  FROM nh5
+       |)
+       |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM nh6
+       |WHERE h < (CASE $cases ELSE $dt END)
+       |GROUP BY 1""".stripMargin
+  }
 
   private val d2OracleSql: String =
     """WITH docs AS (
