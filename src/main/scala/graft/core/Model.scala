@@ -87,4 +87,51 @@ final class ModelRegistry {
     }
     built.toMap
   }
+
+  /** Parallel `dbt build`: independent DAG subtrees materialize
+    * concurrently (the reference ran its 31-node DAG on 1 thread —
+    * logs/dbt.log:215). Each model becomes a memoized future gated on its
+    * dependencies' futures; Spark job submission is thread-safe, so
+    * concurrent writers keep the cluster busy while long models build.
+    * Results are identical to [[runAll]] — scheduling changes wall-clock,
+    * not output (ModelRegistrySpec pins both).
+    */
+  def runAllParallel(spark: SparkSession, sources: Map[String, DataFrame],
+      writer: Option[graft.sources.TableWriter] = None,
+      partitioning: Map[String, Seq[String]] = Map.empty,
+      maxParallel: Int = 4): Map[String, DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxParallel)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = mutable.Map.empty[String, Future[DataFrame]]
+      def futureFor(m: Model): Future[DataFrame] = synchronized {
+        futures.getOrElseUpdate(m.name, {
+          val depFs = m.deps.map { d =>
+            models.get(d) match {
+              case Some(dm) => futureFor(dm).map(d -> _)
+              case None => Future.successful(d -> sources.getOrElse(d,
+                throw new IllegalArgumentException(
+                  s"model ${m.name}: unresolved dep $d")))
+            }
+          }
+          Future.sequence(depFs).map { ins =>
+            val out = m.transform(spark, ins.toMap)
+            writer match {
+              case Some(w) =>
+                w.materialize(m.name, out, partitioning.getOrElse(m.name, Nil))
+                w.read(spark, m.name)
+              case None => out
+            }
+          }
+        })
+      }
+      val all = topoOrder.map(m => m.name -> futureFor(m))
+      val builtModels = all.map { case (n, f) =>
+        n -> Await.result(f, Duration.Inf)
+      }
+      sources ++ builtModels
+    } finally pool.shutdown()
+  }
 }

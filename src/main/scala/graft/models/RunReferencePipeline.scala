@@ -58,9 +58,15 @@ object RunReferencePipeline {
     val writer = sys.env.get("SPARK_GRAFT_WAREHOUSE")
       .map(new graft.sources.TableWriter(_))
 
+    // SPARK_GRAFT_DAG_THREADS > 1 runs independent subtrees concurrently
+    // (the reference executed its DAG on 1 thread; same results either way)
+    val dagThreads = sys.env.getOrElse("SPARK_GRAFT_DAG_THREADS", "1").toInt
     val t0 = System.nanoTime()
     val registry = ReferencePipeline.registry(asOf)
-    val built = registry.runAll(spark, sources, writer)
+    val built =
+      if (dagThreads > 1)
+        registry.runAllParallel(spark, sources, writer, maxParallel = dagThreads)
+      else registry.runAll(spark, sources, writer)
     registry.topoOrder.foreach { m =>
       val n = built(m.name).count()
       println(f"OK  ${m.name}%-32s $n%6d rows")

@@ -1,0 +1,63 @@
+package graft
+
+import graft.core.{Model, ModelRegistry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicInteger
+
+class ModelRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Diamond DAG: src -> (a, b independent) -> join. */
+  private def diamond(running: AtomicInteger, peak: AtomicInteger): ModelRegistry = {
+    def track[T](f: => T): T = {
+      val now = running.incrementAndGet()
+      peak.updateAndGet(p => math.max(p, now))
+      try { Thread.sleep(300); f } finally running.decrementAndGet()
+    }
+    val reg = new ModelRegistry
+    reg.register(Model("a", Seq("src")) { (_, in) =>
+      track(in("src").withColumn("a", col("x") * 2))
+    })
+    reg.register(Model("b", Seq("src")) { (_, in) =>
+      track(in("src").withColumn("b", col("x") * 3))
+    })
+    reg.register(Model("joined", Seq("a", "b")) { (_, in) =>
+      in("a").join(in("b"), "x")
+    })
+    reg
+  }
+
+  private lazy val src: DataFrame = (1 to 10).map(_.toLong).toDF("x")
+
+  test("parallel runner produces the same results as the serial runner") {
+    val serial = diamond(new AtomicInteger, new AtomicInteger)
+      .runAll(spark, Map("src" -> src))
+    val parallel = diamond(new AtomicInteger, new AtomicInteger)
+      .runAllParallel(spark, Map("src" -> src))
+    val s = serial("joined").orderBy("x").collect().map(_.toString)
+    val p = parallel("joined").orderBy("x").collect().map(_.toString)
+    assert(s.sameElements(p))
+  }
+
+  test("independent subtrees actually run concurrently") {
+    val running = new AtomicInteger
+    val peak = new AtomicInteger
+    diamond(running, peak).runAllParallel(spark, Map("src" -> src))
+    assert(peak.get() >= 2, s"peak concurrency was ${peak.get()}")
+    // and the serial runner never overlaps
+    val sRunning = new AtomicInteger
+    val sPeak = new AtomicInteger
+    diamond(sRunning, sPeak).runAll(spark, Map("src" -> src))
+    assert(sPeak.get() == 1)
+  }
+
+  test("unresolved dependency fails with a clear error on both paths") {
+    val reg = new ModelRegistry
+    reg.register(Model("m", Seq("missing")) { (_, in) => in("missing") })
+    intercept[IllegalArgumentException] { reg.runAll(spark, Map.empty) }
+    intercept[IllegalArgumentException] {
+      reg.runAllParallel(spark, Map.empty)
+    }
+  }
+}
