@@ -26,7 +26,14 @@ object CorpusPipeline {
       // value — set false at corpus scale for the mergeable
       // approx_percentile sketch (see operators.Percentiles)
       exactPercentiles: Boolean = true,
-      percentileAccuracy: Int = 10000)
+      percentileAccuracy: Int = 10000,
+      // pair stage: exact posting-list n-gram Jaccard (oracle form) vs
+      // MinHash banding + exact-Jaccard verification (the 100 TB path —
+      // same downstream contract; results agree whenever banding recall
+      // is 1 at the threshold, which CorpusPipelineSpec pins on test data)
+      minhashPairs: Boolean = false,
+      minhashNumHashes: Int = 64,
+      minhashBands: Int = 16)
 
   /** Returns the cleaned corpus (original columns preserved). */
   def clean(df: DataFrame, idCol: String = "doc_id",
@@ -55,9 +62,17 @@ object CorpusPipeline {
       .select(df.columns.map(col): _*)
 
     // stage 3: near-dup dedup on the survivors
-    val pairs = Dedup.ngramJaccardPairs(qualityOk, idCol, textCol,
-      n = cfg.shingleN, threshold = cfg.jaccardThreshold,
-      maxDocFreq = cfg.maxDocFreq)
+    val pairs =
+      if (cfg.minhashPairs)
+        Dedup.verifyPairsExact(qualityOk,
+          Dedup.minhashLshPairs(qualityOk, idCol, textCol, n = cfg.shingleN,
+            numHashes = cfg.minhashNumHashes, bands = cfg.minhashBands,
+            minEstJaccard = 0.0),
+          idCol, textCol, n = cfg.shingleN, threshold = cfg.jaccardThreshold)
+      else
+        Dedup.ngramJaccardPairs(qualityOk, idCol, textCol,
+          n = cfg.shingleN, threshold = cfg.jaccardThreshold,
+          maxDocFreq = cfg.maxDocFreq)
     Dedup.applyDedup(qualityOk, pairs, idCol)
   }
 }

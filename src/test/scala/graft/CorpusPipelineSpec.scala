@@ -25,6 +25,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!kept.contains(5L) && !kept.contains(6L)) // length tails trimmed
   }
 
+  test("minhash-verified pair stage reproduces the exact pair stage") {
+    val base = "the quick brown fox jumps over the lazy dog and then rests"
+    val corpus = Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("lazy", "sleepy")),
+      (4L, "completely different content about the spark engine and its joins"),
+      (5L, "another unrelated document describing window functions at length"))
+      .toDF("doc_id", "text")
+    val exact = CorpusPipeline.clean(corpus,
+        cfg = CorpusPipeline.Config(minQuality = 0.0, lengthLoQ = 0.0, lengthHiQ = 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    val mh = CorpusPipeline.clean(corpus,
+        cfg = CorpusPipeline.Config(minQuality = 0.0, lengthLoQ = 0.0,
+          lengthHiQ = 1.0, minhashPairs = true))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == mh)
+    assert(exact == Set(1L, 4L, 5L)) // dup cluster {1,2,3} collapsed to 1
+  }
+
   test("clean preserves the input schema") {
     val corpus = Seq((1L, "some reasonable document text here", "en"))
       .toDF("doc_id", "text", "lang")
