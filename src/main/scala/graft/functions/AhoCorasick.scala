@@ -1,33 +1,31 @@
 package graft.functions
 
-/** Aho-Corasick multi-pattern matcher specialized for the classifier's
-  * name-fallback haystacks (lowercase alphanumerics + space — the alpha
-  * normal forms of CardModels). Finds the best-priority matching pattern in
-  * O(|text|) independent of pattern count, replacing the naive
-  * names × variants containment scan (reference
-  * classified_card_transactions.sql:150-184 does the same work as a lateral
-  * over ~630 merchant names).
-  *
-  * Priority = the pattern's index in the input array (lower wins) — callers
-  * pre-sort patterns by their ranking (longest-name-first for the
-  * reference's ORDER BY name_len DESC). Built once on the driver, shipped
-  * inside the UDF closure, shared per executor.
+/** Aho-Corasick multi-pattern matcher over the ASCII alphabet (chars ≥ 128
+  * never match/transition — callers' normal forms and rule literals are
+  * ASCII). Two query modes:
+  *  - [[bestMatch]]: minimum pattern index occurring anywhere in the text
+  *    (callers pre-sort patterns by priority) — used by the classifier
+  *    name fallback (reference classified_card_transactions.sql:150-184
+  *    runs the same work as a lateral over ~630 merchant names);
+  *  - [[collectInto]]: set a bit for EVERY pattern occurring in the text —
+  *    used as the required-literal prefilter in front of the regex bank
+  *    (795 rules in reference seeds/merchant_regex.csv: only rules whose
+  *    required literal appears run their regex).
+  * Both are O(|text| + matches) independent of pattern count. Built once
+  * on the driver, shipped inside UDF closures, shared per executor.
   */
 final class AhoCorasick(patterns: Array[String]) extends Serializable {
 
-  private val AlphabetSize = 37 // a-z, 0-9, space
+  private val AlphabetSize = 128
 
-  private def code(ch: Char): Int =
-    if (ch >= 'a' && ch <= 'z') ch - 'a'
-    else if (ch >= '0' && ch <= '9') 26 + (ch - '0')
-    else if (ch == ' ') 36
-    else -1
+  private def code(ch: Char): Int = if (ch < 128) ch else -1
 
   // trie as growable arrays of alphabet-indexed nodes
   private var cap = math.max(16, patterns.map(_.length).sum + 1)
   private var next = Array.fill(cap * AlphabetSize)(-1)
   private var fail = new Array[Int](cap)
   private var best = Array.fill(cap)(Int.MaxValue) // min pattern idx ending here
+  private var ownEnd = Array.fill(cap)(List.empty[Int]) // patterns ending here
   private var nNodes = 1
 
   private def grow(): Unit = {
@@ -38,17 +36,18 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     val nb = Array.fill(ncap)(Int.MaxValue)
     System.arraycopy(best, 0, nb, 0, cap)
     best = nb
+    val no = Array.fill(ncap)(List.empty[Int])
+    System.arraycopy(ownEnd, 0, no, 0, cap)
+    ownEnd = no
     cap = ncap
   }
 
-  // insert patterns (skipping chars outside the alphabet would change
-  // semantics — reject instead; callers normalize first)
   patterns.zipWithIndex.foreach { case (p, idx) =>
     var node = 0
     var i = 0
     while (i < p.length) {
       val c = code(p.charAt(i))
-      require(c >= 0, s"pattern '$p' contains char outside [a-z0-9 ]")
+      require(c >= 0, s"pattern '$p' contains a non-ASCII char")
       if (next(node * AlphabetSize + c) == -1) {
         if (nNodes == cap) grow()
         next(node * AlphabetSize + c) = nNodes
@@ -57,12 +56,19 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
       node = next(node * AlphabetSize + c)
       i += 1
     }
-    if (p.nonEmpty) best(node) = math.min(best(node), idx)
+    if (p.nonEmpty) {
+      best(node) = math.min(best(node), idx)
+      ownEnd(node) = idx :: ownEnd(node)
+    }
   }
 
-  // BFS failure links; turn `next` into a complete goto function and fold
-  // the fail chain's best into each node (so matching never walks chains)
+  // full output set per node = own patterns plus the fail chain's — folded
+  // during the BFS so matching never walks chains
+  private val outs: Array[Array[Int]] = new Array[Array[Int]](cap)
+
+  // BFS failure links; turn `next` into a complete goto function
   locally {
+    outs(0) = ownEnd(0).toArray
     val queue = new java.util.ArrayDeque[Int]()
     var c = 0
     while (c < AlphabetSize) {
@@ -74,6 +80,9 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     while (!queue.isEmpty) {
       val u = queue.poll()
       best(u) = math.min(best(u), best(fail(u)))
+      outs(u) =
+        if (ownEnd(u).isEmpty) outs(fail(u))
+        else (ownEnd(u) ++ outs(fail(u))).toArray
       var c = 0
       while (c < AlphabetSize) {
         val v = next(u * AlphabetSize + c)
@@ -97,5 +106,20 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
       i += 1
     }
     if (found == Int.MaxValue) -1 else found
+  }
+
+  /** Set `into(idx)` for every pattern idx occurring anywhere in `text`. */
+  def collectInto(text: String, into: java.util.BitSet): Unit = {
+    if (text == null) return
+    var node = 0
+    var i = 0
+    while (i < text.length) {
+      val c = code(text.charAt(i))
+      node = if (c < 0) 0 else next(node * AlphabetSize + c)
+      val o = outs(node)
+      var j = 0
+      while (j < o.length) { into.set(o(j)); j += 1 }
+      i += 1
+    }
   }
 }

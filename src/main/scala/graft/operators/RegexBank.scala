@@ -30,23 +30,113 @@ object RegexBank {
     */
   final case class Rule(key: String, pattern: String, priority: Int)
 
+  /** Required-literal extraction for the Aho-Corasick prefilter: a rule
+    * only needs its regex evaluated on texts containing one of its
+    * required literals (a NECESSARY condition — boundaries/anchors still
+    * checked by the regex). Returns None when no safe literal exists (the
+    * rule is then always checked). Handles the shapes the reference's 795
+    * seed rules actually use: plain literals, `^`/`$` anchors, `\y`/`\b`
+    * boundaries, escaped punctuation, and a single top-level alternation
+    * of plain literals (optionally parenthesized).
+    */
+  private[graft] def requiredLiterals(pattern: String): Option[Seq[String]] = {
+    var s = pattern
+    if (s.startsWith("^")) s = s.substring(1)
+    if (s.endsWith("$") && !s.endsWith("\\$")) s = s.dropRight(1)
+    s = s.replace("\\y", "").replace("\\b", "")
+      .replace("\\m", "").replace("\\M", "")
+    if (s.startsWith("(") && s.endsWith(")")) s = s.substring(1, s.length - 1)
+    val metas = "()[]{}|?*+.^$"
+    def unescapeLiteral(t: String): Option[String] = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < t.length) {
+        val ch = t.charAt(i)
+        if (ch == '\\') {
+          if (i + 1 >= t.length) return None
+          val nxt = t.charAt(i + 1)
+          if (Character.isLetterOrDigit(nxt)) return None // \d, \s, ... classes
+          sb.append(nxt); i += 2
+        } else if (metas.indexOf(ch) >= 0) return None
+        else { sb.append(ch); i += 1 }
+      }
+      if (sb.isEmpty) None else Some(sb.toString)
+    }
+    // top-level alternation: every branch must reduce to a plain literal
+    val branches = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0; var i = 0; var ok = true
+      while (i < s.length && ok) {
+        val ch = s.charAt(i)
+        if (ch == '\\' && i + 1 < s.length) { cur.append(ch).append(s.charAt(i + 1)); i += 2 }
+        else {
+          if (ch == '(') depth += 1
+          if (ch == ')') { depth -= 1; if (depth < 0) ok = false }
+          if (ch == '|' && depth == 0) { out += cur.toString; cur.clear() }
+          else cur.append(ch)
+          i += 1
+        }
+      }
+      if (!ok) Seq(s) else { out += cur.toString; out.toSeq }
+    }
+    val lits = branches.map(unescapeLiteral)
+    if (lits.forall(_.isDefined)) Some(lits.map(_.get)) else None
+  }
+
   final class CompiledBank(rules: Seq[Rule], caseInsensitive: Boolean)
       extends Serializable {
     // Effective order: priority desc, pattern length desc, key asc — the
     // lateral's ORDER BY plus a total-order tie-breaker.
     private val sorted: Array[Rule] =
       rules.sortBy(r => (-r.priority, -r.pattern.length, r.key)).toArray
+    // prefilter literals, lowercased to match lowercased probe texts;
+    // rules without a safe literal are unconditionally checked
+    private val litPatterns = scala.collection.mutable.ArrayBuffer.empty[String]
+    private val litRule = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val alwaysCheck = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      requiredLiterals(r.pattern) match {
+        case Some(ls) if ls.forall(_.forall(_ < 128)) =>
+          ls.foreach { l =>
+            litPatterns += l.toLowerCase(java.util.Locale.ROOT); litRule += i
+          }
+        case _ => alwaysCheck += i
+      }
+    }
+    private val alwaysArr: Array[Int] = alwaysCheck.toArray
+    private val litRuleArr: Array[Int] = litRule.toArray
+    @transient private lazy val prefilter =
+      new graft.functions.AhoCorasick(litPatterns.toArray)
     @transient private lazy val compiled: Array[(Pattern, String)] =
       sorted.map { r =>
         val flags = if (caseInsensitive) Pattern.CASE_INSENSITIVE else 0
         (Pattern.compile(PgDialect.translateRegex(r.pattern), flags), r.key)
       }
+
+    /** Candidate rule indices (ascending = priority order) whose required
+      * literal occurs in any of the texts, plus the always-check rules.
+      */
+    private def candidates(vs: Iterator[String]): java.util.BitSet = {
+      val litBits = new java.util.BitSet(litPatterns.length)
+      vs.foreach { s =>
+        if (s != null)
+          prefilter.collectInto(s.toLowerCase(java.util.Locale.ROOT), litBits)
+      }
+      val ruleBits = new java.util.BitSet(sorted.length)
+      var b = litBits.nextSetBit(0)
+      while (b >= 0) { ruleBits.set(litRuleArr(b)); b = litBits.nextSetBit(b + 1) }
+      var i = 0
+      while (i < alwaysArr.length) { ruleBits.set(alwaysArr(i)); i += 1 }
+      ruleBits
+    }
     def bestKey(s: String): String = {
       if (s == null) return null
-      var i = 0
-      while (i < compiled.length) {
+      val cand = candidates(Iterator.single(s))
+      var i = cand.nextSetBit(0)
+      while (i >= 0) {
         if (compiled(i)._1.matcher(s).find()) return compiled(i)._2
-        i += 1
+        i = cand.nextSetBit(i + 1)
       }
       null
     }
@@ -62,15 +152,21 @@ object RegexBank {
       */
     def bestKeyAny(vs: Seq[String]): String = {
       if (vs == null) return null
-      var i = 0
-      while (i < compiled.length) {
+      // Aho-Corasick prefilter: one O(|text|) scan of the variants yields
+      // the candidate rule set; only those regexes run (priority order is
+      // the ascending bit order). With literal-bearing banks (all but a
+      // handful of the reference's 795 rules) non-matching rows run zero
+      // regexes.
+      val cand = candidates(vs.iterator)
+      var i = cand.nextSetBit(0)
+      while (i >= 0) {
         val p = compiled(i)._1
         val it = vs.iterator
         while (it.hasNext) {
           val s = it.next()
           if (s != null && p.matcher(s).find()) return compiled(i)._2
         }
-        i += 1
+        i = cand.nextSetBit(i + 1)
       }
       null
     }

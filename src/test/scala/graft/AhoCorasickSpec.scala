@@ -30,6 +30,53 @@ class AhoCorasickSpec extends AnyFunSuite {
     assert(ac.bestMatch("ab_cd") == -1)
   }
 
+  test("requiredLiterals extracts safe literals and rejects unsafe shapes") {
+    import graft.operators.RegexBank.requiredLiterals
+    assert(requiredLiterals("^NATERA\\y") == Some(Seq("NATERA")))
+    assert(requiredLiterals("\\bWAYFAIR\\b") == Some(Seq("WAYFAIR")))
+    assert(requiredLiterals("^SQ \\*") == Some(Seq("SQ *")))
+    assert(requiredLiterals("\\b(GRILL|CAFE|DINER)\\b") ==
+      Some(Seq("GRILL", "CAFE", "DINER")))
+    assert(requiredLiterals("\\bGREEN FARMSTAND$") == Some(Seq("GREEN FARMSTAND")))
+    assert(requiredLiterals("WHOLE ?FOODS|WHOLEFDS").isEmpty) // '?' branch
+    assert(requiredLiterals("AB\\d+").isEmpty)                // \d class
+    assert(requiredLiterals("(A|B)(C|D)").isEmpty)            // two groups
+  }
+
+  test("prefiltered bank equals the brute-force rule walk on random rows") {
+    import graft.operators.RegexBank
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 60).map(i => s"word${('a' + i % 26).toChar}$i")
+    val rules = words.zipWithIndex.map { case (w, i) =>
+      val pat = i % 5 match {
+        case 0 => s"^${w.toUpperCase}\\b"
+        case 1 => s"\\b${w.toUpperCase}\\b"
+        case 2 => s"(${w.toUpperCase}|ALT${i})"
+        case 3 => s"${w.toUpperCase}S?" // '?': no safe literal → always checked
+        case _ => w.toUpperCase
+      }
+      RegexBank.Rule(s"k$i", pat, rnd.nextInt(100))
+    }
+    val bank = new RegexBank.CompiledBank(rules, caseInsensitive = true)
+    // naive reference: walk every rule in the same order
+    val sortedRules = rules.sortBy(r => (-r.priority, -r.pattern.length, r.key))
+    val compiled = sortedRules.map(r => (java.util.regex.Pattern.compile(
+      graft.dialect.PgDialect.translateRegex(r.pattern),
+      java.util.regex.Pattern.CASE_INSENSITIVE), r.key))
+    def naiveAny(vs: Seq[String]): String =
+      compiled.collectFirst {
+        case (p, k) if vs.exists(s => s != null && p.matcher(s).find()) => k
+      }.orNull
+    (0 until 3000).foreach { _ =>
+      val text = Seq.fill(3 + rnd.nextInt(5))(
+        if (rnd.nextBoolean()) words(rnd.nextInt(words.length)) else s"x${rnd.nextInt(99)}")
+        .mkString(" ").toUpperCase
+      val variants = Seq(text, text.replace(" ", "-"), null)
+      assert(bank.bestKeyAny(variants) == naiveAny(variants), s"text=$text")
+      assert(bank.bestKey(text) == naiveAny(Seq(text)), s"single text=$text")
+    }
+  }
+
   test("fallback matcher agrees with the naive reference on generated rows") {
     val rnd = new scala.util.Random(7)
     val names = (0 until 400).map { i =>
