@@ -774,6 +774,33 @@ object SparkEntry {
     graft.models.HealthModels.entityRollup(rc, "Date", "Dish", Grain.Quarter)
   }
 
+  /** The legacy 532-branch merchant classifier + spend/share tail
+    * (reference card_merchants_model.sql in full) over a probe fixture that
+    * exercises essentially every branch. The chain content is data
+    * (resources/graft/merchant_case.tsv); the DuckDB oracle replays the
+    * same conditions verbatim, so branch order/shadowing and the Payment
+    * prefilter are hash-checked, not just the when-chain capability (q11).
+    */
+  private def q38MerchantsLegacy(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_legacy")
+    val tx = s.sql(graft.models.MerchantCase.legacyTxSql("orders_legacy"))
+    val base = tx.filter(graft.models.CardModels.cleanTypeLegacy(
+      col("type"), col("card_last4"), col("description")) === "Sale")
+    val named = base.select(
+      graft.models.MerchantCase.chainColumn(col("description"))
+        .as("merchant_name_modified"),
+      col("amount"))
+    named.groupBy(col("merchant_name_modified"))
+      .agg(sum(col("amount")).as("spend_dec"))
+      .withColumn("total_dec", sum(col("spend_dec")).over(Window.partitionBy()))
+      .select(
+        col("merchant_name_modified"),
+        col("spend_dec").cast("double").as("total_spend"),
+        col("total_dec").cast("double").as("cumulative_spend"),
+        (col("spend_dec").cast("double") / col("total_dec").cast("double"))
+          .as("percent_spend"))
+  }
+
   /** Embedding near-dup pairs via sign-LSH bucketing + exact cosine verify
     * — the scale path next to d10's exact all-pairs oracle twin (O(N²) is
     * banned from any composed pipeline; THIS is the form that ships).
@@ -891,6 +918,7 @@ object SparkEntry {
     "q35_plants_week" -> (q35PlantsWeek _),
     "q36_workouts_year" -> (q36WorkoutsYear _),
     "q37_recipes_quarter" -> (q37RecipesQuarter _),
+    "q38_merchants_legacy" -> (q38MerchantsLegacy _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1329,6 +1357,7 @@ object SparkEntry {
     "q35_plants_week" -> graft.models.HealthFixture.plantsWeekOracleSql,
     "q36_workouts_year" -> graft.models.HealthFixture.workoutsYearOracleSql,
     "q37_recipes_quarter" -> graft.models.HealthFixture.recipesQuarterOracleSql,
+    "q38_merchants_legacy" -> graft.models.MerchantCase.spendShareOracleSql,
 
     "q30_ranking" ->
       """SELECT c_custkey,

@@ -1,0 +1,233 @@
+package graft.models
+
+import graft.dialect.PgDialect
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The legacy 532-branch merchant classifier CASE (reference
+  * models/card_merchants_model.sql:2-620) as *data*: the branch content is
+  * extracted verbatim by tools/extract_merchant_case.py into
+  * resources/graft/merchant_case.tsv (seq, raw condition SQL, merchant,
+  * source line) and compiled here in two independent ways —
+  *
+  *  - [[chainColumn]]: an ordered Catalyst when-chain whose ILIKE terms go
+  *    through PgDialect.ilike (codegen'd LIKE over lower()), and
+  *  - [[spendShareOracleSql]]: the same condition text embedded verbatim in
+  *    a DuckDB CASE —
+  *
+  * so the rule *content* itself is oracle-checked (shadowing order, the
+  * `and not ilike` exclusions, the Payment prefilter), not just the
+  * when-chain capability that q11 covers. The probe fixture
+  * ([[legacyTxSql]]) synthesizes one description per branch (first positive
+  * pattern, `%` stripped) so nearly every branch is exercised, including
+  * the ones shadowed by earlier branches.
+  */
+object MerchantCase {
+
+  /** One `[not] ilike` term of a branch condition. */
+  final case class Term(pattern: String, negated: Boolean)
+
+  /** A when-branch: OR across conjunctions, AND within; source order is
+    * evaluation order.
+    */
+  final case class Branch(seq: Int, condition: Seq[Seq[Term]], raw: String,
+      merchant: String)
+
+  lazy val branches: Seq[Branch] = {
+    val in = getClass.getResourceAsStream("/graft/merchant_case.tsv")
+    require(in != null, "merchant_case.tsv missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      src.getLines().filterNot(_.startsWith("#")).map { line =>
+        val f = line.split('\t')
+        Branch(f(0).toInt, parseCondition(f(1)), f(1), f(2))
+      }.toVector
+    } finally src.close()
+  }
+
+  // ---------------------------------------------------------- the parser
+
+  /** Tokenize a condition: bare words lowercased, quoted literals kept
+    * verbatim (unescaped, prefixed with `'` to mark them).
+    */
+  private def tokenize(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch.isWhitespace) i += 1
+      else if (ch == '\'') {
+        val sb = new StringBuilder("'")
+        i += 1
+        var done = false
+        while (!done) {
+          require(i < s.length, s"unterminated string in: $s")
+          val c = s.charAt(i)
+          if (c == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else { done = true; i += 1 }
+          } else { sb.append(c); i += 1 }
+        }
+        out += sb.toString
+      } else {
+        val j0 = i
+        while (i < s.length && !s.charAt(i).isWhitespace) i += 1
+        out += s.substring(j0, i).toLowerCase(java.util.Locale.ROOT)
+      }
+    }
+    out.result()
+  }
+
+  /** Grammar (all the reference's branches fit it — enforced by the
+    * extractor): cond := conj ('or' conj)* ; conj := term ('and' term)* ;
+    * term := 'description' ['not'] 'ilike' STRING.
+    */
+  private[graft] def parseCondition(s: String): Seq[Seq[Term]] = {
+    val toks = tokenize(s)
+    val conjs = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Term])
+    var i = 0
+    def term(): Term = {
+      require(toks(i) == "description", s"expected description at $i in: $s")
+      i += 1
+      val neg = toks(i) == "not"
+      if (neg) i += 1
+      require(toks(i) == "ilike", s"expected ilike at $i in: $s")
+      i += 1
+      require(toks(i).startsWith("'"), s"expected pattern at $i in: $s")
+      val p = toks(i).substring(1)
+      i += 1
+      Term(p, neg)
+    }
+    conjs.last += term()
+    while (i < toks.length) {
+      toks(i) match {
+        case "and" => i += 1; conjs.last += term()
+        case "or" =>
+          i += 1
+          conjs += scala.collection.mutable.ArrayBuffer(term())
+        case t => throw new IllegalArgumentException(s"unexpected '$t' in: $s")
+      }
+    }
+    conjs.map(_.toSeq).toSeq
+  }
+
+  // ------------------------------------------------------ Spark when-chain
+
+  private def condCol(c: Seq[Seq[Term]], desc: Column): Column =
+    c.map(_.map { t =>
+      val m = PgDialect.ilike(desc, t.pattern)
+      if (t.negated) !m else m
+    }.reduce(_ && _)).reduce(_ || _)
+
+  /** The full ordered classifier chain over a description column. */
+  def chainColumn(desc: Column): Column = {
+    val head = branches.head
+    branches.tail
+      .foldLeft(when(condCol(head.condition, desc), lit(head.merchant))) {
+        (acc, b) => acc.when(condCol(b.condition, desc), lit(b.merchant))
+      }
+      .otherwise(lit("Uncategorized"))
+  }
+
+  // ------------------------------------------------------- probe fixture
+
+  /** One description per branch: the first positive pattern with `%`
+    * stripped ('_' and literal '*' kept — both engines treat them alike).
+    * Matches its own branch unless an earlier branch shadows it, which is
+    * exactly the semantics under test.
+    */
+  private[models] def probeFor(b: Branch): String = {
+    val pat = b.condition.head.find(!_.negated)
+      .getOrElse(sys.error(s"branch ${b.seq} has no positive term"))
+      .pattern
+    val p = pat.replace("%", "")
+    require(p.nonEmpty, s"branch ${b.seq} probe empty")
+    p
+  }
+
+  /** Extra rows that exercise the Payment prefilter's description arms and
+    * the ELSE → 'Uncategorized' fallback.
+    */
+  private val noiseProbes = Seq(
+    "Online Transfer from Chase 01",
+    "EDWARD JONES INVESTMENT 02", // branch hit when type='Sale', filtered when null
+    "JPMorgan Chase Transfer 03",
+    "Fedwire Credit 04",
+    "Automatic Payment - Thank You",
+    "ZZZ NOMATCH 42")
+
+  private lazy val probes: Seq[String] =
+    branches.map(probeFor) ++ noiseProbes
+
+  /** card_transactions for the legacy model, synthesized from `orders` —
+    * parses identically in Spark SQL and DuckDB (same convention as
+    * CardFixture.txSql). Cycles: description over all probes, type over
+    * Sale/Refund/NULL, card_last4 over one out-of-list + the blessed list,
+    * amount sign over mod 7.
+    */
+  def legacyTxSql(ordersTable: String): String = {
+    val probeCases = probes.zipWithIndex.map { case (p, i) =>
+      s"    WHEN $i THEN '${p.replace("'", "''")}'"
+    }.mkString("\n")
+    s"""SELECT
+       |  CAST(o_orderkey AS VARCHAR(30)) AS key,
+       |  o_orderdate AS date,
+       |  CASE WHEN o_orderkey % 7 = 0 THEN -CAST(o_totalprice AS DECIMAL(18,2))
+       |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS amount,
+       |  CASE CAST(o_orderkey % 9 AS INTEGER) WHEN 0 THEN 1111 WHEN 1 THEN 3206
+       |       WHEN 2 THEN 4245 WHEN 3 THEN 5083 WHEN 4 THEN 6823
+       |       ELSE 3221 END AS card_last4,
+       |  CASE CAST(o_orderkey % ${probes.length} AS INTEGER)
+       |$probeCases
+       |    ELSE 'ZZZ UNREACHABLE' END AS description,
+       |  CASE WHEN o_orderkey % 5 = 0 THEN 'Sale'
+       |       WHEN o_orderkey % 5 = 4 THEN 'Refund'
+       |       ELSE CAST(NULL AS VARCHAR(10)) END AS type
+       |FROM $ordersTable""".stripMargin
+  }
+
+  // -------------------------------------------------------- DuckDB oracle
+
+  /** The whole legacy model as the DuckDB oracle: probe fixture, Payment
+    * prefilter (card_merchants_model.sql:626-637), the 532 conditions
+    * verbatim, spend/share agg tail (:621-639) with exact decimal sums cast
+    * to double (shared-arithmetic convention: both engines divide the same
+    * doubles).
+    */
+  def spendShareOracleSql: String = {
+    val whens = branches.map { b =>
+      s"      WHEN ${b.raw} THEN '${b.merchant.replace("'", "''")}'"
+    }.mkString("\n")
+    s"""WITH tx AS (
+       |${legacyTxSql("orders")}
+       |), base AS (
+       |  SELECT * FROM tx t
+       |  WHERE (CASE WHEN t.type IS NOT NULL THEN t.type
+       |              WHEN t.card_last4 NOT IN (3221, 4245, 5083, 6823) THEN 'Payment'
+       |              WHEN t.description ILIKE '%Online Transfer%'
+       |                OR t.description ILIKE '%Edward Jones%'
+       |                OR t.description ILIKE '%JPMorgan Chase%'
+       |                OR t.description ILIKE '%Fedwire%'
+       |                OR t.description ILIKE '%Automatic Payment%' THEN 'Payment'
+       |              ELSE 'Sale' END) = 'Sale'
+       |), named AS (
+       |  SELECT
+       |    CASE
+       |$whens
+       |      ELSE 'Uncategorized' END AS merchant_name_modified,
+       |    amount
+       |  FROM base
+       |), agg AS (
+       |  SELECT merchant_name_modified, SUM(amount) AS spend_dec
+       |  FROM named GROUP BY 1
+       |)
+       |SELECT merchant_name_modified,
+       |  CAST(spend_dec AS DOUBLE) AS total_spend,
+       |  CAST(SUM(spend_dec) OVER () AS DOUBLE) AS cumulative_spend,
+       |  CAST(spend_dec AS DOUBLE) / CAST(SUM(spend_dec) OVER () AS DOUBLE)
+       |    AS percent_spend
+       |FROM agg""".stripMargin
+  }
+}
