@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing — schema, partition sizing, batch iteration shape,
   * deterministic outputs — is real and tested. The IMAGE path is a real
   * codec ([[ImageIOCodec]]: JDK javax.imageio JPEG/PNG decode, bilinear
-  * resize, luminance-grid features — no external dependency). Audio/video
-  * decode remains a STUB (`FakeCodec`): this container has no media
-  * libraries; the stub derives deterministic pseudo-content from the bytes,
-  * and swapping in a real decoder is a one-function change (`Codec` trait).
+  * resize, luminance-grid features) and so is the PCM AUDIO path
+  * ([[JavaSoundCodec]]: JDK javax.sound.sampled WAV/AIFF/AU decode, RMS +
+  * zero-crossing features) — both dependency-free. VIDEO decode remains a
+  * STUB (`FakeCodec`): this container has no video libraries; the stub
+  * derives deterministic pseudo-content from the bytes, and swapping in a
+  * real decoder is a one-function change (`Codec` trait).
   */
 object Multimodal {
 
@@ -110,11 +112,124 @@ object Multimodal {
       FakeCodec.videoFrame(bytes, frameIdx)
   }
 
-  /** STUB codec — deterministic fake, now scoped to the audio/video
-    * modalities (images use [[ImageIOCodec]]): features are seeded by a
-    * rolling hash of the payload; resize re-headers the payload; frames are
-    * byte slices. Replace with a JNI/javacpp-backed decoder in a real
-    * deployment.
+  // ------------------------------------------------------------- audio
+
+  /** Decoded-audio summary: what the `meta` struct stores for audio rows. */
+  final case class AudioInfo(sampleRate: Int, channels: Int, frames: Long,
+      durationMs: Long)
+
+  /** Audio codec boundary (separate from [[Codec]] — the modalities share
+    * plumbing, not signatures). Implementations must be deterministic.
+    */
+  trait AudioCodec extends Serializable {
+    def info(bytes: Array[Byte]): AudioInfo
+    /** Mono-mixed samples normalized to [-1, 1]. */
+    def pcm(bytes: Array[Byte]): Array[Float]
+    def audioFeatures(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Real audio codec on the JDK's built-in javax.sound.sampled — decodes
+    * WAV/AIFF/AU PCM payloads (8/16/24/32-bit, any channel count; mixed to
+    * mono). No external dependency, same spirit as [[ImageIOCodec]].
+    * Compressed formats (MP3/OGG/AAC) are outside the JDK — those payloads
+    * throw, and a real deployment swaps in a wider decoder behind the same
+    * trait.
+    *
+    * Features: the first `dim/2` cells are per-window RMS energy, the next
+    * `dim/2` per-window zero-crossing rate — the classical envelope+pitch
+    * proxy shape an audio-embedding slot expects, deterministic.
+    */
+  object JavaSoundCodec extends AudioCodec {
+    private def stream(bytes: Array[Byte]) =
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+
+    def info(bytes: Array[Byte]): AudioInfo = {
+      val in = stream(bytes)
+      try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        AudioInfo(f.getSampleRate.toInt, f.getChannels, frames,
+          if (f.getFrameRate > 0) (frames * 1000L / f.getFrameRate.toLong)
+          else 0L)
+      } finally in.close()
+    }
+
+    def pcm(bytes: Array[Byte]): Array[Float] = {
+      val in = stream(bytes)
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding._
+        require(enc == PCM_SIGNED || enc == PCM_UNSIGNED,
+          s"unsupported encoding $enc — only PCM WAV/AIFF/AU decode in-JDK")
+        val bits = f.getSampleSizeInBits
+        require(bits % 8 == 0 && bits <= 32, s"unsupported sample size $bits")
+        val bytesPer = bits / 8
+        val ch = f.getChannels
+        val raw = in.readAllBytes()
+        val nFrames = raw.length / (bytesPer * ch)
+        val out = new Array[Float](nFrames)
+        val big = f.isBigEndian
+        val half = 1L << (bits - 1)
+        var i = 0
+        while (i < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val base = (i * ch + c) * bytesPer
+            var v = 0L
+            var b = 0
+            while (b < bytesPer) {
+              val by = raw(base + (if (big) b else bytesPer - 1 - b)) & 0xFFL
+              v = (v << 8) | by
+              b += 1
+            }
+            // sign-extend signed PCM; shift unsigned to signed range
+            val s =
+              if (enc == PCM_SIGNED) { if (v >= half) v - (half << 1) else v }
+              else v - half
+            acc += s.toDouble / half
+            c += 1
+          }
+          out(i) = (acc / ch).toFloat
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    def audioFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val samples = pcm(bytes)
+      val out = new Array[Float](dim)
+      val nWin = math.max(1, dim / 2)
+      val n = samples.length
+      var w = 0
+      while (w < nWin) {
+        val s0 = (w.toLong * n / nWin).toInt
+        val s1 = math.max(s0 + 1, ((w + 1).toLong * n / nWin).toInt)
+        var energy = 0.0
+        var crossings = 0
+        var i = s0
+        while (i < s1 && i < n) {
+          energy += samples(i).toDouble * samples(i)
+          if (i > s0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) crossings += 1
+          i += 1
+        }
+        val len = math.max(1, math.min(s1, n) - s0)
+        out(w) = math.sqrt(energy / len).toFloat
+        if (nWin + w < dim) out(nWin + w) = crossings.toFloat / len
+        w += 1
+      }
+      out
+    }
+  }
+
+  /** STUB codec — deterministic fake, now scoped to the VIDEO modality
+    * (images decode via [[ImageIOCodec]], PCM audio via [[JavaSoundCodec]]):
+    * features are seeded by a rolling hash of the payload; resize re-headers
+    * the payload; frames are byte slices. Replace with a JNI/javacpp-backed
+    * decoder in a real deployment.
     */
   object FakeCodec extends Codec {
     private def hash64(bytes: Array[Byte], seed: Long): Long = {
@@ -158,6 +273,25 @@ object Multimodal {
   def imageFeatureCol(bytes: Column, dim: Int, codec: Codec = FakeCodec): Column = {
     val f = udf((b: Array[Byte]) =>
       if (b == null) null else codec.imageFeatures(b, dim))
+    f(bytes)
+  }
+
+  /** Audio feature extraction: binary → `array<float>` (RMS envelope +
+    * zero-crossing rate). Same shuffle-free shape as [[imageFeatureCol]].
+    */
+  def audioFeatureCol(bytes: Column, dim: Int,
+      codec: AudioCodec = JavaSoundCodec): Column = {
+    val f = udf((b: Array[Byte]) =>
+      if (b == null) null else codec.audioFeatures(b, dim))
+    f(bytes)
+  }
+
+  /** Audio metadata: binary → struct(sample_rate, channels, frames,
+    * duration_ms) — fills the audio half of [[mediaSchema]]'s meta struct.
+    */
+  def audioInfoCol(bytes: Column,
+      codec: AudioCodec = JavaSoundCodec): Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) null else codec.info(b))
     f(bytes)
   }
 

@@ -104,4 +104,89 @@ class MultimodalSpec extends SparkSpec {
     val df = Multimodal.repartitionByBytes(mediaDf, targetBytesPerPartition = 200L)
     assert(df.rdd.getNumPartitions == 2) // 480 payload bytes / 200 → 2
   }
+
+  // ------------------------------------------------------- real audio codec
+
+  /** Synthesize a PCM WAV payload: `freq` Hz sine, 16-bit signed stereo or
+    * 8-bit unsigned mono, via the same JDK API users would write with.
+    */
+  private def wavBytes(freq: Double, seconds: Double, sampleRate: Int,
+      bits: Int, channels: Int, amplitude: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (seconds * sampleRate).toInt
+    val bytesPer = bits / 8
+    val raw = new Array[Byte](n * bytesPer * channels)
+    var i = 0
+    while (i < n) {
+      val v = amplitude * math.sin(2 * math.Pi * freq * i / sampleRate)
+      var c = 0
+      while (c < channels) {
+        val base = (i * channels + c) * bytesPer
+        if (bits == 16) {
+          val s = (v * 32767).toInt
+          raw(base) = (s & 0xFF).toByte          // little-endian
+          raw(base + 1) = ((s >> 8) & 0xFF).toByte
+        } else {
+          raw(base) = ((v * 127).toInt + 128).toByte // 8-bit unsigned
+        }
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, bits, channels,
+      /*signed=*/ bits == 16, /*bigEndian=*/ false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("JavaSoundCodec decodes WAV: info, PCM mixdown, sine RMS") {
+    val wav = wavBytes(freq = 440, seconds = 0.5, sampleRate = 8000,
+      bits = 16, channels = 2, amplitude = 0.5)
+    val info = Multimodal.JavaSoundCodec.info(wav)
+    assert(info.sampleRate == 8000 && info.channels == 2)
+    assert(info.frames == 4000 && info.durationMs == 500)
+    val pcm = Multimodal.JavaSoundCodec.pcm(wav)
+    assert(pcm.length == 4000)
+    val rms = math.sqrt(pcm.map(s => s.toDouble * s).sum / pcm.length)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01, s"rms=$rms")
+  }
+
+  test("JavaSoundCodec handles 8-bit unsigned mono and rejects non-audio") {
+    val wav = wavBytes(freq = 100, seconds = 0.25, sampleRate = 4000,
+      bits = 8, channels = 1, amplitude = 0.9)
+    val pcm = Multimodal.JavaSoundCodec.pcm(wav)
+    assert(pcm.length == 1000)
+    assert(math.abs(pcm.max - 0.9) < 0.03 && math.abs(pcm.min + 0.9) < 0.03)
+    intercept[Exception] {
+      Multimodal.JavaSoundCodec.info("not a wav".getBytes)
+    }
+  }
+
+  test("audio features: louder signal → higher RMS cells; ZCR tracks freq") {
+    val quiet = wavBytes(440, 0.5, 8000, 16, 1, amplitude = 0.1)
+    val loud = wavBytes(440, 0.5, 8000, 16, 1, amplitude = 0.8)
+    val fq = Multimodal.JavaSoundCodec.audioFeatures(quiet, 8)
+    val fl = Multimodal.JavaSoundCodec.audioFeatures(loud, 8)
+    (0 until 4).foreach(i => assert(fl(i) > fq(i))) // RMS half
+    // ZCR half: 440 Hz at 8 kHz crosses ~2*440/8000 = 0.11 per sample
+    (4 until 8).foreach(i => assert(math.abs(fq(i) - 0.11f) < 0.02f))
+    // deterministic
+    assert(fq.sameElements(Multimodal.JavaSoundCodec.audioFeatures(quiet, 8)))
+  }
+
+  test("audio columns run through the DataFrame plumbing") {
+    val wav = wavBytes(440, 0.25, 8000, 16, 1, amplitude = 0.5)
+    val df = Seq((1L, wav), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "bytes")
+    val got = df.select(col("media_id"),
+        Multimodal.audioFeatureCol(col("bytes"), 4).as("feat"),
+        Multimodal.audioInfoCol(col("bytes")).as("ai"))
+      .orderBy("media_id").collect()
+    assert(got(0).getAs[scala.collection.Seq[Float]]("feat").length == 4)
+    assert(got(0).getAs[org.apache.spark.sql.Row]("ai").getInt(0) == 8000)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+  }
 }
