@@ -783,11 +783,11 @@ object SparkEntry {
     */
   private def q38MerchantsLegacy(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders_legacy")
-    val tx = s.sql(graft.models.MerchantCase.legacyTxSql("orders_legacy"))
+    val tx = s.sql(graft.models.MerchantCase.legacyTxSql("orders_legacy", sparkDialect = true))
     val base = tx.filter(graft.models.CardModels.cleanTypeLegacy(
       col("type"), col("card_last4"), col("description")) === "Sale")
     val named = base.select(
-      graft.models.MerchantCase.chainColumn(col("description"))
+      graft.models.MerchantCase.chainExpr(col("description"))
         .as("merchant_name_modified"),
       col("amount"))
     named.groupBy(col("merchant_name_modified"))

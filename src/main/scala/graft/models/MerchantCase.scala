@@ -115,21 +115,55 @@ object MerchantCase {
 
   // ------------------------------------------------------ Spark when-chain
 
-  private def condCol(c: Seq[Seq[Term]], desc: Column): Column =
+  private def condCol(c: Seq[Seq[Term]], dlow: Column): Column =
     c.map(_.map { t =>
-      val m = PgDialect.ilike(desc, t.pattern)
+      // the input is pre-lowered ONCE (see chainColumn) so each term is a
+      // bare LIKE on an attribute — LikeSimplification rewrites the
+      // wildcard-free shapes to StartsWith/EndsWith/Contains
+      val m = dlow.like(t.pattern.toLowerCase(java.util.Locale.ROOT))
       if (t.negated) !m else m
     }.reduce(_ && _)).reduce(_ || _)
 
-  /** The full ordered classifier chain over a description column. */
-  def chainColumn(desc: Column): Column = {
+  /** The ordered classifier chain over an ALREADY-LOWERCASED description
+    * attribute. Callers should project `lower(description)` into its own
+    * column first: a 532-branch CaseWhen sits outside whole-stage codegen's
+    * subexpression elimination, so a shared lower() subtree would be
+    * re-evaluated per term (~600×/row). ILIKE = LIKE against lowercased
+    * patterns (content is ASCII — enforced by the extractor).
+    */
+  def chainLowered(dlow: Column): Column = {
     val head = branches.head
     branches.tail
-      .foldLeft(when(condCol(head.condition, desc), lit(head.merchant))) {
-        (acc, b) => acc.when(condCol(b.condition, desc), lit(b.merchant))
+      .foldLeft(when(condCol(head.condition, dlow), lit(head.merchant))) {
+        (acc, b) => acc.when(condCol(b.condition, dlow), lit(b.merchant))
       }
       .otherwise(lit("Uncategorized"))
   }
+
+  /** Convenience form over a raw description column (spec-sized inputs —
+    * see [[chainLowered]] for why big scans should pre-project).
+    */
+  def chainColumn(desc: Column): Column = chainLowered(lower(desc))
+
+  /** The same 532 branches as ONE compiled expression
+    * ([[graft.operators.IlikeChain]]): Aho-Corasick candidate prefilter +
+    * Spark-LIKE-semantics regexes, single plan node. This is the form q38
+    * ships — the declarative [[chainLowered]] stays as its spec-checked
+    * twin (MerchantCaseSpec asserts they agree row-for-row).
+    */
+  lazy val compiledChain: graft.operators.IlikeChain.CompiledChain = {
+    import graft.operators.IlikeChain
+    new IlikeChain.CompiledChain(
+      branches.map(b => IlikeChain.Branch(
+        b.condition.map(_.map(t => IlikeChain.Term(
+          t.pattern.toLowerCase(java.util.Locale.ROOT), t.negated)).toArray).toArray,
+        b.merchant)).toArray,
+      "Uncategorized")
+  }
+
+  /** Classifier column via the compiled single-node expression. */
+  def chainExpr(desc: Column): Column =
+    graft.operators.IlikeChain.matchCol(desc, compiledChain)
 
   // ------------------------------------------------------- probe fixture
 
@@ -138,7 +172,7 @@ object MerchantCase {
     * Matches its own branch unless an earlier branch shadows it, which is
     * exactly the semantics under test.
     */
-  private[models] def probeFor(b: Branch): String = {
+  private[graft] def probeFor(b: Branch): String = {
     val pat = b.condition.head.find(!_.negated)
       .getOrElse(sys.error(s"branch ${b.seq} has no positive term"))
       .pattern
@@ -161,16 +195,25 @@ object MerchantCase {
   private lazy val probes: Seq[String] =
     branches.map(probeFor) ++ noiseProbes
 
-  /** card_transactions for the legacy model, synthesized from `orders` —
-    * parses identically in Spark SQL and DuckDB (same convention as
-    * CardFixture.txSql). Cycles: description over all probes, type over
-    * Sale/Refund/NULL, card_last4 over one out-of-list + the blessed list,
-    * amount sign over mod 7.
+  /** card_transactions for the legacy model, synthesized from `orders`.
+    * Cycles: description over all probes, type over Sale/Refund/NULL,
+    * card_last4 over one out-of-list + the blessed list, amount sign over
+    * mod 7.
+    *
+    * The probe lookup is an ARRAY-LITERAL SUBSCRIPT, not a 538-arm CASE: a
+    * CASE this wide is a ~1100-node expression that downstream predicate
+    * pushdown would substitute into every filter referencing `description`
+    * (measured ~10 s of optimizer + re-eval cost), while `array(...)[k]`
+    * constant-folds to one literal. Spark subscripts 0-based, DuckDB
+    * 1-based, so the two texts differ ONLY in that expression — both are
+    * generated from the same probe seq (`sparkDialect` flag).
     */
-  def legacyTxSql(ordersTable: String): String = {
-    val probeCases = probes.zipWithIndex.map { case (p, i) =>
-      s"    WHEN $i THEN '${p.replace("'", "''")}'"
-    }.mkString("\n")
+  def legacyTxSql(ordersTable: String, sparkDialect: Boolean): String = {
+    val quoted = probes.map(p => s"'${p.replace("'", "''")}'").mkString(",\n    ")
+    val idx = s"CAST(o_orderkey % ${probes.length} AS INTEGER)"
+    val probeExpr =
+      if (sparkDialect) s"array(\n    $quoted)[$idx]"
+      else s"[\n    $quoted][$idx + 1]"
     s"""SELECT
        |  CAST(o_orderkey AS VARCHAR(30)) AS key,
        |  o_orderdate AS date,
@@ -179,9 +222,7 @@ object MerchantCase {
        |  CASE CAST(o_orderkey % 9 AS INTEGER) WHEN 0 THEN 1111 WHEN 1 THEN 3206
        |       WHEN 2 THEN 4245 WHEN 3 THEN 5083 WHEN 4 THEN 6823
        |       ELSE 3221 END AS card_last4,
-       |  CASE CAST(o_orderkey % ${probes.length} AS INTEGER)
-       |$probeCases
-       |    ELSE 'ZZZ UNREACHABLE' END AS description,
+       |  $probeExpr AS description,
        |  CASE WHEN o_orderkey % 5 = 0 THEN 'Sale'
        |       WHEN o_orderkey % 5 = 4 THEN 'Refund'
        |       ELSE CAST(NULL AS VARCHAR(10)) END AS type
@@ -201,7 +242,7 @@ object MerchantCase {
       s"      WHEN ${b.raw} THEN '${b.merchant.replace("'", "''")}'"
     }.mkString("\n")
     s"""WITH tx AS (
-       |${legacyTxSql("orders")}
+       |${legacyTxSql("orders", sparkDialect = false)}
        |), base AS (
        |  SELECT * FROM tx t
        |  WHERE (CASE WHEN t.type IS NOT NULL THEN t.type

@@ -55,12 +55,39 @@ class MerchantCaseSpec extends SparkSpec {
     assert(m != "Amazon Prime") // the `and not ilike '%VIDEO%'` exclusion
   }
 
+  test("likeToRegex mirrors Spark LIKE; requiredLiteral picks longest run") {
+    import graft.operators.IlikeChain
+    assert(IlikeChain.likeToRegex("%bps*bilt%") == "(?s).*\\Qbps*bilt\\E.*")
+    assert("zettlex*angel orient limi rest".matches(
+      IlikeChain.likeToRegex("zettle_*angel orient limi%"))) // '_' = any char
+    assert(!"prime video".matches(IlikeChain.likeToRegex("prime video %")))
+    assert(IlikeChain.requiredLiteral("%amazon prime*%") == "amazon prime*")
+    assert(IlikeChain.requiredLiteral("zettle_*send coffee%") == "*send coffee")
+    assert(IlikeChain.requiredLiteral("%_%") == "")
+  }
+
+  test("compiled single-node chain agrees with the declarative CaseWhen") {
+    val rnd = new scala.util.Random(5)
+    val probes = MerchantCase.branches.map(MerchantCase.probeFor)
+    val mangled = probes.flatMap { p =>
+      Seq(p, p.toUpperCase, "XX " + p, p + " TAIL",
+        p.take(math.max(1, p.length - 2)),
+        rnd.shuffle(p.toList).mkString)
+    } ++ Seq("", "ZZZ", "AMAZON PRIME*VIDEO SUB", null)
+    val df = mangled.toDF("description")
+    val both = df.select(
+      MerchantCase.chainExpr(col("description")).as("a"),
+      MerchantCase.chainColumn(col("description")).as("b"))
+    val diff = both.filter(!(col("a") <=> col("b"))).count()
+    assert(diff == 0, s"$diff rows diverge between compiled and declarative")
+  }
+
   test("probe fixture SQL parses in Spark and covers every branch merchant") {
     spark.range(1, 3000).toDF("o_orderkey")
       .withColumn("o_orderdate", to_date(lit("2024-01-01")))
       .withColumn("o_totalprice", lit(100.0) + col("o_orderkey") % 50)
       .createOrReplaceTempView("orders_mc_spec")
-    val tx = spark.sql(MerchantCase.legacyTxSql("orders_mc_spec"))
+    val tx = spark.sql(MerchantCase.legacyTxSql("orders_mc_spec", sparkDialect = true))
     val named = tx.select(
       MerchantCase.chainColumn(col("description")).as("m"))
     val found = named.distinct().as[String].collect().toSet
