@@ -61,4 +61,27 @@ class PlansSpec extends SparkSpec {
         VectorFns.dotHof(col("a"), col("b")).as("y")).head()
     assert(withNull.isNullAt(0) && withNull.isNullAt(1))
   }
+
+  test("q38 plan shape: one chain node, folded probe array, codegen'd") {
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("orders_legacy")
+    val df = SparkEntry.queries("q38_merchants_legacy")(
+      spark, "/root/testdata/sf0.001")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the classifier is ONE expression node, not a 532-branch CaseWhen
+    assert(optimized.contains("ilike_chain_match"), optimized.take(500))
+    assert("CASE WHEN".r.findAllIn(optimized).size < 20,
+      "probe/branch CASEs leaked into the optimized plan")
+    // the probe array constant-folded: no array(...) constructor survives
+    assert(!optimized.contains("array('"),
+      "probe array literal was not constant-folded")
+    // the row path stays inside whole-stage codegen (run first — AQE only
+    // finalizes stages on execution)
+    assert(df.collect().nonEmpty) // df's OWN execution, not a derived count
+    val physical = df.queryExecution.executedPlan.toString
+    // "*(n)" marks WholeStageCodegen stages in the compact plan string; the
+    // chain-classifier projection must be inside one
+    assert(physical.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("ilike_chain_match")), physical.take(2000))
+  }
 }
