@@ -42,7 +42,11 @@ object SparkEntry {
     q3SegmentRevenue(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- q1
-  /** A1/A3/A5: grouped exact sums, conditional sum, distinct count. */
+  /** A1/A3/A5/A7: grouped exact sums, conditional sum, distinct count,
+    * avg. Averages are exact-decimal-sum / count divided in DOUBLE — the
+    * shared-arithmetic form both engines compute bit-identically (a native
+    * decimal AVG would differ between Spark's and DuckDB's result scales).
+    */
   private def q1Pricing(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -53,6 +57,8 @@ object SparkEntry {
         dsum2(when(col("l_returnflag") === "R", col("l_quantity"))).as("sum_returned_qty"),
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_rows"))
+      .withColumn("avg_price", col("sum_base_price") / col("n_rows"))
   }
 
   // ---------------------------------------------------------------- q2
@@ -936,7 +942,9 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_returned_qty,
         |  COUNT(*) AS n_rows,
-        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q2_filter_project" ->
