@@ -789,22 +789,9 @@ object SparkEntry {
     */
   private def q38MerchantsLegacy(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders_legacy")
-    val tx = s.sql(graft.models.MerchantCase.legacyTxSql("orders_legacy", sparkDialect = true))
-    val base = tx.filter(graft.models.CardModels.cleanTypeLegacy(
-      col("type"), col("card_last4"), col("description")) === "Sale")
-    val named = base.select(
-      graft.models.MerchantCase.chainExpr(col("description"))
-        .as("merchant_name_modified"),
-      col("amount"))
-    named.groupBy(col("merchant_name_modified"))
-      .agg(sum(col("amount")).as("spend_dec"))
-      .withColumn("total_dec", sum(col("spend_dec")).over(Window.partitionBy()))
-      .select(
-        col("merchant_name_modified"),
-        col("spend_dec").cast("double").as("total_spend"),
-        col("total_dec").cast("double").as("cumulative_spend"),
-        (col("spend_dec").cast("double") / col("total_dec").cast("double"))
-          .as("percent_spend"))
+    graft.models.MerchantCase.legacyMerchantsModel(
+      s.sql(graft.models.MerchantCase.legacyTxSql("orders_legacy",
+        sparkDialect = true)))
   }
 
   /** Embedding near-dup pairs via sign-LSH bucketing + exact cosine verify

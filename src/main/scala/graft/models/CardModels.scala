@@ -84,23 +84,6 @@ object CardModels {
         col("type").as("raw_type"))
       .orderBy(col("amount").desc)
 
-  /** Spend per merchant with grand-total share (reference
-    * card_merchants_model.sql:621-639 — A1 + W1 over the classified output).
-    * The classifier input is any frame with (merchant_name, amount).
-    */
-  def merchantSpendShare(classified: DataFrame): DataFrame = {
-    val agg = classified
-      .groupBy(col("merchant_name"))
-      .agg(sum(col("amount").cast(DecimalType(18, 2))).as("spend_dec"))
-    agg
-      .withColumn("total_dec", sum(col("spend_dec")).over(Window.partitionBy()))
-      .select(
-        col("merchant_name"),
-        col("spend_dec").cast("double").as("total_spend"),
-        (col("spend_dec").cast("double") / col("total_dec").cast("double"))
-          .as("percent_spend"))
-  }
-
   /** Aggregator-prefix strip pattern (reference
     * classified_card_transactions.sql:60-66): Square/Stripe/Eventbrite/
     * PayPal/TST/SumUp/Zettle tags with one optional punctuation char.

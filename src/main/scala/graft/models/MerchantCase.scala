@@ -165,6 +165,30 @@ object MerchantCase {
   def chainExpr(desc: Column): Column =
     graft.operators.IlikeChain.matchCol(desc, compiledChain)
 
+  /** The complete legacy model (reference card_merchants_model.sql): the
+    * legacy Payment prefilter, the 532-branch classifier, and the
+    * spend/cumulative/percent tail (:621-639) with exact decimal sums
+    * reported as double. Used by the reference DAG
+    * (`ReferencePipeline`) and by q38 over the probe fixture.
+    */
+  def legacyMerchantsModel(tx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    tx.filter(CardModels.cleanTypeLegacy(
+        col("type"), col("card_last4"), col("description")) === "Sale")
+      .select(chainExpr(col("description")).as("merchant_name_modified"),
+        col("amount"))
+      .groupBy(col("merchant_name_modified"))
+      .agg(sum(col("amount").cast(DecimalType(18, 2))).as("spend_dec"))
+      .withColumn("total_dec", sum(col("spend_dec")).over(Window.partitionBy()))
+      .select(
+        col("merchant_name_modified"),
+        col("spend_dec").cast("double").as("total_spend"),
+        col("total_dec").cast("double").as("cumulative_spend"),
+        (col("spend_dec").cast("double") / col("total_dec").cast("double"))
+          .as("percent_spend"))
+  }
+
   // ------------------------------------------------------- probe fixture
 
   /** One description per branch: the first positive pattern with `%`

@@ -67,8 +67,12 @@ object ReferencePipeline {
         in("merchant_account_map"), in("accounts_leaf"), names)
     })
 
-    reg.register(Model("card_merchants_model", Seq("classified_card_transactions")) {
-      (_, in) => CardModels.merchantSpendShare(in("classified_card_transactions"))
+    // the legacy model classifies RAW transactions with its own 532-branch
+    // inline CASE (full content in MerchantCase) — it does NOT read the
+    // classified model (reference card_merchants_model.sql:625 selects
+    // from public.card_transactions directly)
+    reg.register(Model("card_merchants_model", Seq("card_transactions")) {
+      (_, in) => MerchantCase.legacyMerchantsModel(in("card_transactions"))
     })
 
     // spend_* family (reference spend_daily..yearly): one parameterized model
@@ -136,7 +140,8 @@ object ReferencePipeline {
       "card_transactions_model" -> Seq(
         Checks.notNull("key"), Checks.notNull("clean_type")),
       "card_merchants_model" -> Seq(
-        Checks.notNull("merchant_name"), Checks.unique("merchant_name")),
+        Checks.notNull("merchant_name_modified"),
+        Checks.unique("merchant_name_modified")),
       "exercise_log_flattened" -> Seq(Checks.notNull("target_area")),
       "recipe_log_flattened" -> Seq(Checks.notNull("plant")))
     val reports = perModel.map { case (model, cks) =>
