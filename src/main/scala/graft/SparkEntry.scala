@@ -711,7 +711,12 @@ object SparkEntry {
   private def cardClassified(s: SparkSession, dir: String): DataFrame =
     classifiedCache.getOrElseUpdate((s, dir), {
       t(s, dir, "orders").createOrReplaceTempView("orders_cardfix")
-      val tx = s.sql(graft.models.CardFixture.txSql("orders_cardfix"))
+      // the fixture scan is one split at test scale — fan out before the
+      // CPU-heavy classifier so it uses every core (no-op at real scale)
+      // the fan-out exchange doubles as the shared subtree for the model's
+      // three arms (ReusedExchange), so no separate persist is needed here
+      val tx = graft.operators.Parallelism.fanOut(
+        s.sql(graft.models.CardFixture.txSql("orders_cardfix")))
       graft.models.CardModels.classifiedCardTransactions(
         tx, graft.models.CardFixture.rules,
         graft.models.CardFixture.merchantsDf(s),

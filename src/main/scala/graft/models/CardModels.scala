@@ -114,23 +114,29 @@ object CardModels {
         when(col("desc_base").rlike("(?i)" + pat),
           regexp_replace(col("desc_base"), "(?i)" + pat, repl)).otherwise(acc)
     }
+    // three withColumns batches (not 11 chained withColumn calls): each
+    // call runs a full analysis pass over the whole plan, and this model
+    // is built once per arm — batching columns by dependency depth keeps
+    // the build cost flat as the plan grows
     df.withColumn("desc_base", base)
-      .withColumn("desc_keep", col("desc_base"))
-      .withColumn("desc_nohyphen",
-        regexp_replace(col("desc_base"), "\\s*[-/]\\s*", " "))
-      .withColumn("desc_noagg",
-        regexp_replace(col("desc_base"), "(?i)" + aggPrefix, ""))
-      .withColumn("desc_noagg_nohyphen",
-        regexp_replace(col("desc_noagg"), "\\s*[-/]\\s*", " "))
-      .withColumn("desc_tail",
-        regexp_replace(col("desc_base"), "(?i)\\s*,\\s*[A-Z]{2}\\s*$", ""))
-      .withColumn("desc_alias", alias)
-      .withColumn("desc_alpha",
-        lower(regexp_replace(col("desc_base"), "[^A-Za-z0-9]+", " ")))
-      .withColumn("desc_alpha_noagg",
-        lower(regexp_replace(col("desc_noagg"), "[^A-Za-z0-9]+", " ")))
-      .withColumn("desc_alphanospace",
-        regexp_replace(col("desc_alpha"), "\\s+", ""))
+      .withColumns(Map(
+        "desc_keep" -> col("desc_base"),
+        "desc_nohyphen" ->
+          regexp_replace(col("desc_base"), "\\s*[-/]\\s*", " "),
+        "desc_noagg" ->
+          regexp_replace(col("desc_base"), "(?i)" + aggPrefix, ""),
+        "desc_tail" ->
+          regexp_replace(col("desc_base"), "(?i)\\s*,\\s*[A-Z]{2}\\s*$", ""),
+        "desc_alias" -> alias,
+        "desc_alpha" ->
+          lower(regexp_replace(col("desc_base"), "[^A-Za-z0-9]+", " "))))
+      .withColumns(Map(
+        "desc_noagg_nohyphen" ->
+          regexp_replace(col("desc_noagg"), "\\s*[-/]\\s*", " "),
+        "desc_alpha_noagg" ->
+          lower(regexp_replace(col("desc_noagg"), "[^A-Za-z0-9]+", " ")),
+        "desc_alphanospace" ->
+          regexp_replace(col("desc_alpha"), "\\s+", "")))
       .withColumn("desc_alpha_noagg_nospace",
         regexp_replace(col("desc_alpha_noagg"), "\\s+", ""))
   }
