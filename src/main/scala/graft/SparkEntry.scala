@@ -823,6 +823,48 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
 
+  // ------------------------------------------------------------ q39/q40
+  /** Seed CSV ingest (S2, the `dbt seed` analogue) as a hash-checked
+    * query: SeedFixture rows render to CSV text, come back through
+    * Tables.loadSeedCsv, and the DuckDB oracle holds the same rows as a
+    * VALUES list — parse semantics (nulls, RFC-4180 quoting, booleans,
+    * DATE typing) are what the hash proves. days_active derives from the
+    * parsed DATE, so a string-typed date can't sneak through.
+    */
+  private def q39SeedIngest(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.loadSeedCsv(s, graft.sources.SeedFixture.writeCsv(),
+        graft.sources.SeedFixture.schema)
+      .withColumn("days_active",
+        datediff(lit(java.sql.Date.valueOf("2022-01-01")),
+          col("effective_from")).cast("long"))
+      // nullable bool/date go out as strings: the driver compare
+      // stringifies cells, and None/NaT/nan disagree across engines
+      .withColumn("is_default", col("is_default").cast("string"))
+      .withColumn("effective_from",
+        date_format(col("effective_from"), "yyyy-MM-dd"))
+
+  /** Table materialization round-trip (S3): partitioned overwrite to a
+    * scratch warehouse, then an idempotent dynamic-partition upsert of ONE
+    * partition (must leave the others untouched), then read back and
+    * aggregate. The oracle aggregates the source table directly, so any
+    * loss/duplication in the write-upsert-read cycle breaks the hash.
+    */
+  private def q40Materialize(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    val tw = new graft.sources.TableWriter(wh)
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderdate"), col("o_orderstatus"))
+    tw.materialize("orders_mat", orders, partitionBy = Seq("o_orderstatus"))
+    tw.upsertPartitions(orders.filter(col("o_orderstatus") === "O"),
+      "orders_mat", Seq("o_orderstatus"))
+    tw.read(s, "orders_mat")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        dsum2(col("o_totalprice")).as("total_price"))
+  }
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -917,6 +959,8 @@ object SparkEntry {
     "q36_workouts_year" -> (q36WorkoutsYear _),
     "q37_recipes_quarter" -> (q37RecipesQuarter _),
     "q38_merchants_legacy" -> (q38MerchantsLegacy _),
+    "q39_seed_ingest" -> (q39SeedIngest _),
+    "q40_materialize" -> (q40Materialize _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1358,6 +1402,23 @@ object SparkEntry {
     "q36_workouts_year" -> graft.models.HealthFixture.workoutsYearOracleSql,
     "q37_recipes_quarter" -> graft.models.HealthFixture.recipesQuarterOracleSql,
     "q38_merchants_legacy" -> graft.models.MerchantCase.spendShareOracleSql,
+
+    "q39_seed_ingest" ->
+      s"""SELECT merchant_key, account_id,
+         |  CAST(is_default AS VARCHAR) AS is_default,
+         |  CAST(effective_from AS VARCHAR) AS effective_from, note,
+         |  CAST(date_diff('day', effective_from, DATE '2022-01-01') AS BIGINT)
+         |    AS days_active
+         |FROM (VALUES
+         |    ${graft.sources.SeedFixture.oracleValues})
+         |  AS t(merchant_key, account_id, is_default, effective_from, note)""".stripMargin,
+
+    "q40_materialize" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q30_ranking" ->
       """SELECT c_custkey,

@@ -40,6 +40,9 @@ object Tables {
     spark.read
       .option("header", "true")
       .option("nullValue", "")
+      // RFC-4180 doubled-quote escaping (what dbt's agate loader writes);
+      // Spark's default escape is backslash, which would leave `""` raw
+      .option("escape", "\"")
       .schema(schema)
       .csv(path)
 }
