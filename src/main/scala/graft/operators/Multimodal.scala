@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   * codec ([[ImageIOCodec]]: JDK javax.imageio JPEG/PNG decode, bilinear
   * resize, luminance-grid features) and so is the PCM AUDIO path
   * ([[JavaSoundCodec]]: JDK javax.sound.sampled WAV/AIFF/AU decode, RMS +
-  * zero-crossing features) — both dependency-free. VIDEO decode remains a
-  * STUB (`FakeCodec`): this container has no video libraries; the stub
-  * derives deterministic pseudo-content from the bytes, and swapping in a
-  * real decoder is a one-function change (`Codec` trait).
+  * zero-crossing features) — both dependency-free. VIDEO decodes for real
+  * when the container is a GIF (multi-frame compositing with offsets and
+  * disposal, single sequential pass); other video containers still fall to
+  * the `FakeCodec` STUB — the JDK ships no general video decoder, and a
+  * real deployment swaps one in behind the same `Codec` trait.
   */
 object Multimodal {
 
@@ -42,6 +43,12 @@ object Multimodal {
     def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float]
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
     def videoFrame(bytes: Array[Byte], frameIdx: Int): Array[Byte]
+    /** Batch form: decode the requested frames in ONE pass over the
+      * container (video decoders are sequential — per-frame calls would be
+      * O(n²) in the sample count). Default delegates to [[videoFrame]].
+      */
+    def videoFrames(bytes: Array[Byte], frameIdxs: Array[Int]): Array[Array[Byte]] =
+      frameIdxs.map(videoFrame(bytes, _))
   }
 
   /** Real image codec on the JDK's built-in javax.imageio — decodes
@@ -108,8 +115,112 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** True when the payload is a GIF container (the one video-like format
+      * the JDK decodes natively — multi-frame, frame offsets, disposal).
+      */
+    private def isGif(bytes: Array[Byte]): Boolean =
+      bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8'
+
+    /** Decode GIF frames `frameIdxs` (composited, PNG-encoded full frames)
+      * in one sequential pass. GIF frames are deltas: each raster lands at
+      * an (x, y) offset on the logical screen, and the previous content
+      * persists unless the frame's disposal method says otherwise — so
+      * frame i requires compositing frames 0..i. Indexes past the last
+      * frame clamp to it (deterministic tail sampling).
+      */
+    private def gifFrames(bytes: Array[Byte],
+        frameIdxs: Array[Int]): Array[Array[Byte]] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no GIF reader registered")
+      val reader = readers.next()
+      reader.setInput(iis, false)
+      try {
+        val n = reader.getNumImages(true)
+        require(n > 0, "GIF payload has no frames")
+        // logical screen from stream metadata; fall back to frame 0 extent
+        val (sw, sh) = {
+          val t = Option(reader.getStreamMetadata).map(
+            _.getAsTree("javax_imageio_gif_stream_1.0"))
+          val lsd = t.flatMap { tree =>
+            val kids = tree.getChildNodes
+            (0 until kids.getLength).map(kids.item)
+              .find(_.getNodeName == "LogicalScreenDescriptor")
+          }
+          lsd.map { d =>
+            val a = d.getAttributes
+            (a.getNamedItem("logicalScreenWidth").getNodeValue.toInt,
+              a.getNamedItem("logicalScreenHeight").getNodeValue.toInt)
+          }.getOrElse {
+            val f0 = reader.read(0); (f0.getWidth, f0.getHeight)
+          }
+        }
+        val canvas = new java.awt.image.BufferedImage(sw, sh,
+          java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val last = n - 1
+        val stopAt = math.min(frameIdxs.max, last)
+        val snapshots = new java.util.HashMap[Int, Array[Byte]]()
+        val wanted = frameIdxs.map(math.min(_, last)).toSet
+        var i = 0
+        while (i <= stopAt) {
+          val frame = reader.read(i)
+          val md = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+          val kids = md.getChildNodes
+          var x = 0; var y = 0; var disposal = "none"
+          var k = 0
+          while (k < kids.getLength) {
+            val node = kids.item(k)
+            node.getNodeName match {
+              case "ImageDescriptor" =>
+                val a = node.getAttributes
+                x = a.getNamedItem("imageLeftPosition").getNodeValue.toInt
+                y = a.getNamedItem("imageTopPosition").getNodeValue.toInt
+              case "GraphicControlExtension" =>
+                disposal = node.getAttributes
+                  .getNamedItem("disposalMethod").getNodeValue
+              case _ => ()
+            }
+            k += 1
+          }
+          val gfx = canvas.createGraphics()
+          try gfx.drawImage(frame, x, y, null) finally gfx.dispose()
+          if (wanted.contains(i)) {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(canvas, "png", bos)
+            snapshots.put(i, bos.toByteArray)
+          }
+          if (disposal == "restoreToBackgroundColor") {
+            // clear the frame's rect back to transparent before the next one
+            val g2 = canvas.createGraphics()
+            try {
+              g2.setComposite(java.awt.AlphaComposite.Clear)
+              g2.fillRect(x, y, frame.getWidth, frame.getHeight)
+            } finally g2.dispose()
+          }
+          i += 1
+        }
+        frameIdxs.map(idx => snapshots.get(math.min(idx, last)))
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+
+    /** GIF payloads decode for real; any other container still falls back
+      * to [[FakeCodec]] — the JDK ships no general video decoder.
+      */
     def videoFrame(bytes: Array[Byte], frameIdx: Int): Array[Byte] =
-      FakeCodec.videoFrame(bytes, frameIdx)
+      if (isGif(bytes)) gifFrames(bytes, Array(frameIdx))(0)
+      else FakeCodec.videoFrame(bytes, frameIdx)
+
+    override def videoFrames(bytes: Array[Byte],
+        frameIdxs: Array[Int]): Array[Array[Byte]] =
+      if (frameIdxs.isEmpty) Array.empty
+      else if (isGif(bytes)) gifFrames(bytes, frameIdxs)
+      else frameIdxs.map(FakeCodec.videoFrame(bytes, _))
   }
 
   // ------------------------------------------------------------- audio
@@ -310,7 +421,7 @@ object Multimodal {
   def sampleFrames(df: DataFrame, nFrames: Int, codec: Codec = FakeCodec): DataFrame = {
     val f = udf((b: Array[Byte]) =>
       if (b == null) Array.empty[Array[Byte]]
-      else Array.tabulate(nFrames)(i => codec.videoFrame(b, i)))
+      else codec.videoFrames(b, Array.tabulate(nFrames)(identity)))
     df.withColumn("frames", f(col("bytes")))
       .select(col("media_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame_bytes")))
   }

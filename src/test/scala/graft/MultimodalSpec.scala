@@ -189,4 +189,116 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).getAs[org.apache.spark.sql.Row]("ai").getInt(0) == 8000)
     assert(got(1).isNullAt(1) && got(1).isNullAt(2))
   }
+
+  // ------------------------------------------------------------- GIF video
+
+  def solidImg(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  /** Animated GIF from (raster, xOffset, yOffset, disposalMethod) frames —
+    * written with the JDK's own GIF writer so the reader-side compositing
+    * is exercised against a conforming container.
+    */
+  def animatedGif(
+      frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)]): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (img, x, y, disposal) =>
+      val itype = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val md = writer.getDefaultImageMetadata(itype, writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      def child(name: String): IIOMetadataNode = {
+        val kids = root.getChildNodes
+        (0 until kids.getLength).map(kids.item).find(_.getNodeName == name)
+          .map(_.asInstanceOf[IIOMetadataNode])
+          .getOrElse { val n = new IIOMetadataNode(name); root.appendChild(n); n }
+      }
+      val gce = child("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      val desc = child("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      desc.setAttribute("imageWidth", img.getWidth.toString)
+      desc.setAttribute("imageHeight", img.getHeight.toString)
+      desc.setAttribute("interlaceFlag", "FALSE")
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, md), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("ImageIOCodec: GIF frames composite deltas at their offsets") {
+    // f0: full 32x32 black; f1: 16x16 white delta at (8,8)
+    val gif = animatedGif(Seq(
+      (solidImg(32, 32, 0x000000), 0, 0, "none"),
+      (solidImg(16, 16, 0xFFFFFF), 8, 8, "none")))
+    val fs = Multimodal.ImageIOCodec.videoFrames(gif, Array(0, 1, 5))
+    // PNG-encoded full frames at logical-screen size
+    fs.foreach { f =>
+      assert((f(0) & 0xFF) == 0x89 && f(1) == 'P' && f(2) == 'N' && f(3) == 'G')
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img.getWidth == 32 && img.getHeight == 32)
+    }
+    val feat0 = Multimodal.ImageIOCodec.imageFeatures(fs(0), 16)
+    assert(feat0.forall(_ < 0.05f)) // frame 0: all black
+    // frame 1: white delta covers grid cells (1..2, 1..2); corners stay black
+    val feat1 = Multimodal.ImageIOCodec.imageFeatures(fs(1), 16)
+    assert(feat1(0) < 0.05f && feat1(3) < 0.05f && feat1(15) < 0.05f)
+    assert(feat1(5) > 0.95f && feat1(6) > 0.95f && feat1(9) > 0.95f)
+    // index past the last frame clamps to the final composited frame
+    assert(fs(2).sameElements(fs(1)))
+    // single sequential pass agrees with per-frame calls
+    assert(Multimodal.ImageIOCodec.videoFrame(gif, 1).sameElements(fs(1)))
+  }
+
+  test("ImageIOCodec: restoreToBackgroundColor disposal clears the delta") {
+    val gif = animatedGif(Seq(
+      (solidImg(32, 32, 0x000000), 0, 0, "none"),
+      (solidImg(16, 16, 0xFFFFFF), 8, 8, "restoreToBackgroundColor"),
+      (solidImg(8, 8, 0x808080), 0, 0, "none")))
+    val fs = Multimodal.ImageIOCodec.videoFrames(gif, Array(1, 2))
+    val f1 = Multimodal.ImageIOCodec.imageFeatures(fs(0), 16)
+    assert(f1(5) > 0.95f) // delta visible on frame 1
+    val f2 = Multimodal.ImageIOCodec.imageFeatures(fs(1), 16)
+    assert(f2(5) < 0.05f) // cleared before frame 2 composited
+    assert(f2(0) > 0.3f && f2(0) < 0.7f) // gray top-left delta landed
+  }
+
+  test("GIF payloads flow through sampleFrames; non-GIF still FakeCodec") {
+    val gif = animatedGif(Seq(
+      (solidImg(16, 16, 0x000000), 0, 0, "none"),
+      (solidImg(16, 16, 0xFFFFFF), 0, 0, "none")))
+    val rows = Seq(
+      Row(10L, "video", "image/gif", gif, Row(null, null, 200L, null)),
+      Row(11L, "video", "video/mp4",
+        Array.tabulate[Byte](160)(_.toByte), Row(null, null, 5000L, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val got = Multimodal.sampleFrames(df, 2, Multimodal.ImageIOCodec)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(got.length == 4)
+    val gifFrames = got.filter(_.getLong(0) == 10L)
+      .map(_.getAs[Array[Byte]]("frame_bytes"))
+    assert(gifFrames.forall(f => (f(0) & 0xFF) == 0x89)) // real PNG frames
+    assert(!gifFrames(0).sameElements(gifFrames(1)))     // black vs white
+    val mp4Frames = got.filter(_.getLong(0) == 11L)
+      .map(_.getAs[Array[Byte]]("frame_bytes"))
+    assert(mp4Frames.forall(f => (f(0) & 0xFF) != 0x89)) // stub byte slices
+  }
 }
