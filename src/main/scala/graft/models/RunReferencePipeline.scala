@@ -63,17 +63,34 @@ object RunReferencePipeline {
     val dagThreads = sys.env.getOrElse("SPARK_GRAFT_DAG_THREADS", "1").toInt
     val t0 = System.nanoTime()
     val registry = ReferencePipeline.registry(asOf)
-    val built =
-      if (dagThreads > 1)
-        registry.runAllParallel(spark, sources, writer, maxParallel = dagThreads)
-      else registry.runAll(spark, sources, writer)
-    registry.topoOrder.foreach { m =>
-      val n = built(m.name).count()
-      println(f"OK  ${m.name}%-32s $n%6d rows")
+    writer match {
+      case Some(w) =>
+        // materialized run: per-model status/rows/timing, dbt-style
+        // target/manifest.json + run_results.json next to the warehouse
+        val (_, results) =
+          graft.core.Artifacts.runWithResults(registry, spark, sources, w)
+        results.foreach { r =>
+          println(f"${r.status.toUpperCase}%-8s ${r.name}%-32s " +
+            f"${r.rows}%6d rows  ${r.seconds}%.2f s")
+        }
+        graft.core.Artifacts.writeTargetDir(
+          w.path("target"), registry, results)
+        println(f"DAG complete (materialized): ${results.size} models in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s — artifacts in " +
+          w.path("target"))
+      case None =>
+        val built =
+          if (dagThreads > 1)
+            registry.runAllParallel(spark, sources, None,
+              maxParallel = dagThreads)
+          else registry.runAll(spark, sources, None)
+        registry.topoOrder.foreach { m =>
+          val n = built(m.name).count()
+          println(f"OK  ${m.name}%-32s $n%6d rows")
+        }
+        println(f"DAG complete (in-memory): ${built.size - sources.size} " +
+          f"models in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    val mode = if (writer.isDefined) "materialized" else "in-memory"
-    println(f"DAG complete ($mode): ${built.size - sources.size} models in " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -60,4 +60,42 @@ class ModelRegistrySpec extends SparkSpec {
       reg.runAllParallel(spark, Map.empty)
     }
   }
+
+  test("artifacts run: statuses, dependent skipping, manifest/run_results") {
+    import graft.core.Artifacts
+    val reg = new ModelRegistry
+    reg.register(Model("good", Seq("src")) { (_, in) =>
+      in("src").withColumn("y", col("x") + 1)
+    })
+    reg.register(Model("bad", Seq("src")) { (_, in) =>
+      in("src").select(col("no_such_column"))
+    })
+    reg.register(Model("downstream", Seq("bad")) { (_, in) => in("bad") })
+    reg.register(Model("independent", Seq("good")) { (_, in) => in("good") })
+
+    val wh = java.nio.file.Files.createTempDirectory("graft_art_").toString
+    val (built, results) = Artifacts.runWithResults(
+      reg, spark, Map("src" -> src), new graft.sources.TableWriter(wh))
+
+    val byName = results.map(r => r.name -> r).toMap
+    assert(byName("good").status == "success" && byName("good").rows == 10L)
+    assert(byName("bad").status == "error" && byName("bad").error.nonEmpty)
+    assert(byName("downstream").status == "skipped")
+    // the failure doesn't poison the independent subtree (dbt run semantics)
+    assert(byName("independent").status == "success")
+    assert(built.contains("good") && !built.contains("bad"))
+    // materialized read-back, not the lazy plan
+    assert(spark.read.parquet(s"$wh/good").count() == 10L)
+
+    Artifacts.writeTargetDir(s"$wh/target", reg, results)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wh/target/manifest.json")), "UTF-8")
+    assert(manifest.contains("\"name\": \"downstream\""))
+    assert(manifest.contains("\"depends_on\": [\"bad\"]"))
+    val rr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wh/target/run_results.json")), "UTF-8")
+    assert(rr.contains("\"status\": \"skipped\""))
+    assert(rr.contains("\"status\": \"error\"") && rr.contains("message"))
+    assert(rr.contains("elapsed_time"))
+  }
 }
