@@ -865,6 +865,23 @@ object SparkEntry {
         dsum2(col("o_totalprice")).as("total_price"))
   }
 
+  /** The full classifier over the reference's REAL seed content (795
+    * regex rules, 635 merchants, 617 mappings, 44 accounts — RefSeeds)
+    * with one generated probe description per rule (RegexProbe) plus
+    * name-fallback and unclassifiable probes. q32 proves the end-state
+    * pipeline on synthetic seeds; THIS hash-checks rule-content parity
+    * the way q38 does for the legacy CASE chain.
+    */
+  private def q41ClassifiedRef(s: SparkSession, dir: String): DataFrame =
+    graft.models.CardModels.classifiedCardTransactions(
+      graft.models.RefSeedFixture.txDf(s),
+      graft.models.RefSeeds.rules,
+      graft.models.RefSeeds.merchantsDf(s),
+      graft.models.RefSeeds.mapDf(s),
+      graft.models.RefSeeds.leafDf(s),
+      graft.models.RefSeeds.merchantSeed)
+      .withColumn("amount", col("amount").cast("double"))
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -961,6 +978,7 @@ object SparkEntry {
     "q38_merchants_legacy" -> (q38MerchantsLegacy _),
     "q39_seed_ingest" -> (q39SeedIngest _),
     "q40_materialize" -> (q40Materialize _),
+    "q41_classified_ref" -> (q41ClassifiedRef _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1402,6 +1420,8 @@ object SparkEntry {
     "q36_workouts_year" -> graft.models.HealthFixture.workoutsYearOracleSql,
     "q37_recipes_quarter" -> graft.models.HealthFixture.recipesQuarterOracleSql,
     "q38_merchants_legacy" -> graft.models.MerchantCase.spendShareOracleSql,
+
+    "q41_classified_ref" -> graft.models.RefSeedFixture.classifiedOracleSql,
 
     "q39_seed_ingest" ->
       s"""SELECT merchant_key, account_id,

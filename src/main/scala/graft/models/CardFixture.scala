@@ -241,169 +241,8 @@ object CardFixture {
     * Exposed without a final SELECT wrapper so q32/q33 can share it.
     */
   def classifiedCte: String =
-    s"""WITH tx AS (
-       |${txSql("orders")}
-       |), merchant_regex(regex_key, merchant_key, pattern_regex, priority) AS (VALUES
-       |    $regexValues
-       |), merchants(merchant_key, merchant_name) AS (VALUES
-       |    $merchantValues
-       |), merchant_account_map(merchant_key, account_id, is_default, effective_from, effective_to) AS (VALUES
-       |    $mapValues
-       |), accounts_leaf(account_id, gl_code, account_name, category, subcategory, billing_model, spend_nature, discretion, is_mandatory) AS (VALUES
-       |    $leafValues
-       |), base AS (
-       |  SELECT t.* FROM tx t
-       |  WHERE (CASE WHEN t.type IS NOT NULL THEN t.type
-       |              WHEN t.card_last4 NOT IN (3221, 4245, 5083, 6823) THEN 'Payment'
-       |              WHEN lower(t.description) LIKE '%online payment%'
-       |                OR lower(t.description) LIKE '%online transfer%'
-       |                OR lower(t.description) LIKE '%edward jones%'
-       |                OR lower(t.description) LIKE '%jpmorgan chase%'
-       |                OR lower(t.description) LIKE '%fedwire%'
-       |                OR lower(t.description) LIKE '%automatic payment%'
-       |                OR lower(t.description) LIKE '%payment thank you - web%' THEN 'Payment'
-       |              ELSE 'Sale' END) = 'Sale'
-       |    AND left(t.description, 5) <> 'venmo'
-       |), norm0 AS (
-       |  SELECT b.*,
-       |    trim(regexp_replace(replace(replace(replace(b.description, '&amp;', '&'), chr(8217), chr(39)), chr(96), chr(39)), '\\s+', ' ', 'g')) AS desc_base
-       |  FROM base b
-       |), norm AS (
-       |  SELECT r.*,
-       |    r.desc_base AS desc_keep,
-       |    regexp_replace(r.desc_base, '\\s*[-/]\\s*', ' ', 'g') AS desc_nohyphen,
-       |    regexp_replace(r.desc_base, '^(?:SPO|SQ|EB|PY|TST|SUMUP|ZETTLE)\\s*[^A-Za-z0-9]?\\s*', '', 'i') AS desc_noagg,
-       |    regexp_replace(regexp_replace(r.desc_base, '^(?:SPO|SQ|EB|PY|TST|SUMUP|ZETTLE)\\s*[^A-Za-z0-9]?\\s*', '', 'i'), '\\s*[-/]\\s*', ' ', 'g') AS desc_noagg_nohyphen,
-       |    regexp_replace(r.desc_base, '\\s*,\\s*[A-Z]{2}\\s*$$', '', 'i') AS desc_tail,
-       |    CASE
-       |      WHEN regexp_matches(r.desc_base, '^BRITISH A\\b', 'i') THEN regexp_replace(r.desc_base, '^BRITISH A\\b', 'BRITISH AIRWAYS ', 'i')
-       |      WHEN regexp_matches(r.desc_base, '^AMERICAN AI\\b', 'i') THEN regexp_replace(r.desc_base, '^AMERICAN AI\\b', 'AMERICAN AIRLINES ', 'i')
-       |      WHEN regexp_matches(r.desc_base, '^UA\\s*INFLT\\b', 'i') THEN regexp_replace(r.desc_base, '^UA\\s*INFLT\\b', 'UNITED AIRLINES INFLIGHT ', 'i')
-       |      ELSE NULL END AS desc_alias,
-       |    lower(regexp_replace(regexp_replace(r.desc_base, '^(?:SPO|SQ|EB|PY|TST|SUMUP|ZETTLE)\\s*[^A-Za-z0-9]?\\s*', '', 'i'), '[^A-Za-z0-9]+', ' ', 'g')) AS desc_alpha_noagg,
-       |    regexp_replace(lower(regexp_replace(regexp_replace(r.desc_base, '^(?:SPO|SQ|EB|PY|TST|SUMUP|ZETTLE)\\s*[^A-Za-z0-9]?\\s*', '', 'i'), '[^A-Za-z0-9]+', ' ', 'g')), '\\s+', '', 'g') AS desc_alpha_noagg_nospace
-       |  FROM norm0 r
-       |), match_rx AS (
-       |  SELECT n.*, mr.merchant_key AS rx_merchant_key
-       |  FROM norm n LEFT JOIN LATERAL (
-       |    SELECT r.merchant_key
-       |    FROM merchant_regex r
-       |    WHERE regexp_matches(n.desc_keep, r.pattern_regex, 'i')
-       |       OR regexp_matches(n.desc_nohyphen, r.pattern_regex, 'i')
-       |       OR regexp_matches(n.desc_noagg, r.pattern_regex, 'i')
-       |       OR regexp_matches(n.desc_noagg_nohyphen, r.pattern_regex, 'i')
-       |       OR regexp_matches(n.desc_tail, r.pattern_regex, 'i')
-       |       OR (n.desc_alias IS NOT NULL AND regexp_matches(n.desc_alias, r.pattern_regex, 'i'))
-       |    ORDER BY (coalesce(r.priority, 0) + CASE WHEN r.merchant_key IN ('restaurants_misc', 'unknown', 'misc') THEN -100000 ELSE 0 END) DESC,
-       |             length(r.pattern_regex) DESC, r.merchant_key ASC
-       |    LIMIT 1
-       |  ) mr ON TRUE
-       |), name_fallback AS (
-       |  SELECT m.*, mf.merchant_key AS nf_merchant_key
-       |  FROM match_rx m LEFT JOIN LATERAL (
-       |    SELECT mm.merchant_key
-       |    FROM merchants mm,
-       |    LATERAL (SELECT
-       |        lower(regexp_replace(mm.merchant_name, '[^A-Za-z0-9]+', ' ', 'g')) AS name_alpha,
-       |        lower(regexp_replace(regexp_replace(mm.merchant_name, '\\s*\\([^)]*\\)\\s*', ' ', 'g'), '[^A-Za-z0-9]+', ' ', 'g')) AS name_base_alpha,
-       |        length(mm.merchant_name) AS name_len) t,
-       |    LATERAL (SELECT
-       |        regexp_replace(t.name_alpha, '\\s+', '', 'g') AS name_alpha_ns,
-       |        regexp_replace(t.name_base_alpha, '\\s+', '', 'g') AS name_base_alpha_ns) t2
-       |    WHERE (m.rx_merchant_key IS NULL OR m.rx_merchant_key = 'restaurants_misc')
-       |      AND (position(t.name_alpha IN m.desc_alpha_noagg) > 0
-       |        OR position(t.name_base_alpha IN m.desc_alpha_noagg) > 0
-       |        OR position(t2.name_alpha_ns IN m.desc_alpha_noagg_nospace) > 0
-       |        OR position(t2.name_base_alpha_ns IN m.desc_alpha_noagg_nospace) > 0)
-       |      AND t.name_len >= 4
-       |      AND t.name_base_alpha NOT IN ('bar', 'cafe', 'market', 'grill', 'store', 'shop')
-       |    ORDER BY t.name_len DESC, mm.merchant_key ASC
-       |    LIMIT 1
-       |  ) mf ON TRUE
-       |), merchant_resolved AS (
-       |  SELECT nf.*, coalesce(nf.rx_merchant_key, nf.nf_merchant_key) AS merchant_key
-       |  FROM name_fallback nf
-       |), map_one AS (
-       |  SELECT merchant_key, account_id FROM (
-       |    SELECT mam.merchant_key, mam.account_id,
-       |      ROW_NUMBER() OVER (PARTITION BY mam.merchant_key
-       |        ORDER BY coalesce(mam.is_default, 'TRUE') DESC,
-       |                 mam.effective_from DESC NULLS LAST,
-       |                 mam.account_id DESC) AS rn
-       |    FROM merchant_account_map mam) x
-       |  WHERE x.rn = 1
-       |), enriched AS (
-       |  SELECT me.*, mm.merchant_name, mo.account_id, a.category AS leaf_category,
-       |    a.subcategory, a.billing_model, a.spend_nature, a.discretion,
-       |    a.gl_code, a.account_name
-       |  FROM merchant_resolved me
-       |  LEFT JOIN merchants mm ON mm.merchant_key = me.merchant_key
-       |  LEFT JOIN map_one mo ON mo.merchant_key = me.merchant_key
-       |  LEFT JOIN accounts_leaf a ON a.account_id = mo.account_id
-       |), classified AS (
-       |  SELECT
-       |    ae.date, ae.amount, ae.card_last4, ae.description,
-       |    coalesce(ae.merchant_key, 'Unknown') AS merchant_key,
-       |    coalesce(ae.merchant_name, 'Unknown') AS merchant_name,
-       |    coalesce(ae.leaf_category, 'Unknown') AS category,
-       |    coalesce(ae.subcategory, 'Unknown') AS subcategory,
-       |    coalesce(ae.billing_model, 'Unknown') AS billing_model,
-       |    coalesce(ae.spend_nature, 'Unknown') AS spend_nature,
-       |    coalesce(ae.discretion, 'Unknown') AS discretion,
-       |    coalesce(ae.account_id, 'Unknown') AS account_id,
-       |    ae.gl_code,
-       |    coalesce(ae.account_name, 'Unknown') AS account_name
-       |  FROM enriched ae
-       |  UNION
-       |  SELECT
-       |    v.date, v.amount, 0 AS card_last4,
-       |    right(v.description, length(v.description) - 6) AS description,
-       |    'venmo' AS merchant_key, 'Venmo' AS merchant_name,
-       |    CASE WHEN lower(v.description) LIKE '%proto faff surplus seed fund%' THEN 'Health & Wellness'
-       |         WHEN lower(v.intermediate_key) LIKE '%lorna kerry%' THEN 'Food & Groceries'
-       |         WHEN lower(v.intermediate_key) LIKE '%lisa raich%' THEN 'Personal Services'
-       |         WHEN lower(v.intermediate_key) LIKE '%sofia mesa%' THEN 'Entertainment & Events'
-       |         ELSE 'Personal Services' END AS category,
-       |    CASE WHEN lower(v.description) LIKE '%proto faff surplus seed fund%' THEN 'Fertility'
-       |         WHEN lower(v.intermediate_key) LIKE '%lorna kerry%' THEN 'Groceries'
-       |         WHEN lower(v.intermediate_key) LIKE '%lisa raich%' THEN 'Personal Care'
-       |         WHEN lower(v.intermediate_key) LIKE '%sofia mesa%' THEN 'Bars & Nightlife'
-       |         ELSE 'Personal Care' END AS subcategory,
-       |    'one_off' AS billing_model, 'consumption' AS spend_nature,
-       |    'discretionary' AS discretion,
-       |    CASE WHEN lower(v.description) LIKE '%proto faff surplus seed fund%' THEN 'acct_93cc197271'
-       |         WHEN lower(v.intermediate_key) LIKE '%lorna kerry%' THEN 'acct_a0f371c808'
-       |         WHEN lower(v.intermediate_key) LIKE '%lisa raich%' THEN 'acct_f183bb01ee'
-       |         WHEN lower(v.intermediate_key) LIKE '%sofia mesa%' THEN 'acct_252a9dfee6'
-       |         ELSE 'acct_f183bb01ee' END AS account_id,
-       |    CASE WHEN lower(v.description) LIKE '%proto faff surplus seed fund%' THEN 5550
-       |         WHEN lower(v.intermediate_key) LIKE '%lorna kerry%' THEN 5110
-       |         WHEN lower(v.intermediate_key) LIKE '%lisa raich%' THEN 6110
-       |         WHEN lower(v.intermediate_key) LIKE '%sofia mesa%' THEN 5730
-       |         ELSE 6110 END AS gl_code,
-       |    CASE WHEN lower(v.description) LIKE '%proto faff surplus seed fund%' THEN 'Health—Fertility'
-       |         WHEN lower(v.intermediate_key) LIKE '%lorna kerry%' THEN 'Food—Groceries'
-       |         WHEN lower(v.intermediate_key) LIKE '%lisa raich%' THEN 'Services—Personal Care'
-       |         WHEN lower(v.intermediate_key) LIKE '%sofia mesa%' THEN 'Entertainment—Bars & Nightlife'
-       |         ELSE 'Services—Personal Care' END AS account_name
-       |  FROM tx v
-       |  WHERE left(v.description, 5) = 'venmo'
-       |  UNION
-       |  SELECT
-       |    ct.date, ct.amount, ct.card_last4, ct.description,
-       |    'bank_transfer' AS merchant_key, 'Bank Transfer' AS merchant_name,
-       |    CASE WHEN ct.amount < 0 THEN 'Travel' WHEN ct.amount > 0 THEN 'Housing' END AS category,
-       |    CASE WHEN ct.amount < 0 THEN 'Flights' WHEN ct.amount > 0 THEN 'Rent' END AS subcategory,
-       |    CASE WHEN ct.amount < 0 THEN 'one_off' WHEN ct.amount > 0 THEN 'subscription' END AS billing_model,
-       |    'consumption' AS spend_nature,
-       |    CASE WHEN ct.amount < 0 THEN 'discretionary' WHEN ct.amount > 0 THEN 'mandatory' END AS discretion,
-       |    CASE WHEN ct.amount < 0 THEN 'acct_1d9ae90683' WHEN ct.amount > 0 THEN 'acct_329a7781bd' END AS account_id,
-       |    CASE WHEN ct.amount < 0 THEN 5310 WHEN ct.amount > 0 THEN 5010 END AS gl_code,
-       |    CASE WHEN ct.amount < 0 THEN 'Travel—Flights' WHEN ct.amount > 0 THEN 'Housing-Rent' END AS account_name
-       |  FROM tx ct
-       |  WHERE ct.card_last4 IN (3206, 9155)
-       |    AND lower(ct.description) LIKE '%lorna%'
-       |)""".stripMargin
+    CardOracle.classifiedCte(txSql("orders"), regexValues, merchantValues,
+      mapValues, leafValues)
 
   /** q32 oracle: the classified model, amount reported as double. */
   def classifiedOracleSql: String =

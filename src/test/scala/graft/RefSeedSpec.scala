@@ -1,0 +1,75 @@
+package graft
+
+import graft.models.{CardModels, RefSeedFixture, RefSeeds, RegexProbe}
+import graft.operators.RegexBank
+import org.apache.spark.sql.functions._
+
+class RefSeedSpec extends SparkSpec {
+
+  test("reference seed content loads in full") {
+    assert(RefSeeds.rules.size == 795)
+    assert(RefSeeds.lookaheadRules.size == 5)
+    assert(RefSeeds.oracleRules.size == 790)
+    assert(RefSeeds.merchantSeed.size == 635)
+    // 618 data rows minus the stray duplicate-header row the reference
+    // CSV itself carries (merchant_account_map.csv:526)
+    assert(RefSeeds.mapSeed.size == 617)
+    assert(RefSeeds.mapSeed.forall(_._1 != "merchant_key"))
+    assert(RefSeeds.leafSeed.size == 44)
+  }
+
+  test("csv parser: quoted commas, doubled quotes, CRLF") {
+    val rows = RefSeeds.parseCsv(
+      "a,b\r\n\"x,y\",plain\r\n\"he said \"\"hi\"\"\",z\n")
+    assert(rows.map(_.toSeq) == Seq(Seq("a", "b"), Seq("x,y", "plain"),
+      Seq("he said \"hi\"", "z")))
+    // the quoted pattern with commas survives (merchant_regex.csv:239)
+    assert(RefSeeds.rules.exists(r =>
+      r.key == "lock_stock_and_barrel" && r.pattern.contains("Lock,")))
+  }
+
+  test("probe generation covers every rule") {
+    val misses = RefSeeds.rules.filter(r => RegexProbe.example(r.pattern).isEmpty)
+    assert(misses.isEmpty, s"unprobed rules: ${misses.map(_.key)}")
+  }
+
+  test("lookahead rules: reference semantics hold engine-side") {
+    val bank = new RegexBank.CompiledBank(RefSeeds.lookaheadRules,
+      caseInsensitive = true)
+    assert(bank.bestKeyAny(Seq("LIBERTY OF LONDON")) == "liberty_london")
+    assert(bank.bestKeyAny(Seq("LIBERTY MUTUAL INSURANCE")) == null)
+    assert(bank.bestKeyAny(Seq("AMAZON PRIME")) == "amazon_prime")
+    assert(bank.bestKeyAny(Seq("AMAZON PRIME VIDEO RENTAL")) == null)
+  }
+
+  test("fixture classifies identically with and without lookahead rules") {
+    // The q41 oracle's RE2 engine cannot run the 5 lookahead rules, so
+    // they are omitted there. That is sound iff the probe fixture (which
+    // drops every probe a lookahead rule matches) classifies the same
+    // under the full bank and the oracle bank — asserted here, so a
+    // future probe/rule change that breaks the invariant fails CI.
+    def classify(rules: Seq[RegexBank.Rule]) =
+      CardModels.classifiedCardTransactions(
+        RefSeedFixture.txDf(spark), rules,
+        RefSeeds.merchantsDf(spark), RefSeeds.mapDf(spark),
+        RefSeeds.leafDf(spark), RefSeeds.merchantSeed)
+        .orderBy("description", "amount")
+        .collect().map(_.toString)
+    assert(classify(RefSeeds.rules).sameElements(classify(RefSeeds.oracleRules)))
+  }
+
+  test("probe fixture lands real classifications, not Unknown noise") {
+    val out = CardModels.classifiedCardTransactions(
+      RefSeedFixture.txDf(spark), RefSeeds.rules,
+      RefSeeds.merchantsDf(spark), RefSeeds.mapDf(spark),
+      RefSeeds.leafDf(spark), RefSeeds.merchantSeed)
+    val total = out.count()
+    val known = out.filter(col("merchant_key") =!= "Unknown").count()
+    assert(total == RefSeedFixture.probes.size)
+    // nearly every probe was generated FROM a rule or a merchant name —
+    // the classifier should resolve the overwhelming majority
+    assert(known >= total * 9 / 10, s"only $known/$total classified")
+    assert(out.filter(col("description") === "XQZ 90210")
+      .select("merchant_key").head().getString(0) == "Unknown")
+  }
+}
