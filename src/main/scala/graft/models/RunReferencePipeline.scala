@@ -14,7 +14,9 @@ import java.time.LocalDate
   */
 object RunReferencePipeline {
   def main(args: Array[String]): Unit = {
-    val seedsDir = args.headOption.getOrElse("src/test/resources/fixtures")
+    // default: the bundled reference seed content (RefSeeds — the real
+    // 795-rule bank); pass a directory to load 4 seed CSVs from disk
+    val seedsDir = args.headOption
     val asOf = LocalDate.parse(
       if (args.length > 1) args(1) else "2022-03-15")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,8 +29,22 @@ object RunReferencePipeline {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // no dir argument → extract the bundled reference seeds (refseeds
+    // resources, the real content) to a temp dir; ingest path is the same
+    // loadSeedCsv either way
+    val resolvedSeedsDir = seedsDir.getOrElse {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_seeds_")
+      Seq("accounts_leaf", "merchant_regex", "merchants",
+        "merchant_account_map").foreach { n =>
+        val in = getClass.getResourceAsStream(s"/graft/refseeds/$n.csv")
+        require(in != null, s"missing bundled seed $n")
+        try java.nio.file.Files.copy(in, tmp.resolve(s"$n.csv"))
+        finally in.close()
+      }
+      tmp.toString
+    }
     def seed(name: String, schema: org.apache.spark.sql.types.StructType) =
-      Tables.loadSeedCsv(spark, s"$seedsDir/$name.csv", schema)
+      Tables.loadSeedCsv(spark, s"$resolvedSeedsDir/$name.csv", schema)
 
     val d = java.sql.Date.valueOf(_: String)
     val sources: Map[String, DataFrame] = Map(
