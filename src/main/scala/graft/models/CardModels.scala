@@ -62,13 +62,17 @@ object CardModels {
       .otherwise(lit("Sale"))
   }
 
-  /** U1: inline literal card dimension (reference card_names_model.sql:1-7). */
+  /** U1: inline literal card dimension — the reference's actual rows
+    * (card_names_model.sql:1-6: UNION ALL of 4 literal selects).
+    */
   def cardNames(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
-      (3206, "blue_cash"), (9155, "gold_card"),
-      (3221, "checking"), (4245, "savings"))
-      .toDF("card_last4", "card_name")
+      (3221, "Chase", "Freedom"),
+      (6823, "Chase", "Prime"),
+      (4245, "Chase", "Sapphire"),
+      (5083, "Wells Fargo", "Bilt"))
+      .toDF("card_last4", "bank", "card_name")
   }
 
   /** Cleaned transactions (reference card_transactions_model.sql): project

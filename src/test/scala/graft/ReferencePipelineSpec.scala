@@ -270,10 +270,12 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(spendQ == 120.0)
   }
 
-  test("card_names literal dimension has the 4 expected rows") {
-    val names = built("card_names").as[(Int, String)].collect().toMap
-    assert(names == Map(3206 -> "blue_cash", 9155 -> "gold_card",
-      3221 -> "checking", 4245 -> "savings"))
+  test("card_names literal dimension matches the reference model rows") {
+    val names = built("card_names").as[(Int, String, String)].collect()
+      .map { case (c, b, n) => c -> (b, n) }.toMap
+    assert(names == Map(
+      3221 -> ("Chase", "Freedom"), 6823 -> ("Chase", "Prime"),
+      4245 -> ("Chase", "Sapphire"), 5083 -> ("Wells Fargo", "Bilt")))
   }
 
   test("checkAll: schema tests over the built DAG are all green") {
