@@ -872,15 +872,33 @@ object SparkEntry {
     * pipeline on synthetic seeds; THIS hash-checks rule-content parity
     * the way q38 does for the legacy CASE chain.
     */
+  // q41/q42 share the frame, computed once per session (q32/q33 pattern)
+  private val refClassifiedCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+  private def refClassified(s: SparkSession): DataFrame =
+    refClassifiedCache.getOrElseUpdate(s,
+      graft.models.CardModels.classifiedCardTransactions(
+        graft.models.RefSeedFixture.txDf(s),
+        graft.models.RefSeeds.rules,
+        graft.models.RefSeeds.merchantsDf(s),
+        graft.models.RefSeeds.mapDf(s),
+        graft.models.RefSeeds.leafDf(s),
+        graft.models.RefSeeds.merchantSeed).persist())
+
   private def q41ClassifiedRef(s: SparkSession, dir: String): DataFrame =
-    graft.models.CardModels.classifiedCardTransactions(
-      graft.models.RefSeedFixture.txDf(s),
-      graft.models.RefSeeds.rules,
-      graft.models.RefSeeds.merchantsDf(s),
-      graft.models.RefSeeds.mapDf(s),
-      graft.models.RefSeeds.leafDf(s),
-      graft.models.RefSeeds.merchantSeed)
-      .withColumn("amount", col("amount").cast("double"))
+    refClassified(s).withColumn("amount", col("amount").cast("double"))
+
+  /** Reference spend_daily over the REAL-seed classified output — the
+    * end-to-end real-content path: 795-rule classification feeding the
+    * 10-key rollup (spend_daily.sql:2-12).
+    */
+  private def q42SpendDailyRef(s: SparkSession, dir: String): DataFrame =
+    Rollups.measureRollup(
+      refClassified(s), col("date"), Grain.Day,
+      Seq("merchant_name", "category", "subcategory", "billing_model",
+        "spend_nature", "discretion", "gl_code", "account_name",
+        "account_id").map(n => n -> col(n)),
+      Seq(dsum2(col("amount")).as("total_spend")))
 
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
@@ -979,6 +997,7 @@ object SparkEntry {
     "q39_seed_ingest" -> (q39SeedIngest _),
     "q40_materialize" -> (q40Materialize _),
     "q41_classified_ref" -> (q41ClassifiedRef _),
+    "q42_spend_daily_ref" -> (q42SpendDailyRef _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1422,6 +1441,8 @@ object SparkEntry {
     "q38_merchants_legacy" -> graft.models.MerchantCase.spendShareOracleSql,
 
     "q41_classified_ref" -> graft.models.RefSeedFixture.classifiedOracleSql,
+
+    "q42_spend_daily_ref" -> graft.models.RefSeedFixture.spendDailyOracleSql,
 
     "q39_seed_ingest" ->
       s"""SELECT merchant_key, account_id,

@@ -129,4 +129,19 @@ object RefSeedFixture {
         |  merchant_key, merchant_name, category, subcategory, billing_model,
         |  spend_nature, discretion, account_id, gl_code, account_name
         |FROM classified""".stripMargin
+
+  /** q42 oracle: the reference spend_daily 10-key rollup over the
+    * real-seed classified output (spend_daily.sql:2-12).
+    */
+  def spendDailyOracleSql: String =
+    CardOracle.classifiedCte(txCte, RefSeeds.regexValues,
+      RefSeeds.merchantValues, RefSeeds.mapValues, RefSeeds.leafValues,
+      Some(litPrefilter)) +
+      """
+        |SELECT CAST(date_trunc('day', date) AS DATE) AS date_period,
+        |  merchant_name, category, subcategory, billing_model, spend_nature,
+        |  discretion, gl_code, account_name, account_id,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM classified
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10""".stripMargin
 }
