@@ -23,13 +23,31 @@ object PgDialect {
   def pgRegexMatch(c: Column, pgPattern: String): Column =
     c.rlike("(?i)" + translateRegex(pgPattern))
 
-  /** Translate a Postgres POSIX regex to java.util.regex dialect.
-    * `\y` (PG word boundary — 79 patterns in reference
-    * seeds/merchant_regex.csv, e.g. line 5 `^NATERA\y`) → Java `\b`;
-    * `\m`/`\M` (begin/end-of-word) → `\b` as the closest Java equivalent.
+  /** POSIX named classes → Java's US-ASCII `\p{...}` classes (both are
+    * ASCII-scoped without extra flags, so semantics line up). The
+    * bracket-expression form `[[:alpha:]]` becomes `[\p{Alpha}]`.
     */
-  def translateRegex(pg: String): String =
-    pg.replace("\\y", "\\b").replace("\\m", "\\b").replace("\\M", "\\b")
+  private val posixClasses: Seq[(String, String)] = Seq(
+    "[:alpha:]" -> "\\p{Alpha}", "[:digit:]" -> "\\p{Digit}",
+    "[:alnum:]" -> "\\p{Alnum}", "[:space:]" -> "\\s",
+    "[:upper:]" -> "\\p{Upper}", "[:lower:]" -> "\\p{Lower}",
+    "[:punct:]" -> "\\p{Punct}", "[:blank:]" -> "\\p{Blank}",
+    "[:xdigit:]" -> "\\p{XDigit}", "[:cntrl:]" -> "\\p{Cntrl}",
+    "[:graph:]" -> "\\p{Graph}", "[:print:]" -> "\\p{Print}")
+
+  /** Translate a Postgres POSIX regex to java.util.regex dialect.
+    * `\y` (PG word boundary — 84 patterns in reference
+    * seeds/merchant_regex.csv, e.g. line 5 `^NATERA\y`) → Java `\b`;
+    * `\m`/`\M` (begin/end-of-word) → `\b` as the closest Java equivalent;
+    * POSIX named classes (`[[:digit:]]` etc.) → `\p{...}`.
+    */
+  def translateRegex(pg: String): String = {
+    val boundaries =
+      pg.replace("\\y", "\\b").replace("\\m", "\\b").replace("\\M", "\\b")
+    posixClasses.foldLeft(boundaries) { case (s, (posix, java)) =>
+      s.replace(posix, java)
+    }
+  }
 
   /** Postgres single-occurrence `regexp_replace(s, p, r)` (no 'g' flag) and
     * the 6-arg first-occurrence form (reference

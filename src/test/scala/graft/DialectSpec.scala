@@ -64,4 +64,18 @@ class DialectSpec extends SparkSpec {
     assert(row.getString(1) == "payment")
     assert(row.getInt(2) == 7)
   }
+
+  test("translateRegex maps POSIX named classes to Java classes") {
+    assert(PgDialect.translateRegex("^[[:digit:]]{3}[[:alpha:]]+$")
+      == "^[\\p{Digit}]{3}[\\p{Alpha}]+$")
+    val df = Seq("123abc", "12abc", "123 abc").toDF("s")
+    val got = df.filter(PgDialect.pgRegexMatch(col("s"),
+      "^[[:digit:]]{3}[[:alpha:]]+$")).as[String].collect()
+    assert(got.toSeq == Seq("123abc"))
+    // [[:space:]] inside a larger class
+    val ws = Seq("a b", "a_b").toDF("s")
+      .filter(PgDialect.pgRegexMatch(col("s"), "a[[:space:]]b"))
+      .as[String].collect()
+    assert(ws.toSeq == Seq("a b"))
+  }
 }
