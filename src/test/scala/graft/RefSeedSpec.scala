@@ -71,5 +71,11 @@ class RefSeedSpec extends SparkSpec {
     assert(known >= total * 9 / 10, s"only $known/$total classified")
     assert(out.filter(col("description") === "XQZ 90210")
       .select("merchant_key").head().getString(0) == "Unknown")
+    // the fixture exercises content BROADLY: the winners span most of the
+    // merchant universe, not a handful of hot rules (576 distinct at the
+    // time of writing; generous floor against probe-set drift)
+    val winners = out.filter(col("merchant_key") =!= "Unknown")
+      .select("merchant_key").distinct().count()
+    assert(winners >= 500, s"only $winners distinct winning merchants")
   }
 }
