@@ -433,6 +433,16 @@ object SparkEntry {
   private def d2PairsShared(s: SparkSession, dir: String): DataFrame =
     d2PairCache.getOrElseUpdate((s, dir), d2NgramJaccard(s, dir).persist())
 
+  /** Prefix-filtered EXACT Jaccard pairs (AllPairs family) — the
+    * deterministic same-output twin of d3: identical true-pair answer,
+    * candidates cut by prefix filtering instead of LSH banding. Shares
+    * d3's exact-pair oracle because both must produce exactly the J≥0.35
+    * pair set.
+    */
+  private def d18JaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.35)
+
   /** MinHash+LSH candidates verified by exact Jaccard — the production
     * near-dup operator end to end. The output is hash-independent (the
     * banding only proposes), so the DuckDB exact-pair SQL is a true oracle:
@@ -974,6 +984,7 @@ object SparkEntry {
     "d12_bpe_tokens" -> (d12BpeTokens _),
     "d16_embedding_lsh" -> (d16EmbeddingLshPairs _),
     "d17_quota_sample" -> (d17QuotaSample _),
+    "d18_jaccard_prefix" -> (d18JaccardPrefix _),
     "d14_length_filter" -> (d14LengthFilter _),
     "d15_corpus_pipeline" -> (d15CorpusPipeline _),
     "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
@@ -1308,6 +1319,7 @@ object SparkEntry {
 
     "d2_ngram_jaccard" -> d2OracleSql,
     "d3_minhash_lsh" -> exactPairsOracleSql(0.35),
+    "d18_jaccard_prefix" -> exactPairsOracleSql(0.35),
     "d4_simhash" -> d4OracleSql,
     "v2_ann_lsh" -> v2OracleSql,
     "q19_sketches" -> q19OracleSql,

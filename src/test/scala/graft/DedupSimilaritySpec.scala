@@ -30,6 +30,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngramJaccardPairsPrefix: identical to the uncapped direct answer") {
+    // 30 docs in three near-dup families plus noise; includes a family
+    // glued together ONLY by hyper-common tokens — the case the
+    // maxDocFreq-capped d2 form drops and the prefix form must keep
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (
+      (0 until 8).map(i => (i.toLong, s"$common tail$i")) ++         // common-glue family
+      (0 until 8).map(i => (100L + i, s"rare${i % 2} unique $i body text here")) ++
+      (0 until 8).map(i => (200L + i, s"totally distinct document number $i about topic $i")) ++
+      Seq((300L, "the quick brown fox jumps over the lazy dog"),
+        (301L, "the quick brown fox jumps over the lazy dog"))
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), math.round(r.getDouble(3) * 1e9))
+    val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+      n = 3, threshold = 0.3).collect().map(key).toSet
+    // ground truth: verify EVERY id<id pair exactly (no candidate pruning)
+    val ids = docs.select(col("doc_id").as("id_a"))
+    val all = ids.crossJoin(docs.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val truth = Dedup.verifyPairsExact(docs, all, "doc_id", "text",
+      n = 3, threshold = 0.3).collect().map(key).toSet
+    assert(prefix == truth)
+    assert(truth.exists { case (a, b, _, _) => a < 8 && b < 8 }) // family found
+  }
+
   test("minhashLshPairs surfaces the exact-dup pair with est 1.0") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5)
