@@ -38,20 +38,28 @@ object Artifacts {
     "{\n  \"nodes\": [\n" + nodes.mkString(",\n") + "\n  ]\n}\n"
   }
 
+  // Locale.ROOT: the default locale may format decimals with a comma,
+  // which would make the emitted JSON unparseable
+  private def sec(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def runResultsJson(results: Seq[NodeResult]): String = {
     val rs = results.map { r =>
       val err = r.error.map(e => s""", "message": "${esc(e)}"""").getOrElse("")
-      f"""    {"name": "${esc(r.name)}", "status": "${r.status}", "rows": ${r.rows}, "execution_time": ${r.seconds}%.3f$err}"""
+      s"""    {"name": "${esc(r.name)}", "status": "${r.status}", "rows": ${r.rows}, "execution_time": ${sec(r.seconds)}$err}"""
     }
     val elapsed = results.map(_.seconds).sum
-    f"""{\n  "elapsed_time": $elapsed%.3f,\n  "results": [\n""" +
+    s"""{\n  "elapsed_time": ${sec(elapsed)},\n  "results": [\n""" +
       rs.mkString(",\n") + "\n  ]\n}\n"
   }
 
   /** Materialize the DAG like [[ModelRegistry.runAll]] but record per-model
     * status/rows/wall-clock, continuing past failures the way `dbt run`
     * does (a failed node marks itself `error` and its transitive dependents
-    * `skipped`; independent subtrees still build).
+    * `skipped`; independent subtrees still build). The resolve/materialize
+    * loop intentionally mirrors `runAll` — keep the two in step when the
+    * write path changes (they differ only in failure semantics: `runAll`
+    * throws, this continues).
     */
   def runWithResults(reg: ModelRegistry, spark: SparkSession,
       sources: Map[String, DataFrame], writer: graft.sources.TableWriter,

@@ -41,13 +41,20 @@ object PgDialect {
     * `\m`/`\M` (begin/end-of-word) → `\b` as the closest Java equivalent;
     * POSIX named classes (`[[:digit:]]` etc.) → `\p{...}`.
     */
-  def translateRegex(pg: String): String = {
-    val boundaries =
-      pg.replace("\\y", "\\b").replace("\\m", "\\b").replace("\\M", "\\b")
-    posixClasses.foldLeft(boundaries) { case (s, (posix, java)) =>
-      s.replace(posix, java)
+  def translateRegex(pg: String): String =
+    posixClasses.foldLeft(translateRegexBoundaries(pg)) {
+      case (s, (posix, java)) => s.replace(posix, java)
     }
-  }
+
+  /** Boundary-only translation (`\y`/`\m`/`\M` → `\b`) — the
+    * length-preserving subset safe for RE2 consumers (DuckDB oracles):
+    * RE2 understands `\b` and POSIX `[[:digit:]]` classes natively but
+    * NOT Java's `\p{Digit}` names, so POSIX classes must stay verbatim
+    * there; and a same-length rewrite keeps `length(pattern_regex)`
+    * tie-breaks identical across engines.
+    */
+  def translateRegexBoundaries(pg: String): String =
+    pg.replace("\\y", "\\b").replace("\\m", "\\b").replace("\\M", "\\b")
 
   /** Postgres single-occurrence `regexp_replace(s, p, r)` (no 'g' flag) and
     * the 6-arg first-occurrence form (reference

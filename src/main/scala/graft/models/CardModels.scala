@@ -178,6 +178,29 @@ object CardModels {
   private def alphaForm(s: String): String =
     s.replaceAll("[^A-Za-z0-9]+", " ").toLowerCase
 
+  /** Driver-side string twin of [[withNormVariants]]'s regex-probed
+    * variant set (desc_keep/nohyphen/noagg/noagg_nohyphen/tail/alias) —
+    * used by fixture builders that must know, BEFORE data exists, every
+    * form a rule could be probed against (e.g. RefSeedFixture's
+    * lookahead-rule drop filter). Kept adjacent to the Column version on
+    * purpose: change one, change both.
+    */
+  private[graft] def normVariantStrings(desc: String): Seq[String] = {
+    val base = desc.replace("&amp;", "&").replace("\u2019", "'")
+      .replace("`", "'").replaceAll("\\s+", " ").trim
+    val nohyphen = base.replaceAll("\\s*[-/]\\s*", " ")
+    val noagg = base.replaceFirst("(?i)" + aggPrefix, "")
+    val noaggNohyphen = noagg.replaceAll("\\s*[-/]\\s*", " ")
+    val tail = base.replaceFirst("(?i)\\s*,\\s*[A-Z]{2}\\s*$", "")
+    val alias = aliasRules.collectFirst {
+      case (pat, repl)
+          if java.util.regex.Pattern.compile("(?i)" + pat)
+            .matcher(base).find() =>
+        base.replaceFirst("(?i)" + pat, repl)
+    }
+    Seq(base, nohyphen, noagg, noaggNohyphen, tail) ++ alias.toSeq
+  }
+
   /** The fallback candidate list: entries sorted by the reference's
     * priority (raw name length desc; merchant_key asc tie-break — the
     * reference's bare LIMIT 1 leaves ties to the engine), each with its

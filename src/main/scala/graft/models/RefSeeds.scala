@@ -131,16 +131,18 @@ object RefSeeds {
 
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** Oracle-side regex VALUES: PG patterns translated for RE2 the same way
-    * the engine translates for java.util.regex (`\y`/`\m`/`\M` → `\b` — a
-    * length-preserving rewrite, so the lateral's `length(pattern_regex)`
-    * tie-break is unchanged). Lookahead rules are omitted (see
-    * [[lookaheadRules]]).
+  /** Oracle-side regex VALUES: boundary-only translation
+    * ([[graft.dialect.PgDialect.translateRegexBoundaries]] — `\y` → `\b`,
+    * length-preserving so the lateral's `length(pattern_regex)` tie-break
+    * is unchanged). POSIX named classes stay verbatim: RE2 reads
+    * `[[:digit:]]` natively but rejects Java's `\p{Digit}` spelling the
+    * full engine-side translation produces. Lookahead rules are omitted
+    * (see [[lookaheadRules]]).
     */
   def regexValues: String = regexSeed
     .filterNot { case (_, _, p, _) => p.contains("(?!") || p.contains("(?=") }
     .map { case (rk, mk, p, pr) =>
-      s"(${sq(rk)}, ${sq(mk)}, ${sq(graft.dialect.PgDialect.translateRegex(p))}, $pr)"
+      s"(${sq(rk)}, ${sq(mk)}, ${sq(graft.dialect.PgDialect.translateRegexBoundaries(p))}, $pr)"
     }.mkString(",\n    ")
 
   def merchantValues: String = merchantSeed.map { case (k, n) =>

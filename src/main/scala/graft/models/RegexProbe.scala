@@ -60,25 +60,24 @@ object RegexProbe {
     private def sequence(): String = {
       val sb = new StringBuilder
       while (!atEnd && peek != '|' && peek != ')') {
-        val (piece, generated) = element()
-        val q = quantifier()
-        val reps = q match {
+        val piece = element()
+        val reps = quantifier() match {
           case Some((min, _)) => min
           case None => 1
         }
-        if (generated) sb.append(piece * reps)
+        sb.append(piece * reps)
       }
       sb.toString
     }
 
-    /** One element; returns (sample, countsTowardOutput). */
-    private def element(): (String, Boolean) = peek match {
-      case '^' | '$' => pos += 1; ("", true)
-      case '.' => pos += 1; ("X", true)
+    /** Sample text for one element (empty for anchors/lookaround). */
+    private def element(): String = peek match {
+      case '^' | '$' => pos += 1; ""
+      case '.' => pos += 1; "X"
       case '(' => group()
-      case '[' => (charClass(), true)
-      case '\\' => (escape(), true)
-      case c => pos += 1; (c.toString, true)
+      case '[' => charClass()
+      case '\\' => escape()
+      case c => pos += 1; c.toString
     }
 
     private def quantifier(): Option[(Int, Int)] = {
@@ -99,7 +98,7 @@ object RegexProbe {
       }
     }
 
-    private def group(): (String, Boolean) = {
+    private def group(): String = {
       pos += 1 // '('
       var lookaround = false
       if (!atEnd && peek == '?') {
@@ -115,7 +114,7 @@ object RegexProbe {
       pos += 1
       // lookaround asserts context without consuming — emit nothing; the
       // validation step rejects the sample if the assertion then fails
-      (if (lookaround) "" else inner, true)
+      if (lookaround) "" else inner
     }
 
     private def charClass(): String = {

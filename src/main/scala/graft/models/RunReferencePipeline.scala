@@ -80,6 +80,14 @@ object RunReferencePipeline {
     val t0 = System.nanoTime()
     val registry = ReferencePipeline.registry(asOf)
     writer match {
+      case Some(w) if dagThreads > 1 =>
+        // parallel materialized run: subtree concurrency wins over the
+        // per-node artifact capture (runWithResults is sequential)
+        registry.runAllParallel(spark, sources, Some(w),
+          maxParallel = dagThreads)
+        println(f"DAG complete (materialized, $dagThreads threads, no " +
+          f"run_results capture): ${registry.names.size} models in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       case Some(w) =>
         // materialized run: per-model status/rows/timing, dbt-style
         // target/manifest.json + run_results.json next to the warehouse

@@ -96,8 +96,11 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
       TextFns.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+    // exploded feeds the freq agg AND the rank join; ranked feeds both
+    // sides of the candidate self-join — persist each so the corpus is
+    // shingled once, not five times (minhashLshPairs' signature pattern)
     val exploded = docs.select(col("id"), size(col("sh")).as("set_size"),
-      explode(col("sh")).as("s"))
+      explode(col("sh")).as("s")).persist()
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // prefix length |s| - ceil(t*|s|) + 1; the epsilon guards float ceil
     // upward on exact integers (a LONGER prefix is always safe)
@@ -108,11 +111,16 @@ object Dedup {
       .filter(col("rn") <= col("set_size") -
         ceil(col("set_size") * lit(threshold) - lit(1e-9)).cast("int") + 1)
       .select(col("s"), col("id"))
+      .persist()
     val candidates = ranked.select(col("s"), col("id").as("id_a"))
       .join(ranked.select(col("s"), col("id").as("id_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyPairsExact(df, candidates, idCol, textCol, n, threshold)
+    val out = verifyPairsExact(df, candidates, idCol, textCol, n, threshold)
+      .localCheckpoint()
+    ranked.unpersist(blocking = false)
+    exploded.unpersist(blocking = false)
+    out
   }
 
   /** MinHash + LSH candidate pairs. Signature of `numHashes` min-hashes per

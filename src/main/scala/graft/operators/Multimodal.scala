@@ -185,6 +185,17 @@ object Multimodal {
             }
             k += 1
           }
+          // restoreToPrevious: the canvas must revert to its pre-frame
+          // state after this frame displays — save the covered rect first
+          val saved =
+            if (disposal == "restoreToPrevious")
+              canvas.getSubimage(x, y,
+                math.min(frame.getWidth, sw - x),
+                math.min(frame.getHeight, sh - y))
+                .getRGB(0, 0, math.min(frame.getWidth, sw - x),
+                  math.min(frame.getHeight, sh - y), null, 0,
+                  math.min(frame.getWidth, sw - x))
+            else null
           val gfx = canvas.createGraphics()
           try gfx.drawImage(frame, x, y, null) finally gfx.dispose()
           if (wanted.contains(i)) {
@@ -192,13 +203,19 @@ object Multimodal {
             javax.imageio.ImageIO.write(canvas, "png", bos)
             snapshots.put(i, bos.toByteArray)
           }
-          if (disposal == "restoreToBackgroundColor") {
-            // clear the frame's rect back to transparent before the next one
-            val g2 = canvas.createGraphics()
-            try {
-              g2.setComposite(java.awt.AlphaComposite.Clear)
-              g2.fillRect(x, y, frame.getWidth, frame.getHeight)
-            } finally g2.dispose()
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              // clear the frame's rect back to transparent
+              val g2 = canvas.createGraphics()
+              try {
+                g2.setComposite(java.awt.AlphaComposite.Clear)
+                g2.fillRect(x, y, frame.getWidth, frame.getHeight)
+              } finally g2.dispose()
+            case "restoreToPrevious" =>
+              val w = math.min(frame.getWidth, sw - x)
+              val h = math.min(frame.getHeight, sh - y)
+              canvas.setRGB(x, y, w, h, saved, 0, w)
+            case _ => ()
           }
           i += 1
         }

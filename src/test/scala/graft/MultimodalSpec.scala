@@ -280,6 +280,20 @@ class MultimodalSpec extends SparkSpec {
     assert(f2(0) > 0.3f && f2(0) < 0.7f) // gray top-left delta landed
   }
 
+  test("ImageIOCodec: restoreToPrevious disposal reverts the covered rect") {
+    // white base; black delta with restoreToPrevious; then a no-op corner
+    // delta — after frame 1 the center must be WHITE again, not black
+    val gif = animatedGif(Seq(
+      (solidImg(32, 32, 0xFFFFFF), 0, 0, "none"),
+      (solidImg(16, 16, 0x000000), 8, 8, "restoreToPrevious"),
+      (solidImg(4, 4, 0x000000), 0, 0, "none")))
+    val fs = Multimodal.ImageIOCodec.videoFrames(gif, Array(1, 2))
+    val f1 = Multimodal.ImageIOCodec.imageFeatures(fs(0), 16)
+    assert(f1(5) < 0.05f) // black delta visible while frame 1 displays
+    val f2 = Multimodal.ImageIOCodec.imageFeatures(fs(1), 16)
+    assert(f2(5) > 0.95f) // center reverted to the pre-frame white
+  }
+
   test("GIF payloads flow through sampleFrames; non-GIF still FakeCodec") {
     val gif = animatedGif(Seq(
       (solidImg(16, 16, 0x000000), 0, 0, "none"),
