@@ -910,6 +910,20 @@ object SparkEntry {
         "account_id").map(n => n -> col(n)),
       Seq(dsum2(col("amount")).as("total_spend")))
 
+  /** Benchmark decontamination (the GPT-3/Pile n-gram overlap scrub):
+    * a deterministic slice of the corpus acts as the "benchmark"; docs
+    * sharing ≥3 distinct 5-gram shingles with it are contaminated. The
+    * near-dup families in the synthetic corpus make this non-trivial —
+    * replicas of benchmark members must surface.
+    */
+  private def d19Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.contaminatedDocs(
+      d.filter(col("doc_id") % 29 =!= 0),
+      d.filter(col("doc_id") % 29 === 0),
+      "doc_id", "text", n = 5, minOverlap = 3)
+  }
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -996,6 +1010,7 @@ object SparkEntry {
     "d16_embedding_lsh" -> (d16EmbeddingLshPairs _),
     "d17_quota_sample" -> (d17QuotaSample _),
     "d18_jaccard_prefix" -> (d18JaccardPrefix _),
+    "d19_decontaminate" -> (d19Decontaminate _),
     "d14_length_filter" -> (d14LengthFilter _),
     "d15_corpus_pipeline" -> (d15CorpusPipeline _),
     "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
@@ -1332,6 +1347,23 @@ object SparkEntry {
     "d2_ngram_jaccard" -> d2OracleSql,
     "d3_minhash_lsh" -> exactPairsOracleSql(0.35),
     "d18_jaccard_prefix" -> exactPairsOracleSql(0.35),
+
+    "d19_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |      i -> array_to_string(t[i:i+4], ' '))) AS shingles
+        |  FROM toks WHERE len(t) >= 5
+        |), bsh AS (
+        |  SELECT DISTINCT UNNEST(shingles) AS s FROM sh WHERE doc_id % 29 = 0
+        |), csh AS (
+        |  SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE doc_id % 29 <> 0
+        |)
+        |SELECT doc_id, COUNT(*) AS n_overlap
+        |FROM csh JOIN bsh USING (s)
+        |GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
     "d4_simhash" -> d4OracleSql,
     "v2_ann_lsh" -> v2OracleSql,
     "q19_sketches" -> q19OracleSql,

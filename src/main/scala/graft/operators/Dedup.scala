@@ -69,6 +69,41 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Benchmark decontamination — the test-set overlap scrub every
+    * training corpus needs (the GPT-3/Pile method: a document sharing at
+    * least `minOverlap` distinct token `n`-grams with ANY benchmark
+    * document is contaminated). The benchmark side is small by nature
+    * (eval sets), so its distinct shingles broadcast; the corpus streams
+    * through one scan + one aggregation keyed by doc — no corpus-side
+    * self-join, no shuffle of the text.
+    *
+    * Returns (doc_id, n_overlap) for contaminated docs; pair with
+    * [[applyDedup]]-style anti-join (see [[decontaminate]]) to drop them.
+    */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      minOverlap: Long): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextFns.shingleSet(col(textCol), n)).as("sh"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(TextFns.shingleSet(col(textCol), n)).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** The clean corpus: drop every contaminated document. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      minOverlap: Long): DataFrame =
+    corpus.join(
+      contaminatedDocs(corpus, benchmark, idCol, textCol, n, minOverlap)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** EXACT Jaccard pairs via symmetric prefix filtering — the AllPairs
     * family (Bayardo et al., WWW'07) in its parallel set-similarity-join
     * form (Vernica et al., SIGMOD'10). Guarantee: order every doc's

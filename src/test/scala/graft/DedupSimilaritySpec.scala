@@ -56,6 +56,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.exists { case (a, b, _, _) => a < 8 && b < 8 }) // family found
   }
 
+  test("decontaminate: n-gram overlap with the benchmark drops the doc") {
+    val bench = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares 3 distinct 5-grams with the benchmark → contaminated
+      (1L, "alpha beta gamma delta epsilon zeta eta unrelated suffix here"),
+      (2L, "completely unrelated text with no overlap at all whatsoever"),
+      // only 2 shared 5-grams → stays (below minOverlap = 3)
+      (3L, "intro alpha beta gamma delta epsilon zeta trailing words"))
+      .toDF("doc_id", "text")
+    val bad = Dedup.contaminatedDocs(corpus, bench, "doc_id", "text",
+      n = 5, minOverlap = 3).as[(Long, Long)].collect().toMap
+    assert(bad == Map(1L -> 3L))
+    val clean = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+      n = 5, minOverlap = 3).select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq == Seq(2L, 3L))
+  }
+
   test("sq8TopK: 8-bit quantization + rerank recovers the exact top-k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 6)
