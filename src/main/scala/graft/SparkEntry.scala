@@ -924,6 +924,15 @@ object SparkEntry {
       "doc_id", "text", n = 5, minOverlap = 3)
   }
 
+  /** Multimodal decode under oracle check: real PNG/WAV payloads
+    * encoded from single-sourced parameters, decoded by the REAL codecs
+    * (ImageIOCodec / JavaSoundCodec), with fixture shapes chosen so the
+    * feature arithmetic is exact (see MediaFixture) and the oracle can
+    * state the closed forms.
+    */
+  private def d20MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.models.MediaFixture.features(s)
+
   // ---------------------------------------------------------------- v*
   private def v1AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -1011,6 +1020,7 @@ object SparkEntry {
     "d17_quota_sample" -> (d17QuotaSample _),
     "d18_jaccard_prefix" -> (d18JaccardPrefix _),
     "d19_decontaminate" -> (d19Decontaminate _),
+    "d20_media_features" -> (d20MediaFeatures _),
     "d14_length_filter" -> (d14LengthFilter _),
     "d15_corpus_pipeline" -> (d15CorpusPipeline _),
     "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
@@ -1558,6 +1568,7 @@ object SparkEntry {
     "v4_ann_topk_agg" -> v1OracleSql,
     "v1_ann_bruteforce" -> v1OracleSql,
     "v5_ann_sq8" -> v5OracleSql,
+    "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     // d3_minhash_lsh, d4_simhash, v2_ann_lsh: hash-seeded / LSH operators are
     // not SQL-expressible → driver records the weaker rows-only check.
   )
