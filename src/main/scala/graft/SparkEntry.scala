@@ -1569,8 +1569,6 @@ object SparkEntry {
     "v1_ann_bruteforce" -> v1OracleSql,
     "v5_ann_sq8" -> v5OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
-    // d3_minhash_lsh, d4_simhash, v2_ann_lsh: hash-seeded / LSH operators are
-    // not SQL-expressible → driver records the weaker rows-only check.
   )
 
   /** v5 oracle: replays the SQ8 semantics — exact per-dim min/max

@@ -250,13 +250,20 @@ object Similarity {
     val cand = candidates.select(
       col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
     // deterministic codebook: exact per-dimension min/max over the corpus
-    // (one aggregate; 2×dim doubles to the driver, then literal-folded)
+    // (one aggregate; 2×dim doubles to the driver, then literal-folded).
+    // The length guard rides the same action: a dim mismatch would
+    // otherwise NULL every dot product and silently rank by id alone.
     val mmRow = cand.select(
-      (0 until dim).flatMap(d => Seq(
-        min(element_at(col("nbr_vec"), d + 1)).as(s"mn$d"),
-        max(element_at(col("nbr_vec"), d + 1)).as(s"mx$d"))): _*).head()
-    val mn = Array.tabulate(dim)(d => mmRow.getDouble(2 * d))
-    val mx = Array.tabulate(dim)(d => mmRow.getDouble(2 * d + 1))
+      min(size(col("nbr_vec"))).as("minLen") +:
+        max(size(col("nbr_vec"))).as("maxLen") +:
+        (0 until dim).flatMap(d => Seq(
+          min(element_at(col("nbr_vec"), d + 1)).as(s"mn$d"),
+          max(element_at(col("nbr_vec"), d + 1)).as(s"mx$d"))): _*).head()
+    require(mmRow.getInt(0) == dim && mmRow.getInt(1) == dim,
+      s"sq8TopK dim=$dim but embeddings have length " +
+        s"${mmRow.getInt(0)}..${mmRow.getInt(1)}")
+    val mn = Array.tabulate(dim)(d => mmRow.getDouble(2 + 2 * d))
+    val mx = Array.tabulate(dim)(d => mmRow.getDouble(3 + 2 * d))
 
     // encode→reconstruct composed: mn + floor((x-mn)/span*255 + 0.5)/255*span
     val recon = array((0 until dim).map { d =>
