@@ -33,11 +33,29 @@ object CorpusPipeline {
       // is 1 at the threshold, which CorpusPipelineSpec pins on test data)
       minhashPairs: Boolean = false,
       minhashNumHashes: Int = 64,
-      minhashBands: Int = 16)
+      minhashBands: Int = 16,
+      // decontamination (GPT-3/Pile n-gram overlap scrub) runs first when
+      // a benchmark set is supplied: docs sharing >= decontamMinOverlap
+      // distinct decontamN-grams with any benchmark doc are dropped
+      decontamN: Int = 5,
+      decontamMinOverlap: Long = 3L)
 
-  /** Returns the cleaned corpus (original columns preserved). */
+  /** Returns the cleaned corpus (original columns preserved).
+    * `benchmark`, when given, prepends the decontamination stage.
+    */
   def clean(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", cfg: Config = Config()): DataFrame = {
+      textCol: String = "text", cfg: Config = Config(),
+      benchmark: Option[DataFrame] = None): DataFrame = {
+    val decontaminated = benchmark match {
+      case Some(b) => Dedup.decontaminate(df, b, idCol, textCol,
+        n = cfg.decontamN, minOverlap = cfg.decontamMinOverlap)
+      case None => df
+    }
+    cleanStages(decontaminated, idCol, textCol, cfg)
+  }
+
+  private def cleanStages(df: DataFrame, idCol: String,
+      textCol: String, cfg: Config): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
     val stopArr = array(cfg.stopWords.map(lit): _*)
 

@@ -52,4 +52,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(cleaned.columns.toSeq == Seq("doc_id", "text", "lang"))
     assert(cleaned.count() == 1)
   }
+
+  test("benchmark decontamination stage drops overlapping docs first") {
+    val wide = CorpusPipeline.Config(minQuality = 0.0, lengthLoQ = 0.0,
+      lengthHiQ = 1.0)
+    val bench = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta leaked benchmark copy"),
+      (2L, "a perfectly ordinary training document with original words"))
+      .toDF("doc_id", "text")
+    // without a benchmark both docs survive the wide-open config
+    assert(CorpusPipeline.clean(corpus, cfg = wide).count() == 2)
+    val cleaned = CorpusPipeline.clean(corpus, cfg = wide,
+      benchmark = Some(bench))
+    assert(cleaned.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
 }
