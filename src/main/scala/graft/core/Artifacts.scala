@@ -63,7 +63,8 @@ object Artifacts {
     */
   def runWithResults(reg: ModelRegistry, spark: SparkSession,
       sources: Map[String, DataFrame], writer: graft.sources.TableWriter,
-      partitioning: Map[String, Seq[String]] = Map.empty)
+      partitioning: Map[String, Seq[String]] = Map.empty,
+      incremental: Set[String] = Set.empty)
       : (Map[String, DataFrame], Seq[NodeResult]) = {
     val built = scala.collection.mutable.Map[String, DataFrame](sources.toSeq: _*)
     val failed = scala.collection.mutable.Set.empty[String]
@@ -80,7 +81,8 @@ object Artifacts {
               s"model ${m.name}: unresolved dep $d"))
           }.toMap
           val out = m.transform(spark, in)
-          writer.materialize(m.name, out, partitioning.getOrElse(m.name, Nil))
+          ModelRegistry.writeModel(writer, m.name, out, partitioning,
+            incremental)
           val back = writer.read(spark, m.name)
           built(m.name) = back
           results += NodeResult(m.name, "success", back.count(),

@@ -30,6 +30,25 @@ object Model {
   * independent subtrees could run concurrently, and each model's plan is
   * optimized by Catalyst before any write).
   */
+object ModelRegistry {
+  /** One write of one model — shared by every runner (serial, parallel,
+    * artifact-capturing). Models listed in `incremental` use dbt's
+    * incremental-by-partition semantics (dynamic-partition overwrite:
+    * only the partitions present in this build are rewritten); everything
+    * else is a full table rebuild.
+    */
+  private[graft] def writeModel(w: graft.sources.TableWriter, name: String,
+      out: DataFrame, partitioning: Map[String, Seq[String]],
+      incremental: Set[String]): Unit = {
+    val parts = partitioning.getOrElse(name, Nil)
+    if (incremental.contains(name)) {
+      require(parts.nonEmpty,
+        s"incremental model $name needs partition columns")
+      w.upsertPartitions(out, name, parts)
+    } else w.materialize(name, out, parts)
+  }
+}
+
 final class ModelRegistry {
   private val models = mutable.LinkedHashMap.empty[String, Model]
 
@@ -70,7 +89,8 @@ final class ModelRegistry {
     */
   def runAll(spark: SparkSession, sources: Map[String, DataFrame],
       writer: Option[graft.sources.TableWriter] = None,
-      partitioning: Map[String, Seq[String]] = Map.empty): Map[String, DataFrame] = {
+      partitioning: Map[String, Seq[String]] = Map.empty,
+      incremental: Set[String] = Set.empty): Map[String, DataFrame] = {
     val built = mutable.Map[String, DataFrame](sources.toSeq: _*)
     topoOrder.foreach { m =>
       val in = m.deps.map { d =>
@@ -80,7 +100,7 @@ final class ModelRegistry {
       val out = m.transform(spark, in)
       built(m.name) = writer match {
         case Some(w) =>
-          w.materialize(m.name, out, partitioning.getOrElse(m.name, Nil))
+          ModelRegistry.writeModel(w, m.name, out, partitioning, incremental)
           w.read(spark, m.name)
         case None => out
       }
@@ -99,7 +119,8 @@ final class ModelRegistry {
   def runAllParallel(spark: SparkSession, sources: Map[String, DataFrame],
       writer: Option[graft.sources.TableWriter] = None,
       partitioning: Map[String, Seq[String]] = Map.empty,
-      maxParallel: Int = 4): Map[String, DataFrame] = {
+      maxParallel: Int = 4,
+      incremental: Set[String] = Set.empty): Map[String, DataFrame] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(maxParallel)
@@ -120,7 +141,8 @@ final class ModelRegistry {
             val out = m.transform(spark, ins.toMap)
             writer match {
               case Some(w) =>
-                w.materialize(m.name, out, partitioning.getOrElse(m.name, Nil))
+                ModelRegistry.writeModel(w, m.name, out, partitioning,
+                  incremental)
                 w.read(spark, m.name)
               case None => out
             }

@@ -61,6 +61,40 @@ class ModelRegistrySpec extends SparkSpec {
     }
   }
 
+  test("incremental model: re-run rewrites only the arriving partitions") {
+    val reg = new ModelRegistry
+    reg.register(Model("daily", Seq("src")) { (_, in) =>
+      in("src").groupBy(col("day"))
+        .agg(sum(col("x")).cast("long").as("total"))
+    })
+    val wh = java.nio.file.Files.createTempDirectory("graft_inc_").toString
+    val w = new graft.sources.TableWriter(wh)
+    val parts = Map("daily" -> Seq("day"))
+    val inc = Set("daily")
+
+    val full = Seq(("d1", 1L), ("d1", 2L), ("d2", 10L)).toDF("day", "x")
+    reg.runAll(spark, Map("src" -> full), Some(w), parts, inc)
+    // incremental day-2 reload with corrected data; day-1 must survive
+    val day2 = Seq(("d2", 99L)).toDF("day", "x")
+    reg.runAll(spark, Map("src" -> day2), Some(w), parts, inc)
+
+    val got = w.read(spark, "daily").as[(Long, String)].collect()
+      .map(_.swap).toMap
+    assert(got == Map("d1" -> 3L, "d2" -> 99L))
+
+    // a FULL rebuild from the day-2-only source would drop day 1
+    reg.runAll(spark, Map("src" -> day2), Some(w), parts)
+    assert(w.read(spark, "daily").count() == 1)
+
+    // incremental without partition columns is a hard error
+    val noParts = new ModelRegistry
+    noParts.register(Model("daily", Seq("src")) { (_, in) => in("src") })
+    intercept[IllegalArgumentException] {
+      noParts.runAll(spark, Map("src" -> day2), Some(w),
+        incremental = Set("daily"))
+    }
+  }
+
   test("artifacts run: statuses, dependent skipping, manifest/run_results") {
     import graft.core.Artifacts
     val reg = new ModelRegistry
