@@ -79,11 +79,16 @@ object RunReferencePipeline {
     val dagThreads = sys.env.getOrElse("SPARK_GRAFT_DAG_THREADS", "1").toInt
     val t0 = System.nanoTime()
     val registry = ReferencePipeline.registry(asOf)
+    // rollup outputs partition by their grain so downstream reads prune
+    // periods instead of scanning history (SCALE.md); at daily loads the
+    // spend family could also be run incremental = same set
+    val partitioning = registry.names.filter(_.startsWith("spend_"))
+      .map(_ -> Seq("date_period")).toMap
     writer match {
       case Some(w) if dagThreads > 1 =>
         // parallel materialized run: subtree concurrency wins over the
         // per-node artifact capture (runWithResults is sequential)
-        registry.runAllParallel(spark, sources, Some(w),
+        registry.runAllParallel(spark, sources, Some(w), partitioning,
           maxParallel = dagThreads)
         println(f"DAG complete (materialized, $dagThreads threads, no " +
           f"run_results capture): ${registry.names.size} models in " +
@@ -92,7 +97,8 @@ object RunReferencePipeline {
         // materialized run: per-model status/rows/timing, dbt-style
         // target/manifest.json + run_results.json next to the warehouse
         val (_, results) =
-          graft.core.Artifacts.runWithResults(registry, spark, sources, w)
+          graft.core.Artifacts.runWithResults(registry, spark, sources, w,
+            partitioning)
         results.foreach { r =>
           println(f"${r.status.toUpperCase}%-8s ${r.name}%-32s " +
             f"${r.rows}%6d rows  ${r.seconds}%.2f s")
