@@ -42,6 +42,41 @@ class RefSeedSpec extends SparkSpec {
     assert(bank.bestKeyAny(Seq("AMAZON PRIME VIDEO RENTAL")) == null)
   }
 
+  test("real-bank bestKeyAny equals the naive rule walk on mutated probes") {
+    // the synthetic-rule equivalence lives in AhoCorasickSpec; this runs
+    // the same property over the REAL 795 patterns (the gnarliest
+    // alternations/classes/lookaheads), on probe texts mutated to break
+    // anchors, case, and hyphenation
+    val bank = new RegexBank.CompiledBank(RefSeeds.rules,
+      caseInsensitive = true)
+    val sorted = RefSeeds.rules.sortBy(r =>
+      (-r.priority, -r.pattern.length, r.key))
+    val compiled = sorted.map { r =>
+      (java.util.regex.Pattern.compile(
+        graft.dialect.PgDialect.translateRegex(r.pattern),
+        java.util.regex.Pattern.CASE_INSENSITIVE), r.key)
+    }
+    def naive(vs: Seq[String]): String =
+      compiled.collectFirst {
+        case (p, k) if vs.exists(s => s != null && p.matcher(s).find()) => k
+      }.orNull
+    val probes = RefSeeds.rules.flatMap(r => RegexProbe.example(r.pattern))
+    val rnd = new scala.util.Random(7)
+    (0 until 600).foreach { _ =>
+      val base = probes(rnd.nextInt(probes.size))
+      val mutated = rnd.nextInt(5) match {
+        case 0 => base
+        case 1 => base.toLowerCase
+        case 2 => "XX " + base
+        case 3 => base.replace(" ", "-")
+        case _ => base + " TRAILING"
+      }
+      val variants = Seq(mutated, mutated.replace("-", " "), null)
+      assert(bank.bestKeyAny(variants) == naive(variants),
+        s"text=$mutated")
+    }
+  }
+
   test("fixture classifies identically with and without lookahead rules") {
     // The q41 oracle's RE2 engine cannot run the 5 lookahead rules, so
     // they are omitted there. That is sound iff the probe fixture (which
