@@ -12,13 +12,19 @@ import org.apache.spark.sql.DataFrame
 object Parallelism {
 
   /** Round-robin `df` out to the session's default parallelism iff its
-    * current partition count is below half of it. Row set is unchanged
-    * (round-robin repartition is deterministic under retry: Spark sorts
-    * within partitions before distributing, SPARK-23207).
+    * current partition count is below half of it. The redistribution runs
+    * at the RDD level on purpose: a DataFrame `repartition(n)` is an AQE
+    * exchange, and AQE's SIZE-based coalescing folds a small-but-CPU-heavy
+    * stage straight back to one partition (observed: the classifier's
+    * 16-way repartition re-coalesced to 1 task). The RDD boundary is
+    * invisible to AQE, and it only ever runs under the guard — tiny
+    * inputs, where the row round-trip is noise. Distribution is
+    * deterministic (RDD round-robin seeds by partition index).
     */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < (target + 1) / 2) df.repartition(target)
+    if (df.rdd.getNumPartitions < (target + 1) / 2)
+      df.sparkSession.createDataFrame(df.rdd.repartition(target), df.schema)
     else df
   }
 }
