@@ -23,7 +23,12 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
       .foreach { case (name, fn) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val df = fn(spark, sfDir)
+        // materialize first: AQE's executedPlan is the INITIAL plan until
+        // the query runs, and initial plans under-report codegen spans and
+        // over-report exchanges that runtime re-planning removes
+        try df.count() catch { case _: Throwable => () }
+        val plan = df.queryExecution.executedPlan
         val s = plan.toString
         val scans = s.linesIterator.filter(l =>
           l.contains("ReadSchema") || l.contains("PushedFilters")).map(_.trim)
