@@ -924,6 +924,23 @@ object SparkEntry {
       "doc_id", "text", n = 5, minOverlap = 3)
   }
 
+  /** Line-level boilerplate removal over a line-structured fixture (the
+    * testdata documents carry no newlines): every doc shares a header,
+    * each mod-7 group shares a promo line, and unique body/tail lines
+    * must survive in order. Parameters single-sourced with the oracle.
+    */
+  private def d21LineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq(
+        "=== COMMON HEADER ===",
+        s"unique body $i alpha",
+        s"group${i % 7} shared promo line",
+        s"tail line $i").mkString("\n"))
+    }.toDF("doc_id", "text")
+    Dedup.dropBoilerplateLines(docs, "doc_id", "text", maxLineDocFreq = 5)
+  }
+
   /** Multimodal decode under oracle check: real PNG/WAV payloads
     * encoded from single-sourced parameters, decoded by the REAL codecs
     * (ImageIOCodec / JavaSoundCodec), with fixture shapes chosen so the
@@ -1021,6 +1038,7 @@ object SparkEntry {
     "d18_jaccard_prefix" -> (d18JaccardPrefix _),
     "d19_decontaminate" -> (d19Decontaminate _),
     "d20_media_features" -> (d20MediaFeatures _),
+    "d21_line_dedup" -> (d21LineDedup _),
     "d14_length_filter" -> (d14LengthFilter _),
     "d15_corpus_pipeline" -> (d15CorpusPipeline _),
     "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
@@ -1569,6 +1587,29 @@ object SparkEntry {
     "v1_ann_bruteforce" -> v1OracleSql,
     "v5_ann_sq8" -> v5OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
+
+    "d21_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT t.doc_id,
+        |    '=== COMMON HEADER ===' || chr(10) ||
+        |    'unique body ' || t.doc_id || ' alpha' || chr(10) ||
+        |    'group' || (t.doc_id % 7) || ' shared promo line' || chr(10) ||
+        |    'tail line ' || t.doc_id AS text
+        |  FROM range(0, 60) t(doc_id)
+        |), split AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs
+        |), lines AS (
+        |  SELECT doc_id,
+        |    unnest(ls) AS line,
+        |    unnest(range(1, len(ls) + 1)) AS pos
+        |  FROM split
+        |), freq AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+        |)
+        |SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+        |FROM lines l JOIN freq f USING (line)
+        |WHERE f.df <= 5
+        |GROUP BY 1""".stripMargin,
   )
 
   /** v5 oracle: replays the SQ8 semantics — exact per-dim min/max

@@ -69,6 +69,36 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb trick): a line
+    * appearing in more than `maxLineDocFreq` distinct documents is
+    * boilerplate (headers, footers, cookie banners, promo blocks) and is
+    * struck from every document; remaining lines reassemble in their
+    * original order. One shuffle keyed by line for the document-frequency
+    * count, one keyed by doc for reassembly — the text crosses the wire
+    * as lines, never as whole documents squared.
+    */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxLineDocFreq: Long): DataFrame = {
+    val others = df.columns.filter(c => c != idCol && c != textCol)
+    val lines = df.select(
+      (col(idCol).as("__id") +: others.map(col)) :+
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")): _*)
+    val freq = lines.select(col("__id"), col("__line")).distinct()
+      .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
+    // collect_list order is nondeterministic — sort by the carried
+    // position before joining the lines back
+    lines.join(freq, Seq("__line"))
+      .filter(col("__df") <= maxLineDocFreq)
+      .groupBy((col("__id") +: others.map(col)): _*)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s("__line")),
+        "\n").as(textCol))
+      .withColumnRenamed("__id", idCol)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Benchmark decontamination — the test-set overlap scrub every
     * training corpus needs (the GPT-3/Pile method: a document sharing at
     * least `minOverlap` distinct token `n`-grams with ANY benchmark

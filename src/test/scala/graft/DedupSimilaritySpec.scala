@@ -56,6 +56,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.exists { case (a, b, _, _) => a < 8 && b < 8 }) // family found
   }
 
+  test("dropBoilerplateLines: strikes frequent lines, preserves order") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha one\nHEADER\nbody middle\ntail one", "en"),
+      (2L, "HEADER\nbody two\ntail two", "en"),
+      (3L, "HEADER\nbody three", "de"),
+      (4L, "no header here\nbody four", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.dropBoilerplateLines(docs, "doc_id", "text",
+        maxLineDocFreq = 2)
+      .as[(Long, String, String)].collect()
+      .map { case (id, t, l) => id -> (t, l) }.toMap
+    // HEADER appears in 3 docs → struck everywhere, incl. BOTH copies in
+    // doc 1; surviving lines keep their original relative order
+    assert(out(1L)._1 == "alpha one\nbody middle\ntail one")
+    assert(out(2L)._1 == "body two\ntail two")
+    assert(out(3L)._1 == "body three")
+    assert(out(4L)._1 == "no header here\nbody four")
+    // non-text columns ride along
+    assert(out(3L)._2 == "de")
+  }
+
   test("decontaminate: n-gram overlap with the benchmark drops the doc") {
     val bench = Seq(
       (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
