@@ -941,6 +941,19 @@ object SparkEntry {
     Dedup.dropBoilerplateLines(docs, "doc_id", "text", maxLineDocFreq = 5)
   }
 
+  /** Sequence packing (training prep): docs on a token tape in id order,
+    * sequences cut every 512 tokens — distributed two-pass prefix sum,
+    * no single-task window.
+    */
+  private def d22SeqPacking(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Packing.packSequences(
+        d.withColumn("n_toks", graft.functions.TextFns.tokenCount(col("text"))),
+        col("doc_id"), col("n_toks"), budget = 512L)
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        col("tape_start"), col("seq_id"), col("seq_offset"))
+  }
+
   /** Multimodal decode under oracle check: real PNG/WAV payloads
     * encoded from single-sourced parameters, decoded by the REAL codecs
     * (ImageIOCodec / JavaSoundCodec), with fixture shapes chosen so the
@@ -1039,6 +1052,7 @@ object SparkEntry {
     "d19_decontaminate" -> (d19Decontaminate _),
     "d20_media_features" -> (d20MediaFeatures _),
     "d21_line_dedup" -> (d21LineDedup _),
+    "d22_seq_packing" -> (d22SeqPacking _),
     "d14_length_filter" -> (d14LengthFilter _),
     "d15_corpus_pipeline" -> (d15CorpusPipeline _),
     "d13_dedup_apply" -> ((s: SparkSession, dir: String) =>
@@ -1587,6 +1601,21 @@ object SparkEntry {
     "v1_ann_bruteforce" -> v1OracleSql,
     "v5_ann_sq8" -> v5OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
+
+    "d22_seq_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tape_start
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_toks, CAST(tape_start AS BIGINT) AS tape_start,
+        |  CAST(tape_start // 512 AS BIGINT) AS seq_id,
+        |  CAST(tape_start % 512 AS BIGINT) AS seq_offset
+        |FROM cum""".stripMargin,
 
     "d21_line_dedup" ->
       """WITH docs AS (

@@ -5,6 +5,33 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class RankingSpec extends SparkSpec {
+
+  test("packSequences equals the naive single-window prefix sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 5000)
+      .map(i => (i.toLong, 1 + rnd.nextInt(900))).toDF("id", "n")
+    val packed = graft.operators.Packing.packSequences(
+        docs, col("id"), col("n"), budget = 1024L, numPartitions = 16)
+      .select("id", "tape_start", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val naive = docs
+      .withColumn("tape_start",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)
+        ), lit(0L)))
+      .select(col("id"), col("tape_start"),
+        expr("tape_start div 1024").as("seq_id"),
+        pmod(col("tape_start"), lit(1024L)).as("seq_offset"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.sameElements(naive))
+    // and the distributed form never funnels through one partition
+    val plan = graft.operators.Packing.packSequences(
+      docs, col("id"), col("n"), budget = 1024L, numPartitions = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), "single-partition exchange")
+  }
   import spark.implicits._
 
   // deterministic pseudo-random values with a unique tie-breaker id
