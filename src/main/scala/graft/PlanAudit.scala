@@ -24,10 +24,11 @@ object PlanAudit {
       .filter { case (n, _) => only.forall(n.contains) }
       .foreach { case (name, fn) =>
         val df = fn(spark, sfDir)
-        // materialize first: AQE's executedPlan is the INITIAL plan until
-        // the query runs, and initial plans under-report codegen spans and
-        // over-report exchanges that runtime re-planning removes
-        try df.count() catch { case _: Throwable => () }
+        // materialize THIS QueryExecution first: AQE's executedPlan is the
+        // INITIAL plan until it runs (count() would build a separate,
+        // column-pruned execution and finalize nothing)
+        try df.queryExecution.executedPlan.executeCollect()
+        catch { case _: Throwable => () }
         val plan = df.queryExecution.executedPlan
         val s = plan.toString
         val scans = s.linesIterator.filter(l =>

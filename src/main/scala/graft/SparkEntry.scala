@@ -927,18 +927,53 @@ object SparkEntry {
   /** Line-level boilerplate removal over a line-structured fixture (the
     * testdata documents carry no newlines): every doc shares a header,
     * each mod-7 group shares a promo line, and unique body/tail lines
-    * must survive in order. Parameters single-sourced with the oracle.
+    * must survive in order. The four line templates, doc count, grouping
+    * modulus, and threshold are single-sourced (d21 constants below feed
+    * both the Spark fixture and the generated oracle SQL).
     */
+  private val d21Docs = 60
+  private val d21Mod = 7
+  private val d21MaxDf = 5L
+  private def d21Lines(i: Long): Seq[String] = Seq(
+    "=== COMMON HEADER ===",
+    s"unique body $i alpha",
+    s"group${i % d21Mod} shared promo line",
+    s"tail line $i")
+
   private def d21LineDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = (0 until 60).map { i =>
-      (i.toLong, Seq(
-        "=== COMMON HEADER ===",
-        s"unique body $i alpha",
-        s"group${i % 7} shared promo line",
-        s"tail line $i").mkString("\n"))
-    }.toDF("doc_id", "text")
-    Dedup.dropBoilerplateLines(docs, "doc_id", "text", maxLineDocFreq = 5)
+    val docs = (0 until d21Docs)
+      .map(i => (i.toLong, d21Lines(i.toLong).mkString("\n")))
+      .toDF("doc_id", "text")
+    Dedup.dropBoilerplateLines(docs, "doc_id", "text",
+      maxLineDocFreq = d21MaxDf)
+  }
+
+  private def d21OracleSql: String = {
+    val vals = (0 until d21Docs).map { i =>
+      val ls = d21Lines(i.toLong)
+        .map(l => "'" + l.replace("'", "''") + "'")
+      s"($i, ${ls.mkString(", ")})"
+    }.mkString(",\n    ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4 AS text
+       |  FROM (VALUES
+       |    $vals) AS t(doc_id, l1, l2, l3, l4)
+       |), split AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs
+       |), lines AS (
+       |  SELECT doc_id,
+       |    unnest(ls) AS line,
+       |    unnest(range(1, len(ls) + 1)) AS pos
+       |  FROM split
+       |), freq AS (
+       |  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+       |)
+       |SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+       |FROM lines l JOIN freq f USING (line)
+       |WHERE f.df <= $d21MaxDf
+       |GROUP BY 1""".stripMargin
   }
 
   /** Sequence packing (training prep): docs on a token tape in id order,
@@ -1617,28 +1652,7 @@ object SparkEntry {
         |  CAST(tape_start % 512 AS BIGINT) AS seq_offset
         |FROM cum""".stripMargin,
 
-    "d21_line_dedup" ->
-      """WITH docs AS (
-        |  SELECT t.doc_id,
-        |    '=== COMMON HEADER ===' || chr(10) ||
-        |    'unique body ' || t.doc_id || ' alpha' || chr(10) ||
-        |    'group' || (t.doc_id % 7) || ' shared promo line' || chr(10) ||
-        |    'tail line ' || t.doc_id AS text
-        |  FROM range(0, 60) t(doc_id)
-        |), split AS (
-        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs
-        |), lines AS (
-        |  SELECT doc_id,
-        |    unnest(ls) AS line,
-        |    unnest(range(1, len(ls) + 1)) AS pos
-        |  FROM split
-        |), freq AS (
-        |  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1
-        |)
-        |SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text
-        |FROM lines l JOIN freq f USING (line)
-        |WHERE f.df <= 5
-        |GROUP BY 1""".stripMargin,
+    "d21_line_dedup" -> d21OracleSql,
   )
 
   /** v5 oracle: replays the SQ8 semantics — exact per-dim min/max

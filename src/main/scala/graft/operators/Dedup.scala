@@ -79,23 +79,26 @@ object Dedup {
     */
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       maxLineDocFreq: Long): DataFrame = {
-    val others = df.columns.filter(c => c != idCol && c != textCol)
-    val lines = df.select(
-      (col(idCol).as("__id") +: others.map(col)) :+
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")): _*)
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
     val freq = lines.select(col("__id"), col("__line")).distinct()
       .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
     // collect_list order is nondeterministic — sort by the carried
     // position before joining the lines back
-    lines.join(freq, Seq("__line"))
+    val rebuilt = lines.join(freq, Seq("__line"))
       .filter(col("__df") <= maxLineDocFreq)
-      .groupBy((col("__id") +: others.map(col)): _*)
+      .groupBy(col("__id"))
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s("__line")),
-        "\n").as(textCol))
-      .withColumnRenamed("__id", idCol)
+        "\n").as("__clean"))
+    // a doc whose EVERY line was boilerplate must survive with empty
+    // text (strike lines, don't drop documents — a later length filter
+    // decides explicitly), so rebuild joins back onto the full doc list
+    df.join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
       .select(df.columns.map(col): _*)
   }
 

@@ -22,39 +22,27 @@ object Packing {
   /** Adds `seq_id` (which sequence the doc starts in) and `seq_offset`
     * (token offset inside that sequence) plus `tape_start` (global
     * exclusive prefix sum). All integer arithmetic — exactly reproducible
-    * in any engine.
+    * in any engine. `idCol` must be UNIQUE: it is the tape order, and
+    * tied ids would overlap tape positions (the default RANGE window
+    * frame would even double-count ties — the ROWS frame below plus the
+    * uniqueness contract keeps positions disjoint and deterministic).
     */
   def packSequences(df: DataFrame, idCol: Column, tokenCol: Column,
       budget: Long, numPartitions: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val qs = (1 until numPartitions).map(_.toDouble / numPartitions)
-    val cuts: Seq[Double] =
-      if (qs.isEmpty) Nil
-      else df.select(percentile_approx(idCol.cast("double"),
-          array(qs.map(lit): _*), lit(10000)).as("c"))
-        .head().getSeq[Double](0)
-    val bucketExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(idCol.cast("double") > lit(c), 1).otherwise(0)
-    }
-    val bucketed = df.withColumn("__pack_bucket", bucketExpr)
+    // the same bucket-and-offset machinery as Ranking.globalPosition,
+    // with the measure = token count instead of 1 row
+    val bucketed = Ranking.bucketByKey(df, idCol, numPartitions)
       .withColumn("__toks", tokenCol.cast("long"))
-    val sums = bucketed.groupBy(col("__pack_bucket"))
-      .agg(sum(col("__toks")).as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] =
-      sums.scanLeft((0, 0L)) { case ((_, acc), (b, s)) => (b, acc + s) }
-        .tail.zip(sums).map { case ((b, cum), (_, s)) => (b, cum - s) }
-        .toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
-      when(col("__pack_bucket") === b, lit(off)).otherwise(acc)
-    }
-    val w = Window.partitionBy(col("__pack_bucket")).orderBy(idCol)
+    val (offsetExpr, _) = Ranking.bucketOffsets(bucketed, col("__toks"))
+    val w = Window.partitionBy(col("__rank_bucket")).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = sum(col("__toks")).over(w) - col("__toks") + offsetExpr
     bucketed
       .withColumn("tape_start", start)
       // integer division on purpose: `/` on longs is double division
       .withColumn("seq_id", expr(s"tape_start div ${budget}"))
       .withColumn("seq_offset", pmod(col("tape_start"), lit(budget)))
-      .drop("__pack_bucket", "__toks")
+      .drop("__rank_bucket", "__toks")
   }
 }

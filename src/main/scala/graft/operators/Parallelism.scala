@@ -11,20 +11,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Parallelism {
 
-  /** Round-robin `df` out to the session's default parallelism iff its
+  /** Spread `df` out to the session's default parallelism iff its
     * current partition count is below half of it. The redistribution runs
     * at the RDD level on purpose: a DataFrame `repartition(n)` is an AQE
-    * exchange, and AQE's SIZE-based coalescing folds a small-but-CPU-heavy
-    * stage straight back to one partition (observed: the classifier's
-    * 16-way repartition re-coalesced to 1 task). The RDD boundary is
-    * invisible to AQE, and it only ever runs under the guard — tiny
-    * inputs, where the row round-trip is noise. Distribution is
-    * deterministic (RDD round-robin seeds by partition index).
+    * exchange, and when that exchange is REUSED by several consumers
+    * AQE's size-based coalescing folded the small-but-CPU-heavy consumer
+    * stages back to one task each (observed on the classifier's three
+    * arms). The RDD boundary is invisible to AQE, and it only ever runs
+    * under the guard — tiny inputs, where the row round-trip is noise.
+    *
+    * Rows are assigned by CONTENT hash, not round-robin: round-robin
+    * depends on input iteration order, which is not retry-stable after a
+    * shuffle fetch; a content hash gives every row the same partition on
+    * any attempt, in any order.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < (target + 1) / 2)
-      df.sparkSession.createDataFrame(df.rdd.repartition(target), df.schema)
-    else df
+    if (df.rdd.getNumPartitions < (target + 1) / 2) {
+      val redistributed = df.rdd
+        .keyBy(r => java.lang.Math.floorMod(r.hashCode, target))
+        .partitionBy(new org.apache.spark.HashPartitioner(target))
+        .values
+      df.sparkSession.createDataFrame(redistributed, df.schema)
+    } else df
   }
 }

@@ -27,6 +27,44 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Deterministic ordered bucketing: quantile cutpoints of the leading
+    * key (collected ONCE — never re-sampled per action); bucket =
+    * #cutpoints strictly below the key (monotone in the sort order, ties
+    * share a bucket). Adds `__rank_bucket`.
+    */
+  private[operators] def bucketByKey(df: DataFrame, bucketKey: Column,
+      numPartitions: Int): DataFrame = {
+    val qs = (1 until numPartitions).map(_.toDouble / numPartitions)
+    val cuts: Seq[Double] =
+      if (qs.isEmpty) Nil
+      else Option(df.select(percentile_approx(bucketKey.cast("double"),
+          array(qs.map(lit): _*), lit(10000)).as("c"))
+        .head().getSeq[Double](0)).getOrElse(Nil) // null ⇔ empty input
+    val bucketExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
+    }
+    df.withColumn("__rank_bucket", bucketExpr)
+  }
+
+  /** Per-bucket exclusive prefix totals of `measure` as a broadcastable
+    * literal expression, plus the grand total. One narrow aggregation; at
+    * most numPartitions rows reach the driver.
+    */
+  private[operators] def bucketOffsets(bucketed: DataFrame,
+      measure: Column): (Column, Long) = {
+    val sums = bucketed.groupBy(col("__rank_bucket"))
+      .agg(sum(measure).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      sums.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+        .tail.zip(sums).map { case ((b, cum), (_, n)) => (b, cum - n) }
+        .toMap
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__rank_bucket") === b, lit(off)).otherwise(acc)
+    }
+    (offsetExpr, sums.map(_._2).sum)
+  }
+
   /** Adds a 1-based global position column ordered by `keys` (which must
     * be a total order whose leading component is the numeric `bucketKey`)
     * without any single-partition exchange. Returns the frame and the
@@ -35,30 +73,8 @@ object Ranking {
     */
   def globalPosition(df: DataFrame, bucketKey: Column, keys: Seq[Column],
       posCol: String, numPartitions: Int): (DataFrame, Long) = {
-    // deterministic ordered bucketing: quantile cutpoints of the leading
-    // key; bucket = #cutpoints strictly below the key (monotone in the
-    // sort order, ties share a bucket)
-    val qs = (1 until numPartitions).map(_.toDouble / numPartitions)
-    val cuts: Seq[Double] =
-      if (qs.isEmpty) Nil
-      else df.select(percentile_approx(bucketKey.cast("double"),
-          array(qs.map(lit): _*), lit(10000)).as("c"))
-        .head().getSeq[Double](0)
-    val bucketExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
-    }
-    val bucketed = df.withColumn("__rank_bucket", bucketExpr)
-    // one narrow count pass; at most numPartitions rows reach the driver
-    val counts = bucketed.groupBy(col("__rank_bucket")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] =
-      counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
-        .tail.zip(counts).map { case ((b, cum), (_, n)) => (b, cum - n) }
-        .toMap
-    val total = counts.map(_._2).sum
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
-      when(col("__rank_bucket") === b, lit(off)).otherwise(acc)
-    }
+    val bucketed = bucketByKey(df, bucketKey, numPartitions)
+    val (offsetExpr, total) = bucketOffsets(bucketed, lit(1L))
     val localW = Window.partitionBy(col("__rank_bucket")).orderBy(keys: _*)
     val out = bucketed
       .withColumn(posCol, row_number().over(localW).cast("long") + offsetExpr)

@@ -251,17 +251,21 @@ object Similarity {
       col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
     // deterministic codebook: exact per-dimension min/max over the corpus
     // (one aggregate; 2×dim doubles to the driver, then literal-folded).
-    // The length guard rides the same action: a dim mismatch would
-    // otherwise NULL every dot product and silently rank by id alone.
+    // The shape guard rides the same action: a null vector or a dim
+    // mismatch would otherwise NULL its dot products and silently rank
+    // those rows by id alone. count() ignores nothing, so nulls and
+    // wrong lengths are caught (min/max alone skip nulls).
     val mmRow = cand.select(
-      min(size(col("nbr_vec"))).as("minLen") +:
-        max(size(col("nbr_vec"))).as("maxLen") +:
+      count(lit(1)).as("n") +:
+        count(when(col("nbr_vec").isNull ||
+          size(col("nbr_vec")) =!= dim, 1)).as("bad") +:
         (0 until dim).flatMap(d => Seq(
           min(element_at(col("nbr_vec"), d + 1)).as(s"mn$d"),
           max(element_at(col("nbr_vec"), d + 1)).as(s"mx$d"))): _*).head()
-    require(mmRow.getInt(0) == dim && mmRow.getInt(1) == dim,
-      s"sq8TopK dim=$dim but embeddings have length " +
-        s"${mmRow.getInt(0)}..${mmRow.getInt(1)}")
+    require(mmRow.getLong(0) > 0, "sq8TopK: empty candidate set")
+    require(mmRow.getLong(1) == 0,
+      s"sq8TopK dim=$dim but ${mmRow.getLong(1)} of ${mmRow.getLong(0)} " +
+        "embeddings are null or a different length")
     val mn = Array.tabulate(dim)(d => mmRow.getDouble(2 + 2 * d))
     val mx = Array.tabulate(dim)(d => mmRow.getDouble(3 + 2 * d))
 

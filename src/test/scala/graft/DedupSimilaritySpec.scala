@@ -61,18 +61,27 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, "HEADER\nalpha one\nHEADER\nbody middle\ntail one", "en"),
       (2L, "HEADER\nbody two\ntail two", "en"),
       (3L, "HEADER\nbody three", "de"),
-      (4L, "no header here\nbody four", "de"))
+      (4L, "no header here\nbody four", "de"),
+      (5L, "HEADER", "de"),            // every line boilerplate
+      (6L, "AT THRESHOLD\nbody six", "en"),
+      (7L, "AT THRESHOLD\nbody seven", "en"))
       .toDF("doc_id", "text", "lang")
     val out = Dedup.dropBoilerplateLines(docs, "doc_id", "text",
         maxLineDocFreq = 2)
       .as[(Long, String, String)].collect()
       .map { case (id, t, l) => id -> (t, l) }.toMap
-    // HEADER appears in 3 docs → struck everywhere, incl. BOTH copies in
+    // HEADER appears in 4 docs → struck everywhere, incl. BOTH copies in
     // doc 1; surviving lines keep their original relative order
     assert(out(1L)._1 == "alpha one\nbody middle\ntail one")
     assert(out(2L)._1 == "body two\ntail two")
     assert(out(3L)._1 == "body three")
     assert(out(4L)._1 == "no header here\nbody four")
+    // df == maxLineDocFreq is KEPT (the <= boundary)
+    assert(out(6L)._1 == "AT THRESHOLD\nbody six")
+    assert(out(7L)._1 == "AT THRESHOLD\nbody seven")
+    // a fully-boilerplate doc survives as an empty-text row (strike
+    // lines, don't drop documents)
+    assert(out(5L)._1 == "" && out(5L)._2 == "de")
     // non-text columns ride along
     assert(out(3L)._2 == "de")
   }
