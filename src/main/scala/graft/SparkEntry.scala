@@ -989,6 +989,28 @@ object SparkEntry {
         col("tape_start"), col("seq_id"), col("seq_offset"))
   }
 
+  /** Interval-overlap join (temporal overlap) over order-derived date
+    * ranges — bucketized exactly-once pair emission, refiltered exact;
+    * the oracle is the naive inequality join.
+    */
+  private def q43IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("d0", datediff(col("o_orderdate"),
+        lit(java.sql.Date.valueOf("1992-01-01"))))
+    val left = o.filter(col("o_orderkey") % 97 === 0).select(
+      col("o_orderkey").as("l_id"), col("d0").as("l_lo"),
+      (col("d0") + col("o_orderkey") % 30).as("l_hi"))
+    val right = o.filter(col("o_orderkey") % 89 === 1).select(
+      col("o_orderkey").as("r_id"), col("d0").as("r_lo"),
+      (col("d0") + col("o_orderkey") % 45).as("r_hi"))
+    RangeJoin.intervalOverlap(left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+        bucketWidth = 32.0)
+      .select(col("l_id"), col("r_id"),
+        (least(col("l_hi"), col("r_hi")) -
+          greatest(col("l_lo"), col("r_lo")) + 1).cast("long")
+          .as("overlap_days"))
+  }
+
   /** Multimodal decode under oracle check: real PNG/WAV payloads
     * encoded from single-sourced parameters, decoded by the REAL codecs
     * (ImageIOCodec / JavaSoundCodec), with fixture shapes chosen so the
@@ -1112,6 +1134,7 @@ object SparkEntry {
     "q40_materialize" -> (q40Materialize _),
     "q41_classified_ref" -> (q41ClassifiedRef _),
     "q42_spend_daily_ref" -> (q42SpendDailyRef _),
+    "q43_interval_join" -> (q43IntervalJoin _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1574,6 +1597,25 @@ object SparkEntry {
     "q38_merchants_legacy" -> graft.models.MerchantCase.spendShareOracleSql,
 
     "q41_classified_ref" -> graft.models.RefSeedFixture.classifiedOracleSql,
+
+    "q43_interval_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate) AS d0
+        |  FROM orders
+        |), l AS (
+        |  SELECT o_orderkey AS l_id, d0 AS l_lo,
+        |    d0 + o_orderkey % 30 AS l_hi
+        |  FROM o WHERE o_orderkey % 97 = 0
+        |), r AS (
+        |  SELECT o_orderkey AS r_id, d0 AS r_lo,
+        |    d0 + o_orderkey % 45 AS r_hi
+        |  FROM o WHERE o_orderkey % 89 = 1
+        |)
+        |SELECT l_id, r_id,
+        |  CAST(LEAST(l_hi, r_hi) - GREATEST(l_lo, r_lo) + 1 AS BIGINT)
+        |    AS overlap_days
+        |FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi""".stripMargin,
 
     "q42_spend_daily_ref" -> graft.models.RefSeedFixture.spendDailyOracleSql,
 

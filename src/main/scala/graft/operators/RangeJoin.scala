@@ -34,4 +34,28 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: every (left, right) pair whose
+    * [lLo, lHi] ∩ [rLo, rHi] ≠ ∅ — the third classic missing operator
+    * (temporal overlap, genomic ranges). Both sides explode to the
+    * fixed-width buckets they span and equi-join on the bucket; a
+    * qualifying pair shares every bucket its OVERLAP spans, so the pair
+    * is emitted only from the bucket containing the overlap's start
+    * (`floor(max(lLo, rLo) / w)`) — exactly-once without a distinct.
+    * Column names must be disjoint across the two sides (as with any
+    * self-describing join output).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bucketWidth: Double, keys: Seq[String] = Nil): DataFrame = {
+    def spanned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bucket", explode(expr(
+        s"sequence(CAST(floor(`$lo` / $bucketWidth) AS LONG), " +
+          s"CAST(floor(`$hi` / $bucketWidth) AS LONG))")))
+    spanned(left, lLo, lHi).join(spanned(right, rLo, rHi), keys :+ "__bucket")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bucket") ===
+        floor(greatest(col(lLo), col(rLo)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -54,4 +54,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(bucketized.count() == naive.count())
     assert(bucketized.exceptAll(naive).isEmpty && naive.exceptAll(bucketized).isEmpty)
   }
+
+  test("interval-overlap join equals the naive join, exactly once per pair") {
+    val rnd = new scala.util.Random(13)
+    val left = (0 until 300).map { i =>
+      val lo = rnd.nextInt(1000); (i.toLong, lo.toLong, (lo + rnd.nextInt(80)).toLong)
+    }.toDF("l_id", "l_lo", "l_hi")
+    val right = (0 until 300).map { i =>
+      val lo = rnd.nextInt(1000); (i.toLong, lo.toLong, (lo + rnd.nextInt(80)).toLong)
+    }.toDF("r_id", "r_lo", "r_hi")
+    val naive = left.join(right,
+        col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id")
+    // bucket width much smaller than spans → overlaps cross MANY buckets;
+    // the exactly-once emission must still hold (no duplicate pairs)
+    val bucketized = RangeJoin.intervalOverlap(left, right,
+        "l_lo", "l_hi", "r_lo", "r_hi", bucketWidth = 16.0)
+      .select("l_id", "r_id")
+    assert(bucketized.count() == naive.count())
+    assert(bucketized.exceptAll(naive).isEmpty
+      && naive.exceptAll(bucketized).isEmpty)
+  }
 }
