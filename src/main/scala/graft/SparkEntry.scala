@@ -989,6 +989,24 @@ object SparkEntry {
         col("tape_start"), col("seq_id"), col("seq_offset"))
   }
 
+  /** Forward as-of: each error matched to the NEXT click by the same
+    * user (mirror of q20's backward form; DuckDB ASOF with `<=` is the
+    * oracle).
+    */
+  private def q44AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    AsOfJoin.forward(errors, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("asof_ts").as("click_ts"),
+        col("asof_value").as("click_value"),
+        (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("gap_us"))
+  }
+
   /** Interval-overlap join (temporal overlap) over order-derived date
     * ranges — bucketized exactly-once pair emission, refiltered exact;
     * the oracle is the naive inequality join.
@@ -1135,6 +1153,7 @@ object SparkEntry {
     "q41_classified_ref" -> (q41ClassifiedRef _),
     "q42_spend_daily_ref" -> (q42SpendDailyRef _),
     "q43_interval_join" -> (q43IntervalJoin _),
+    "q44_asof_forward" -> (q44AsofForward _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1360,6 +1379,19 @@ object SparkEntry {
         |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+
+    "q44_asof_forward" ->
+      """WITH errors AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        |), clicks AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  c.ts AS click_ts,
+        |  c.value AS click_value,
+        |  epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts <= c.ts""".stripMargin,
 
     "q22_union_literal" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation

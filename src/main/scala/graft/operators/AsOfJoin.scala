@@ -52,4 +52,35 @@ object AsOfJoin {
       .select((left.columns.map(col) :+ col("__match.asof_ts").as("asof_ts")) ++
         rightVals.map(c => col(s"__match.asof_$c").as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row whose
+    * timestamp is ≥ the left row's (the "next event after" primitive —
+    * mirror of [[backward]], same one-shuffle union+window shape with the
+    * frame reversed). Ties (equal timestamps) match, per ASOF `<=`
+    * semantics; tied right rows resolve to the least value struct.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val rv = struct(
+      (col(rightTs).as("asof_ts") +: rightVals.map(c => col(c).as(s"asof_$c"))): _*)
+    val taggedRight = right.select(
+      keys.map(col) :+ col(rightTs).as("__ts") :+ lit(1).as("__side") :+ rv.as("__rv"): _*)
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(0)) // left BEFORE same-ts right rows, so
+                                    // the following-frame sees the tie
+      .withColumn("__rv", lit(null).cast(taggedRight.schema("__rv").dataType))
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    unioned
+      .withColumn("__match", first(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__ts", "__side", "__rv")
+      .select((left.columns.map(col) :+ col("__match.asof_ts").as("asof_ts")) ++
+        rightVals.map(c => col(s"__match.asof_$c").as(s"asof_$c")): _*)
+  }
 }

@@ -64,6 +64,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
   }
 
+  test("AsOfJoin.forward: earliest at-or-after match per key, null when none") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // next is 12:00 (09:30 is past)
+      (2L, "u1", ts("2024-01-01 12:00:00")), // equal ts → included
+      (3L, "u2", ts("2024-01-01 12:00:00"))) // nothing after → null
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 1.0),
+      ("u1", ts("2024-01-01 12:00:00"), 2.0),
+      ("u2", ts("2024-01-01 11:00:00"), 3.0))
+      .toDF("k", "t", "v")
+    val got = graft.operators.AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> None))
+  }
+
   test("TopPerGroup.top1 is deterministic under ties") {
     val df = Seq((1, "a", 10), (1, "b", 10), (2, "c", 5)).toDF("grp", "id", "score")
     val got = TopPerGroup.top1(df, Seq(col("grp")),
