@@ -321,8 +321,14 @@ object SparkEntry {
     val e = t(s, dir, "events")
     val errors = e.filter(col("event_type") === "error")
       .select("event_id", "user_id", "ts")
+    // One right row per (user_id, ts) BEFORE the join: DuckDB's ASOF pick
+    // among duplicate right timestamps is unspecified, so the compare is
+    // deterministic only if both sides dedup with the same rule. max()
+    // matches backward()'s own tie-break (greatest value struct wins), so
+    // this is a no-op on the engine's answer.
     val clicks = e.filter(col("event_type") === "click")
-      .select("user_id", "ts", "value")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
     AsOfJoin.backward(errors, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
       .select(
         col("event_id"), col("user_id"),
@@ -446,15 +452,23 @@ object SparkEntry {
   /** MinHash+LSH candidates verified by exact Jaccard — the production
     * near-dup operator end to end. The output is hash-independent (the
     * banding only proposes), so the DuckDB exact-pair SQL is a true oracle:
-    * a banding recall miss would drop a row and fail the compare. At 16
-    * bands × 4 rows, P(miss) for a J≥0.35 pair on this corpus is < 1e-7
-    * (and deterministic — same hashes every run).
+    * a banding recall miss would drop a row and fail the compare.
+    *
+    * Banding is 32 bands × 2 rows (64 hashes): P(propose) = 1-(1-J²)^32,
+    * i.e. ≈0.985 at the J=0.35 threshold boundary and ≥0.9999 at J≥0.5 —
+    * strictly higher recall per J than the former 16×4 config (whose
+    * J=0.35 proposal probability was only ~0.21; it held the oracle only
+    * because this corpus's true pairs are all high-J). Recall is not
+    * assumed: DedupSimilaritySpec asserts proposed ⊇ exact pairs on the
+    * test corpus, and the banding is deterministic (same hashes every
+    * run), so a recall miss can't appear nondeterministically at a
+    * verified scale.
     */
   private def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     Dedup.verifyPairsExact(d,
       Dedup.minhashLshPairs(d, "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.0),
+        n = 3, numHashes = 64, bands = 32, minEstJaccard = 0.0),
       "doc_id", "text", n = 3, threshold = 0.35)
   }
 
@@ -860,8 +874,7 @@ object SparkEntry {
     * loss/duplication in the write-upsert-read cycle breaks the hash.
     */
   private def q40Materialize(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
-    val tw = new graft.sources.TableWriter(wh)
+    val tw = new graft.sources.TableWriter(q40Scratch)
     val orders = t(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderstatus"))
@@ -873,6 +886,43 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_custs"),
         dsum2(col("o_totalprice")).as("total_price"))
+  }
+
+  /** One scratch warehouse per JVM, shared by every q40 invocation
+    * (materialize is an Overwrite — repeated runs are idempotent, so
+    * Bench's timing iterations no longer leak a partitioned copy of
+    * orders per run) and removed on JVM exit.
+    */
+  private lazy val q40Scratch: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+    dir.toString
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** Releases every session-lifetime cache this object holds: the shared
+    * persisted frames (d2 pairs, q32/q33 classified, q41/q42 real-seed
+    * classified) and the q40 scratch warehouse. Harmless mid-run (the
+    * frames rebuild on next use); call it when a Bench/Verify pass is done
+    * so a long-lived service embedding these queries doesn't accrete
+    * persisted RDDs.
+    */
+  def releaseSessionCaches(): Unit = {
+    (d2PairCache.values ++ classifiedCache.values ++ refClassifiedCache.values)
+      .foreach(df => df.unpersist(blocking = false))
+    d2PairCache.clear()
+    classifiedCache.clear()
+    refClassifiedCache.clear()
+    deleteTree(java.nio.file.Paths.get(q40Scratch))
   }
 
   /** The full classifier over the reference's REAL seed content (795
@@ -969,11 +1019,18 @@ object SparkEntry {
        |  FROM split
        |), freq AS (
        |  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+       |), kept AS (
+       |  SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+       |  FROM lines l JOIN freq f USING (line)
+       |  WHERE f.df <= $d21MaxDf
+       |  GROUP BY 1
        |)
-       |SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text
-       |FROM lines l JOIN freq f USING (line)
-       |WHERE f.df <= $d21MaxDf
-       |GROUP BY 1""".stripMargin
+       |-- left join back onto the doc list, mirroring the engine: a doc
+       |-- whose every line is boilerplate survives as an empty-text row
+       |-- on BOTH sides (not an artifact of the fixture keeping >=2 lines
+       |-- per doc)
+       |SELECT d.doc_id, COALESCE(k.text, '') AS text
+       |FROM docs d LEFT JOIN kept k USING (doc_id)""".stripMargin
   }
 
   /** Sequence packing (training prep): docs on a token tape in id order,
@@ -997,8 +1054,11 @@ object SparkEntry {
     val e = t(s, dir, "events")
     val errors = e.filter(col("event_type") === "error")
       .select("event_id", "user_id", "ts")
+    // q20's dedup rationale; min() matches forward()'s least-struct
+    // tie-break.
     val clicks = e.filter(col("event_type") === "click")
-      .select("user_id", "ts", "value")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("value")).as("value"))
     AsOfJoin.forward(errors, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
       .select(
         col("event_id"), col("user_id"),
@@ -1371,7 +1431,8 @@ object SparkEntry {
       """WITH errors AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
         |), clicks AS (
-        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        |  SELECT user_id, ts, max(value) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
         |)
         |SELECT e.event_id, e.user_id,
         |  c.ts AS click_ts,
@@ -1384,7 +1445,8 @@ object SparkEntry {
       """WITH errors AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
         |), clicks AS (
-        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        |  SELECT user_id, ts, min(value) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
         |)
         |SELECT e.event_id, e.user_id,
         |  c.ts AS click_ts,

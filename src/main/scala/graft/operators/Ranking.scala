@@ -40,9 +40,13 @@ object Ranking {
       else Option(df.select(percentile_approx(bucketKey.cast("double"),
           array(qs.map(lit): _*), lit(10000)).as("c"))
         .head().getSeq[Double](0)).getOrElse(Nil) // null ⇔ empty input
-    val bucketExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
-    }
+    // count-of-cuts-below as ONE aggregate() lambda over a constant-folded
+    // cutpoint array — the expression tree stays O(1) in numPartitions
+    // (an unrolled when-chain degrades codegen at thousands of buckets).
+    val bucketExpr =
+      if (cuts.isEmpty) lit(0)
+      else aggregate(array(cuts.map(lit): _*), lit(0),
+        (acc, c) => acc + when(bucketKey.cast("double") > c, 1).otherwise(0))
     df.withColumn("__rank_bucket", bucketExpr)
   }
 
@@ -59,9 +63,18 @@ object Ranking {
       sums.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
         .tail.zip(sums).map { case ((b, cum), (_, n)) => (b, cum - n) }
         .toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
-      when(col("__rank_bucket") === b, lit(off)).otherwise(acc)
-    }
+    // Buckets are dense ints in [0, numPartitions), so the offsets fold to
+    // a constant array indexed by bucket — an O(1) element_at per row with
+    // an O(1)-size expression tree, vs the O(buckets) when-chain this
+    // replaces (empty buckets get a 0 slot that is never looked up).
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else {
+        val dense = Array.fill(sums.map(_._1).max + 1)(0L)
+        offsets.foreach { case (b, off) => dense(b) = off }
+        element_at(array(dense.map(lit).toIndexedSeq: _*),
+          col("__rank_bucket") + 1)
+      }
     (offsetExpr, sums.map(_._2).sum)
   }
 

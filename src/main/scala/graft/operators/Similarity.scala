@@ -249,38 +249,48 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cand = candidates.select(
       col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
-    // deterministic codebook: exact per-dimension min/max over the corpus
-    // (one aggregate; 2×dim doubles to the driver, then literal-folded).
-    // The shape guard rides the same action: a null vector or a dim
-    // mismatch would otherwise NULL its dot products and silently rank
-    // those rows by id alone. count() ignores nothing, so nulls and
-    // wrong lengths are caught (min/max alone skip nulls).
-    val mmRow = cand.select(
-      count(lit(1)).as("n") +:
-        count(when(col("nbr_vec").isNull ||
-          size(col("nbr_vec")) =!= dim, 1)).as("bad") +:
-        (0 until dim).flatMap(d => Seq(
-          min(element_at(col("nbr_vec"), d + 1)).as(s"mn$d"),
-          max(element_at(col("nbr_vec"), d + 1)).as(s"mx$d"))): _*).head()
-    require(mmRow.getLong(0) > 0, "sq8TopK: empty candidate set")
-    require(mmRow.getLong(1) == 0,
-      s"sq8TopK dim=$dim but ${mmRow.getLong(1)} of ${mmRow.getLong(0)} " +
+    // Shape guard first: a null vector or a dim mismatch would otherwise
+    // NULL its dot products and silently rank those rows by id alone.
+    // count() ignores nothing, so nulls and wrong lengths are caught
+    // (min/max alone skip nulls).
+    val guard = cand.agg(
+      count(lit(1)).as("n"),
+      count(when(col("nbr_vec").isNull ||
+        size(col("nbr_vec")) =!= dim, 1)).as("bad")).head()
+    require(guard.getLong(0) > 0, "sq8TopK: empty candidate set")
+    require(guard.getLong(1) == 0,
+      s"sq8TopK dim=$dim but ${guard.getLong(1)} of ${guard.getLong(0)} " +
         "embeddings are null or a different length")
-    val mn = Array.tabulate(dim)(d => mmRow.getDouble(2 + 2 * d))
-    val mx = Array.tabulate(dim)(d => mmRow.getDouble(3 + 2 * d))
+    // Deterministic codebook: exact per-dimension min/max via ONE
+    // posexplode + 2-aggregate groupBy (dim groups; map-side combine
+    // shrinks each partition to dim rows before the shuffle). The
+    // previous form — 2×dim named aggregates in a single plan — generated
+    // codegen past JIT limits and cost ~10 s of compilation at dim=64.
+    val mmRows = cand
+      .select(posexplode(col("nbr_vec")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val mn = new Array[Double](dim)
+    val mx = new Array[Double](dim)
+    mmRows.foreach { r =>
+      val d = r.getInt(0); mn(d) = r.getDouble(1); mx(d) = r.getDouble(2)
+    }
 
     // encode→reconstruct composed: mn + floor((x-mn)/span*255 + 0.5)/255*span
-    val recon = array((0 until dim).map { d =>
-      val span = mx(d) - mn(d)
-      if (span == 0.0) lit(mn(d))
-      else {
-        val x = element_at(col("nbr_vec"), d + 1)
-        val code = least(greatest(
-          floor((x - lit(mn(d))) / lit(span) * lit(255.0) + lit(0.5)),
-          lit(0.0)), lit(255.0))
-        lit(mn(d)) + code / lit(255.0) * lit(span)
-      }
-    }: _*)
+    // — one small transform() lambda against literal-folded codebook arrays
+    // (identical arithmetic and operation order to the unrolled per-column
+    // form it replaces, so the output hash is unchanged).
+    val mnLit = array(mn.map(lit): _*)
+    val spanLit = array(mn.indices.map(d => lit(mx(d) - mn(d))): _*)
+    val recon = transform(col("nbr_vec"), (x, i) => {
+      val m = element_at(mnLit, i + 1)
+      val sp = element_at(spanLit, i + 1)
+      val code = least(greatest(
+        floor((x - m) / sp * lit(255.0) + lit(0.5)),
+        lit(0.0)), lit(255.0))
+      when(sp === lit(0.0), m)
+        .otherwise(m + code / lit(255.0) * sp)
+    })
 
     val encoded = cand.withColumn("approx_vec", recon)
       .withColumn("approx_norm", VectorFns.norm(col("approx_vec")))

@@ -120,6 +120,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sq8 == key(Similarity.sq8TopK(e, queries, k = 5)))
   }
 
+  test("d3 banding (32 bands x 2 rows) proposes every exact pair on the corpus") {
+    // recall is ASSERTED at the verified scale, not assumed: at 32x2 a
+    // pair at the J=0.35 oracle threshold is proposed with p ~ 0.985 per
+    // band-set draw (deterministic hashes — the draw happened once), so
+    // this subset check is what actually licenses d3's exact-pair oracle
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val proposed = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, minEstJaccard = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+        n = 3, threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(proposed),
+      s"banding missed true pairs: ${(exact -- proposed).take(5)}")
+    assert(exact.nonEmpty) // the check bites: the corpus has true pairs
+  }
+
   test("minhashLshPairs surfaces the exact-dup pair with est 1.0") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5)

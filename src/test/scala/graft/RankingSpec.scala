@@ -110,6 +110,29 @@ class RankingSpec extends SparkSpec {
     assert(byPos(100000L) == sorted.last._2)
   }
 
+  test("bucket machinery stays flat and correct at 4096 buckets") {
+    // thousands of partitions is the cluster-scale regime: the bucket
+    // assignment must be ONE aggregate() over a folded cutpoint array and
+    // the offsets ONE element_at into a folded dense array — not a
+    // 4096-arm when-chain that degrades codegen with the bucket count
+    val big = (1 to 20000)
+      .map(i => (i.toLong, (i * 48271L % 19997L).toDouble))
+      .toDF("id", "v")
+    val (pos, total) = Ranking.globalPosition(big, col("v"),
+      Seq(col("v").asc, col("id").asc), "pos", 4096)
+    assert(total == 20000L)
+    val got = pos.select("id", "pos").as[(Long, Long)].collect()
+      .map(_.swap).toMap
+    val sorted = (1 to 20000).map(i => ((i * 48271L % 19997L), i.toLong)).sorted
+    assert(got.size == 20000 && got(1L) == sorted.head._2 &&
+      got(20000L) == sorted.last._2)
+    val plan = pos.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"))
+    // O(1)-size expression tree: a when-chain form would print thousands
+    // of CASE WHEN arms here
+    assert(plan.sliding(9).count(_ == "CASE WHEN") < 20, "when-chain plan")
+  }
+
   test("the distributed plan has no single-partition exchange") {
     val (pos, total) = Ranking.globalPosition(df, col("v"), keys, "pos", 8)
     val out = pos.select(col("id"),
