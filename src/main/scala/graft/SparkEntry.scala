@@ -1089,6 +1089,41 @@ object SparkEntry {
           .as("overlap_days"))
   }
 
+  // ---------------------------------------------------------------- q45/q46
+  /** The REAL streaming path under the DuckDB oracle: events consumed via
+    * `readStream` (file source), sessionized by the SAME
+    * EventsOps.sessionStats the batch q16 uses, run to convergence in
+    * complete mode (StreamOracle.converge — the converged sink provably
+    * equals the batch aggregation on a finite source), and hash-matched
+    * against q16's session SQL. Exercises the streaming planner, the
+    * session-window state store with session merging, and incremental
+    * execution — q14/q15/q16 check the transformation logic in batch;
+    * THIS checks the streaming runtime computes the same answer.
+    */
+  private def q45StreamSessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOracle.converge(
+      EventsOps.sessionStats(
+        graft.sources.Tables.loadStream(s, dir, "events"), "30 minutes"),
+      "q45_stream_sessions_sink")
+      .select("user_id", "session_start", "n_events", "sum_value")
+
+  /** Streaming tumbling-window aggregation to convergence (q14's windowed
+    * shape minus the exact-distinct, which the streaming planner rejects by
+    * design — approx_count_distinct is the streaming path and is checked in
+    * EventsOpsSpec; the oracle-checked columns here are the deterministic
+    * counts and decimal sums).
+    */
+  private def q46StreamHourly(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.loadStream(s, dir, "events")
+    graft.streaming.StreamOracle.converge(
+      e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum2(col("value")).as("sum_value")),
+      "q46_stream_hourly_sink")
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Multimodal decode under oracle check: real PNG/WAV payloads
     * encoded from single-sourced parameters, decoded by the REAL codecs
     * (ImageIOCodec / JavaSoundCodec), with fixture shapes chosen so the
@@ -1214,6 +1249,8 @@ object SparkEntry {
     "q42_spend_daily_ref" -> (q42SpendDailyRef _),
     "q43_interval_join" -> (q43IntervalJoin _),
     "q44_asof_forward" -> (q44AsofForward _),
+    "q45_stream_sessions" -> (q45StreamSessions _),
+    "q46_stream_hourly" -> (q46StreamHourly _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1407,6 +1444,29 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    // q45 converges the REAL readStream session path to the SAME answer as
+    // batch q16, so it shares q16's oracle text verbatim
+    "q45_stream_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE
+        |      THEN 0 ELSE 1 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q46_stream_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q17_sql_ordinals" ->
       """SELECT p_brand,

@@ -32,6 +32,34 @@ object Tables {
     }
   }
 
+  /** Streaming read of the same table — identical schema and `events` nano
+    * handling as [[load]], so a streaming query and its batch twin consume
+    * byte-identical rows. The file stream source lists directories, so the
+    * single parquet file is staged behind a symlink dir (created once per
+    * JVM per table path).
+    */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    val staged = stageDirs.getOrElseUpdate(path, {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-stream-$name")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(s"$name.parquet"), java.nio.file.Paths.get(path))
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+    val raw = spark.readStream.schema(schema).parquet(staged)
+    if (name == "events")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  private val stageDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Seed ingest (reference `dbt seed`, SURVEY §2.1 S2): header CSV with an
     * explicit schema, empty strings as nulls — matching dbt's agate loader
     * behavior on the reference seed CSVs.
