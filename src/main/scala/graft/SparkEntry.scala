@@ -1140,10 +1140,19 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** IVF with TRAINED centroids: deterministic Lloyd's k-means (stride
+    * init, fixed iteration count, exact decimal means — every arithmetic
+    * step engine-replayable) feeding the inverted-list probe. The oracle
+    * replays the whole thing: v3OracleSql unrolls the same `ivfIters`
+    * assignment/mean rounds as CTEs, so the trained quantizer itself is
+    * under the hash compare, not just the probe phase.
+    */
+  private val ivfIters = 3
   private def v3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
-        centroidStride = 97L, nprobe = 2)
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
+    Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") < 8), k = 5,
+        centroids = cents, nprobe = 2)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -1558,41 +1567,7 @@ object SparkEntry {
         |FROM events JOIN bands ON value >= lo AND value <= hi
         |GROUP BY 1, 2""".stripMargin,
 
-    "v3_ann_ivf" ->
-      """WITH c AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), cent AS (
-        |  SELECT vec_id AS cent_id, v AS cv,
-        |    SQRT(list_dot_product(v, v)) AS cn
-        |  FROM c WHERE vec_id % 97 = 0
-        |), assigned AS (
-        |  SELECT nbr_id, nbr_vec, cent_id FROM (
-        |    SELECT c.vec_id AS nbr_id, c.v AS nbr_vec, cent.cent_id,
-        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-        |        list_dot_product(c.v, cent.cv) / (SQRT(list_dot_product(c.v, c.v)) * cent.cn) DESC,
-        |        cent.cent_id ASC) AS rn
-        |    FROM c CROSS JOIN cent
-        |  ) WHERE rn = 1
-        |), probes AS (
-        |  SELECT query_id, q_vec, cent_id FROM (
-        |    SELECT c.vec_id AS query_id, c.v AS q_vec, cent.cent_id,
-        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-        |        list_dot_product(c.v, cent.cv) / (SQRT(list_dot_product(c.v, c.v)) * cent.cn) DESC,
-        |        cent.cent_id ASC) AS rn
-        |    FROM c CROSS JOIN cent WHERE c.vec_id < 8
-        |  ) WHERE rn <= 2
-        |), scored AS (
-        |  SELECT p.query_id, a.nbr_id,
-        |    list_dot_product(p.q_vec, a.nbr_vec)
-        |      / (SQRT(list_dot_product(p.q_vec, p.q_vec)) * SQRT(list_dot_product(a.nbr_vec, a.nbr_vec))) AS sim
-        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
-        |  WHERE a.nbr_id <> p.query_id
-        |)
-        |SELECT query_id, nbr_id, rank FROM (
-        |  SELECT query_id, nbr_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
-        |  FROM scored
-        |) WHERE rank <= 5""".stripMargin,
+    "v3_ann_ivf" -> v3OracleSql,
 
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -1953,6 +1928,77 @@ object SparkEntry {
        |    CAST(SUM(CASE WHEN list_dot_product(c.v, pl.p) >= 0 THEN 1 << pl.pid ELSE 0 END) AS BIGINT) AS bucket
        |  FROM c CROSS JOIN planes pl GROUP BY c.vec_id
        |)""".stripMargin
+  }
+
+  /** v3 oracle: the trained-IVF query INCLUDING its k-means training,
+    * replayed end to end. cent0 is the stride init; each Lloyd round is an
+    * unrolled CTE pair (asgN: argmax-cosine assignment; centN: exact
+    * per-dimension decimal means cast to double — order-independent, so
+    * Spark's distributed sums and DuckDB's serial sums agree bitwise; an
+    * emptied cluster keeps its previous centroid via the left join). The
+    * final probe/rerank phase is the same shape the stride oracle used.
+    */
+  private def v3OracleSql: String = {
+    val rounds = (1 to ivfIters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""|), asg$i AS (
+          |  SELECT cent_id, nbr_vec FROM (
+          |    SELECT ct.cent_id, c.v AS nbr_vec,
+          |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+          |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
+          |        ct.cent_id ASC) AS rn
+          |    FROM c CROSS JOIN $prev ct
+          |  ) WHERE rn = 1
+          |), cent$i AS (
+          |  SELECT p.cent_id,
+          |    COALESCE(n.cv, p.cv) AS cv,
+          |    SQRT(list_dot_product(COALESCE(n.cv, p.cv), COALESCE(n.cv, p.cv))) AS cn
+          |  FROM $prev p LEFT JOIN (
+          |    SELECT cent_id, LIST(m ORDER BY d) AS cv FROM (
+          |      SELECT cent_id, d,
+          |        CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+          |      FROM (SELECT cent_id, UNNEST(nbr_vec) AS x,
+          |              UNNEST(range(1, len(nbr_vec) + 1)) AS d FROM asg$i)
+          |      GROUP BY 1, 2
+          |    ) GROUP BY 1
+          |  ) n USING (cent_id)""".stripMargin
+    }.mkString("\n")
+    val cf = s"cent$ivfIters"
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cent0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv,
+       |    SQRT(list_dot_product(v, v)) AS cn
+       |  FROM c WHERE vec_id % 97 = 0
+       |$rounds
+       |), assigned AS (
+       |  SELECT nbr_id, nbr_vec, cent_id FROM (
+       |    SELECT c.vec_id AS nbr_id, c.v AS nbr_vec, ct.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
+       |        ct.cent_id ASC) AS rn
+       |    FROM c CROSS JOIN $cf ct
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, q_vec, cent_id FROM (
+       |    SELECT c.vec_id AS query_id, c.v AS q_vec, ct.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
+       |        ct.cent_id ASC) AS rn
+       |    FROM c CROSS JOIN $cf ct WHERE c.vec_id < 8
+       |  ) WHERE rn <= 2
+       |), scored AS (
+       |  SELECT p.query_id, a.nbr_id,
+       |    list_dot_product(p.q_vec, a.nbr_vec)
+       |      / (SQRT(list_dot_product(p.q_vec, p.q_vec)) * SQRT(list_dot_product(a.nbr_vec, a.nbr_vec))) AS sim
+       |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+       |  WHERE a.nbr_id <> p.query_id
+       |)
+       |SELECT query_id, nbr_id, rank FROM (
+       |  SELECT query_id, nbr_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= 5""".stripMargin
   }
 
   private def v2OracleSql: String = {

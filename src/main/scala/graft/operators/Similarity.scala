@@ -123,6 +123,107 @@ object Similarity {
       .select("query_id", "nbr_id", "rank")
   }
 
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer. Init =
+    * the stride-selected vectors (the previous quantizer), then `iters`
+    * assignment/mean rounds under the cosine metric. Every arithmetic step
+    * is bit-reproducible across engines so a SQL oracle can replay the
+    * whole training: per-dimension means are computed as
+    * CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) — the
+    * decimal sum is EXACT and therefore summation-order-independent (a
+    * plain double mean would depend on partitioning and could never
+    * hash-match). An iteration is one broadcast join + one narrow
+    * aggregate over (cluster, dim) — at 100 TB each round is a single
+    * pass, and `iters` is a small constant. Clusters that lose every
+    * point keep their previous centroid.
+    *
+    * Returns (cent_id, vector) sorted by cent_id — tiny (K×dim), collected
+    * to the driver and folded into literals exactly like v2's planes.
+    */
+  def trainIvfCentroids(candidates: DataFrame, initStride: Long, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+    var cents: Seq[(Long, Seq[Double])] = candidates
+      .filter(col(idCol) % initStride === 0)
+      .select(col(idCol), VectorFns.toDouble(col(vecCol)))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(cents.toDF("cent_id", "cent_vec")
+        .withColumn("cent_norm", VectorFns.norm(col("cent_vec"))))
+      val w = Window.partitionBy(col("nbr_id"))
+        .orderBy(col("cent_sim").desc, col("cent_id").asc)
+      val assigned = cand.join(centDf)
+        .withColumn("cent_sim", VectorFns.cosinePre(
+          VectorFns.dot(col("nbr_vec"), col("cent_vec")),
+          VectorFns.norm(col("nbr_vec")), col("cent_norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), col("nbr_vec"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("nbr_vec")).as(Seq("d", "x")))
+        .groupBy(col("cent_id"), col("d"))
+        .agg((sum(col("x").cast("decimal(27,18)")).cast("double") /
+          count(lit(1))).as("m"))
+        .as[(Long, Int, Double)].collect()
+      val byCent = means.groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+      // a cluster that captured no points keeps its previous centroid
+      cents = cents.map { case (cid, prev) => (cid, byCent.getOrElse(cid, prev)) }
+    }
+    cents
+  }
+
+  /** IVF top-k against an EXPLICIT centroid set (the trained-quantizer
+    * form of [[ivfTopK]]): centroids arrive as driver-side literals — the
+    * output of [[trainIvfCentroids]] — so the query plan embeds them as a
+    * broadcast literal relation, identical in shape to the stride form.
+    */
+  def ivfTopKWithCentroids(candidates: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+      .withColumn("nbr_norm", VectorFns.norm(col("nbr_vec")))
+    val cents = centroids.toDF("cent_id", "cent_vec")
+      .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
+
+    def nearestCentroids(df: DataFrame, vec: String, norm: String, id: String,
+        n: Int): DataFrame = {
+      val scored = df.join(broadcast(cents))
+        .withColumn("cent_sim", VectorFns.cosinePre(
+          VectorFns.dot(col(vec), col("cent_vec")), col(norm), col("cent_norm")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cent_sim").desc, col("cent_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("cent_vec", "cent_norm", "cent_sim", "crank")
+    }
+
+    val assigned = nearestCentroids(cand, "nbr_vec", "nbr_norm", "nbr_id", 1)
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+    val probes = nearestCentroids(qs, "q_vec", "q_norm", "query_id", nprobe)
+
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("nbr_vec")),
+        col("q_norm"), col("nbr_norm")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
+
   /** Multi-probe sign-LSH top-k: each query probes every bucket within
     * Hamming distance `probeHamming` of its own bucket (the standard
     * multi-probe trick — recall of distant-but-true neighbors without

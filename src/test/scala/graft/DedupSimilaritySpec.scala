@@ -120,6 +120,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sq8 == key(Similarity.sq8TopK(e, queries, k = 5)))
   }
 
+  test("trained IVF: deterministic k-means, recall vs exact top-k not below stride") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 8)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val exact = key(Similarity.bruteForceTopK(e, queries, k = 5))
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
+    // training is fully deterministic (decimal means, tie-broken argmax):
+    // byte-identical centroids on a re-run — the property the oracle
+    // replay depends on
+    assert(cents == Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3))
+    val trained = key(Similarity.ivfTopKWithCentroids(e, queries, k = 5,
+      centroids = cents, nprobe = 2))
+    val stride = key(Similarity.ivfTopK(e, queries, k = 5,
+      centroidStride = 97L, nprobe = 2))
+    val rTrained = (exact intersect trained).size.toDouble / exact.size
+    val rStride = (exact intersect stride).size.toDouble / exact.size
+    // Lloyd rounds should not DEGRADE the quantizer it was seeded with
+    assert(rTrained >= rStride - 1e-9,
+      s"trained recall $rTrained < stride recall $rStride")
+    assert(rTrained >= 0.5, s"trained recall@5 = $rTrained")
+  }
+
   test("d3 banding (32 bands x 2 rows) proposes every exact pair on the corpus") {
     // recall is ASSERTED at the verified scale, not assumed: at 32x2 a
     // pair at the J=0.35 oracle threshold is proposed with p ~ 0.985 per
