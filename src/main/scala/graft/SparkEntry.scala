@@ -1230,6 +1230,8 @@ object SparkEntry {
     "d18_jaccard_prefix" -> (d18JaccardPrefix _),
     "d19_decontaminate" -> (d19Decontaminate _),
     "d20_media_features" -> (d20MediaFeatures _),
+    "d23_video_features" -> ((s: SparkSession, _: String) =>
+      graft.models.MediaFixture.videoFeatures(s)),
     "d21_line_dedup" -> (d21LineDedup _),
     "d22_seq_packing" -> (d22SeqPacking _),
     "d14_length_filter" -> (d14LengthFilter _),
@@ -1807,6 +1809,7 @@ object SparkEntry {
     "v1_ann_bruteforce" -> v1OracleSql,
     "v5_ann_sq8" -> v5OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
+    "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 
     "d22_seq_packing" ->
       """WITH toks AS (

@@ -84,6 +84,124 @@ object MediaFixture {
     imgs.unionByName(auds)
   }
 
+  // ------------------------------------------------------- video (d23)
+
+  /** (media_id, n_frames) for the video rows — several shorter than the
+    * 4-frame sampling below, so index clamping is exercised under oracle.
+    */
+  val videoParams: Seq[(Long, Int)] =
+    (0 until 20).map(i => (200L + i, 2 + (i % 4)))
+
+  /** Frame f of video id is a solid (r, g, b) — the closed form both the
+    * Spark fixture and the oracle VALUES compute.
+    */
+  def videoRgb(id: Long, f: Int): (Int, Int, Int) =
+    (((id * 29 + f * 17) % 256).toInt, ((id * 43 + f * 7) % 256).toInt,
+      ((id * 11 + f * 53) % 256).toInt)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def cc(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    cc(id) ++ le32(data.length.toLong) ++ data ++ pad
+  }
+  private def list(listType: String, data: Array[Byte]): Array[Byte] =
+    chunk("LIST", cc(listType) ++ data)
+
+  /** Solid-color 24-bit BI_RGB DIB raster: bottom-up BGR rows padded to 4
+    * bytes (trivially uniform for a solid frame).
+    */
+  private def dibFrame(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = y * stride + x * 3
+        out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Minimal valid AVI container around pre-encoded frame chunks: RIFF →
+    * hdrl (avih + one strl with strh/strf) → movi. `compression` 0 writes
+    * '00db' BI_RGB chunks; fourcc 'MJPG' writes '00dc' JPEG chunks.
+    */
+  private[graft] def buildAvi(w: Int, h: Int, frameChunks: Seq[Array[Byte]],
+      handler: String, compression: Int): Array[Byte] = {
+    val n = frameChunks.length
+    val avih = le32(40000L) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++
+      le32(n.toLong) ++ le32(0L) ++ le32(1L) ++ le32(0L) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
+    val strh = cc("vids") ++ cc(handler) ++ le32(0L) ++ le32(0L) ++
+      le32(0L) ++ le32(1L) ++ le32(25L) ++ le32(0L) ++ le32(n.toLong) ++
+      le32(0L) ++ le32(0L) ++ le32(0L) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val strf = le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++
+      le16(24) ++ le32(compression.toLong) ++ le32((stride * h).toLong) ++
+      le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameId = if (compression == 0) "00db" else "00dc"
+    val movi = list("movi", frameChunks.flatMap(f => chunk(frameId, f)).toArray)
+    chunk("RIFF", cc("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** The 16×16 solid-DIB AVI payload for video `id`. */
+  private[graft] def solidAvi(id: Long, nFrames: Int): Array[Byte] =
+    buildAvi(16, 16,
+      (0 until nFrames).map { f =>
+        val (r, g, b) = videoRgb(id, f)
+        dibFrame(16, 16, r, g, b)
+      },
+      handler = "DIB ", compression = 0)
+
+  /** Frames sampled per video by d23 (more than some videos have). */
+  val videoSampleFrames: Int = 4
+
+  /** The d23 frame: real AVI containers (built by the fixture's own RIFF
+    * writer), really parsed and decoded by [[graft.operators.Multimodal
+    * .AviDecoder]] via sampleFrames, one luminance feature per sampled
+    * frame. MJPEG is exercised raster-exactly in MultimodalSpec (a lossy
+    * JPEG round-trip has no closed form for an oracle; BI_RGB does).
+    */
+  def videoFeatures(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val vids = videoParams.toDF("media_id", "n_frames")
+      .withColumn("bytes",
+        udf((id: Long, n: Int) => solidAvi(id, n))
+          .apply(col("media_id"), col("n_frames")))
+    Multimodal.sampleFrames(vids, videoSampleFrames, Multimodal.ImageIOCodec)
+      .withColumn("feats",
+        Multimodal.imageFeatureCol(col("frame_bytes"), 256, Multimodal.ImageIOCodec))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        element_at(col("feats"), 1).as("feat"))
+  }
+
+  def videoOracleSql: String = {
+    val rows = videoParams.flatMap { case (id, n) =>
+      (0 until videoSampleFrames).map { f =>
+        val (r, g, b) = videoRgb(id, math.min(f, n - 1)) // clamped sampling
+        s"($id, $f, $r, $g, $b)"
+      }
+    }.mkString(",\n    ")
+    s"""SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST((0.299 * r + 0.587 * g + 0.114 * b) / 255.0 AS FLOAT) AS feat
+       |FROM (VALUES
+       |    $rows) AS t(media_id, frame_idx, r, g, b)""".stripMargin
+  }
+
   // ------------------------------------------------------- oracle SQL
 
   def oracleSql: String = {

@@ -10,15 +10,18 @@ import org.apache.spark.sql.types._
   * per-partition transformations.
   *
   * The Spark-side plumbing — schema, partition sizing, batch iteration shape,
-  * deterministic outputs — is real and tested. The IMAGE path is a real
-  * codec ([[ImageIOCodec]]: JDK javax.imageio JPEG/PNG decode, bilinear
-  * resize, luminance-grid features) and so is the PCM AUDIO path
-  * ([[JavaSoundCodec]]: JDK javax.sound.sampled WAV/AIFF/AU decode, RMS +
-  * zero-crossing features) — both dependency-free. VIDEO decodes for real
-  * when the container is a GIF (multi-frame compositing with offsets and
-  * disposal, single sequential pass); other video containers still fall to
-  * the `FakeCodec` STUB — the JDK ships no general video decoder, and a
-  * real deployment swaps one in behind the same `Codec` trait.
+  * deterministic outputs — is real and tested, and so are all three decode
+  * paths, dependency-free on the JDK: IMAGE via [[ImageIOCodec]]
+  * (javax.imageio JPEG/PNG decode, bilinear resize, luminance-grid
+  * features), PCM AUDIO via [[JavaSoundCodec]] (javax.sound.sampled
+  * WAV/AIFF/AU decode, RMS + zero-crossing features), and VIDEO via GIF
+  * (multi-frame compositing with offsets and disposal, single sequential
+  * pass) or AVI ([[AviDecoder]]: RIFF container walk; MJPEG frames decode
+  * through javax.imageio, uncompressed BI_RGB DIB frames through a raw
+  * raster reader). A container none of those cover (MP4/WebM — their
+  * codecs need a native library) throws a clear error rather than
+  * producing fake output; a wider decoder slots in behind the same
+  * `Codec` trait.
   */
 object Multimodal {
 
@@ -54,9 +57,9 @@ object Multimodal {
   /** Real image codec on the JDK's built-in javax.imageio — decodes
     * JPEG/PNG/BMP/GIF payloads, extracts a luminance-grid feature vector,
     * and resizes via bilinear Graphics2D re-encode (PNG out, lossless and
-    * byte-deterministic for a given raster). Video frames fall back to
-    * [[FakeCodec]] — the JDK ships no video decoder; that half of the
-    * trait is the remaining stub.
+    * byte-deterministic for a given raster). Video payloads decode when
+    * the container is a GIF (composited here) or an AVI ([[AviDecoder]]);
+    * anything else throws.
     */
   object ImageIOCodec extends Codec {
     private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
@@ -226,18 +229,147 @@ object Multimodal {
       }
     }
 
-    /** GIF payloads decode for real; any other container still falls back
-      * to [[FakeCodec]] — the JDK ships no general video decoder.
-      */
     def videoFrame(bytes: Array[Byte], frameIdx: Int): Array[Byte] =
-      if (isGif(bytes)) gifFrames(bytes, Array(frameIdx))(0)
-      else FakeCodec.videoFrame(bytes, frameIdx)
+      videoFrames(bytes, Array(frameIdx))(0)
 
     override def videoFrames(bytes: Array[Byte],
         frameIdxs: Array[Int]): Array[Array[Byte]] =
       if (frameIdxs.isEmpty) Array.empty
       else if (isGif(bytes)) gifFrames(bytes, frameIdxs)
-      else frameIdxs.map(FakeCodec.videoFrame(bytes, _))
+      else if (AviDecoder.isAvi(bytes)) AviDecoder.frames(bytes, frameIdxs)
+      else throw new IllegalArgumentException(
+        s"no pure-JVM decoder for this video container " +
+          s"(${bytes.length} bytes; GIF and AVI MJPEG/DIB are supported — " +
+          "MP4/WebM need a native-codec-backed Codec implementation)")
+  }
+
+  /** Pure-JVM AVI (RIFF) video decoder: one walk over the chunk tree
+    * collects the video stream's BITMAPINFOHEADER and the ordered frame
+    * chunks ('NNdb'/'NNdc' for stream NN, including inside 'rec ' lists);
+    * frames then decode by compression — 'MJPG' frames are JPEG payloads
+    * (javax.imageio), BI_RGB (compression 0) frames are raw bottom-up
+    * BGR rasters with 4-byte row alignment. AVI frames are full frames
+    * (no inter-frame deltas in these codecs), so unlike GIF there is no
+    * compositing pass; requested indexes past the last frame clamp to it,
+    * matching the GIF path's deterministic tail sampling. Frames return
+    * PNG-encoded, same contract as the GIF path.
+    */
+  private[operators] object AviDecoder {
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+    private def i32(b: Array[Byte], off: Int): Int = u32(b, off).toInt
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    private def fourccOf(v: Int): String = new String(Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+    def isAvi(b: Array[Byte]): Boolean =
+      b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
+
+    private final case class Fmt(width: Int, height: Int, bitCount: Int,
+        compression: Int)
+
+    /** (video format, frame chunk [start, end) ranges in stream order). */
+    private def scan(b: Array[Byte]): (Fmt, Vector[(Int, Int)]) = {
+      var streamIdx = -1 // counts 'strl' lists; stream N's chunks are "NNd?"
+      var videoStream = -1
+      var awaitingVidsFmt = false
+      var fmt: Fmt = null
+      val frames = Vector.newBuilder[(Int, Int)]
+
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(b, off)
+          val size = u32(b, off + 4).toInt
+          val dataStart = off + 8
+          val dataEnd = math.min(end, dataStart + size)
+          if (id == "LIST" && dataEnd >= dataStart + 4) {
+            if (fourcc(b, dataStart) == "strl") {
+              streamIdx += 1; awaitingVidsFmt = false
+            }
+            walk(dataStart + 4, dataEnd)
+          } else if (id == "strh") {
+            if (dataEnd >= dataStart + 4 && fourcc(b, dataStart) == "vids" &&
+                videoStream < 0) {
+              videoStream = streamIdx
+              awaitingVidsFmt = true
+            }
+          } else if (id == "strf") {
+            if (awaitingVidsFmt && fmt == null && dataEnd >= dataStart + 20) {
+              fmt = Fmt(i32(b, dataStart + 4), i32(b, dataStart + 8),
+                u16(b, dataStart + 14), i32(b, dataStart + 16))
+              awaitingVidsFmt = false
+            }
+          } else if (videoStream >= 0 && id.startsWith(f"$videoStream%02d") &&
+              (id.endsWith("db") || id.endsWith("dc"))) {
+            frames += ((dataStart, dataEnd))
+          }
+          off = dataStart + size + (size & 1) // chunks pad to even length
+        }
+      }
+      walk(12, b.length)
+      require(fmt != null, "AVI payload has no video stream format (strf)")
+      (fmt, frames.result())
+    }
+
+    /** Raw BI_RGB DIB: bottom-up (top-down when biHeight < 0) BGR rows,
+      * each padded to a 4-byte boundary; 24- and 32-bit depths.
+      */
+    private def decodeDib(b: Array[Byte], start: Int, fmt: Fmt):
+        java.awt.image.BufferedImage = {
+      val w = fmt.width
+      val h = math.abs(fmt.height)
+      val bottomUp = fmt.height > 0
+      require(fmt.bitCount == 24 || fmt.bitCount == 32,
+        s"unsupported DIB depth ${fmt.bitCount} (24/32-bit BI_RGB decode)")
+      val px = fmt.bitCount / 8
+      val stride = ((w * px + 3) / 4) * 4
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var sy = 0
+      while (sy < h) {
+        val y = if (bottomUp) h - 1 - sy else sy
+        var x = 0
+        while (x < w) {
+          val o = start + sy * stride + x * px
+          img.setRGB(x, y,
+            ((b(o + 2) & 0xFF) << 16) | ((b(o + 1) & 0xFF) << 8) | (b(o) & 0xFF))
+          x += 1
+        }
+        sy += 1
+      }
+      img
+    }
+
+    def frames(b: Array[Byte], frameIdxs: Array[Int]): Array[Array[Byte]] = {
+      val (fmt, chunks) = scan(b)
+      require(chunks.nonEmpty, "AVI payload has no video frames")
+      val last = chunks.length - 1
+      def clamp(i: Int): Int = math.max(0, math.min(i, last))
+      val decoded = frameIdxs.map(clamp).distinct.map { i =>
+        val (s, e) = chunks(i)
+        val img =
+          if (fmt.compression == 0) decodeDib(b, s, fmt)
+          else if (fourccOf(fmt.compression) == "MJPG") {
+            val im = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b, s, e - s))
+            require(im != null, s"AVI MJPG frame $i did not decode")
+            im
+          } else throw new IllegalArgumentException(
+            s"unsupported AVI video codec '${fourccOf(fmt.compression)}' " +
+              "(MJPG and BI_RGB DIB decode pure-JVM)")
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        i -> bos.toByteArray
+      }.toMap
+      frameIdxs.map(i => decoded(clamp(i)))
+    }
   }
 
   // ------------------------------------------------------------- audio
@@ -353,52 +485,12 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic fake, now scoped to the VIDEO modality
-    * (images decode via [[ImageIOCodec]], PCM audio via [[JavaSoundCodec]]):
-    * features are seeded by a rolling hash of the payload; resize re-headers
-    * the payload; frames are byte slices. Replace with a JNI/javacpp-backed
-    * decoder in a real deployment.
-    */
-  object FakeCodec extends Codec {
-    private def hash64(bytes: Array[Byte], seed: Long): Long = {
-      var h = seed ^ 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < bytes.length) {
-        h = (h ^ bytes(i)) * 0x100000001B3L
-        i += 1
-      }
-      h
-    }
-    def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
-      var i = 0
-      while (i < dim) {
-        val h = hash64(bytes, i.toLong)
-        out(i) = (h % 1000L) / 1000.0f
-        i += 1
-      }
-      out
-    }
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      // STUB: a real implementation re-encodes; the fake keeps a size-
-      // proportional prefix so downstream size accounting stays meaningful.
-      val keep = math.max(4, math.min(bytes.length, (w.toLong * h / 64).toInt))
-      java.util.Arrays.copyOf(bytes, keep)
-    }
-    def videoFrame(bytes: Array[Byte], frameIdx: Int): Array[Byte] = {
-      if (bytes.isEmpty) return bytes
-      val n = math.max(1, bytes.length / 16)
-      val start = math.min(bytes.length - 1, frameIdx * n)
-      java.util.Arrays.copyOfRange(bytes, start, math.min(bytes.length, start + n))
-    }
-  }
-
   /** Feature extraction: binary → `array<float>` embedding column. Runs as a
     * deterministic UDF over the payload — one pass, no shuffle; the scan's
     * partitioning carries through, so this parallelizes exactly like the
     * underlying file layout.
     */
-  def imageFeatureCol(bytes: Column, dim: Int, codec: Codec = FakeCodec): Column = {
+  def imageFeatureCol(bytes: Column, dim: Int, codec: Codec = ImageIOCodec): Column = {
     val f = udf((b: Array[Byte]) =>
       if (b == null) null else codec.imageFeatures(b, dim))
     f(bytes)
@@ -424,7 +516,7 @@ object Multimodal {
   }
 
   /** Resize: payload → payload, metadata struct updated in the same pass. */
-  def resize(df: DataFrame, w: Int, h: Int, codec: Codec = FakeCodec): DataFrame = {
+  def resize(df: DataFrame, w: Int, h: Int, codec: Codec = ImageIOCodec): DataFrame = {
     val f = udf((b: Array[Byte]) => if (b == null) null else codec.resize(b, w, h))
     df.withColumn("bytes", f(col("bytes")))
       .withColumn("meta", col("meta")
@@ -435,7 +527,7 @@ object Multimodal {
     * posexplode keeps it a Generate — no shuffle; downstream per-frame work
     * inherits the scan partitioning × frames-per-video fan-out.
     */
-  def sampleFrames(df: DataFrame, nFrames: Int, codec: Codec = FakeCodec): DataFrame = {
+  def sampleFrames(df: DataFrame, nFrames: Int, codec: Codec = ImageIOCodec): DataFrame = {
     val f = udf((b: Array[Byte]) =>
       if (b == null) Array.empty[Array[Byte]]
       else codec.videoFrames(b, Array.tabulate(nFrames)(identity)))

@@ -7,11 +7,23 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Real solid-color PNG payload. */
+  def solidPngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // every payload REAL and decodable — the codecs have no fake fallback
   def mediaDf = {
     val rows = Seq(
-      Row(1L, "image", "image/png", Array.fill[Byte](256)(7), Row(64, 64, null, null)),
-      Row(2L, "image", "image/png", Array.fill[Byte](64)(9), Row(16, 16, null, null)),
-      Row(3L, "video", "video/mp4", Array.tabulate[Byte](160)(_.toByte), Row(null, null, 5000L, null)))
+      Row(1L, "image", "image/png", solidPngBytes(64, 64, 0x808080), Row(64, 64, null, null)),
+      Row(2L, "image", "image/png", solidPngBytes(16, 16, 0x112233), Row(16, 16, null, null)),
+      Row(3L, "video", "video/x-msvideo",
+        graft.models.MediaFixture.solidAvi(1L, 4), Row(null, null, 160L, null)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
   }
@@ -72,8 +84,10 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize updates payload and metadata struct in one pass") {
     val r = Multimodal.resize(mediaDf.filter(col("media_id") === 1L), 32, 32)
-      .select(length(col("bytes")), col("meta.width"), col("meta.height")).head()
-    assert(r.getInt(0) == 16) // 32*32/64 stub size
+      .select(col("bytes"), col("meta.width"), col("meta.height")).head()
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+    assert(back.getWidth == 32 && back.getHeight == 32) // really re-encoded
     assert(r.getInt(1) == 32 && r.getInt(2) == 32)
   }
 
@@ -101,8 +115,10 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("byte-budget repartitioning sizes partitions by payload, not rows") {
+    val totalBytes = mediaDf.agg(sum(length(col("bytes")))).head().getLong(0)
     val df = Multimodal.repartitionByBytes(mediaDf, targetBytesPerPartition = 200L)
-    assert(df.rdd.getNumPartitions == 2) // 480 payload bytes / 200 → 2
+    assert(df.rdd.getNumPartitions == math.max(1, (totalBytes / 200L).toInt))
+    assert(df.rdd.getNumPartitions > 1) // payloads exceed one budget
   }
 
   // ------------------------------------------------------- real audio codec
@@ -294,25 +310,71 @@ class MultimodalSpec extends SparkSpec {
     assert(f2(5) > 0.95f) // center reverted to the pre-frame white
   }
 
-  test("GIF payloads flow through sampleFrames; non-GIF still FakeCodec") {
+  test("GIF and AVI payloads flow through sampleFrames as real PNG frames") {
     val gif = animatedGif(Seq(
       (solidImg(16, 16, 0x000000), 0, 0, "none"),
       (solidImg(16, 16, 0xFFFFFF), 0, 0, "none")))
+    val avi = graft.models.MediaFixture.solidAvi(7L, 2)
     val rows = Seq(
       Row(10L, "video", "image/gif", gif, Row(null, null, 200L, null)),
-      Row(11L, "video", "video/mp4",
-        Array.tabulate[Byte](160)(_.toByte), Row(null, null, 5000L, null)))
+      Row(11L, "video", "video/x-msvideo", avi, Row(null, null, 80L, null)))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
     val got = Multimodal.sampleFrames(df, 2, Multimodal.ImageIOCodec)
       .orderBy("media_id", "frame_idx").collect()
     assert(got.length == 4)
-    val gifFrames = got.filter(_.getLong(0) == 10L)
-      .map(_.getAs[Array[Byte]]("frame_bytes"))
-    assert(gifFrames.forall(f => (f(0) & 0xFF) == 0x89)) // real PNG frames
-    assert(!gifFrames(0).sameElements(gifFrames(1)))     // black vs white
-    val mp4Frames = got.filter(_.getLong(0) == 11L)
-      .map(_.getAs[Array[Byte]]("frame_bytes"))
-    assert(mp4Frames.forall(f => (f(0) & 0xFF) != 0x89)) // stub byte slices
+    val frames = got.map(_.getAs[Array[Byte]]("frame_bytes"))
+    assert(frames.forall(f => (f(0) & 0xFF) == 0x89)) // ALL real PNG frames
+    assert(!frames(0).sameElements(frames(1)))        // gif: black vs white
+    assert(!frames(2).sameElements(frames(3)))        // avi: per-frame colors
+  }
+
+  test("AviDecoder: BI_RGB frames decode to the exact authored rasters") {
+    val avi = graft.models.MediaFixture.solidAvi(3L, 3)
+    // sample PAST the last frame: index clamps to it (deterministic tail)
+    val fs = Multimodal.ImageIOCodec.videoFrames(avi, Array(0, 1, 2, 5))
+    assert(fs(3).sameElements(fs(2))) // clamped
+    (0 until 3).foreach { f =>
+      val (r, g, b) = graft.models.MediaFixture.videoRgb(3L, f)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fs(f)))
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      // every pixel is exactly the authored solid color — the raster
+      // survives DIB encode → AviDecoder decode → PNG byte-for-byte
+      assert((img.getRGB(0, 0) & 0xFFFFFF) == ((r << 16) | (g << 8) | b))
+      assert((img.getRGB(15, 15) & 0xFFFFFF) == ((r << 16) | (g << 8) | b))
+    }
+  }
+
+  test("AviDecoder: MJPEG frames equal a direct decode of the same JPEG") {
+    // JPEG is lossy, so no closed-form pixels — but container parsing is
+    // exact: the frame must decode to the SAME raster as ImageIO reading
+    // the embedded JPEG bytes directly
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = solidImg(16, 16, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val jpegs = Seq(jpeg(0x336699), jpeg(0xCC8833))
+    val avi = graft.models.MediaFixture.buildAvi(16, 16, jpegs,
+      handler = "MJPG", compression =
+        ('M'.toInt) | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24))
+    val fs = Multimodal.ImageIOCodec.videoFrames(avi, Array(0, 1))
+    jpegs.zip(fs).foreach { case (src, png) =>
+      val direct = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+      val viaAvi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(viaAvi.getWidth == direct.getWidth && viaAvi.getHeight == direct.getHeight)
+      for (y <- 0 until direct.getHeight; x <- 0 until direct.getWidth)
+        assert((viaAvi.getRGB(x, y) & 0xFFFFFF) == (direct.getRGB(x, y) & 0xFFFFFF))
+    }
+  }
+
+  test("unsupported video containers throw instead of producing fake frames") {
+    val mp4ish = Array.tabulate[Byte](160)(_.toByte)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIOCodec.videoFrames(mp4ish, Array(0))
+    }
+    assert(e.getMessage.contains("no pure-JVM decoder"))
   }
 }
