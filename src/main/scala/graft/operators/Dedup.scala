@@ -160,6 +160,24 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    val (out, _) = prefixJoinInternal(df, idCol, textCol, n, threshold,
+      positionalFilter = true, countCandidates = false)
+    out
+  }
+
+  /** Candidate count of the prefix join with/without the positional
+    * filter — measurement hook for specs/benchmarks (the filter cannot
+    * change the verified OUTPUT, only the candidate volume).
+    */
+  private[graft] def prefixJoinCandidateCount(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      positionalFilter: Boolean): Long =
+    prefixJoinInternal(df, idCol, textCol, n, threshold,
+      positionalFilter, countCandidates = true)._2
+
+  private def prefixJoinInternal(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, positionalFilter: Boolean,
+      countCandidates: Boolean): (DataFrame, Long) = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
     val docs = df.select(col(idCol).as("id"),
       TextFns.shingleSet(col(textCol), n).as("sh"))
@@ -178,17 +196,54 @@ object Dedup {
           .orderBy(col("df"), col("s"))))
       .filter(col("rn") <= col("set_size") -
         ceil(col("set_size") * lit(threshold) - lit(1e-9)).cast("int") + 1)
-      .select(col("s"), col("id"))
+      .select(col("s"), col("id"), col("rn"), col("set_size"))
       .persist()
-    val candidates = ranked.select(col("s"), col("id").as("id_a"))
-      .join(ranked.select(col("s"), col("id").as("id_b")), Seq("s"))
+    val joined = ranked.select(col("s"), col("id").as("id_a"),
+        col("rn").as("rn_a"), col("set_size").as("sz_a"))
+      .join(ranked.select(col("s"), col("id").as("id_b"),
+        col("rn").as("rn_b"), col("set_size").as("sz_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val out = verifyPairsExact(df, candidates, idCol, textCol, n, threshold)
-      .localCheckpoint()
-    ranked.unpersist(blocking = false)
-    exploded.unpersist(blocking = false)
-    out
+      // length filter: J >= t forces min(|a|,|b|) >= t·max(|a|,|b|)
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        greatest(col("sz_a"), col("sz_b")).cast("double") * lit(threshold)
+          - lit(1e-9))
+    val candidates =
+      if (!positionalFilter)
+        joined.select("id_a", "id_b").distinct()
+      else {
+        // PPJoin positional filter (Xiao et al., WWW'08): evaluate the
+        // overlap upper bound at the pair's FIRST common token in the
+        // global (df asc, shingle asc) order — both docs rank shingles by
+        // the same total order, so that token minimizes rn_a AND rn_b.
+        // overlap(a,b) <= 1 + min(|a| - rn_a, |b| - rn_b) there, while
+        // J >= t needs overlap >= ceil(t/(1+t)·(|a|+|b|)). Candidates
+        // failing the bound cannot verify — dropping them can't change
+        // the output, only the (cost-driving) candidate volume, which is
+        // what it cuts on Zipfian corpora where prefixes stay long.
+        joined
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(min_by(
+            struct(col("rn_a"), col("rn_b"), col("sz_a"), col("sz_b")),
+            col("rn_a")).as("f"))
+          .filter(
+            (lit(1) + least(col("f.sz_a") - col("f.rn_a"),
+              col("f.sz_b") - col("f.rn_b"))).cast("double") >=
+            ceil((col("f.sz_a") + col("f.sz_b")).cast("double") *
+              lit(threshold / (1.0 + threshold)) - lit(1e-9)))
+          .select("id_a", "id_b")
+      }
+    if (countCandidates) {
+      val cnt = candidates.count()
+      ranked.unpersist(blocking = false)
+      exploded.unpersist(blocking = false)
+      (candidates.sparkSession.emptyDataFrame, cnt)
+    } else {
+      val out = verifyPairsExact(df, candidates, idCol, textCol, n, threshold)
+        .localCheckpoint()
+      ranked.unpersist(blocking = false)
+      exploded.unpersist(blocking = false)
+      (out, -1L)
+    }
   }
 
   /** MinHash + LSH candidate pairs. Signature of `numHashes` min-hashes per

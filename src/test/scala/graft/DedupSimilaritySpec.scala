@@ -56,6 +56,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.exists { case (a, b, _, _) => a < 8 && b < 8 }) // family found
   }
 
+  test("PPJoin positional filter: fewer candidates on a Zipfian corpus, same output") {
+    // Zipf-ish token draw (head tokens hyper-common) — the regime where
+    // rare-first prefixes stay long and the positional bound actually
+    // bites; on uniform corpora it prunes little (ROUND_LOG r3)
+    val rnd = new scala.util.Random(7)
+    def zipfTok(): String = {
+      val r = rnd.nextDouble()
+      s"w${math.min(49, (1.0 / (r + 0.02)).toInt)}"
+    }
+    val docs = (0 until 120).map { i =>
+      ((i.toLong, (Seq.fill(12)(zipfTok()) :+ s"rare${i % 37}").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val pruned = Dedup.prefixJoinCandidateCount(docs, "doc_id", "text",
+      n = 3, threshold = 0.3, positionalFilter = true)
+    val unpruned = Dedup.prefixJoinCandidateCount(docs, "doc_id", "text",
+      n = 3, threshold = 0.3, positionalFilter = false)
+    assert(pruned < unpruned,
+      s"positional filter did not prune: $pruned vs $unpruned")
+    // pruning is candidates-only: verified output == brute-force truth
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), math.round(r.getDouble(3) * 1e9))
+    val all = docs.select(col("doc_id").as("id_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val truth = Dedup.verifyPairsExact(docs, all, "doc_id", "text",
+      n = 3, threshold = 0.3).collect().map(key).toSet
+    val got = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+      n = 3, threshold = 0.3).collect().map(key).toSet
+    assert(got == truth && truth.nonEmpty)
+  }
+
   test("dropBoilerplateLines: strikes frequent lines, preserves order") {
     val docs = Seq(
       (1L, "HEADER\nalpha one\nHEADER\nbody middle\ntail one", "en"),
