@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale probe for the heavy operator family: replicates the
+  * sf0.1 inputs `mult`× (default 10×, with per-replica text mutation so
+  * replicas form NEAR-dup families rather than exact dups — the harder
+  * shape for the dedup paths) and wall-clocks each heavy path at 1× and
+  * at mult×. This is the "would it survive a scale-up" check run as a
+  * MEASUREMENT, not an assertion; results are recorded in SCALE.md.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [mult]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+
+    def replicate(df: DataFrame, idCol: String, n: Int,
+        mutate: Boolean): DataFrame =
+      (0 until n).map { r =>
+        val shifted = df.withColumn(idCol, col(idCol) + lit(r * 10000000L))
+        if (mutate && r > 0)
+          shifted.withColumn("text", concat(col("text"), lit(s" rep$r")))
+        else shifted
+      }.reduce(_ unionByName _)
+
+    val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
+    val docsN = replicate(docs1, "doc_id", mult, mutate = true)
+      .repartition(cpus.toInt).persist()
+    println(s"corpus: ${docs1.count()} docs -> ${docsN.count()} docs (${mult}x)")
+
+    for ((label, d) <- Seq("1x" -> docs1, s"${mult}x" -> docsN)) {
+      t(s"d3_minhash_verify_$label") {
+        Dedup.verifyPairsExact(d,
+          Dedup.minhashLshPairs(d, "doc_id", "text",
+            n = 3, numHashes = 64, bands = 32, minEstJaccard = 0.0),
+          "doc_id", "text", n = 3, threshold = 0.35).count()
+      }
+      t(s"d11_pairs_clusters_$label") {
+        Dedup.clusters(Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          n = 3, threshold = 0.2, maxDocFreq = 50L)).count()
+      }
+      t(s"d15_corpus_pipeline_$label") {
+        graft.pipeline.CorpusPipeline.clean(d)
+          .groupBy(col("lang")).agg(count(lit(1))).count()
+      }
+      t(s"d18_prefix_jaccard_$label") {
+        Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+          n = 3, threshold = 0.35).count()
+      }
+    }
+
+    val emb1 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val embN = (0 until mult).map { r =>
+      emb1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
+    for ((label, e) <- Seq("1x" -> emb1, s"${mult}x" -> embN)) {
+      t(s"v5_ann_sq8_$label") {
+        Similarity.sq8TopK(e, e.filter(col("vec_id") < 8), k = 5,
+          rerankFactor = 4, dim = 64).count()
+      }
+      t(s"v3_ivf_trained_$label") {
+        val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
+        Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") < 8), k = 5,
+          centroids = cents, nprobe = 2).count()
+      }
+    }
+
+    val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
+    val ordersN = (0 until mult).map { r =>
+      orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
+    for ((label, o) <- Seq("1x" -> orders1, s"${mult}x" -> ordersN)) {
+      t(s"q32_classifier_$label") {
+        o.createOrReplaceTempView("orders_scaleprobe")
+        val tx = graft.operators.Parallelism.fanOut(
+          spark.sql(graft.models.CardFixture.txSql("orders_scaleprobe")))
+        graft.models.CardModels.classifiedCardTransactions(
+          tx, graft.models.CardFixture.rules,
+          graft.models.CardFixture.merchantsDf(spark),
+          graft.models.CardFixture.mapDf(spark),
+          graft.models.CardFixture.leafDf(spark),
+          graft.models.CardFixture.merchantSeed).count()
+      }
+    }
+    spark.stop()
+  }
+}
