@@ -847,6 +847,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
 
+  /** Weighted mixture sampling (the Dolma/Pile source-mixing stage):
+    * target proportions over languages, binding group kept whole, rates
+    * derived from the data — and the ORACLE re-derives them (counts →
+    * capacity min → thresholds as CTEs, then the shared id-hash chain),
+    * so the data-dependent sample is hash-checked end to end like d17's
+    * fixed-rate form. Weights are exact binary fractions so the double
+    * literals are engine-identical.
+    */
+  private val d24Weights = Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+  private def d24MixtureSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(t(s, dir, "documents"), col("lang"),
+        col("doc_id"), d24Weights.toMap)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+
   // ------------------------------------------------------------ q39/q40
   /** Seed CSV ingest (S2, the `dbt seed` analogue) as a hash-checked
     * query: SeedFixture rows render to CSV text, come back through
@@ -1124,6 +1140,64 @@ object SparkEntry {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming exact dedup under the oracle: the state-store
+    * dropDuplicates path (EventsOps.dedupEvents) feeding a streaming
+    * aggregation, run to convergence. Keys-only projection BEFORE the
+    * dedup makes the surviving row per key deterministic (which duplicate
+    * wins a partition race stops mattering), so the converged counts
+    * hash-match plain COUNT(DISTINCT).
+    */
+  private def q47StreamDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOracle.converge(
+      EventsOps.dedupEvents(
+        graft.sources.Tables.loadStream(s, dir, "events")
+          .select(col("user_id"), col("event_type")),
+        Seq("user_id", "event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users")),
+      "q47_stream_dedup_sink")
+
+  /** CUBE over the q25 rollup keys (the remaining grouping-set family
+    * member), with grouping_id pinning WHICH subtotal each row is — the
+    * standard 2·g(a)+g(b) bitmask in both engines.
+    */
+  private def q48Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+
+  /** Explicit LEFT SEMI / LEFT ANTI join surface (the EXISTS / NOT
+    * EXISTS shape): customers with vs without an urgent order. Semi/anti
+    * are the cheapest join forms at scale — no right-side payload crosses
+    * the shuffle, only the key set.
+    */
+  private def q49SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    val withU = c.join(urgent, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"), lit("has_urgent").as("flag"))
+    val withoutU = c.join(urgent, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"), lit("no_urgent").as("flag"))
+    withU.unionByName(withoutU)
+      .groupBy(col("c_mktsegment"), col("flag"))
+      .agg(count(lit(1)).as("n_custs"))
+  }
+
+  /** Ordered string aggregation (listagg/string_agg): deterministic via
+    * an explicit sort inside the aggregate — collect_list order is
+    * partition-race-dependent, so the sort is what makes this
+    * engine-portable.
+    */
+  private def q50StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"),
+        count(lit(1)).as("n_nations"))
+
   /** Multimodal decode under oracle check: real PNG/WAV payloads
     * encoded from single-sourced parameters, decoded by the REAL codecs
     * (ImageIOCodec / JavaSoundCodec), with fixture shapes chosen so the
@@ -1262,6 +1336,11 @@ object SparkEntry {
     "q44_asof_forward" -> (q44AsofForward _),
     "q45_stream_sessions" -> (q45StreamSessions _),
     "q46_stream_hourly" -> (q46StreamHourly _),
+    "q47_stream_dedup" -> (q47StreamDedup _),
+    "q48_cube" -> (q48Cube _),
+    "q49_semi_anti" -> (q49SemiAnti _),
+    "q50_string_agg" -> (q50StringAgg _),
+    "d24_mixture_sample" -> (d24MixtureSample _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1479,6 +1558,32 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q47_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q48_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q49_semi_anti" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT c_mktsegment,
+        |  CASE WHEN u.o_custkey IS NULL THEN 'no_urgent' ELSE 'has_urgent' END AS flag,
+        |  COUNT(*) AS n_custs
+        |FROM customer c LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q50_string_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation GROUP BY 1""".stripMargin,
+
     "q17_sql_ordinals" ->
       """SELECT p_brand,
         |  lower(p_type) AS type_lc,
@@ -1599,6 +1704,7 @@ object SparkEntry {
     "v2_ann_lsh" -> v2OracleSql,
     "q19_sketches" -> q19OracleSql,
     "d17_quota_sample" -> d17OracleSql,
+    "d24_mixture_sample" -> d24OracleSql,
     "d16_embedding_lsh" ->
       s"""$lshBucketCtes, withb AS (
          |  SELECT c.vec_id, c.v, bk.bucket,
@@ -2179,6 +2285,61 @@ object SparkEntry {
        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM nh6
        |WHERE h < (CASE $cases ELSE $dt END)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** d24 oracle: the mixture-sampling RATE DERIVATION replayed in SQL
+    * (per-group counts → capacity = MIN(n/w) → threshold floor((w·t/n)·M),
+    * the same left-associated double arithmetic as
+    * Sampling.mixtureSample), then the shared id-hash chain and filter.
+    */
+  private def d24OracleSql: String = {
+    val wts = d24Weights
+      .map { case (g, w) => s"('$g', CAST($w AS DOUBLE))" }
+      .mkString(",\n    ")
+    s"""WITH wts(g, w) AS (VALUES
+       |    $wts
+       |), cnt AS (
+       |  SELECT lang AS g, COUNT(*) AS n
+       |  FROM documents JOIN wts ON lang = g GROUP BY 1
+       |), cap AS (
+       |  SELECT MIN(n / w) AS t FROM cnt JOIN wts USING (g)
+       |), thr AS (
+       |  SELECT g, CAST(floor((w * t / n) * 1125899906842597) AS BIGINT) AS thr
+       |  FROM cnt JOIN wts USING (g) CROSS JOIN cap
+       |), nh0 AS (
+       |  SELECT lang, n_chars,
+       |    ((((doc_id % 1125899906842597) + 1125899906842597) % 1125899906842597)
+       |      + 741103597153329) % 1125899906842597 AS x0
+       |  FROM documents JOIN wts ON lang = g
+       |), nh1 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x0 * 8191) % 1125899906842597, ((x0 * 8191) % 1125899906842597) >> 25) AS x1
+       |  FROM nh0
+       |), nh2 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x1 * 8191) % 1125899906842597, ((x1 * 8191) % 1125899906842597) >> 25) AS x2
+       |  FROM nh1
+       |), nh3 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x2 * 4099) % 1125899906842597, ((x2 * 4099) % 1125899906842597) >> 25) AS x3
+       |  FROM nh2
+       |), nh4 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x3 * 4099) % 1125899906842597, ((x3 * 4099) % 1125899906842597) >> 25) AS x4
+       |  FROM nh3
+       |), nh5 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x4 * 5851) % 1125899906842597, ((x4 * 5851) % 1125899906842597) >> 25) AS x5
+       |  FROM nh4
+       |), nh6 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x5 * 5851) % 1125899906842597, ((x5 * 5851) % 1125899906842597) >> 25) AS h
+       |  FROM nh5
+       |)
+       |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM nh6 JOIN thr ON lang = thr.g
+       |WHERE h < thr.thr
        |GROUP BY 1""".stripMargin
   }
 

@@ -33,4 +33,35 @@ object Sampling {
     }
     df.filter(Sketches.numHash(idCol) < threshold)
   }
+
+  /** Weighted mixture sampling — the Dolma/Pile-style source-mixing
+    * stage: `weights` are the TARGET mix proportions over `groupCol`
+    * (groups absent from `weights` are dropped). The binding group
+    * (smallest capacity n/w) is kept whole and every other group
+    * downsampled, so the kept corpus matches the target mix at the
+    * maximum achievable size. Rates derive from ONE tiny count-by-group
+    * aggregate; membership is [[quotaSample]]'s deterministic id-hash
+    * filter. Every arithmetic step (n/w capacity min, (w·t/n)·M
+    * truncation) is a plain double/integer op a SQL oracle replays
+    * verbatim, so the data-dependent sample is still hash-checkable.
+    * Plan: one count aggregate + a scan-level filter, zero data shuffles.
+    */
+  def mixtureSample(df: DataFrame, groupCol: Column, idCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val inMix = df.filter(groupCol.isin(weights.keys.toSeq: _*))
+    val counts = inMix.groupBy(groupCol.as("__g"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
+    require(present.nonEmpty, "no mixture group present in the data")
+    val capacity = present.map { case (g, w) => counts(g) / w }.min
+    val thr = present.map { case (g, w) =>
+      g -> ((w * capacity / counts(g)) * M).toLong }
+    val thrCol = thr.foldLeft(lit(-1L)) { case (acc, (g, t)) =>
+      when(groupCol === g, lit(t)).otherwise(acc)
+    }
+    inMix.filter(Sketches.numHash(idCol) < thrCol)
+  }
 }

@@ -10,6 +10,40 @@ class SamplingSpec extends SparkSpec {
     (i.toLong, Seq("en", "de", "fr")(i % 3), 100 + i % 50)
   }.toDF("doc_id", "lang", "n_chars")
 
+  test("mixtureSample: kept corpus matches the target mix, binding group whole") {
+    // skewed source sizes: en 3× the others → de/fr weights force en down
+    val skewed = (1 to 12000).map { i =>
+      val lang = if (i % 5 < 3) "en" else if (i % 5 == 3) "de" else "fr"
+      (i.toLong, lang, 100)
+    }.toDF("doc_id", "lang", "n_chars")
+    val kept = Sampling.mixtureSample(skewed, col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = skewed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // capacity = min(n/w) = de or fr (2400/0.25 = 9600 < 7200/0.5 = 14400)
+    // → binding group kept ~whole, en downsampled to ~0.5·9600 = 4800
+    val total = kept.values.sum.toDouble
+    assert(math.abs(kept("en") / total - 0.5) < 0.03)
+    assert(math.abs(kept("de") / total - 0.25) < 0.03)
+    assert(math.abs(kept("fr") / total - 0.25) < 0.03)
+    assert(kept("de").toDouble / totals("de") > 0.95) // binding ≈ whole
+    assert(kept("en") < totals("en")) // oversized group really downsampled
+    // a language outside the mix is dropped entirely
+    val withZh = skewed.union(Seq((990000L, "zh", 100)).toDF("doc_id", "lang", "n_chars"))
+    val keptZh = Sampling.mixtureSample(withZh, col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+      .filter(col("lang") === "zh").count()
+    assert(keptZh == 0)
+    // deterministic: same input → byte-identical sample
+    val a = Sampling.mixtureSample(skewed, col("lang"), col("doc_id"),
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)).select("doc_id")
+      .as[Long].collect().sorted
+    val b = Sampling.mixtureSample(skewed.repartition(17), col("lang"),
+      col("doc_id"), Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b)) // repartition-stable membership
+  }
+
   test("quota rates land near their targets") {
     val kept = Sampling.quotaSample(docs, col("lang"), col("doc_id"),
         Map("en" -> 0.5, "de" -> 0.25), 0.1)
