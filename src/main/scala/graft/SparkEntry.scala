@@ -1049,6 +1049,55 @@ object SparkEntry {
        |FROM docs d LEFT JOIN kept k USING (doc_id)""".stripMargin
   }
 
+  /** PII scrubbing (email/phone redaction — a standard pre-training
+    * cleaning pass) over a closed-form fixture (the corpus carries no
+    * PII, so the fixture plants it deterministically: some docs lack an
+    * email, some a phone, one has two emails). Counts come off the RAW
+    * text, the clean text off the scrub — both hash-checked; patterns
+    * are Java-regex/RE2-portable by construction (TextFns.emailPat).
+    */
+  private val d25Docs = 48
+  private def d25Text(i: Long): String = {
+    val email =
+      if (i % 5 == 0) "no contact"
+      else s"mail user$i@example${i % 7}.com" +
+        (if (i % 11 == 0) s" and backup b$i@ex.org" else "")
+    val phone =
+      if (i % 3 == 0) "unlisted"
+      else s"call +${100 + i % 900}-${200 + (i * 3) % 800}-${1000 + (i * 7) % 9000}"
+    s"doc $i: $email; $phone; tail text $i"
+  }
+
+  private def d25PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = (0 until d25Docs).map(i => (i.toLong, d25Text(i.toLong)))
+      .toDF("doc_id", "text")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TextFns.emailPat), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(TextFns.phonePat), lit(0)))
+        .cast("long").as("n_phones"),
+      TextFns.scrubPii(col("text")).as("clean_text"))
+  }
+
+  private def d25OracleSql: String = {
+    val vals = (0 until d25Docs).map { i =>
+      s"($i, '${d25Text(i.toLong).replace("'", "''")}')"
+    }.mkString(",\n    ")
+    // DuckDB '...' literals carry backslashes verbatim (no doubling) —
+    // the Scala pattern string goes in as-is, only quotes escape
+    val em = TextFns.emailPat.replace("'", "''")
+    val ph = TextFns.phonePat.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+       |    '$ph', '<PHONE>', 'g') AS clean_text
+       |FROM (VALUES
+       |    $vals) AS t(doc_id, text)""".stripMargin
+  }
+
   /** Sequence packing (training prep): docs on a token tape in id order,
     * sequences cut every 512 tokens — distributed two-pass prefix sum,
     * no single-task window.
@@ -1341,6 +1390,7 @@ object SparkEntry {
     "q49_semi_anti" -> (q49SemiAnti _),
     "q50_string_agg" -> (q50StringAgg _),
     "d24_mixture_sample" -> (d24MixtureSample _),
+    "d25_pii_scrub" -> (d25PiiScrub _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1705,6 +1755,7 @@ object SparkEntry {
     "q19_sketches" -> q19OracleSql,
     "d17_quota_sample" -> d17OracleSql,
     "d24_mixture_sample" -> d24OracleSql,
+    "d25_pii_scrub" -> d25OracleSql,
     "d16_embedding_lsh" ->
       s"""$lshBucketCtes, withb AS (
          |  SELECT c.vec_id, c.v, bk.bucket,

@@ -13,6 +13,22 @@ object TextFns {
   /** Whitespace tokenization. Single-space split keeps oracle (DuckDB
     * string_split) parity; use tokensWs for arbitrary whitespace runs.
     */
+  /** PII-scrub patterns (email, then dashed phone) — character classes
+    * and bounded quantifiers ONLY, so Java regex (Spark) and RE2
+    * (DuckDB) agree token-for-token; emails scrub first because their
+    * local parts may contain digit runs.
+    */
+  val emailPat: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat: String = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails and phone numbers (the training-data PII scrub):
+    * deterministic token replacement, all occurrences.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, emailPat, "<EMAIL>"),
+      phonePat, "<PHONE>")
+
   def tokens(c: Column): Column = split(c, " ")
 
   def tokensWs(c: Column): Column = split(trim(c), "\\s+")
