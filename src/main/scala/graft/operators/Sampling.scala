@@ -24,14 +24,26 @@ object Sampling {
       (Map[String, Long], Long) =
     (rates.map { case (g, r) => g -> (r * M).toLong }, (defaultRate * M).toLong)
 
+  /** Per-group thresholds as ONE constant-folded map literal lookup —
+    * flat expression tree regardless of group count (the unrolled
+    * when-chain alternative degrades codegen at thousands of groups,
+    * same lesson as Ranking's bucket offsets).
+    */
+  private def thresholdCol(groupCol: Column, thr: Map[String, Long],
+      default: Long): Column =
+    if (thr.isEmpty) lit(default)
+    else coalesce(
+      element_at(
+        map(thr.toSeq.sortBy(_._1)
+          .flatMap { case (g, t) => Seq(lit(g), lit(t)) }: _*),
+        groupCol),
+      lit(default))
+
   /** Keep rows whose id-hash falls under their group's quota threshold. */
   def quotaSample(df: DataFrame, groupCol: Column, idCol: Column,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
     val (ts, dt) = thresholds(rates, defaultRate)
-    val threshold = ts.foldLeft(lit(dt)) { case (acc, (g, t)) =>
-      when(groupCol === g, lit(t)).otherwise(acc)
-    }
-    df.filter(Sketches.numHash(idCol) < threshold)
+    df.filter(Sketches.numHash(idCol) < thresholdCol(groupCol, ts, dt))
   }
 
   /** Weighted mixture sampling — the Dolma/Pile-style source-mixing
@@ -59,9 +71,6 @@ object Sampling {
     val capacity = present.map { case (g, w) => counts(g) / w }.min
     val thr = present.map { case (g, w) =>
       g -> ((w * capacity / counts(g)) * M).toLong }
-    val thrCol = thr.foldLeft(lit(-1L)) { case (acc, (g, t)) =>
-      when(groupCol === g, lit(t)).otherwise(acc)
-    }
-    inMix.filter(Sketches.numHash(idCol) < thrCol)
+    inMix.filter(Sketches.numHash(idCol) < thresholdCol(groupCol, thr, -1L))
   }
 }
