@@ -904,6 +904,23 @@ object SparkEntry {
         dsum2(col("o_totalprice")).as("total_price"))
   }
 
+  /** JSONL round-trip (the other ubiquitous training-data format next
+    * to parquet): documents written as JSON lines into the shared
+    * scratch warehouse, read back with the explicit schema, aggregated —
+    * the oracle aggregates the parquet source directly, so any
+    * escaping/typing loss in the JSON cycle breaks the hash.
+    */
+  private def q51JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val out = s"$q40Scratch/documents_jsonl"
+    d.write.mode("overwrite").json(out)
+    s.read.schema(d.schema).json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(length(col("text"))).cast("long").as("sum_text_len"))
+  }
+
   /** One scratch warehouse per JVM, shared by every q40 invocation
     * (materialize is an Overwrite — repeated runs are idempotent, so
     * Bench's timing iterations no longer leak a partitioned copy of
@@ -1096,6 +1113,33 @@ object SparkEntry {
        |    '$ph', '<PHONE>', 'g') AS clean_text
        |FROM (VALUES
        |    $vals) AS t(doc_id, text)""".stripMargin
+  }
+
+  /** Document chunking (training prep): long docs cut into overlapping
+    * token windows (size/stride), the standard pre-tokenization pass.
+    * Pure integer arithmetic + array slicing — fully SQL-replayable.
+    * chunk count = 1 + ceil(max(0, n-size)/stride) (every token covered,
+    * last window may be short), per-chunk bounds and first/last tokens
+    * hash-checked.
+    */
+  private val d26Size = 64
+  private val d26Stride = 48
+  private def d26Chunking(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+    val nChunks = lit(1) +
+      ceil(greatest(col("n") - lit(d26Size), lit(0)).cast("double") /
+        lit(d26Stride.toDouble)).cast("int")
+    d.withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("start", col("chunk_idx") * lit(d26Stride))
+      .withColumn("chunk_len",
+        least(lit(d26Size), col("n") - col("start")))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_len").cast("long").as("n_chunk_toks"),
+        element_at(col("toks"), col("start") + 1).as("first_tok"),
+        element_at(col("toks"), col("start") + col("chunk_len")).as("last_tok"))
   }
 
   /** Sequence packing (training prep): docs on a token tape in id order,
@@ -1391,6 +1435,8 @@ object SparkEntry {
     "q50_string_agg" -> (q50StringAgg _),
     "d24_mixture_sample" -> (d24MixtureSample _),
     "d25_pii_scrub" -> (d25PiiScrub _),
+    "d26_doc_chunking" -> (d26Chunking _),
+    "q51_jsonl_roundtrip" -> (q51JsonlRoundtrip _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1756,6 +1802,28 @@ object SparkEntry {
     "d17_quota_sample" -> d17OracleSql,
     "d24_mixture_sample" -> d24OracleSql,
     "d25_pii_scrub" -> d25OracleSql,
+
+    "d26_doc_chunking" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents
+         |), chunks AS (
+         |  SELECT doc_id, tk, n,
+         |    UNNEST(range(0, 1 + CAST(ceil(CAST(greatest(n - $d26Size, 0) AS DOUBLE) / $d26Stride.0) AS INT))) AS chunk_idx
+         |  FROM toks
+         |)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(least($d26Size, n - chunk_idx * $d26Stride) AS BIGINT) AS n_chunk_toks,
+         |  tk[chunk_idx * $d26Stride + 1] AS first_tok,
+         |  tk[chunk_idx * $d26Stride + least($d26Size, n - chunk_idx * $d26Stride)] AS last_tok
+         |FROM chunks""".stripMargin,
+
+    "q51_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY 1""".stripMargin,
     "d16_embedding_lsh" ->
       s"""$lshBucketCtes, withb AS (
          |  SELECT c.vec_id, c.v, bk.bucket,
