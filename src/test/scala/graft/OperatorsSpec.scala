@@ -82,6 +82,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> None))
   }
 
+  test("d26 chunking: boundary token counts produce covering windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    Seq(
+      (1L, (1 to 64).map(i => s"t$i").mkString(" "), "en", "s", 0L),
+      (2L, (1 to 65).map(i => s"t$i").mkString(" "), "en", "s", 0L),
+      (3L, "solo", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d26_doc_chunking")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+      .groupBy(_._1)
+    // exactly at the window size: ONE chunk, not an empty trailer
+    assert(got(1L).length == 1 && got(1L).head._3 == 64L)
+    // one past: windows at 0 (64 toks) and 48 (17 toks) — every token
+    // covered, the short tail window reaches the final token
+    assert(got(2L).map(c => (c._2, c._3)).toSet == Set((0L, 64L), (1L, 17L)))
+    assert(got(2L).find(_._2 == 1L).get._5 == "t65")
+    // a short doc is one whole chunk
+    assert(got(3L).head._3 == 1L && got(3L).head._4 == "solo")
+  }
+
   test("TopPerGroup.top1 is deterministic under ties") {
     val df = Seq((1, "a", 10), (1, "b", 10), (2, "c", 5)).toDF("grp", "id", "score")
     val got = TopPerGroup.top1(df, Seq(col("grp")),
