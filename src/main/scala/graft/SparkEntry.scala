@@ -904,6 +904,23 @@ object SparkEntry {
         dsum2(col("o_totalprice")).as("total_price"))
   }
 
+  /** Correlated scalar subqueries (the `SELECT (SELECT ...)` SQL surface
+    * — Catalyst de-correlates them into aggregated joins, which the plan
+    * audit confirms; a naive per-row re-execution would be the scale
+    * killer).
+    */
+  private def q52CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_q52")
+    t(s, dir, "nation").createOrReplaceTempView("nation_q52")
+    s.sql(
+      """SELECT n_name,
+        |  (SELECT COUNT(*) FROM customer_q52 c
+        |   WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000.0) AS n_rich,
+        |  (SELECT CAST(MAX(c_acctbal) AS DOUBLE) FROM customer_q52 c
+        |   WHERE c.c_nationkey = n.n_nationkey) AS max_bal
+        |FROM nation_q52 n""".stripMargin)
+  }
+
   /** JSONL round-trip (the other ubiquitous training-data format next
     * to parquet): documents written as JSON lines into the shared
     * scratch warehouse, read back with the explicit schema, aggregated —
@@ -1437,6 +1454,7 @@ object SparkEntry {
     "d25_pii_scrub" -> (d25PiiScrub _),
     "d26_doc_chunking" -> (d26Chunking _),
     "q51_jsonl_roundtrip" -> (q51JsonlRoundtrip _),
+    "q52_correlated_subq" -> (q52CorrelatedSubquery _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1824,6 +1842,14 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q52_correlated_subq" ->
+      """SELECT n_name,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000.0) AS n_rich,
+        |  (SELECT CAST(MAX(c_acctbal) AS DOUBLE) FROM customer c
+        |   WHERE c.c_nationkey = n.n_nationkey) AS max_bal
+        |FROM nation n""".stripMargin,
     "d16_embedding_lsh" ->
       s"""$lshBucketCtes, withb AS (
          |  SELECT c.vec_id, c.v, bk.bucket,

@@ -22,13 +22,35 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Derives a corpus-adaptive `maxDocFreq` cap for [[ngramJaccardPairs]]
+    * as a document-frequency quantile (one extra aggregate pass): a FIXED
+    * cap goes degenerate when the corpus grows — the 10× replication
+    * probe (SCALE.md round 4) pushed every shingle's df past the constant
+    * and the pair stage emitted nothing — while the q-th df quantile
+    * tracks the distribution and keeps dropping only the true
+    * non-discriminative head. Floor of 2 (a cap below 2 would drop every
+    * pairable shingle).
+    */
+  def adaptiveMaxDocFreq(df: DataFrame, idCol: String, textCol: String,
+      n: Int, quantile: Double = 0.995): Long = {
+    require(quantile > 0 && quantile < 1, "quantile in (0,1)")
+    val dfq = df.select(col(idCol).as("id"),
+        explode(TextFns.shingleSet(col(textCol), n)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .select(percentile_approx(col("df").cast("double"), lit(quantile),
+        lit(10000)))
+      .head().getDouble(0)
+    math.max(2L, dfq.toLong)
+  }
+
   /** N-gram Jaccard near-dup pairs. Exact set-Jaccard over word n-gram
     * shingles, computed distributively: explode distinct shingles, self-join
     * on shingle (the blocking key), count intersections per pair, then
     * |A∪B| = |A|+|B|−|A∩B|. `maxDocFreq` drops shingles occurring in more
     * than that many docs — non-discriminative high-frequency shingles that
     * would otherwise create quadratic blocks (standard blocking hygiene; the
-    * LSH variant below is the true 100 TB path).
+    * LSH variant below is the true 100 TB path). At unknown corpus scale
+    * derive the cap with [[adaptiveMaxDocFreq]] instead of hard-coding it.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Long = 100L): DataFrame = {

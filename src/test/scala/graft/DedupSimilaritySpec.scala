@@ -56,6 +56,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.exists { case (a, b, _, _) => a < 8 && b < 8 }) // family found
   }
 
+  test("adaptiveMaxDocFreq keeps the pair stage alive under corpus replication") {
+    // the fixed-cap failure mode from the round-4 scale probe: replicate
+    // docs so every shingle's df multiplies — a constant cap of 5 drops
+    // every posting list, the df-quantile cap tracks the distribution
+    val base = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta common text unique$i tail$i word$i here"))
+      .toDF("doc_id", "text")
+    val replicated = (0 until 8).map(r =>
+      base.withColumn("doc_id", col("doc_id") + lit(r * 1000L)))
+      .reduce(_ union _)
+    val fixedCap = Dedup.ngramJaccardPairs(replicated, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 5L).count()
+    assert(fixedCap == 0L) // the degenerate case really happens
+    val cap = Dedup.adaptiveMaxDocFreq(replicated, "doc_id", "text", n = 3)
+    val adaptive = Dedup.ngramJaccardPairs(replicated, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = cap).count()
+    // every doc has 7 identical replicas at J=1.0 → at least those pairs
+    assert(adaptive >= 40L * (8L * 7L / 2L))
+  }
+
   test("PPJoin positional filter: fewer candidates on a Zipfian corpus, same output") {
     // Zipf-ish token draw (head tokens hyper-common) — the regime where
     // rare-first prefixes stay long and the positional bound actually
