@@ -262,6 +262,13 @@ object SparkEntry {
   private def q14EventsHourly(s: SparkSession, dir: String): DataFrame =
     EventsOps.tumblingStats(t(s, dir, "events"), "1 hour")
 
+  /** Sliding windows (1 h width, 15 min slide → each event in exactly 4
+    * windows; the oracle replays the window fan-out as a bucket minus
+    * k·slide cross join).
+    */
+  private def q53SlidingWindows(s: SparkSession, dir: String): DataFrame =
+    EventsOps.slidingStats(t(s, dir, "events"), "1 hour", "15 minutes")
+
   // ---------------------------------------------------------------- q15
   /** Scalar regex extraction from semi-structured props. */
   private def q15EventsProps(s: SparkSession, dir: String): DataFrame = {
@@ -1455,6 +1462,7 @@ object SparkEntry {
     "d26_doc_chunking" -> (d26Chunking _),
     "q51_jsonl_roundtrip" -> (q51JsonlRoundtrip _),
     "q52_correlated_subq" -> (q52CorrelatedSubquery _),
+    "q53_sliding_windows" -> (q53SlidingWindows _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1850,6 +1858,16 @@ object SparkEntry {
         |  (SELECT CAST(MAX(c_acctbal) AS DOUBLE) FROM customer c
         |   WHERE c.c_nationkey = n.n_nationkey) AS max_bal
         |FROM nation n""".stripMargin,
+
+    // each event lands in exactly width/slide = 4 windows (width is a
+    // multiple of slide), so the replay is a plain k-offset cross join
+    "q53_sliding_windows" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT UNNEST(range(0, 4)) AS k) k
+        |GROUP BY 1, 2""".stripMargin,
     "d16_embedding_lsh" ->
       s"""$lshBucketCtes, withb AS (
          |  SELECT c.vec_id, c.v, bk.bucket,

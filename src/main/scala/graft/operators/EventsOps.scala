@@ -51,6 +51,23 @@ object EventsOps {
     tumblingStats(events.withWatermark("ts", watermark), width,
       exactDistinct = false)
 
+  /** SLIDING-window counts/sums: each event lands in width/slide
+    * overlapping windows (Spark's window() with a slide duration — a
+    * Generate of the per-event window list, no extra shuffle beyond the
+    * aggregation). Streaming-capable unchanged, like [[tumblingStats]].
+    */
+  def slidingStats(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value_dec"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+
   /** Custom-state sessionization via flatMapGroupsWithState — the arbitrary-
     * state streaming surface (vs the declarative session_window in
     * [[sessionStats]]). Buffers per-user events in GroupState, closes and
