@@ -75,20 +75,33 @@ object EventsOps {
     * (so it can no longer grow), with an event-time timeout flushing idle
     * users. Input must carry a watermark on `ts`.
     */
+  /** Timestamp ⇄ microseconds — the state buffer works in µs because the
+    * events table carries µs precision; buffering getTime (ms) would
+    * silently truncate session bounds (caught by the q54 oracle compare).
+    */
+  private def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def statefulSessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
 
     def toSessions(uid: Long, evs: List[(Long, Double)]): List[Session] = {
       val sorted = evs.sortBy(_._1)
       val groups = sorted.foldLeft(List.empty[List[(Long, Double)]]) {
         case (acc, e) => acc match {
-          case cur :: rest if e._1 - cur.head._1 <= gapMs => (e :: cur) :: rest
+          case cur :: rest if e._1 - cur.head._1 <= gapUs => (e :: cur) :: rest
           case _ => List(e) :: acc
         }
       }
       groups.reverse.map { g =>
         val s = g.reverse
-        Session(uid, new Timestamp(s.head._1), new Timestamp(s.last._1),
+        Session(uid, microsTs(s.head._1), microsTs(s.last._1),
           s.length.toLong,
           // exact 2-dp sum in cents, matching the decimal-sum convention
           s.map(e => math.round(e._2 * 100)).sum / 100.0)
@@ -99,23 +112,26 @@ object EventsOps {
         state: GroupState[SessBuf]): Iterator[Session] = {
       val buffered: List[(Long, Double)] = state.getOption
         .map(b => b.tsMs.zip(b.vals).toList).getOrElse(Nil)
-      val all = buffered ++ it.map(e => (e.ts.getTime, e.value)).toList
-      val wm = state.getCurrentWatermarkMs()
+      val all = buffered ++ it.map(e => (tsMicros(e.ts), e.value)).toList
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       if (all.isEmpty) { state.remove(); return Iterator.empty }
       val sessions = toSessions(uid, all)
       // a session is closed once the watermark passed end + gap
-      val (closed, open) = sessions.partition(s => s.session_end.getTime + gapMs < wm)
+      val (closed, open) = sessions.partition(s =>
+        tsMicros(s.session_end) + gapUs < wmUs)
       if (open.isEmpty) state.remove()
       else {
         // keep EVERY event of a still-open session (an old open session's
         // early events must survive until it closes), drop only events that
         // belong to just-closed sessions
-        val minOpenStart = open.map(_.session_start.getTime).min
+        val minOpenStart = open.map(s => tsMicros(s.session_start)).min
         val keep = all.filter(_._1 >= minOpenStart)
         state.update(SessBuf(keep.map(_._1).toArray, keep.map(_._2).toArray))
         // earliest close time among open sessions — each timeout closes the
-        // oldest session(s) and re-arms for the next
-        state.setTimeoutTimestamp(open.map(_.session_end.getTime).min + gapMs + 1)
+        // oldest session(s) and re-arms for the next (timeout API is ms;
+        // round the µs close time UP so the timeout never fires early)
+        val minCloseUs = open.map(s => tsMicros(s.session_end)).min + gapUs
+        state.setTimeoutTimestamp(Math.floorDiv(minCloseUs, 1000L) + 2)
       }
       closed.iterator
     }

@@ -36,4 +36,23 @@ object StreamOracle {
     finally q.stop()
     spark.table(name)
   }
+
+  /** Append-mode variant for operators that only exist in append output
+    * (flatMapGroupsWithState). Append converges on a finite source only
+    * when the CALLER arranges watermark advancement past every row it
+    * expects emitted — e.g. by staging sentinel rows after the real data
+    * (see q54: per-key flush events whose own state never emits).
+    */
+  def convergeAppend(out: DataFrame, name: String): DataFrame = {
+    val spark = out.sparkSession
+    spark.catalog.dropTempView(name)
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
 }
