@@ -987,6 +987,29 @@ object SparkEntry {
         sum(length(col("text"))).cast("long").as("sum_text_len"))
   }
 
+  /** Parquet schema evolution (the 100 TB operational reality: old files
+    * lack columns newer files carry): two file generations written with
+    * different schemas, read back under mergeSchema, nulls from the old
+    * generation handled explicitly. The oracle reconstructs the same
+    * split from the source table, so a column misalignment or silent
+    * null-drop in the merged read breaks the hash.
+    */
+  private def q55SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val out = s"$q40Scratch/orders_evo"
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderstatus"), lit("pre_evolution")).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum2(col("o_totalprice")).as("total_price"))
+  }
+
   /** One scratch warehouse per JVM, shared by every q40 invocation
     * (materialize is an Overwrite — repeated runs are idempotent, so
     * Bench's timing iterations no longer leak a partitioned copy of
@@ -1506,6 +1529,7 @@ object SparkEntry {
     "q52_correlated_subq" -> (q52CorrelatedSubquery _),
     "q53_sliding_windows" -> (q53SlidingWindows _),
     "q54_stateful_sessions" -> (q54StatefulSessions _),
+    "q55_schema_evolution" -> (q55SchemaEvolution _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1918,6 +1942,13 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q55_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'pre_evolution'
+        |            ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // each event lands in exactly width/slide = 4 windows (width is a
     // multiple of slide), so the replay is a plain k-offset cross join
