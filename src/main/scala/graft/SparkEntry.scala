@@ -987,6 +987,33 @@ object SparkEntry {
         sum(length(col("text"))).cast("long").as("sum_text_len"))
   }
 
+  /** SCD Type-2 snapshot (`dbt snapshot`, check strategy) run twice over
+    * deterministic source versions derived from orders: v1 = every
+    * third order; v2 = v1 with prices bumped for keys divisible by 7
+    * (→ close + reopen) plus a new-key cohort (→ open). The final
+    * snapshot's full history — closed old versions, surviving opens,
+    * reopened rows, new rows — is stated closed-form by the oracle.
+    */
+  private def q56Scd2Snapshot(s: SparkSession, dir: String): DataFrame = {
+    val t1 = java.sql.Date.valueOf("2024-01-01")
+    val t2 = java.sql.Date.valueOf("2024-02-01")
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val v1 = o.filter(col("k") % 3 === 0)
+    val v2 = v1.withColumn("price",
+        when(col("k") % 7 === 0, col("price") + lit(1000).cast("decimal(18,2)"))
+          .otherwise(col("price")))
+      .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+    val snap1 = graft.operators.Snapshot.scd2(None, v1, "k", Seq("price"), t1)
+    // validity bounds as strings: a nullable DATE column round-trips as
+    // None vs NaT across the parquet/duckdb compare harness
+    graft.operators.Snapshot.scd2(Some(snap1), v2, "k", Seq("price"), t2)
+      .select(col("k"), col("price").cast("double").as("price"),
+        col("valid_from").cast("string").as("valid_from"),
+        col("valid_to").cast("string").as("valid_to"))
+  }
+
   /** Parquet schema evolution (the 100 TB operational reality: old files
     * lack columns newer files carry): two file generations written with
     * different schemas, read back under mergeSchema, nulls from the old
@@ -1530,6 +1557,7 @@ object SparkEntry {
     "q53_sliding_windows" -> (q53SlidingWindows _),
     "q54_stateful_sessions" -> (q54StatefulSessions _),
     "q55_schema_evolution" -> (q55SchemaEvolution _),
+    "q56_scd2_snapshot" -> (q56Scd2Snapshot _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1949,6 +1977,31 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // closed-form history: changed keys (k%21=0 — in v1 AND bumped)
+    // contribute a closed old row + an open bumped row; other v1 keys
+    // one open row from t1; the new cohort one open row from t2
+    "q56_scd2_snapshot" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT k, CAST(price AS DOUBLE) AS price,
+        |  '2024-01-01' AS valid_from, '2024-02-01' AS valid_to
+        |FROM v1 WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT k, CAST(price + 1000 AS DOUBLE),
+        |  '2024-02-01', NULL
+        |FROM v1 WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-01-01', NULL
+        |FROM v1 WHERE k % 7 <> 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-02-01', NULL
+        |FROM newbies""".stripMargin,
 
     // each event lands in exactly width/slide = 4 windows (width is a
     // multiple of slide), so the replay is a plain k-offset cross join

@@ -105,6 +105,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L).head._3 == 1L && got(3L).head._4 == "solo")
   }
 
+  test("Snapshot.scd2: the full transition matrix over two runs") {
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-02-01")
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    // 1 unchanged; 2 changed; 3 deleted; 4 null→value change; 5 new
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    val s1 = graft.operators.Snapshot.scd2(None, v1, "k", Seq("v"), d1)
+    val s2 = graft.operators.Snapshot.scd2(Some(s1), v2, "k", Seq("v"), d2)
+      .select(col("k"), col("v"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"))
+      .as[(Long, String, String, String)].collect().toSet
+    assert(s2 == Set(
+      (1L, "a", "2024-01-01", null),              // unchanged: open survives
+      (2L, "b", "2024-01-01", "2024-02-01"),      // changed: old closes
+      (2L, "B", "2024-02-01", null),              //          new opens
+      (3L, "c", "2024-01-01", null),              // deleted: stays open (dbt default)
+      (4L, null, "2024-01-01", "2024-02-01"),     // null→value IS a change
+      (4L, "d", "2024-02-01", null),
+      (5L, "e", "2024-02-01", null)))             // new key opens
+    // hard-delete variant closes the disappeared key instead
+    val s2h = graft.operators.Snapshot.scd2(Some(s1), v2, "k", Seq("v"), d2,
+        closeDeleted = true)
+      .filter(col("k") === 3L)
+      .select(col("valid_to").cast("string")).as[String].collect().toSeq
+    assert(s2h == Seq("2024-02-01"))
+  }
+
   test("TopPerGroup.top1 is deterministic under ties") {
     val df = Seq((1, "a", 10), (1, "b", 10), (2, "c", 5)).toDF("grp", "id", "score")
     val got = TopPerGroup.top1(df, Seq(col("grp")),
