@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *    (dbt's default; pass `closeDeleted = true` for
   *    invalidate_hard_deletes semantics)
   *
+  * `key` must be unique within one source state (dbt's unique_key
+  * contract — duplicate keys would fan out the merge join).
+  *
   * Scale shape: ONE full-outer join on the key per run plus the
   * carried-forward closed history (a union, no shuffle). At 100 TB
   * bucket the snapshot table by the key so the daily merge is
