@@ -1037,6 +1037,30 @@ object SparkEntry {
         dsum2(col("o_totalprice")).as("total_price"))
   }
 
+  /** CSV round-trip (q51's JSONL counterpart — CSV quoting/escaping is
+    * where naive writers corrupt text): documents written with RFC-4180
+    * doubled-quote escaping, read back with the explicit schema and the
+    * same quote options the seed reader uses; the oracle aggregates the
+    * parquet source, so any quoting corruption breaks the hash.
+    */
+  private def q57CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val out = s"$q40Scratch/documents_csv"
+    d.write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"") // RFC-4180 doubled quotes, not backslash
+      .csv(out)
+    s.read
+      .option("header", "true")
+      .option("escape", "\"")
+      .schema(d.schema)
+      .csv(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(length(col("text"))).cast("long").as("sum_text_len"))
+  }
+
   /** One scratch warehouse per JVM, shared by every q40 invocation
     * (materialize is an Overwrite — repeated runs are idempotent, so
     * Bench's timing iterations no longer leak a partitioned copy of
@@ -1256,6 +1280,75 @@ object SparkEntry {
         col("chunk_len").cast("long").as("n_chunk_toks"),
         element_at(col("toks"), col("start") + 1).as("first_tok"),
         element_at(col("toks"), col("start") + col("chunk_len")).as("last_tok"))
+  }
+
+  /** Deterministic token masking (denoising-objective prep): token i of
+    * doc d is masked iff numHash(d·1000003 + i) falls under rate·M — the
+    * same shared-arithmetic hash gate as d17/d24, evaluated per token
+    * inside ONE transform() lambda (no explode, no shuffle; the
+    * aggregation below is presentation). Reproducible across runs,
+    * engines, and repartitioning; the oracle replays the per-token hash
+    * chain and rebuilds the masked text.
+    */
+  private val d27MaskRate = 0.25
+  private def d27SpanMask(s: SparkSession, dir: String): DataFrame = {
+    val thr = (d27MaskRate * graft.functions.SimHashTokenHash.M).toLong
+    val toks = TextFns.tokens(col("text"))
+    val masked = transform(toks, (tk, i) =>
+      when(graft.operators.Sketches.numHash(
+        col("doc_id") * lit(1000003L) + i.cast("long")) < lit(thr),
+        lit("<MASK>")).otherwise(tk))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(masked, tk => tk === "<MASK>")).cast("long").as("n_masked"),
+      array_join(masked, " ").as("masked_text"))
+  }
+
+  private def d27OracleSql: String = {
+    val thr = (d27MaskRate * graft.functions.SimHashTokenHash.M).toLong
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(text, ' ')) AS tok,
+       |    UNNEST(range(0, len(string_split(text, ' ')))) AS i
+       |  FROM documents
+       |), nh0 AS (
+       |  SELECT doc_id, tok, i,
+       |    ((((doc_id * 1000003 + i) % 1125899906842597) + 1125899906842597) % 1125899906842597
+       |      + 741103597153329) % 1125899906842597 AS x0
+       |  FROM toks
+       |), nh1 AS (
+       |  SELECT doc_id, tok, i,
+       |    xor((x0 * 8191) % 1125899906842597, ((x0 * 8191) % 1125899906842597) >> 25) AS x1
+       |  FROM nh0
+       |), nh2 AS (
+       |  SELECT doc_id, tok, i,
+       |    xor((x1 * 8191) % 1125899906842597, ((x1 * 8191) % 1125899906842597) >> 25) AS x2
+       |  FROM nh1
+       |), nh3 AS (
+       |  SELECT doc_id, tok, i,
+       |    xor((x2 * 4099) % 1125899906842597, ((x2 * 4099) % 1125899906842597) >> 25) AS x3
+       |  FROM nh2
+       |), nh4 AS (
+       |  SELECT doc_id, tok, i,
+       |    xor((x3 * 4099) % 1125899906842597, ((x3 * 4099) % 1125899906842597) >> 25) AS x4
+       |  FROM nh3
+       |), nh5 AS (
+       |  SELECT doc_id, tok, i,
+       |    xor((x4 * 5851) % 1125899906842597, ((x4 * 5851) % 1125899906842597) >> 25) AS x5
+       |  FROM nh4
+       |), gated AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN xor((x5 * 5851) % 1125899906842597,
+       |                  ((x5 * 5851) % 1125899906842597) >> 25) < $thr
+       |         THEN '<MASK>' ELSE tok END AS tok
+       |  FROM nh5
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) FILTER (WHERE tok = '<MASK>') AS BIGINT) AS n_masked,
+       |  string_agg(tok, ' ' ORDER BY i) AS masked_text
+       |FROM gated GROUP BY 1""".stripMargin
   }
 
   /** Sequence packing (training prep): docs on a token tape in id order,
@@ -1558,6 +1651,8 @@ object SparkEntry {
     "q54_stateful_sessions" -> (q54StatefulSessions _),
     "q55_schema_evolution" -> (q55SchemaEvolution _),
     "q56_scd2_snapshot" -> (q56Scd2Snapshot _),
+    "q57_csv_roundtrip" -> (q57CsvRoundtrip _),
+    "d27_span_mask" -> (d27SpanMask _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1923,6 +2018,7 @@ object SparkEntry {
     "d17_quota_sample" -> d17OracleSql,
     "d24_mixture_sample" -> d24OracleSql,
     "d25_pii_scrub" -> d25OracleSql,
+    "d27_span_mask" -> d27OracleSql,
 
     "d26_doc_chunking" ->
       s"""WITH toks AS (
@@ -1941,6 +2037,12 @@ object SparkEntry {
          |FROM chunks""".stripMargin,
 
     "q51_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q57_csv_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
