@@ -1037,22 +1037,38 @@ object SparkEntry {
         dsum2(col("o_totalprice")).as("total_price"))
   }
 
+  /** Planted q57 fixture: a document whose text carries an embedded double
+    * quote, comma, AND newline — the three characters that break naive CSV
+    * writers — so the quoting path is exercised even when the corpus text
+    * happens to be quote/comma/newline-free. Mirrored literally in the
+    * oracle SQL (same UNION ALL row over the parquet source).
+    */
+  private val q57FixtureText = "He said \"hi, there\"\nand left"
+
   /** CSV round-trip (q51's JSONL counterpart — CSV quoting/escaping is
-    * where naive writers corrupt text): documents written with RFC-4180
-    * doubled-quote escaping, read back with the explicit schema and the
-    * same quote options the seed reader uses; the oracle aggregates the
-    * parquet source, so any quoting corruption breaks the hash.
+    * where naive writers corrupt text): documents plus a planted
+    * quote/comma/newline fixture row written with RFC-4180 doubled-quote
+    * escaping, read back with the explicit schema, the same quote options
+    * the seed reader uses, and multiLine (quoted embedded newlines span
+    * physical lines); the oracle aggregates the parquet source plus the
+    * same literal fixture, so any quoting corruption breaks the hash.
     */
   private def q57CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    val fixture = s.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(-1L, q57FixtureText, "fixture", "fixture",
+          q57FixtureText.length.toLong)),
+      d.schema)
     val out = s"$q40Scratch/documents_csv"
-    d.write.mode("overwrite")
+    d.unionByName(fixture).write.mode("overwrite")
       .option("header", "true")
       .option("escape", "\"") // RFC-4180 doubled quotes, not backslash
       .csv(out)
     s.read
       .option("header", "true")
       .option("escape", "\"")
+      .option("multiLine", "true") // quoted newlines span physical lines
       .schema(d.schema)
       .csv(out)
       .groupBy(col("lang"))
@@ -2043,10 +2059,17 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q57_csv_roundtrip" ->
-      """SELECT lang, COUNT(*) AS n_docs,
+      """WITH fixture AS (
+        |  SELECT 'fixture' AS lang,
+        |    'He said "hi, there"' || chr(10) || 'and left' AS text
+        |), docs AS (
+        |  SELECT lang, n_chars, text FROM documents
+        |  UNION ALL SELECT lang, LENGTH(text), text FROM fixture
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
-        |FROM documents GROUP BY 1""".stripMargin,
+        |FROM docs GROUP BY 1""".stripMargin,
 
     "q52_correlated_subq" ->
       """SELECT n_name,

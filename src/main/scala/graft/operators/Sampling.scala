@@ -62,15 +62,18 @@ object Sampling {
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
-    val inMix = df.filter(groupCol.isin(weights.keys.toSeq: _*))
-    val counts = inMix.groupBy(groupCol.as("__g"))
+    // Weight keys are strings, so group matching runs on the string form of
+    // the column — an int/date source id works without a caller-side cast.
+    val g = groupCol.cast("string")
+    val inMix = df.filter(g.isin(weights.keys.toSeq: _*))
+    val counts = inMix.groupBy(g.as("__g"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val present = weights.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
+    val present = weights.filter { case (gk, _) => counts.getOrElse(gk, 0L) > 0L }
     require(present.nonEmpty, "no mixture group present in the data")
-    val capacity = present.map { case (g, w) => counts(g) / w }.min
-    val thr = present.map { case (g, w) =>
-      g -> ((w * capacity / counts(g)) * M).toLong }
-    inMix.filter(Sketches.numHash(idCol) < thresholdCol(groupCol, thr, -1L))
+    val capacity = present.map { case (gk, w) => counts(gk) / w }.min
+    val thr = present.map { case (gk, w) =>
+      gk -> ((w * capacity / counts(gk)) * M).toLong }
+    inMix.filter(Sketches.numHash(idCol) < thresholdCol(g, thr, -1L))
   }
 }

@@ -43,13 +43,22 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val schema = spark.read.parquet(path).schema
-    val staged = stageDirs.getOrElseUpdate(path, {
-      val d = java.nio.file.Files.createTempDirectory(s"graft-stream-$name")
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve(s"$name.parquet"), java.nio.file.Paths.get(path))
-      d.toFile.deleteOnExit()
-      d.toString
-    })
+    // Synchronized: TrieMap.getOrElseUpdate may run the builder twice under
+    // concurrent first calls, orphaning a temp dir. One staged dir per table
+    // path per JVM; the shutdown hook removes the symlink before the dir
+    // (File.deleteOnExit can't — it only deletes empty dirs).
+    val staged = stageDirs.synchronized {
+      stageDirs.getOrElseUpdate(path, {
+        val d = java.nio.file.Files.createTempDirectory(s"graft-stream-$name")
+        val link = d.resolve(s"$name.parquet")
+        java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          java.nio.file.Files.deleteIfExists(link)
+          java.nio.file.Files.deleteIfExists(d)
+        }))
+        d.toString
+      })
+    }
     val raw = spark.readStream.schema(schema).parquet(staged)
     if (name == "events")
       raw.withColumn("ts",
