@@ -1475,6 +1475,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users")),
       "q47_stream_dedup_sink")
 
+  /** Stream-STREAM watermarked interval join under the oracle (the last
+    * streaming surface q45/q46/q47/q54 left spec-only): errors and clicks
+    * consumed as two independent readStream sources, joined by
+    * EventsOps.intervalJoin (same-user clicks within ±2 h of each error),
+    * converged in append mode — inner stream-stream joins emit each match
+    * in the micro-batch where both sides are present, so on a finite
+    * source the converged sink IS the batch inequality join, which the
+    * DuckDB oracle states directly. Exercises the streaming symmetric
+    * join state store + watermark-driven state eviction path.
+    */
+  private def q58StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val errors = graft.sources.Tables.loadStream(s, dir, "events")
+      .filter(col("event_type") === "error")
+    val clicks = graft.sources.Tables.loadStream(s, dir, "events")
+      .filter(col("event_type") === "click")
+    val joined = EventsOps.intervalJoin(errors, clicks, "user_id",
+      before = "2 HOURS", after = "2 HOURS", watermark = "1 hour")
+    graft.streaming.StreamOracle
+      .convergeAppend(joined, "q58_stream_interval_sink")
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_value"), col("r_value"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
   /** CUBE over the q25 rollup keys (the remaining grouping-set family
     * member), with grouping_id pinning WHICH subtotal each row is — the
     * standard 2·g(a)+g(b) bitmask in both engines.
@@ -1668,6 +1692,7 @@ object SparkEntry {
     "q55_schema_evolution" -> (q55SchemaEvolution _),
     "q56_scd2_snapshot" -> (q56Scd2Snapshot _),
     "q57_csv_roundtrip" -> (q57CsvRoundtrip _),
+    "q58_stream_interval" -> (q58StreamIntervalJoin _),
     "d27_span_mask" -> (d27SpanMask _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
@@ -2070,6 +2095,24 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
         |FROM docs GROUP BY 1""".stripMargin,
+
+    // q58 converges the stream-stream interval join to the batch
+    // inequality join the SQL states directly (inner joins emit on match)
+    "q58_stream_interval" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT e.user_id,
+        |  e.event_id AS l_event_id, c.event_id AS r_event_id,
+        |  e.value AS l_value, c.value AS r_value,
+        |  epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |  AND c.ts >= e.ts - INTERVAL 2 HOUR
+        |  AND c.ts <= e.ts + INTERVAL 2 HOUR""".stripMargin,
 
     "q52_correlated_subq" ->
       """SELECT n_name,
