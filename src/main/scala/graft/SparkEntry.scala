@@ -994,24 +994,63 @@ object SparkEntry {
     * snapshot's full history — closed old versions, surviving opens,
     * reopened rows, new rows — is stated closed-form by the oracle.
     */
-  private def q56Scd2Snapshot(s: SparkSession, dir: String): DataFrame = {
-    val t1 = java.sql.Date.valueOf("2024-01-01")
-    val t2 = java.sql.Date.valueOf("2024-02-01")
+  /** Deterministic two-version SCD2 source shared by q56/q59: v1 = every
+    * third order; v2 = v1 with prices bumped for keys divisible by 7
+    * (→ close + reopen) plus a new-key cohort (→ open).
+    */
+  private def scd2Sources(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, java.sql.Date, java.sql.Date) = {
     val o = t(s, dir, "orders")
       .select(col("o_orderkey").as("k"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
     val v1 = o.filter(col("k") % 3 === 0)
+    // cast back: decimal addition widens (18,2)+(18,2) → (19,2), and a
+    // widened v2 would persist a different parquet decimal encoding than
+    // v1's run partition (mixed INT64/FLBA breaks the snapshot-store read)
     val v2 = v1.withColumn("price",
         when(col("k") % 7 === 0, col("price") + lit(1000).cast("decimal(18,2)"))
-          .otherwise(col("price")))
+          .otherwise(col("price")).cast("decimal(18,2)"))
       .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+    (v1, v2, java.sql.Date.valueOf("2024-01-01"),
+      java.sql.Date.valueOf("2024-02-01"))
+  }
+
+  /** Validity bounds as strings: a nullable DATE column round-trips as
+    * None vs NaT across the parquet/duckdb compare harness.
+    */
+  private def scd2Presented(snap: DataFrame): DataFrame =
+    snap.select(col("k"), col("price").cast("double").as("price"),
+      col("valid_from").cast("string").as("valid_from"),
+      col("valid_to").cast("string").as("valid_to"))
+
+  private def q56Scd2Snapshot(s: SparkSession, dir: String): DataFrame = {
+    val (v1, v2, t1, t2) = scd2Sources(s, dir)
     val snap1 = graft.operators.Snapshot.scd2(None, v1, "k", Seq("price"), t1)
-    // validity bounds as strings: a nullable DATE column round-trips as
-    // None vs NaT across the parquet/duckdb compare harness
-    graft.operators.Snapshot.scd2(Some(snap1), v2, "k", Seq("price"), t2)
-      .select(col("k"), col("price").cast("double").as("price"),
-        col("valid_from").cast("string").as("valid_from"),
-        col("valid_to").cast("string").as("valid_to"))
+    scd2Presented(
+      graft.operators.Snapshot.scd2(Some(snap1), v2, "k", Seq("price"), t2))
+  }
+
+  /** Materialized SCD2 round-trip (q56's operational form): the same
+    * two-version history run through [[graft.operators.SnapshotStore]] —
+    * append-only run-partitioned parquet history via TableWriter, each
+    * run persisting only its delta — with the SECOND run executed TWICE
+    * (same source, same asOf) to prove idempotent re-runs on the
+    * materialized table. The reconstructed snapshot hash-matches q56's
+    * closed-form oracle, so any corruption in the persist/reconstruct
+    * cycle (lost delta, double-applied close, re-run drift) breaks the
+    * hash. The store root is reset per invocation — Bench runs every
+    * entry twice and a stale final state would make run 1 a no-op merge.
+    */
+  private def q59SnapshotMaterialized(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SnapshotStore
+    val (v1, v2, t1, t2) = scd2Sources(s, dir)
+    val wh = s"$q40Scratch/snapstore"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    SnapshotStore.run(s, writer, "orders_snap", v1, "k", Seq("price"), t1)
+    SnapshotStore.run(s, writer, "orders_snap", v2, "k", Seq("price"), t2)
+    scd2Presented(
+      SnapshotStore.run(s, writer, "orders_snap", v2, "k", Seq("price"), t2))
   }
 
   /** Parquet schema evolution (the 100 TB operational reality: old files
@@ -1693,6 +1732,7 @@ object SparkEntry {
     "q56_scd2_snapshot" -> (q56Scd2Snapshot _),
     "q57_csv_roundtrip" -> (q57CsvRoundtrip _),
     "q58_stream_interval" -> (q58StreamIntervalJoin _),
+    "q59_snapshot_store" -> (q59SnapshotMaterialized _),
     "d27_span_mask" -> (d27SpanMask _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
@@ -2150,6 +2190,31 @@ object SparkEntry {
     // contribute a closed old row + an open bumped row; other v1 keys
     // one open row from t1; the new cohort one open row from t2
     "q56_scd2_snapshot" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT k, CAST(price AS DOUBLE) AS price,
+        |  '2024-01-01' AS valid_from, '2024-02-01' AS valid_to
+        |FROM v1 WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT k, CAST(price + 1000 AS DOUBLE),
+        |  '2024-02-01', NULL
+        |FROM v1 WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-01-01', NULL
+        |FROM v1 WHERE k % 7 <> 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-02-01', NULL
+        |FROM newbies""".stripMargin,
+
+    // q59 is q56's history materialized through the append-only
+    // run-partitioned SnapshotStore (second run executed twice to prove
+    // idempotence) — the reconstructed snapshot equals the same closed form
+    "q59_snapshot_store" ->
       """WITH v1 AS (
         |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
         |  FROM orders WHERE o_orderkey % 3 = 0

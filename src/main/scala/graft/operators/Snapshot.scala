@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** dbt-style SCD Type-2 snapshots (`dbt snapshot`, check strategy): the
@@ -71,5 +72,67 @@ object Snapshot {
           .unionByName(closedNow)
           .unionByName(openedNow)
     }
+  }
+}
+
+/** Materialized snapshot store — `dbt snapshot`'s operational shape on a
+  * plain-parquet warehouse. The history table is APPEND-ONLY and
+  * partitioned by run date (`snap_run`): each run writes ONLY the rows
+  * whose state changed that run (rows closed at `asOf` + rows opened at
+  * `asOf`); earlier run partitions are never rewritten — at 100 TB a
+  * year of daily snapshots over a slowly-changing dimension costs one
+  * small delta partition per day, not a daily rewrite of the full
+  * history. Re-running the same `asOf` over the same source is
+  * idempotent: the delta recomputes identically and the write is a
+  * dynamic overwrite of just that run's partition
+  * ([[graft.sources.TableWriter.upsertPartitions]]).
+  *
+  * The current snapshot is reconstructed by letting the LATEST run win
+  * per (key, valid_from): closing a row re-states it with `valid_to`
+  * set under the same (key, valid_from), superseding the open version
+  * from the earlier run; every other row appears exactly once.
+  */
+object SnapshotStore {
+
+  /** Reconstruct the current snapshot from the materialized history, or
+    * None if no run has been persisted yet.
+    */
+  def read(spark: SparkSession, writer: graft.sources.TableWriter,
+      name: String, key: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(writer.path(name))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val w = Window.partitionBy(col(key), col("valid_from"))
+        .orderBy(col("snap_run").desc)
+      Some(writer.read(spark, name)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "snap_run"))
+    }
+  }
+
+  /** One snapshot pass: merge `src`'s state at `asOf` against the
+    * reconstructed history, persist the delta (closed-at-asOf +
+    * opened-at-asOf rows) as partition `snap_run=asOf`, and return the
+    * reconstructed post-run snapshot. The delta is staged to a scratch
+    * dir first — the partition write would otherwise overwrite a path
+    * its own plan is reading.
+    */
+  def run(spark: SparkSession, writer: graft.sources.TableWriter,
+      name: String, src: DataFrame, key: String, checkCols: Seq[String],
+      asOf: java.sql.Date, closeDeleted: Boolean = false): DataFrame = {
+    val prior = read(spark, writer, name, key)
+    val merged = Snapshot.scd2(prior, src, key, checkCols, asOf, closeDeleted)
+    val delta = merged.filter(
+      col("valid_to") === lit(asOf) || col("valid_from") === lit(asOf))
+    val stage = writer.path(s"__stage_$name")
+    delta.write.mode("overwrite").parquet(stage)
+    writer.upsertPartitions(
+      spark.read.parquet(stage).withColumn("snap_run", lit(asOf)),
+      name, Seq("snap_run"))
+    val sp = new org.apache.hadoop.fs.Path(stage)
+    sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    read(spark, writer, name, key).get
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{RegexBank, TopPerGroup}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -131,6 +132,54 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("k") === 3L)
       .select(col("valid_to").cast("string")).as[String].collect().toSeq
     assert(s2h == Seq("2024-02-01"))
+  }
+
+  test("SnapshotStore: append-only run partitions, idempotent re-run") {
+    import graft.operators.SnapshotStore
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-02-01")
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = Seq((1L, "a"), (2L, "B"), (5L, "e")).toDF("k", "v")
+    val wh = java.nio.file.Files.createTempDirectory("graft_snapstore_")
+    try {
+      val writer = new graft.sources.TableWriter(wh.toString)
+      SnapshotStore.run(spark, writer, "t", v1, "k", Seq("v"), d1)
+      val run1Dir = java.nio.file.Paths.get(writer.path("t"), "snap_run=2024-01-01")
+      def run1Files: Map[String, (Long, Long)] = {
+        val s = java.nio.file.Files.list(run1Dir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+        finally s.close()
+      }
+      val before = run1Files
+      val snap2 = SnapshotStore.run(spark, writer, "t", v2, "k", Seq("v"), d2)
+      // append-only: run 2 never rewrote run 1's partition
+      assert(run1Files == before && before.nonEmpty)
+      val expect = Set(
+        (1L, "a", "2024-01-01", null),
+        (2L, "b", "2024-01-01", "2024-02-01"),
+        (2L, "B", "2024-02-01", null),
+        (3L, "c", "2024-01-01", null),
+        (5L, "e", "2024-02-01", null))
+      def presented(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("k"), col("v"),
+          col("valid_from").cast("string"), col("valid_to").cast("string"))
+        .as[(Long, String, String, String)].collect().toSet
+      assert(presented(snap2) == expect)
+      // idempotent re-run of the latest asOf: same source, same date →
+      // identical reconstruction (partition rewritten with equal content)
+      val snap2again = SnapshotStore.run(spark, writer, "t", v2, "k", Seq("v"), d2)
+      assert(presented(snap2again) == expect)
+      assert(run1Files == before)
+    } finally {
+      val walk = java.nio.file.Files.walk(wh)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   test("TopPerGroup.top1 is deterministic under ties") {
