@@ -1622,6 +1622,21 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Composed IVF+SQ8 (the production ANN form v3 and v5 each prove half
+    * of): trained inverted-list pruning AND byte-quantized scan, exact
+    * rerank on the shortlist. The oracle replays the entire composition —
+    * Lloyd training rounds, codebook, list assignment, probed quantized
+    * shortlist, rerank — so the composed approximate semantics are
+    * hash-checked end to end.
+    */
+  private def v6AnnIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
+    Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 8), k = 5,
+        centroids = cents, nprobe = 2, rerankFactor = 4, dim = 64)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Sign-LSH bucketed k-NN. The bucketing is deterministic ARITHMETIC
     * (sign of dot products against fixed Gaussian hyperplanes), not opaque
     * hashing — so the oracle replicates the ACTUAL approximate semantics:
@@ -1742,6 +1757,7 @@ object SparkEntry {
       Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 8), k = 5)
     }),
     "v5_ann_sq8" -> (v5AnnSq8 _),
+    "v6_ann_ivf_sq8" -> (v6AnnIvfSq8 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2454,6 +2470,7 @@ object SparkEntry {
     "v4_ann_topk_agg" -> v1OracleSql,
     "v1_ann_bruteforce" -> v1OracleSql,
     "v5_ann_sq8" -> v5OracleSql,
+    "v6_ann_ivf_sq8" -> v6OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 
@@ -2587,7 +2604,13 @@ object SparkEntry {
     * emptied cluster keeps its previous centroid via the left join). The
     * final probe/rerank phase is the same shape the stride oracle used.
     */
-  private def v3OracleSql: String = {
+  /** Shared CTE prefix replaying the deterministic Lloyd training in
+    * DuckDB — `c` (doubles), `cent0` (stride init), and one unrolled
+    * asgN/centN pair per round, ending open inside cent$ivfIters (the
+    * consumer closes it with its next `), ... AS (`). Used by the v3 and
+    * v6 oracles.
+    */
+  private def ivfTrainCtesSql: String = {
     val rounds = (1 to ivfIters).map { i =>
       val prev = s"cent${i - 1}"
       s"""|), asg$i AS (
@@ -2612,14 +2635,18 @@ object SparkEntry {
           |    ) GROUP BY 1
           |  ) n USING (cent_id)""".stripMargin
     }.mkString("\n")
-    val cf = s"cent$ivfIters"
     s"""WITH c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), cent0 AS (
        |  SELECT vec_id AS cent_id, v AS cv,
        |    SQRT(list_dot_product(v, v)) AS cn
        |  FROM c WHERE vec_id % 97 = 0
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def v3OracleSql: String = {
+    val cf = s"cent$ivfIters"
+    s"""$ivfTrainCtesSql
        |), assigned AS (
        |  SELECT nbr_id, nbr_vec, cent_id FROM (
        |    SELECT c.vec_id AS nbr_id, c.v AS nbr_vec, ct.cent_id,
@@ -2648,6 +2675,65 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
        |  FROM scored
        |) WHERE rank <= 5""".stripMargin
+  }
+
+  /** v6 oracle: the full IVF+SQ8 composition replayed — v3's unrolled
+    * Lloyd training (ivfTrainCtesSql), v5's exact min/max codebook and
+    * floor-quantized reconstruction, inverted-list assignment on the
+    * ORIGINAL vectors, nprobe=2 probing, quantized shortlist of k×4
+    * within the probed lists, exact rerank.
+    */
+  private def v6OracleSql: String = {
+    val cf = s"cent$ivfIters"
+    s"""$ivfTrainCtesSql
+       |), mm AS (
+       |  SELECT t.d, MIN(v[t.d]) AS mn, MAX(v[t.d]) AS mx
+       |  FROM c, range(1, 65) t(d) GROUP BY 1
+       |), mml AS (
+       |  SELECT list(mn ORDER BY d) AS mnl, list(mx ORDER BY d) AS mxl FROM mm
+       |), enc AS (
+       |  SELECT vec_id, v,
+       |    list_transform(generate_series(1, 64), d ->
+       |      CASE WHEN mxl[d] = mnl[d] THEN mnl[d]
+       |           ELSE mnl[d] + LEAST(GREATEST(
+       |             FLOOR((v[d] - mnl[d]) / (mxl[d] - mnl[d]) * 255.0 + 0.5),
+       |             0.0), 255.0) / 255.0 * (mxl[d] - mnl[d]) END) AS av
+       |  FROM c, mml
+       |), assigned AS (
+       |  SELECT nbr_id, nbr_vec, av, cent_id FROM (
+       |    SELECT e.vec_id AS nbr_id, e.v AS nbr_vec, e.av, ct.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, ct.cv) / (SQRT(list_dot_product(e.v, e.v)) * ct.cn) DESC,
+       |        ct.cent_id ASC) AS rn
+       |    FROM enc e CROSS JOIN $cf ct
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, q_vec, cent_id FROM (
+       |    SELECT c.vec_id AS query_id, c.v AS q_vec, ct.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
+       |        ct.cent_id ASC) AS rn
+       |    FROM c CROSS JOIN $cf ct WHERE c.vec_id < 8
+       |  ) WHERE rn <= 2
+       |), approx AS (
+       |  SELECT p.query_id, a.nbr_id, a.nbr_vec, p.q_vec,
+       |    list_dot_product(p.q_vec, a.av)
+       |      / (SQRT(list_dot_product(p.q_vec, p.q_vec)) * SQRT(list_dot_product(a.av, a.av))) AS asim
+       |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+       |  WHERE a.nbr_id <> p.query_id
+       |), shortlist AS (
+       |  SELECT * FROM approx
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY asim DESC, nbr_id ASC) <= 20
+       |), reranked AS (
+       |  SELECT query_id, nbr_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY list_dot_product(q_vec, nbr_vec)
+       |        / (SQRT(list_dot_product(q_vec, q_vec)) * SQRT(list_dot_product(nbr_vec, nbr_vec))) DESC,
+       |      nbr_id ASC) AS rank
+       |  FROM shortlist
+       |)
+       |SELECT query_id, nbr_id, rank FROM reranked WHERE rank <= 5""".stripMargin
   }
 
   private def v2OracleSql: String = {

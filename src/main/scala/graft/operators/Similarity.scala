@@ -345,28 +345,25 @@ object Similarity {
     * round()'s HALF_UP vs banker's ambiguity) — so the DuckDB oracle
     * replays the full approximate semantics bit-for-bit, v2-style.
     */
-  def sq8TopK(candidates: DataFrame, queries: DataFrame, k: Int,
-      rerankFactor: Int = 4, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cand = candidates.select(
-      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
-    // Shape guard first: a null vector or a dim mismatch would otherwise
-    // NULL its dot products and silently rank those rows by id alone.
-    // count() ignores nothing, so nulls and wrong lengths are caught
-    // (min/max alone skip nulls).
+  /** Deterministic SQ8 codebook: exact per-dimension min/max via ONE
+    * posexplode + 2-aggregate groupBy (dim groups; map-side combine
+    * shrinks each partition to dim rows before the shuffle). The
+    * unrolled alternative — 2×dim named aggregates in a single plan —
+    * generated codegen past JIT limits and cost ~10 s at dim=64.
+    * Guards shape first: a null vector or a dim mismatch would
+    * otherwise NULL its dot products and silently rank those rows by
+    * id alone (count() ignores nothing; min/max alone skip nulls).
+    */
+  private def sq8Codebook(cand: DataFrame, dim: Int)
+      : (Array[Double], Array[Double]) = {
     val guard = cand.agg(
       count(lit(1)).as("n"),
       count(when(col("nbr_vec").isNull ||
         size(col("nbr_vec")) =!= dim, 1)).as("bad")).head()
-    require(guard.getLong(0) > 0, "sq8TopK: empty candidate set")
+    require(guard.getLong(0) > 0, "sq8: empty candidate set")
     require(guard.getLong(1) == 0,
-      s"sq8TopK dim=$dim but ${guard.getLong(1)} of ${guard.getLong(0)} " +
+      s"sq8 dim=$dim but ${guard.getLong(1)} of ${guard.getLong(0)} " +
         "embeddings are null or a different length")
-    // Deterministic codebook: exact per-dimension min/max via ONE
-    // posexplode + 2-aggregate groupBy (dim groups; map-side combine
-    // shrinks each partition to dim rows before the shuffle). The
-    // previous form — 2×dim named aggregates in a single plan — generated
-    // codegen past JIT limits and cost ~10 s of compilation at dim=64.
     val mmRows = cand
       .select(posexplode(col("nbr_vec")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -376,14 +373,19 @@ object Similarity {
     mmRows.foreach { r =>
       val d = r.getInt(0); mn(d) = r.getDouble(1); mx(d) = r.getDouble(2)
     }
+    (mn, mx)
+  }
 
-    // encode→reconstruct composed: mn + floor((x-mn)/span*255 + 0.5)/255*span
-    // — one small transform() lambda against literal-folded codebook arrays
-    // (identical arithmetic and operation order to the unrolled per-column
-    // form it replaces, so the output hash is unchanged).
+  /** encode→reconstruct composed: mn + floor((x-mn)/span*255+0.5)/255*span
+    * — one small transform() lambda against literal-folded codebook arrays
+    * (floor instead of round: HALF_UP vs banker's would diverge between
+    * engines).
+    */
+  private def sq8Recon(mn: Array[Double], mx: Array[Double])
+      : org.apache.spark.sql.Column = {
     val mnLit = array(mn.map(lit): _*)
     val spanLit = array(mn.indices.map(d => lit(mx(d) - mn(d))): _*)
-    val recon = transform(col("nbr_vec"), (x, i) => {
+    transform(col("nbr_vec"), (x, i) => {
       val m = element_at(mnLit, i + 1)
       val sp = element_at(spanLit, i + 1)
       val code = least(greatest(
@@ -392,8 +394,15 @@ object Similarity {
       when(sp === lit(0.0), m)
         .otherwise(m + code / lit(255.0) * sp)
     })
+  }
 
-    val encoded = cand.withColumn("approx_vec", recon)
+  def sq8TopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      rerankFactor: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+    val (mn, mx) = sq8Codebook(cand, dim)
+    val encoded = cand.withColumn("approx_vec", sq8Recon(mn, mx))
       .withColumn("approx_norm", VectorFns.norm(col("approx_vec")))
     val qs = queries.select(
       col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
@@ -411,6 +420,78 @@ object Similarity {
     val exact = shortlist.withColumn("sim", VectorFns.cosinePre(
       VectorFns.dot(col("q_vec"), col("nbr_vec")),
       col("q_norm"), VectorFns.norm(col("nbr_vec"))))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
+
+  /** Composed IVF+SQ8 — the production ANN form: IVF pruning (each query
+    * scans only its `nprobe` nearest inverted lists) AND SQ8 compression
+    * (the scanned lists hold byte-encoded vectors; at 100 TB the encoded,
+    * list-partitioned corpus is what stays resident — ~nprobe/K of the
+    * data read per query batch, at a quarter of float32 footprint). The
+    * approximate stage ranks probed candidates by cosine against the
+    * SQ8-reconstructed vectors and keeps k×rerankFactor per query; the
+    * exact stage reranks that shortlist on the original vectors —
+    * misquantization can demote a true neighbor out of the shortlist but
+    * never corrupts the final ordering of what survives. Centroids arrive
+    * as trained literals ([[trainIvfCentroids]]) and the codebook is the
+    * same exact min/max + floor(x+0.5) arithmetic as [[sq8TopK]], so the
+    * full composition — training, list assignment, probing, quantized
+    * shortlist, exact rerank — is deterministic and replayable by a SQL
+    * oracle.
+    */
+  def ivfSq8TopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int = 2,
+      rerankFactor: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+    val (mn, mx) = sq8Codebook(cand, dim)
+    val encoded = cand.withColumn("approx_vec", sq8Recon(mn, mx))
+      .withColumn("approx_norm", VectorFns.norm(col("approx_vec")))
+      .withColumn("nbr_norm", VectorFns.norm(col("nbr_vec")))
+
+    val cents = centroids.toDF("cent_id", "cent_vec")
+      .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
+    def nearestCentroids(df: DataFrame, vec: String, norm: String, id: String,
+        n: Int): DataFrame = {
+      val scored = df.join(broadcast(cents))
+        .withColumn("cent_sim", VectorFns.cosinePre(
+          VectorFns.dot(col(vec), col("cent_vec")), col(norm), col("cent_norm")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cent_sim").desc, col("cent_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("cent_vec", "cent_norm", "cent_sim", "crank")
+    }
+
+    // inverted lists: nearest centroid per ENCODED candidate (assignment
+    // runs on the original vector — list membership must not depend on
+    // quantization error)
+    val assigned = nearestCentroids(encoded, "nbr_vec", "nbr_norm", "nbr_id", 1)
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+    val probes = nearestCentroids(qs, "q_vec", "q_norm", "query_id", nprobe)
+
+    val approx = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("asim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("approx_vec")),
+        col("q_norm"), col("approx_norm")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("nbr_id").asc)
+    val shortlist = approx.withColumn("arank", row_number().over(w1))
+      .filter(col("arank") <= k * rerankFactor)
+
+    val exact = shortlist.withColumn("sim", VectorFns.cosinePre(
+      VectorFns.dot(col("q_vec"), col("nbr_vec")),
+      col("q_norm"), col("nbr_norm")))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
     exact.withColumn("rank", row_number().over(w2))

@@ -194,6 +194,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rTrained >= 0.5, s"trained recall@5 = $rTrained")
   }
 
+  test("ivfSq8TopK: composed prune+compress recall vs exact, IVF-recall ceiling") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 8)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val exact = key(Similarity.bruteForceTopK(e, queries, k = 5))
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
+    val ivfOnly = key(Similarity.ivfTopKWithCentroids(e, queries, k = 5,
+      centroids = cents, nprobe = 2))
+    val composed = key(Similarity.ivfSq8TopK(e, queries, k = 5,
+      centroids = cents, nprobe = 2, rerankFactor = 4))
+    val rIvf = (exact intersect ivfOnly).size.toDouble / exact.size
+    val rComposed = (exact intersect composed).size.toDouble / exact.size
+    // quantization inside probed lists costs little on top of IVF pruning:
+    // the composed recall stays within one shortlist miss of the IVF-only
+    // recall ceiling (and both are deterministic on this corpus)
+    assert(rComposed >= rIvf - 0.1,
+      s"composed recall $rComposed far below IVF-only $rIvf")
+    assert(rComposed >= 0.5, s"composed recall@5 = $rComposed")
+    assert(composed == key(Similarity.ivfSq8TopK(e, queries, k = 5,
+      centroids = cents, nprobe = 2, rerankFactor = 4)))
+  }
+
   test("d3 banding (32 bands x 2 rows) proposes every exact pair on the corpus") {
     // recall is ASSERTED at the verified scale, not assumed: at 32x2 a
     // pair at the J=0.35 oracle threshold is proposed with p ~ 0.985 per
