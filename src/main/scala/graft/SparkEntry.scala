@@ -702,6 +702,38 @@ object SparkEntry {
         col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens").cast("double"))
   }
 
+  /** REAL merge-table BPE tokenization (the gap d12's regex pre-tokens
+    * left): every document's text encoded against the bundled trained
+    * merge table (graft.functions.Bpe — greedy lowest-rank merge loop,
+    * per-JVM memoized per distinct word, inside whole-stage codegen).
+    * Per-doc output so the oracle checks every document's merged-token
+    * count individually; the oracle replays the merge loop itself as a
+    * recursive CTE over the distinct words with the same merge table
+    * embedded as a MAP literal — the approximate-free, engine-neutral
+    * statement of the tokenizer.
+    */
+  private def d28BpeApply(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("lang"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_ws"),
+      graft.functions.Bpe.bpeTokenCount(col("text")).as("n_bpe"))
+  }
+
+  /** Sequence packing RE-DENOMINATED in real tokenizer tokens (d22 packs
+    * on whitespace counts): the tape measure is the BPE merged-token
+    * count, budget 256 — the form a training pipeline actually ships,
+    * since sequence budgets are tokenizer-token budgets. Same
+    * distributed two-pass prefix sum, no single-task window.
+    */
+  private def d29BpePacking(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Packing.packSequences(
+        d.withColumn("n_toks", graft.functions.Bpe.bpeTokenCount(col("text"))),
+        col("doc_id"), col("n_toks"), budget = 256L)
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        col("tape_start"), col("seq_id"), col("seq_offset"))
+  }
+
   /** Percentile-band corpus trim (drop the extreme-length tails — a stock
     * training-data cleaning step). Exact interpolated percentiles over
     * integer token counts are engine-reproducible — this entry IS the
@@ -1749,6 +1781,8 @@ object SparkEntry {
     "q58_stream_interval" -> (q58StreamIntervalJoin _),
     "q59_snapshot_store" -> (q59SnapshotMaterialized _),
     "d27_span_mask" -> (d27SpanMask _),
+    "d28_bpe_apply" -> (d28BpeApply _),
+    "d29_bpe_packing" -> (d29BpePacking _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -2490,7 +2524,79 @@ object SparkEntry {
         |FROM cum""".stripMargin,
 
     "d21_line_dedup" -> d21OracleSql,
+
+    // d28/d29: the oracle replays the BPE merge loop itself — recursive
+    // CTE over the distinct words, one leftmost-lowest-rank merge per
+    // step, the bundled merge table embedded as a MAP literal
+    "d28_bpe_apply" ->
+      s"""$bpeFinalCtes,
+         |tok AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_ws,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |)
+         |SELECT t.doc_id, t.lang, CAST(t.n_ws AS BIGINT) AS n_ws,
+         |  CAST(SUM(f.n) AS BIGINT) AS n_bpe
+         |FROM tok t JOIN final f ON t.w = f.w
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "d29_bpe_packing" ->
+      s"""$bpeFinalCtes,
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), toks AS (
+         |  SELECT t.doc_id, CAST(SUM(f.n) AS BIGINT) AS n_toks
+         |  FROM tok t JOIN final f ON t.w = f.w GROUP BY 1
+         |), cum AS (
+         |  SELECT doc_id, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tape_start
+         |  FROM toks
+         |)
+         |SELECT doc_id, n_toks, CAST(tape_start AS BIGINT) AS tape_start,
+         |  CAST(tape_start // 256 AS BIGINT) AS seq_id,
+         |  CAST(tape_start % 256 AS BIGINT) AS seq_offset
+         |FROM cum""".stripMargin,
   )
+
+  /** Shared CTE prefix replaying merge-table BPE in DuckDB: the bundled
+    * merge table as a MAP literal (rank = index), each DISTINCT corpus
+    * word split to codepoints, then the recursive step merges the
+    * LEFTMOST occurrence of the LOWEST-rank adjacent pair — exactly
+    * [[graft.functions.Bpe.encode]]'s loop. `final` holds each word's
+    * fixed point (no adjacent pair left in the table) and its token
+    * count. DuckDB 1.0 map_extract returns a LIST (empty when absent),
+    * hence the `[1]` element extraction for the rank lookup.
+    */
+  private def bpeFinalCtes: String = {
+    val ms = graft.functions.Bpe.merges
+    val keys = ms.map { case (a, b) => s"'$a $b'" }.mkString(", ")
+    val vals = ms.indices.mkString(", ")
+    s"""WITH RECURSIVE mm AS (SELECT MAP([$keys], [$vals]) AS m),
+       |words AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+       |), bpe AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:] AS syms
+       |  FROM (
+       |    SELECT w, syms,
+       |      list_position(rk, list_min(list_filter(rk, x -> x IS NOT NULL))) AS p
+       |    FROM (
+       |      SELECT w, syms,
+       |        list_transform(range(1, len(syms)),
+       |          i -> map_extract(m, syms[i] || ' ' || syms[i+1])[1]) AS rk
+       |      FROM bpe, mm
+       |    )
+       |  ) WHERE p IS NOT NULL
+       |), final AS (
+       |  SELECT w, len(syms) AS n FROM bpe, mm
+       |  WHERE len(list_filter(list_transform(range(1, len(syms)),
+       |      i -> map_extract(m, syms[i] || ' ' || syms[i+1])[1]),
+       |      x -> x IS NOT NULL)) = 0
+       |)""".stripMargin
+  }
 
   /** v5 oracle: replays the SQ8 semantics — exact per-dim min/max
     * codebook, floor(x+0.5) quantize, reconstruct, approximate shortlist
