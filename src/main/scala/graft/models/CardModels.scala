@@ -164,11 +164,11 @@ object CardModels {
     val adjusted = rules.map { r =>
       if (demoted.contains(r.key)) r.copy(priority = r.priority - 100000) else r
     }
-    val bank = new RegexBank.CompiledBank(adjusted, caseInsensitive = true)
-    val f = udf { (vs: Seq[String]) =>
-      if (vs == null) None else Option(bank.bestKeyAny(vs))
-    }
-    f(variants)
+    // codegen'd expression over the variant array (BankBestMatchExpr) —
+    // the bank rides the reference array, no per-row Seq/Option boxing
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(graft.operators.BankBestMatchExpr(
+      expression(variants), adjusted, caseInsensitive = true))
   }
 
   /** Reference stoplist for hyper-generic fallback names (:182). */
