@@ -15,9 +15,31 @@ import org.apache.spark.sql.SparkSession
   * regressions in planning cost stay visible. Queries run in sorted name
   * order after a session warm-up action so the first measured query doesn't
   * absorb JVM/session startup.
+  *
+  * `--check`: in-repo perf regression gate. Compares each query's
+  * steady-state time against BENCH_BUDGETS.json (per-query budgets, by
+  * default recorded at sf0.01; override the file with
+  * SPARK_GRAFT_BUDGETS) and exits nonzero if any query exceeds BOTH 2×
+  * its budget AND budget + 0.5 s — the relative bound catches real
+  * regressions on heavy queries, the absolute grace keeps sub-100 ms
+  * entries from tripping on scheduler noise. Queries without a budget
+  * are reported (new entries need a re-baseline via `--record`), never
+  * failed. `--record` rewrites the budget file from this run's
+  * steady-state numbers.
   */
 object Bench {
+
+  private def parseBudgets(path: String): Map[String, Double] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val entry = """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+    entry.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
+    val check = args.contains("--check")
+    val record = args.contains("--record")
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "BENCH_BUDGETS.json")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
@@ -54,5 +76,28 @@ object Bench {
     val totalCold = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"total_cold":$totalCold,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
+
+    if (record) {
+      val body = results.sortBy(_._1)
+        .map(t => s"""  "${t._1}": ${f"${t._2}%.4f"}""").mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(budgetPath), body)
+      System.err.println(s"[bench] recorded ${results.size} budgets → $budgetPath")
+    }
+    if (check) {
+      val budgets = parseBudgets(budgetPath)
+      val missing = results.map(_._1).filterNot(budgets.contains)
+      if (missing.nonEmpty)
+        System.err.println(s"[bench] no budget (re-record needed): ${missing.mkString(", ")}")
+      val violations = results.flatMap { case (name, steady, _) =>
+        budgets.get(name).collect {
+          case b if steady > 2 * b && steady - b > 0.5 => (name, steady, b)
+        }
+      }
+      violations.foreach { case (name, steady, b) =>
+        System.err.println(f"[bench] REGRESSION $name: $steady%.3f s vs budget $b%.3f s (>2x and >+0.5s)")
+      }
+      if (violations.nonEmpty) sys.exit(1)
+      System.err.println(s"[bench] check OK: ${results.size - missing.size} queries within budget")
+    }
   }
 }
