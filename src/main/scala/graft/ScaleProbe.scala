@@ -11,12 +11,23 @@ import org.apache.spark.sql.functions._
   * at mult×. This is the "would it survive a scale-up" check run as a
   * MEASUREMENT, not an assertion; results are recorded in SCALE.md.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [mult]
+  * Usage: runMain graft.ScaleProbe [sfDir] [mult] [probes]
+  *   probes: comma-separated subset of
+  *     d3,d11,d15,d18,bpe,v3,v5,v6,q32   (default: all)
+  *   — selectable because the probes scale very differently on purpose:
+  *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
+  *   corpus grows (its cutover point is the measurement), and running it
+  *   at 100× would hide the scalable paths behind hours of exact-pair
+  *   output.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = if (args.length > 1) args(1).toInt else 10
+    val probes: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet
+      else Set("d3", "d11", "d15", "d18", "bpe", "v3", "v5", "v6", "q32")
+    def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,63 +53,87 @@ object ScaleProbe {
         else shifted
       }.reduce(_ unionByName _)
 
-    val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
-    val docsN = replicate(docs1, "doc_id", mult, mutate = true)
-      .repartition(cpus.toInt).persist()
-    println(s"corpus: ${docs1.count()} docs -> ${docsN.count()} docs (${mult}x)")
+    if (probes.intersect(Set("d3", "d11", "d15", "d18", "bpe")).nonEmpty) {
+      val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
+      val docsN = replicate(docs1, "doc_id", mult, mutate = true)
+        .repartition(cpus.toInt).persist()
+      println(s"corpus: ${docs1.count()} docs -> ${docsN.count()} docs (${mult}x)")
 
-    for ((label, d) <- Seq("1x" -> docs1, s"${mult}x" -> docsN)) {
-      t(s"d3_minhash_verify_$label") {
-        Dedup.verifyPairsExact(d,
-          Dedup.minhashLshPairs(d, "doc_id", "text",
-            n = 3, numHashes = 64, bands = 32, minEstJaccard = 0.0),
-          "doc_id", "text", n = 3, threshold = 0.35).count()
+      for ((label, d) <- Seq("1x" -> docs1, s"${mult}x" -> docsN)) {
+        if (on("d3")) t(s"d3_minhash_verify_$label") {
+          Dedup.verifyPairsExact(d,
+            Dedup.minhashLshPairs(d, "doc_id", "text",
+              n = 3, numHashes = 64, bands = 32, minEstJaccard = 0.0),
+            "doc_id", "text", n = 3, threshold = 0.35).count()
+        }
+        if (on("d11")) t(s"d11_pairs_clusters_$label") {
+          Dedup.clusters(Dedup.ngramJaccardPairs(d, "doc_id", "text",
+            n = 3, threshold = 0.2, maxDocFreq = 50L)).count()
+        }
+        if (on("d15")) t(s"d15_corpus_pipeline_$label") {
+          graft.pipeline.CorpusPipeline.clean(d)
+            .groupBy(col("lang")).agg(count(lit(1))).count()
+        }
+        if (on("d18")) t(s"d18_prefix_jaccard_$label") {
+          Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+            n = 3, threshold = 0.35).count()
+        }
+        if (on("bpe")) t(s"d28_bpe_tokens_$label") {
+          // corpus-linear per-row merge loop (memoized per distinct word)
+          d.select(graft.functions.Bpe.bpeTokenCount(col("text")).as("n"))
+            .agg(sum(col("n"))).count()
+        }
       }
-      t(s"d11_pairs_clusters_$label") {
-        Dedup.clusters(Dedup.ngramJaccardPairs(d, "doc_id", "text",
-          n = 3, threshold = 0.2, maxDocFreq = 50L)).count()
-      }
-      t(s"d15_corpus_pipeline_$label") {
-        graft.pipeline.CorpusPipeline.clean(d)
-          .groupBy(col("lang")).agg(count(lit(1))).count()
-      }
-      t(s"d18_prefix_jaccard_$label") {
-        Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
-          n = 3, threshold = 0.35).count()
-      }
+      docsN.unpersist()
     }
 
-    val emb1 = graft.sources.Tables.load(spark, sfDir, "embeddings")
-    val embN = (0 until mult).map { r =>
-      emb1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
-    }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
-    for ((label, e) <- Seq("1x" -> emb1, s"${mult}x" -> embN)) {
-      t(s"v5_ann_sq8_$label") {
-        Similarity.sq8TopK(e, e.filter(col("vec_id") < 8), k = 5,
-          rerankFactor = 4, dim = 64).count()
+    if (probes.intersect(Set("v3", "v5", "v6")).nonEmpty) {
+      val emb1 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      val embN = (0 until mult).map { r =>
+        emb1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+      }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
+      for ((label, e, m) <- Seq(("1x", emb1, 1), (s"${mult}x", embN, mult))) {
+        if (on("v5")) t(s"v5_ann_sq8_$label") {
+          Similarity.sq8TopK(e, e.filter(col("vec_id") < 8), k = 5,
+            rerankFactor = 4, dim = 64).count()
+        }
+        // K held CONSTANT under replication (stride scales with mult):
+        // the stride-init heuristic otherwise ties K to N, turning each
+        // Lloyd round and the assignment phase into O(N·K) = O(N²/stride)
+        // — measured at 100×: 435 s with K=N/97 vs the constant-K number
+        // this probe reports. Production guidance: pick K from memory/
+        // recall targets (≈√N), never from a corpus-proportional stride.
+        if (on("v3")) t(s"v3_ivf_trained_$label") {
+          val cents = Similarity.trainIvfCentroids(e, initStride = 97L * m, iters = 3)
+          Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") < 8), k = 5,
+            centroids = cents, nprobe = 2).count()
+        }
+        if (on("v6")) t(s"v6_ivf_sq8_$label") {
+          val cents = Similarity.trainIvfCentroids(e, initStride = 97L * m, iters = 3)
+          Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 8), k = 5,
+            centroids = cents, nprobe = 2, rerankFactor = 4, dim = 64).count()
+        }
       }
-      t(s"v3_ivf_trained_$label") {
-        val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
-        Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") < 8), k = 5,
-          centroids = cents, nprobe = 2).count()
-      }
+      embN.unpersist()
     }
 
-    val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
-    val ordersN = (0 until mult).map { r =>
-      orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
-    }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
-    for ((label, o) <- Seq("1x" -> orders1, s"${mult}x" -> ordersN)) {
-      t(s"q32_classifier_$label") {
-        o.createOrReplaceTempView("orders_scaleprobe")
-        val tx = graft.operators.Parallelism.fanOut(
-          spark.sql(graft.models.CardFixture.txSql("orders_scaleprobe")))
-        graft.models.CardModels.classifiedCardTransactions(
-          tx, graft.models.CardFixture.rules,
-          graft.models.CardFixture.merchantsDf(spark),
-          graft.models.CardFixture.mapDf(spark),
-          graft.models.CardFixture.leafDf(spark),
-          graft.models.CardFixture.merchantSeed).count()
+    if (on("q32")) {
+      val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
+      val ordersN = (0 until mult).map { r =>
+        orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+      }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
+      for ((label, o) <- Seq("1x" -> orders1, s"${mult}x" -> ordersN)) {
+        t(s"q32_classifier_$label") {
+          o.createOrReplaceTempView("orders_scaleprobe")
+          val tx = graft.operators.Parallelism.fanOut(
+            spark.sql(graft.models.CardFixture.txSql("orders_scaleprobe")))
+          graft.models.CardModels.classifiedCardTransactions(
+            tx, graft.models.CardFixture.rules,
+            graft.models.CardFixture.merchantsDf(spark),
+            graft.models.CardFixture.mapDf(spark),
+            graft.models.CardFixture.leafDf(spark),
+            graft.models.CardFixture.merchantSeed).count()
+        }
       }
     }
     spark.stop()
