@@ -1669,6 +1669,23 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Persisted IVF index round-trip: the SAME trained quantizer as v3,
+    * but the inverted lists are materialized as cent_id-partitioned
+    * parquet (TableWriter) and the query runs against the persisted
+    * index with partition pruning on the probed lists — build-once/
+    * query-many, the production serving shape. Shares v3's oracle
+    * verbatim: persistence must not change a single result bit.
+    */
+  private def v7AnnIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
+    val writer = new graft.sources.TableWriter(s"$q40Scratch/ivfindex")
+    Similarity.buildIvfIndex(e, cents, writer, "emb")
+    Similarity.queryIvfIndex(s, writer, "emb",
+        e.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Sign-LSH bucketed k-NN. The bucketing is deterministic ARITHMETIC
     * (sign of dot products against fixed Gaussian hyperplanes), not opaque
     * hashing — so the oracle replicates the ACTUAL approximate semantics:
@@ -1792,6 +1809,7 @@ object SparkEntry {
     }),
     "v5_ann_sq8" -> (v5AnnSq8 _),
     "v6_ann_ivf_sq8" -> (v6AnnIvfSq8 _),
+    "v7_ann_ivf_index" -> (v7AnnIvfIndex _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2505,6 +2523,8 @@ object SparkEntry {
     "v1_ann_bruteforce" -> v1OracleSql,
     "v5_ann_sq8" -> v5OracleSql,
     "v6_ann_ivf_sq8" -> v6OracleSql,
+    // v7 = v3 through a persisted index; results must be bit-identical
+    "v7_ann_ivf_index" -> v3OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -423,6 +423,80 @@ object Similarity {
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
     exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
+
+  /** Persist an IVF index — the build-once/query-many production shape:
+    * `<name>_centroids` (tiny, K×dim) plus `<name>_lists`, the candidate
+    * corpus with its nearest-centroid assignment written PARTITIONED BY
+    * `cent_id` — each inverted list is a physical partition directory, so
+    * a query probing nprobe lists reads ~nprobe/K of the corpus through
+    * ordinary partition pruning (visible as PartitionFilters in the scan).
+    * At 100 TB the index is built once per corpus version and amortized
+    * across every query batch; parquet round-trips doubles exactly, so
+    * querying the persisted index returns bit-identical results to the
+    * in-memory form.
+    */
+  def buildIvfIndex(candidates: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      writer: graft.sources.TableWriter, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+      .withColumn("nbr_norm", VectorFns.norm(col("nbr_vec")))
+    val cents = centroids.toDF("cent_id", "cent_vec")
+      .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
+    val w = Window.partitionBy(col("nbr_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val assigned = cand.join(broadcast(cents))
+      .withColumn("cent_sim", VectorFns.cosinePre(
+        VectorFns.dot(col("nbr_vec"), col("cent_vec")),
+        col("nbr_norm"), col("cent_norm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("nbr_id"), col("nbr_vec"), col("nbr_norm"), col("cent_id"))
+    writer.materialize(s"${name}_lists", assigned, partitionBy = Seq("cent_id"))
+    writer.materialize(s"${name}_centroids", cents.select("cent_id", "cent_vec"))
+  }
+
+  /** Query a persisted IVF index: centroids are re-read (tiny) to assign
+    * each query its nprobe nearest lists, the probed `cent_id`s become a
+    * partition-pruning IN filter on the lists table, and only those
+    * partitions are scanned, scored, and ranked — identical arithmetic
+    * and tie-breaking to [[ivfTopKWithCentroids]], so the persisted and
+    * in-memory forms hash-match.
+    */
+  def queryIvfIndex(spark: SparkSession, writer: graft.sources.TableWriter,
+      name: String, queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = writer.read(spark, s"${name}_centroids")
+      .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val probes = qs.join(broadcast(cents))
+      .withColumn("cent_sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("cent_vec")), col("q_norm"), col("cent_norm")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .drop("cent_vec", "cent_norm", "cent_sim", "crank")
+    // bounded collect: ≤ |queries| × nprobe list ids → partition pruning
+    val probedLists = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = writer.read(spark, s"${name}_lists")
+      .filter(col("cent_id").isin(probedLists: _*))
+    val scored = lists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("nbr_vec")),
+        col("q_norm"), col("nbr_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "rank")
   }

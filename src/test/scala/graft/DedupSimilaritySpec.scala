@@ -217,6 +217,32 @@ class DedupSimilaritySpec extends SparkSpec {
       centroids = cents, nprobe = 2, rerankFactor = 4)))
   }
 
+  test("persisted IVF index round-trip equals the in-memory form") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 8)
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfidx_")
+    try {
+      val writer = new graft.sources.TableWriter(wh.toString)
+      Similarity.buildIvfIndex(e, cents, writer, "emb")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "nbr_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+      val persisted = key(Similarity.queryIvfIndex(spark, writer, "emb",
+        queries, k = 5, nprobe = 2))
+      val inMemory = key(Similarity.ivfTopKWithCentroids(e, queries, k = 5,
+        centroids = cents, nprobe = 2))
+      // bit-identical: parquet round-trips doubles exactly and the query
+      // path reuses the same scoring arithmetic and tie-breaks
+      assert(persisted == inMemory && persisted.nonEmpty)
+    } finally {
+      val walk = java.nio.file.Files.walk(wh)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("d3 banding (32 bands x 2 rows) proposes every exact pair on the corpus") {
     // recall is ASSERTED at the verified scale, not assumed: at 32x2 a
     // pair at the J=0.35 oracle threshold is proposed with p ~ 0.985 per
