@@ -719,6 +719,22 @@ object SparkEntry {
       graft.functions.Bpe.bpeTokenCount(col("text")).as("n_bpe"))
   }
 
+  /** Token-ID SEQUENCE fidelity (d28 checks counts; this pins the ordered
+    * ids a training pipeline actually emits): per-doc position-weighted
+    * checksum Σ tokenId·position over the document's full BPE token
+    * stream, with the stable id scheme codepoint | 256+mergeRank. The
+    * oracle re-derives ids from the merge literals and replays the
+    * ordered flatten (word subscripts → per-word token subscripts →
+    * global positions via a running offset), so a single transposed or
+    * substituted token anywhere in any document breaks the hash.
+    */
+  private def d30BpeIds(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+      graft.functions.Bpe.bpeTokenCount(col("text")).as("n_bpe"),
+      graft.functions.Bpe.bpeIdChecksum(col("text")).as("id_checksum"))
+  }
+
   /** Sequence packing RE-DENOMINATED in real tokenizer tokens (d22 packs
     * on whitespace counts): the tape measure is the BPE merged-token
     * count, budget 256 — the form a training pipeline actually ships,
@@ -1570,6 +1586,24 @@ object SparkEntry {
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
   }
 
+  /** Stream-STATIC join under the oracle (the remaining streaming join
+    * runtime next to q58's stream-stream form): the events stream
+    * enriched against the static customer dimension — Spark plans the
+    * static side as an ordinary broadcast per micro-batch, no state
+    * store — then aggregated per market segment and converged in
+    * complete mode against the plain batch join SQL.
+    */
+  private def q60StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.loadStream(s, dir, "events")
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.streaming.StreamOracle.converge(
+      ev.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value")),
+      "q60_stream_static_sink")
+  }
+
   /** CUBE over the q25 rollup keys (the remaining grouping-set family
     * member), with grouping_id pinning WHICH subtotal each row is — the
     * standard 2·g(a)+g(b) bitmask in both engines.
@@ -1797,9 +1831,11 @@ object SparkEntry {
     "q57_csv_roundtrip" -> (q57CsvRoundtrip _),
     "q58_stream_interval" -> (q58StreamIntervalJoin _),
     "q59_snapshot_store" -> (q59SnapshotMaterialized _),
+    "q60_stream_static" -> (q60StreamStaticJoin _),
     "d27_span_mask" -> (d27SpanMask _),
     "d28_bpe_apply" -> (d28BpeApply _),
     "d29_bpe_packing" -> (d29BpePacking _),
+    "d30_bpe_ids" -> (d30BpeIds _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -2222,6 +2258,15 @@ object SparkEntry {
         |  AND c.ts >= e.ts - INTERVAL 2 HOUR
         |  AND c.ts <= e.ts + INTERVAL 2 HOUR""".stripMargin,
 
+    // q60 converges the stream-static broadcast-enrichment join to the
+    // plain batch join the SQL states directly
+    "q60_stream_static" ->
+      """SELECT c.c_mktsegment, e.event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
     "q52_correlated_subq" ->
       """SELECT n_name,
         |  (SELECT COUNT(*) FROM customer c
@@ -2577,7 +2622,52 @@ object SparkEntry {
          |  CAST(tape_start // 256 AS BIGINT) AS seq_id,
          |  CAST(tape_start % 256 AS BIGINT) AS seq_offset
          |FROM cum""".stripMargin,
+
+    "d30_bpe_ids" -> d30OracleSql,
   )
+
+  /** d30 oracle: ids from the merge literals (codepoint | 256+MIN rank
+    * producing the string), ordered flatten via word subscripts + a
+    * running per-doc token offset + per-word token subscripts, then the
+    * position-weighted sum. LEFT JOIN from documents keeps any
+    * zero-token doc present with checksum 0.
+    */
+  private def d30OracleSql: String = {
+    val vocabVals = graft.functions.Bpe.merges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a$b', $i)" }.mkString(", ")
+    s"""$bpeFinalCtes,
+       |vocab AS (
+       |  SELECT tok, 256 + MIN(r) AS id
+       |  FROM (VALUES $vocabVals) v(tok, r) GROUP BY 1
+       |), dw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), wordpos AS (
+       |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi FROM dw
+       |), wt AS (
+       |  SELECT p.doc_id, p.wi, f.syms, f.n
+       |  FROM wordpos p JOIN final f ON p.w = f.w
+       |), offs AS (
+       |  SELECT doc_id, wi, syms,
+       |    COALESCE(SUM(n) OVER (PARTITION BY doc_id ORDER BY wi
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
+       |  FROM wt
+       |), toks AS (
+       |  SELECT doc_id, woff + generate_subscripts(syms, 1) AS pos,
+       |    unnest(syms) AS sym
+       |  FROM offs
+       |), ids AS (
+       |  SELECT t.doc_id, t.pos,
+       |    CASE WHEN length(t.sym) = 1 THEN ascii(t.sym) ELSE v.id END AS id
+       |  FROM toks t LEFT JOIN vocab v ON t.sym = v.tok
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_bpe,
+       |    CAST(SUM(id * pos) AS BIGINT) AS id_checksum
+       |  FROM ids GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe,
+       |  CAST(COALESCE(a.id_checksum, 0) AS BIGINT) AS id_checksum
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
 
   /** Shared CTE prefix replaying merge-table BPE in DuckDB: the bundled
     * merge table as a MAP literal (rank = index), each DISTINCT corpus
@@ -2611,7 +2701,7 @@ object SparkEntry {
        |    )
        |  ) WHERE p IS NOT NULL
        |), final AS (
-       |  SELECT w, len(syms) AS n FROM bpe, mm
+       |  SELECT w, syms, len(syms) AS n FROM bpe, mm
        |  WHERE len(list_filter(list_transform(range(1, len(syms)),
        |      i -> map_extract(m, syms[i] || ' ' || syms[i+1])[1]),
        |      x -> x IS NOT NULL)) = 0

@@ -150,20 +150,42 @@ object Bpe {
     syms.toIndexedSeq
   }
 
-  // Per-JVM memo of word → token count: corpus vocabularies are tiny
+  // Per-JVM memo of word → token list: corpus vocabularies are tiny
   // relative to corpus size (that is the point of BPE), so the encode
   // loop runs once per DISTINCT word per executor. Bounded defensively:
   // past the cap we compute without caching rather than grow unbounded.
   private val cacheCap = 1 << 20
-  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val encCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]()
 
-  def tokenCount(word: String): Int = {
-    val hit = countCache.get(word)
+  private def encodeCached(word: String): IndexedSeq[String] = {
+    val hit = encCache.get(word)
     if (hit != null) return hit
-    val n = encode(word).length
-    if (countCache.size < cacheCap) countCache.put(word, n)
-    n
+    val toks = encode(word)
+    if (encCache.size < cacheCap) encCache.put(word, toks)
+    toks
   }
+
+  def tokenCount(word: String): Int = encodeCached(word).length
+
+  /** Stable token-id scheme over the bundled table: a single-codepoint
+    * token is its codepoint; a multi-char token is 256 + the rank of the
+    * FIRST merge producing that string (every multi-char symbol IS some
+    * merge's output; MIN-rank resolves the rare case of two merges
+    * producing the same string). Engine-neutral by construction — the
+    * oracle re-derives the same ids from the merge literals.
+    */
+  private lazy val tokenIdMap: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + b, 256 + i)
+    }
+    m
+  }
+
+  def tokenId(tok: String): Long =
+    if (tok.codePointCount(0, tok.length) == 1) tok.codePointAt(0).toLong
+    else tokenIdMap.get(tok).toLong
 
   /** Total BPE tokens of a text: single-space pre-tokenization (matching
     * `string_split(text, ' ')` / `split(col, " ")` everywhere else in the
@@ -186,6 +208,45 @@ object Bpe {
 
   /** Static entry point for generated code. */
   def countTokensUtf8(s: UTF8String): Long = countTokensText(s.toString)
+
+  /** Position-weighted checksum of the full token-ID SEQUENCE of a text:
+    * Σ tokenId · position (1-based, global across the document's words
+    * in order). Two sequences that differ in any token or any position
+    * differ in the checksum with overwhelming probability — this is the
+    * cheap scalar that lets the oracle pin the ORDERED id sequence, not
+    * just the count.
+    */
+  def idChecksumText(text: String): Long = {
+    var sum = 0L
+    var pos = 0L
+    var start = 0
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val toks = encodeCached(text.substring(start, i))
+          var j = 0
+          while (j < toks.length) {
+            pos += 1
+            sum += tokenId(toks(j)) * pos
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    sum
+  }
+
+  /** Static entry point for generated code. */
+  def idChecksumUtf8(s: UTF8String): Long = idChecksumText(s.toString)
+
+  def bpeIdChecksum(c: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(BpeIdChecksumExpr(expression(c)))
+  }
 
   def bpeTokenCount(c: Column): Column = {
     import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
@@ -212,4 +273,24 @@ case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "bpe_token_count"
+}
+
+/** `bpe_id_checksum(text)` — position-weighted checksum of the text's
+  * BPE token-ID sequence (see [[Bpe.idChecksumText]]); same codegen
+  * pattern as [[BpeTokenCountExpr]].
+  */
+case class BpeIdChecksumExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    Bpe.idChecksumUtf8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.idChecksumUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_id_checksum"
 }

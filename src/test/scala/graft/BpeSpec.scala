@@ -45,6 +45,24 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(wordCounts, 48) == Bpe.merges)
   }
 
+  test("token ids and position-weighted checksum pin the ordered sequence") {
+    // single-codepoint tokens are codepoints
+    assert(Bpe.tokenId("a") == 'a'.toLong)
+    // multi-char tokens are 256 + first producing merge's rank
+    val erRank = Bpe.merges.indexWhere { case (a, b) => a + b == "er" }
+    assert(erRank >= 0 && Bpe.tokenId("er") == 256L + erRank)
+    // checksum is position-sensitive: swapping two words changes it even
+    // though the token multiset is identical
+    val ab = Bpe.idChecksumText("key agg")
+    val ba = Bpe.idChecksumText("agg key")
+    assert(ab != ba && ab > 0 && ba > 0)
+    // column form matches driver-side, null-safe
+    val got = Seq(Some("key agg"), None).toDF("text")
+      .select(Bpe.bpeIdChecksum(col("text")).as("c"))
+      .as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(ab), None))
+  }
+
   test("bpeTokenCount column matches the driver-side count, null-safe") {
     val df = Seq(Some("key agg row"), Some(""), None)
       .toDF("text")
