@@ -1604,6 +1604,37 @@ object SparkEntry {
       "q60_stream_static_sink")
   }
 
+  /** MULTI-batch incremental streaming under the oracle: q45 and friends
+    * converge in one micro-batch (one source file), which exercises the
+    * state store but not state EVOLUTION. Here the events table is
+    * staged as four hash-chunked files and consumed with
+    * maxFilesPerTrigger=1, forcing four micro-batches whose session
+    * state must merge incrementally — sessions split across chunks are
+    * only correct if the session-window store merges cross-batch.
+    * Complete-mode convergence is chunk-order-independent, so the
+    * converged sink still equals q16's batch session SQL.
+    */
+  private def q61StreamMultibatch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q61_").toString
+    (0 until 4).foreach { c =>
+      e.filter(pmod(col("event_id"), lit(4)) === c)
+        .coalesce(1).write.parquet(s"$stage/c$c")
+    }
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/c*")
+    val out = graft.streaming.StreamOracle.converge(
+      EventsOps.sessionStats(stream, "30 minutes"),
+      "q61_stream_multibatch_sink")
+      .select("user_id", "session_start", "n_events", "sum_value")
+    deleteTree(java.nio.file.Paths.get(stage))
+    out
+  }
+
   /** CUBE over the q25 rollup keys (the remaining grouping-set family
     * member), with grouping_id pinning WHICH subtotal each row is — the
     * standard 2·g(a)+g(b) bitmask in both engines.
@@ -1832,6 +1863,7 @@ object SparkEntry {
     "q58_stream_interval" -> (q58StreamIntervalJoin _),
     "q59_snapshot_store" -> (q59SnapshotMaterialized _),
     "q60_stream_static" -> (q60StreamStaticJoin _),
+    "q61_stream_multibatch" -> (q61StreamMultibatch _),
     "d27_span_mask" -> (d27SpanMask _),
     "d28_bpe_apply" -> (d28BpeApply _),
     "d29_bpe_packing" -> (d29BpePacking _),
@@ -2035,6 +2067,24 @@ object SparkEntry {
     // q45 converges the REAL readStream session path to the SAME answer as
     // batch q16, so it shares q16's oracle text verbatim
     "q45_stream_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE
+        |      THEN 0 ELSE 1 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    // q61 = q45's sessions computed across FOUR forced micro-batches
+    // (maxFilesPerTrigger=1 over hash-chunked files) — cross-batch
+    // session-state merging must converge to the same batch answer
+    "q61_stream_multibatch" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE
