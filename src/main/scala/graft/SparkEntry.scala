@@ -1089,6 +1089,34 @@ object SparkEntry {
     * hash. The store root is reset per invocation — Bench runs every
     * entry twice and a stale final state would make run 1 a no-op merge.
     */
+  /** Incremental MERGE materialization (q62 — the dbt `merge` strategy,
+    * completing the materialization family next to table/q40,
+    * insert_overwrite/q55-style, seed/q39, snapshot/q56+q59): a base
+    * load of every third order, then a PARTIAL batch (only the changed
+    * keys, bumped, plus a new-key cohort) upserted by key through
+    * TableWriter.mergeByKey's bucket-scoped rewrite; the second batch is
+    * applied TWICE to prove merge idempotence. The oracle states the
+    * final upserted table closed-form.
+    */
+  private def q62IncrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val changes = base.filter(col("k") % 7 === 0)
+      .withColumn("price",
+        (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+    val wh = s"$q40Scratch/mergestore"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    writer.mergeByKey(s, "orders_merged", base, "k")
+    writer.mergeByKey(s, "orders_merged", changes, "k")
+    writer.mergeByKey(s, "orders_merged", changes, "k") // idempotent re-run
+    writer.read(s, "orders_merged")
+      .select(col("k"), col("price").cast("double").as("price"))
+  }
+
   private def q59SnapshotMaterialized(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SnapshotStore
     val (v1, v2, t1, t2) = scd2Sources(s, dir)
@@ -1864,6 +1892,7 @@ object SparkEntry {
     "q59_snapshot_store" -> (q59SnapshotMaterialized _),
     "q60_stream_static" -> (q60StreamStaticJoin _),
     "q61_stream_multibatch" -> (q61StreamMultibatch _),
+    "q62_incremental_merge" -> (q62IncrementalMerge _),
     "d27_span_mask" -> (d27SpanMask _),
     "d28_bpe_apply" -> (d28BpeApply _),
     "d29_bpe_packing" -> (d29BpePacking _),
@@ -2373,6 +2402,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, CAST(price AS DOUBLE), '2024-02-01', NULL
         |FROM newbies""".stripMargin,
+
+    // q62: base load upserted with a partial changed-keys batch (applied
+    // twice — merge is idempotent); the final table stated closed-form
+    "q62_incremental_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT k, CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+        |  AS DOUBLE) AS price
+        |FROM base
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE) FROM newbies""".stripMargin,
 
     // q59 is q56's history materialized through the append-only
     // run-partitioned SnapshotStore (second run executed twice to prove

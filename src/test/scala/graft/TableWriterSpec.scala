@@ -7,6 +7,37 @@ import org.apache.spark.sql.functions._
 class TableWriterSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mergeByKey: upsert semantics, idempotent, bucket-scoped rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val w = new TableWriter(dir)
+    // keys 2 and 18 share bucket 2 (mod 16); key 1 lives in bucket 1
+    val base = Seq((1L, "a"), (2L, "b"), (18L, "c")).toDF("k", "v")
+    w.mergeByKey(spark, "m", base, "k")
+    val bucket2 = java.nio.file.Paths.get(w.path("m"), "__bucket=2")
+    def files(p: java.nio.file.Path): Map[String, Long] = {
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(f => f.getFileName.toString ->
+            java.nio.file.Files.getLastModifiedTime(f).toMillis).toMap
+      } finally s.close()
+    }
+    val before = files(bucket2)
+    // batch touching only bucket 1: update key 1, insert key 17
+    val batch = Seq((1L, "A"), (17L, "d")).toDF("k", "v")
+    w.mergeByKey(spark, "m", batch, "k")
+    val got = w.read(spark, "m").select("k", "v").as[(Long, String)]
+      .collect().toSet
+    assert(got == Set((1L, "A"), (2L, "b"), (18L, "c"), (17L, "d")))
+    // bucket 2 was neither read-rewritten nor touched
+    assert(files(bucket2) == before && before.nonEmpty)
+    // idempotent re-apply
+    w.mergeByKey(spark, "m", batch, "k")
+    assert(w.read(spark, "m").select("k", "v").as[(Long, String)]
+      .collect().toSet == got)
+  }
+
   test("incremental upsert overwrites only the touched partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-inc").toString
     val w = new TableWriter(dir)
