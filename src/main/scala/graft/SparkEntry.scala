@@ -895,6 +895,73 @@ object SparkEntry {
   private val d17Rates = Map("en" -> 0.5, "de" -> 0.25)
   private val d17Default = 0.1
 
+  /** Deterministic 80/10/10 train/val/test split (the canonical dataset
+    * split every training pipeline ships): id-hash cutpoints via
+    * Sampling.splitAssign — row-local, repartition-stable, append-stable
+    * — reported as per-(lang, split) counts; the oracle replays the hash
+    * chain and the same cutpoint longs.
+    */
+  private val d31Fractions =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private def d31SplitAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split",
+        Sampling.splitAssign(col("doc_id"), d31Fractions))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+
+  /** Bigram-LM fluency scoring (the statistical quality filter next to
+    * d6's heuristic one — perplexity-style filtering is a stock
+    * training-data stage): add-one-smoothed conditional probabilities
+    * trained on the corpus itself — one distributed unigram count + one
+    * distributed bigram count, vocabulary-sized and driver-collected —
+    * and each document scored by its mean P(w_i | w_{i-1}). The
+    * probabilities are computed ONCE on the driver and embedded as map
+    * literals in BOTH the Spark plan and the oracle SQL, and the per-doc
+    * fold is a left-to-right sum of those exact doubles: +/× are
+    * IEEE-identical across engines where log/exp are not, which is what
+    * makes a statistical score hash-checkable at all.
+    */
+  private def d32LmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(split(col("text"), " ").as("ws"))
+    val ug = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bg = toks.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = ug.size
+    val bgProb = bg.map { case (b, c12) =>
+      val w1 = b.substring(0, b.indexOf(' '))
+      b -> (c12 + 1).toDouble / (ug(w1) + v).toDouble
+    }
+    val ugProb = ug.map { case (w, c) => w -> 1.0 / (c + v).toDouble }
+    def mapLit(m: Map[String, Double]) = map(m.toSeq.sortBy(_._1)
+      .flatMap { case (k, p) => Seq(lit(k), lit(p)) }: _*)
+    val bm = mapLit(bgProb)
+    val um = mapLit(ugProb)
+    val ws = split(col("text"), " ")
+    val probs = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1), i =>
+        coalesce(
+          element_at(bm, concat_ws(" ",
+            element_at(ws, i), element_at(ws, i + 1))),
+          element_at(um, element_at(ws, i)))))
+      .otherwise(array().cast("array<double>"))
+    d.select(col("doc_id"), probs.as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_bigrams"),
+        when(size(col("ps")) > 0,
+          aggregate(col("ps"), lit(0.0), (acc, p) => acc + p) /
+            size(col("ps")))
+          .otherwise(lit(0.0)).as("lm_score"))
+  }
+
   private def d17QuotaSample(s: SparkSession, dir: String): DataFrame =
     Sampling.quotaSample(t(s, dir, "documents"), col("lang"), col("doc_id"),
         d17Rates, d17Default)
@@ -1897,6 +1964,8 @@ object SparkEntry {
     "d28_bpe_apply" -> (d28BpeApply _),
     "d29_bpe_packing" -> (d29BpePacking _),
     "d30_bpe_ids" -> (d30BpeIds _),
+    "d31_split_assign" -> (d31SplitAssign _),
+    "d32_lm_score" -> (d32LmScore _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -2280,6 +2349,50 @@ object SparkEntry {
     "v2_ann_lsh" -> v2OracleSql,
     "q19_sketches" -> q19OracleSql,
     "d17_quota_sample" -> d17OracleSql,
+    "d31_split_assign" -> d31OracleSql,
+
+    // d32: the oracle RE-DERIVES the bigram LM (unigram/bigram counts,
+    // vocab size, add-one smoothing) and folds the per-doc probabilities
+    // in the same left-to-right order — integer-derived double divisions
+    // are IEEE-identical across engines, so the statistical score
+    // hash-matches (log-space scoring would not: libm log is not
+    // bit-portable)
+    "d32_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), ugc AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM docs) GROUP BY 1
+        |), vsz AS (
+        |  SELECT COUNT(*) AS v FROM ugc
+        |), pairs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 2 THEN
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE []::VARCHAR[] END AS bgs
+        |  FROM docs
+        |), bgc AS (
+        |  SELECT bg, COUNT(*) AS c
+        |  FROM (SELECT unnest(bgs) AS bg FROM pairs) GROUP BY 1
+        |), flat AS (
+        |  SELECT doc_id, generate_subscripts(bgs, 1) AS pi, unnest(bgs) AS bg
+        |  FROM pairs
+        |), probs AS (
+        |  SELECT f.doc_id, f.pi,
+        |    CAST(COALESCE(b.c, 0) + 1 AS DOUBLE) / CAST(u.c + v.v AS DOUBLE) AS p
+        |  FROM flat f
+        |  LEFT JOIN bgc b ON f.bg = b.bg
+        |  JOIN ugc u ON split_part(f.bg, ' ', 1) = u.w
+        |  CROSS JOIN vsz v
+        |), scored AS (
+        |  SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(0.0, ps), (a, b) -> a + b) / len(ps) AS lm_score
+        |  FROM (SELECT doc_id, list(p ORDER BY pi) AS ps FROM probs GROUP BY 1)
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  COALESCE(s.lm_score, 0.0) AS lm_score
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin,
     "d24_mixture_sample" -> d24OracleSql,
     "d25_pii_scrub" -> d25OracleSql,
     "d27_span_mask" -> d27OracleSql,
@@ -3223,6 +3336,50 @@ object SparkEntry {
        |FROM nh6
        |WHERE h < (CASE $cases ELSE $dt END)
        |GROUP BY 1""".stripMargin
+  }
+
+  /** d31 oracle: the split-assignment hash chain (identical to d17's)
+    * with the SAME cumulative cutpoint longs Sampling.splitThresholds
+    * hands the Spark expression.
+    */
+  private def d31OracleSql: String = {
+    val ts = Sampling.splitThresholds(d31Fractions)
+    val whens = ts.init.map { case (n, t) => s"WHEN h < $t THEN '$n'" }
+      .mkString(" ")
+    val last = s"'${ts.last._1}'"
+    s"""WITH nh0 AS (
+       |  SELECT lang, n_chars,
+       |    ((((doc_id % 1125899906842597) + 1125899906842597) % 1125899906842597)
+       |      + 741103597153329) % 1125899906842597 AS x0
+       |  FROM documents
+       |), nh1 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x0 * 8191) % 1125899906842597, ((x0 * 8191) % 1125899906842597) >> 25) AS x1
+       |  FROM nh0
+       |), nh2 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x1 * 8191) % 1125899906842597, ((x1 * 8191) % 1125899906842597) >> 25) AS x2
+       |  FROM nh1
+       |), nh3 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x2 * 4099) % 1125899906842597, ((x2 * 4099) % 1125899906842597) >> 25) AS x3
+       |  FROM nh2
+       |), nh4 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x3 * 4099) % 1125899906842597, ((x3 * 4099) % 1125899906842597) >> 25) AS x4
+       |  FROM nh3
+       |), nh5 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x4 * 5851) % 1125899906842597, ((x4 * 5851) % 1125899906842597) >> 25) AS x5
+       |  FROM nh4
+       |), nh6 AS (
+       |  SELECT lang, n_chars,
+       |    xor((x5 * 5851) % 1125899906842597, ((x5 * 5851) % 1125899906842597) >> 25) AS h
+       |  FROM nh5
+       |)
+       |SELECT lang, CASE $whens ELSE $last END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM nh6 GROUP BY 1, 2""".stripMargin
   }
 
   /** d24 oracle: the mixture-sampling RATE DERIVATION replayed in SQL

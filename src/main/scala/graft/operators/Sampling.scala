@@ -46,6 +46,32 @@ object Sampling {
     df.filter(Sketches.numHash(idCol) < thresholdCol(groupCol, ts, dt))
   }
 
+  /** Deterministic train/val/test assignment — the canonical dataset
+    * split: the id-hash space is cut at the cumulative fractions, so
+    * membership is a pure row-local function (reproducible, stable under
+    * repartitioning, and growing the corpus never moves an existing row
+    * between splits). Returns the split label Column; thresholds are the
+    * exact longs the oracle replays.
+    */
+  def splitAssign(idCol: Column, fractions: Seq[(String, Double)]): Column = {
+    val ts = splitThresholds(fractions)
+    val h = Sketches.numHash(idCol)
+    ts.init.foldRight(lit(ts.last._1): Column) {
+      case ((name, t), acc) => when(h < lit(t), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Cumulative hash-space cutpoints for [[splitAssign]] (single source
+    * for the Spark expression and the SQL oracle).
+    */
+  def splitThresholds(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "split fractions must be positive")
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    require(math.abs(cum.last - 1.0) < 1e-9, "split fractions must sum to 1")
+    fractions.zip(cum).map { case ((n, _), c) => (n, (c * M).toLong) }
+  }
+
   /** Weighted mixture sampling — the Dolma/Pile-style source-mixing
     * stage: `weights` are the TARGET mix proportions over `groupCol`
     * (groups absent from `weights` are dropped). The binding group

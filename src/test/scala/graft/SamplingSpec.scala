@@ -68,4 +68,23 @@ class SamplingSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet
     assert(ids(docs.repartition(1)) == ids(docs.repartition(13)))
   }
+
+  test("splitAssign: total partition, near-target sizes, append-stable") {
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = docs.withColumn("split",
+        Sampling.splitAssign(col("doc_id"), fracs))
+      .select("doc_id", "split").as[(Long, String)].collect()
+    // every row gets exactly one label
+    assert(got.length == docs.count())
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = got.length.toDouble
+    assert(sizes("train") / n > 0.7 && sizes("train") / n < 0.9)
+    assert(sizes.keySet == Set("train", "val", "test"))
+    // append-stable: restricting the corpus never relabels a survivor
+    val subset = docs.filter(col("doc_id") % 2 === 0).withColumn("split",
+        Sampling.splitAssign(col("doc_id"), fracs))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = got.toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+  }
 }
