@@ -923,7 +923,19 @@ object SparkEntry {
     * IEEE-identical across engines where log/exp are not, which is what
     * makes a statistical score hash-checkable at all.
     */
-  private def d32LmScore(s: SparkSession, dir: String): DataFrame = {
+  private def d32LmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoredDocs(s, dir)
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_bigrams"),
+        when(size(col("ps")) > 0,
+          aggregate(col("ps"), lit(0.0), (acc, p) => acc + p) /
+            size(col("ps")))
+          .otherwise(lit(0.0)).as("lm_score"))
+
+  /** Documents with their per-pair probability lists (shared by d32's
+    * score report and d33's curriculum ordering).
+    */
+  private def lmScoredDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val toks = d.select(split(col("text"), " ").as("ws"))
     val ug = toks.select(explode(col("ws")).as("w"))
@@ -953,13 +965,36 @@ object SparkEntry {
             element_at(ws, i), element_at(ws, i + 1))),
           element_at(um, element_at(ws, i)))))
       .otherwise(array().cast("array<double>"))
-    d.select(col("doc_id"), probs.as("ps"))
-      .select(col("doc_id"),
-        size(col("ps")).cast("long").as("n_bigrams"),
+    d.select(col("doc_id"), col("text"), probs.as("ps"))
+  }
+
+  /** Curriculum packing (d33 — three machines composed end to end):
+    * documents ordered globally by LM fluency (d32's score, ties by
+    * doc_id) via the distributed no-single-task ranking machinery, then
+    * laid on the token tape in that curriculum order and packed into
+    * 256-token sequences denominated in real BPE tokens. The oracle
+    * restates the whole chain — model derivation, score, full ordering,
+    * prefix sum — so any divergence in ANY of the three stages breaks
+    * the hash.
+    */
+  private def d33CurriculumPack(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmScoredDocs(s, dir)
+      .withColumn("lm_score",
         when(size(col("ps")) > 0,
           aggregate(col("ps"), lit(0.0), (acc, p) => acc + p) /
             size(col("ps")))
-          .otherwise(lit(0.0)).as("lm_score"))
+          .otherwise(lit(0.0)))
+      .withColumn("n_toks", graft.functions.Bpe.bpeTokenCount(col("text")))
+      .withColumn("__negscore", -col("lm_score"))
+      .select("doc_id", "n_toks", "__negscore")
+    val (pos, _) = graft.operators.Ranking.globalPosition(scored,
+      col("__negscore"), Seq(col("__negscore"), col("doc_id")),
+      "curriculum_pos", 32)
+    Packing.packSequences(pos, col("curriculum_pos"), col("n_toks"),
+        budget = 256L)
+      .select(col("doc_id"), col("curriculum_pos"),
+        col("n_toks").cast("long").as("n_toks"),
+        col("tape_start"), col("seq_id"), col("seq_offset"))
   }
 
   private def d17QuotaSample(s: SparkSession, dir: String): DataFrame =
@@ -1966,6 +2001,7 @@ object SparkEntry {
     "d30_bpe_ids" -> (d30BpeIds _),
     "d31_split_assign" -> (d31SplitAssign _),
     "d32_lm_score" -> (d32LmScore _),
+    "d33_curriculum_pack" -> (d33CurriculumPack _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -2832,7 +2868,72 @@ object SparkEntry {
          |FROM cum""".stripMargin,
 
     "d30_bpe_ids" -> d30OracleSql,
+    "d33_curriculum_pack" -> d33OracleSql,
   )
+
+  /** d33 oracle: BPE counts (recursive merge replay) + the re-derived
+    * bigram LM score + the curriculum total order (score desc, doc_id)
+    * + the packing prefix sum, all in one statement. The oracle may
+    * sort globally (it is the naive twin); the engine side uses the
+    * distributed ranking machinery.
+    */
+  private def d33OracleSql: String =
+    s"""$bpeFinalCtes,
+       |dws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), ugc AS (
+       |  SELECT w, COUNT(*) AS c
+       |  FROM (SELECT unnest(ws) AS w FROM dws) GROUP BY 1
+       |), vsz AS (
+       |  SELECT COUNT(*) AS v FROM ugc
+       |), bgl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 2 THEN
+       |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+       |    ELSE []::VARCHAR[] END AS bgs
+       |  FROM dws
+       |), bgc AS (
+       |  SELECT bg, COUNT(*) AS c
+       |  FROM (SELECT unnest(bgs) AS bg FROM bgl) GROUP BY 1
+       |), bflat AS (
+       |  SELECT doc_id, generate_subscripts(bgs, 1) AS pi, unnest(bgs) AS bg
+       |  FROM bgl
+       |), bprobs AS (
+       |  SELECT f.doc_id, f.pi,
+       |    CAST(COALESCE(b.c, 0) + 1 AS DOUBLE) / CAST(u.c + v.v AS DOUBLE) AS p
+       |  FROM bflat f
+       |  LEFT JOIN bgc b ON f.bg = b.bg
+       |  JOIN ugc u ON split_part(f.bg, ' ', 1) = u.w
+       |  CROSS JOIN vsz v
+       |), lmsc AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(s.sc, 0.0) AS lm_score
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id,
+       |      list_reduce(list_prepend(0.0, ps), (a, b) -> a + b) / len(ps) AS sc
+       |    FROM (SELECT doc_id, list(p ORDER BY pi) AS ps FROM bprobs GROUP BY 1)
+       |  ) s ON d.doc_id = s.doc_id
+       |), wtok AS (
+       |  SELECT doc_id, unnest(ws) AS w FROM dws
+       |), btoks AS (
+       |  SELECT t.doc_id, CAST(SUM(f.n) AS BIGINT) AS n_toks
+       |  FROM wtok t JOIN final f ON t.w = f.w GROUP BY 1
+       |), ranked AS (
+       |  SELECT b.doc_id, b.n_toks,
+       |    ROW_NUMBER() OVER (ORDER BY -l.lm_score ASC, b.doc_id ASC)
+       |      AS curriculum_pos
+       |  FROM btoks b JOIN lmsc l ON b.doc_id = l.doc_id
+       |), cum AS (
+       |  SELECT doc_id, curriculum_pos, n_toks,
+       |    COALESCE(SUM(n_toks) OVER (ORDER BY curriculum_pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tape_start
+       |  FROM ranked
+       |)
+       |SELECT doc_id, CAST(curriculum_pos AS BIGINT) AS curriculum_pos,
+       |  n_toks, CAST(tape_start AS BIGINT) AS tape_start,
+       |  CAST(tape_start // 256 AS BIGINT) AS seq_id,
+       |  CAST(tape_start % 256 AS BIGINT) AS seq_offset
+       |FROM cum""".stripMargin
 
   /** d30 oracle: ids from the merge literals (codepoint | 256+MIN rank
     * producing the string), ordered flatten via word subscripts + a
