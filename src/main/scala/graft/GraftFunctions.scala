@@ -42,6 +42,14 @@ object GraftFunctions {
     "simhash_sig" -> { es =>
       require(es.length == 1, "simhash_sig(tokens)")
       SimHashSig(es(0))
+    },
+    "bpe_token_count" -> { es =>
+      require(es.length == 1, "bpe_token_count(text)")
+      graft.functions.BpeTokenCountExpr(es(0))
+    },
+    "bpe_id_checksum" -> { es =>
+      require(es.length == 1, "bpe_id_checksum(text)")
+      graft.functions.BpeIdChecksumExpr(es(0))
     })
 
   /** Runtime registration on an existing session. */

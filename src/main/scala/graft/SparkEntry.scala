@@ -446,6 +446,34 @@ object SparkEntry {
   private def d2PairsShared(s: SparkSession, dir: String): DataFrame =
     d2PairCache.getOrElseUpdate((s, dir), d2NgramJaccard(s, dir).persist())
 
+  /** Best-of-cluster representative selection (d34 — the keep policy
+    * real dedup pipelines want: d13 keeps the MIN-ID member per near-dup
+    * cluster, but quality-aware pipelines keep the BEST member): each
+    * d11 cluster keeps its highest-LM-score document (d32's score, ties
+    * by doc_id); documents outside any cluster are their own singleton.
+    * The oracle composes the transitive-closure clusters with the
+    * re-derived LM model and the same argmax tie-break.
+    */
+  private def d34ClusterRep(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmScoredDocs(s, dir)
+      .withColumn("lm_score",
+        when(size(col("ps")) > 0,
+          aggregate(col("ps"), lit(0.0), (acc, p) => acc + p) /
+            size(col("ps")))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "lm_score")
+    val cl = Dedup.clusters(d2PairsShared(s, dir))
+    val withCluster = scored
+      .join(cl.withColumnRenamed("member_id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    graft.operators.TopPerGroup.top1(withCluster, Seq(col("cluster_id")),
+        Seq(col("lm_score").desc, col("doc_id").asc))
+      .join(withCluster.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members")), Seq("cluster_id"))
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+        col("lm_score"), col("n_members"))
+  }
+
   /** Prefix-filtered EXACT Jaccard pairs (AllPairs family) — the
     * deterministic same-output twin of d3: identical true-pair answer,
     * candidates cut by prefix filtering instead of LSH banding. Shares
@@ -2021,6 +2049,7 @@ object SparkEntry {
     "d31_split_assign" -> (d31SplitAssign _),
     "d32_lm_score" -> (d32LmScore _),
     "d33_curriculum_pack" -> (d33CurriculumPack _),
+    "d34_cluster_rep" -> (d34ClusterRep _),
     "v1_ann_bruteforce" -> (v1AnnBruteForce _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -2888,6 +2917,7 @@ object SparkEntry {
 
     "d30_bpe_ids" -> d30OracleSql,
     "d33_curriculum_pack" -> d33OracleSql,
+    "d34_cluster_rep" -> d34Oracle,
   )
 
   /** d33 oracle: BPE counts (recursive merge replay) + the re-derived
@@ -3596,6 +3626,76 @@ object SparkEntry {
        |SELECT src AS member_id, LEAST(src, MIN(dst)) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
   }
+
+  /** d34 oracle: d11's transitive-closure clusters composed with the
+    * re-derived bigram LM (d32's CTEs) and the same argmax keep policy
+    * (score desc, doc_id asc); unpaired documents are their own
+    * singleton cluster via the LEFT JOIN.
+    */
+  private def d34Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$d2OracleSql
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), cl AS (
+       |  SELECT src AS member_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |), dws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), ugc AS (
+       |  SELECT w, COUNT(*) AS c
+       |  FROM (SELECT unnest(ws) AS w FROM dws) GROUP BY 1
+       |), vsz AS (
+       |  SELECT COUNT(*) AS v FROM ugc
+       |), bgl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 2 THEN
+       |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+       |    ELSE []::VARCHAR[] END AS bgs
+       |  FROM dws
+       |), bgc AS (
+       |  SELECT bg, COUNT(*) AS c
+       |  FROM (SELECT unnest(bgs) AS bg FROM bgl) GROUP BY 1
+       |), bflat AS (
+       |  SELECT doc_id, generate_subscripts(bgs, 1) AS pi, unnest(bgs) AS bg
+       |  FROM bgl
+       |), bprobs AS (
+       |  SELECT f.doc_id, f.pi,
+       |    CAST(COALESCE(b.c, 0) + 1 AS DOUBLE) / CAST(u.c + v.v AS DOUBLE) AS p
+       |  FROM bflat f
+       |  LEFT JOIN bgc b ON f.bg = b.bg
+       |  JOIN ugc u ON split_part(f.bg, ' ', 1) = u.w
+       |  CROSS JOIN vsz v
+       |), lmsc AS (
+       |  SELECT d.doc_id, COALESCE(s.sc, 0.0) AS lm_score
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id,
+       |      list_reduce(list_prepend(0.0, ps), (a, b) -> a + b) / len(ps) AS sc
+       |    FROM (SELECT doc_id, list(p ORDER BY pi) AS ps FROM bprobs GROUP BY 1)
+       |  ) s ON d.doc_id = s.doc_id
+       |), wc AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |    l.lm_score
+       |  FROM documents d
+       |  LEFT JOIN cl c ON d.doc_id = c.member_id
+       |  JOIN lmsc l ON d.doc_id = l.doc_id
+       |), picked AS (
+       |  SELECT cluster_id, doc_id AS kept_doc, lm_score,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY lm_score DESC, doc_id ASC) AS rn
+       |  FROM wc
+       |), memb AS (
+       |  SELECT cluster_id, COUNT(*) AS n_members FROM wc GROUP BY 1
+       |)
+       |SELECT p.cluster_id, p.kept_doc, p.lm_score, m.n_members
+       |FROM picked p JOIN memb m USING (cluster_id)
+       |WHERE p.rn = 1""".stripMargin
 
   /** Full corpus-pipeline oracle: length band → quality filter → near-dup
     * pairs on survivors → transitive-closure clusters → canonical keep →

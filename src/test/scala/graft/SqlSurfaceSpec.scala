@@ -24,6 +24,12 @@ class SqlSurfaceSpec extends SparkSpec {
     val viaCol = Seq("a b c d").toDF("t")
       .select(graft.functions.TextFns.simhash64(col("t"))).as[Long].head()
     assert(row.getLong(3) == viaCol)
+    // BPE tokenizer surface: SQL == Column API
+    val bpe = spark.sql(
+      """SELECT bpe_token_count('key agg row') AS n,
+        |  bpe_id_checksum('key agg row') AS c""".stripMargin).head()
+    assert(bpe.getLong(0) == graft.functions.Bpe.countTokensText("key agg row"))
+    assert(bpe.getLong(1) == graft.functions.Bpe.idChecksumText("key agg row"))
   }
 
   test("GraftSession.install is idempotent and wires functions + rule") {
