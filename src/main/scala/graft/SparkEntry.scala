@@ -1763,6 +1763,30 @@ object SparkEntry {
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
   }
 
+  /** Bucketed co-located join under the oracle (q63 — the cornerstone
+    * 100 TB join pattern, S3's bucketing row exercised end to end): both
+    * fact and dimension materialized bucketed-and-sorted by the join key
+    * through TableWriter.materializeBucketed, re-read from the catalog,
+    * joined and aggregated. With identical bucketing on both sides the
+    * join is exchange-free regardless of size (SkewBucketSpec asserts
+    * the no-Exchange plan); this entry pins that the bucketed write →
+    * catalog → join path computes the same answer as the plain join the
+    * oracle states.
+    */
+  private def q63BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val writer = new graft.sources.TableWriter(s"$q40Scratch/bucketed")
+    writer.materializeBucketed(
+      t(s, dir, "orders").select(col("o_custkey").as("ck"), col("o_totalprice")),
+      "bk_orders_q63", Seq("ck"), numBuckets = 8)
+    writer.materializeBucketed(
+      t(s, dir, "customer").select(col("c_custkey").as("ck"), col("c_mktsegment")),
+      "bk_cust_q63", Seq("ck"), numBuckets = 8)
+    s.table("bk_orders_q63").join(s.table("bk_cust_q63"), Seq("ck"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum2(col("o_totalprice")).as("total_price"))
+  }
+
   /** Stream-STATIC join under the oracle (the remaining streaming join
     * runtime next to q58's stream-stream form): the events stream
     * enriched against the static customer dimension — Spark plans the
@@ -2042,6 +2066,7 @@ object SparkEntry {
     "q60_stream_static" -> (q60StreamStaticJoin _),
     "q61_stream_multibatch" -> (q61StreamMultibatch _),
     "q62_incremental_merge" -> (q62IncrementalMerge _),
+    "q63_bucketed_join" -> (q63BucketedJoin _),
     "d27_span_mask" -> (d27SpanMask _),
     "d28_bpe_apply" -> (d28BpeApply _),
     "d29_bpe_packing" -> (d29BpePacking _),
@@ -2599,6 +2624,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, CAST(price AS DOUBLE), '2024-02-01', NULL
         |FROM newbies""".stripMargin,
+
+    // q63 joins through the bucketed-materialization path; the oracle is
+    // the plain join (bucketing must not change the answer)
+    "q63_bucketed_join" ->
+      """SELECT c.c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // q62: base load upserted with a partial changed-keys batch (applied
     // twice — merge is idempotent); the final table stated closed-form
