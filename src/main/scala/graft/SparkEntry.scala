@@ -466,6 +466,9 @@ object SparkEntry {
     val withCluster = scored
       .join(cl.withColumnRenamed("member_id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      // consumed twice (argmax pick + member counts): checkpoint the
+      // 3-column frame instead of recomputing clusters + scores
+      .localCheckpoint()
     graft.operators.TopPerGroup.top1(withCluster, Seq(col("cluster_id")),
         Seq(col("lm_score").desc, col("doc_id").asc))
       .join(withCluster.groupBy("cluster_id")
