@@ -394,6 +394,24 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"))
   }
 
+  /** Explicit GROUPING SETS (q64 — the general form whose ROLLUP/CUBE
+    * specializations q25/q48 already cover): an arbitrary, non-lattice
+    * set list — (flag, status), (flag), (status) but NOT the grand
+    * total — with grouping_id pinning each subtotal. Via spark.sql
+    * (GROUPING SETS has no DataFrame API).
+    */
+  private def q64GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q64")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem_q64
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- q21
   /** Bucketized point-in-interval range join vs a literal band table. */
   private def q21RangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1839,6 +1857,56 @@ object SparkEntry {
     out
   }
 
+  /** Stream-stream LEFT OUTER interval join (q65 — the hard streaming
+    * join form q58's inner variant cannot reach): an unmatched error
+    * emits its null-matched row only once the watermark PROVES no
+    * in-window click can still arrive, i.e. the state store must expire
+    * left rows, not just match them. On a finite source that proof
+    * needs help: two far-future sentinel rows (one per event type, on
+    * key space real data never uses) staged as a SECOND file under
+    * maxFilesPerTrigger=1 push both sides' watermarks ~2 days past the
+    * real data, and Spark's symmetric join schedules the extra
+    * eviction batch (shouldRunAnotherBatch on watermark advance). The
+    * sentinels themselves sit outside every real match window and
+    * their own unmatched rows stay inside the final watermark — the
+    * user_id >= 0 filter is belt and braces. The oracle is the plain
+    * batch LEFT JOIN over the real events.
+    */
+  private def q65StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+    def farTs(hours: Long) =
+      new java.sql.Timestamp(maxTs.getTime + hours * 3600L * 1000L)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q65_").toString
+    e.write.parquet(s"$stage/p1")
+    e.sparkSession.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(-1L, farTs(48), -1L, "error", 0.0),
+          org.apache.spark.sql.Row(-2L, farTs(24), -2L, "click", 0.0)),
+        e.schema)
+      .write.parquet(s"$stage/p2")
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val stream2 = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val joined = EventsOps.intervalJoin(
+      stream.filter(col("event_type") === "error"),
+      stream2.filter(col("event_type") === "click"),
+      "user_id", before = "2 HOURS", after = "2 HOURS",
+      watermark = "1 hour", joinType = "leftOuter")
+    val out = graft.streaming.StreamOracle
+      .convergeAppend(joined, "q65_stream_outer_sink")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_value"), col("r_value"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+    deleteTree(java.nio.file.Paths.get(stage))
+    out
+  }
+
   /** CUBE over the q25 rollup keys (the remaining grouping-set family
     * member), with grouping_id pinning WHICH subtotal each row is — the
     * standard 2·g(a)+g(b) bitmask in both engines.
@@ -2070,6 +2138,8 @@ object SparkEntry {
     "q61_stream_multibatch" -> (q61StreamMultibatch _),
     "q62_incremental_merge" -> (q62IncrementalMerge _),
     "q63_bucketed_join" -> (q63BucketedJoin _),
+    "q64_grouping_sets" -> (q64GroupingSets _),
+    "q65_stream_outer" -> (q65StreamOuterJoin _),
     "d27_span_mask" -> (d27SpanMask _),
     "d28_bpe_apply" -> (d28BpeApply _),
     "d29_bpe_packing" -> (d29BpePacking _),
@@ -2544,6 +2614,26 @@ object SparkEntry {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
         |FROM docs GROUP BY 1""".stripMargin,
 
+    // q65 converges the stream-stream LEFT OUTER interval join — matched
+    // rows emit on match, unmatched errors emit null-matched once the
+    // (sentinel-advanced) watermark expires their window — to the plain
+    // batch LEFT JOIN
+    "q65_stream_outer" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT e.user_id,
+        |  e.event_id AS l_event_id, c.event_id AS r_event_id,
+        |  e.value AS l_value, c.value AS r_value,
+        |  epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |  AND c.ts >= e.ts - INTERVAL 2 HOUR
+        |  AND c.ts <= e.ts + INTERVAL 2 HOUR""".stripMargin,
+
     // q58 converges the stream-stream interval join to the batch
     // inequality join the SQL states directly (inner joins emit on match)
     "q58_stream_interval" ->
@@ -2636,6 +2726,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1""".stripMargin,
+
+    "q64_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
 
     // q62: base load upserted with a partial changed-keys batch (applied
     // twice — merge is idempotent); the final table stated closed-form

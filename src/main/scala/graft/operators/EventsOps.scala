@@ -147,8 +147,17 @@ object EventsOps {
     * inputs. Works identically on batch frames (the bound becomes a plain
     * range predicate).
     */
+  /** `joinType` extends the inner form to the outer variants Spark's
+    * symmetric join state supports ("leftOuter"/"rightOuter"/
+    * "fullOuter"): a null-matched row is emitted only once the watermark
+    * proves no future match can arrive — on a finite source the caller
+    * must push the watermark past every left row's match window
+    * (far-future sentinel rows, q65) or the unmatched rows stay in
+    * state forever.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      before: String, after: String, watermark: String): DataFrame = {
+      before: String, after: String, watermark: String,
+      joinType: String = "inner"): DataFrame = {
     val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
       .select(col(key), col("ts").as("l_ts"),
         col("event_id").as("l_event_id"), col("value").as("l_value"))
@@ -158,7 +167,8 @@ object EventsOps {
     l.join(r,
       col(key) === col("r_key") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"),
+      joinType)
       .drop("r_key")
   }
 
