@@ -733,6 +733,25 @@ object SparkEntry {
     both.union(urgentOnly)
   }
 
+  /** Multiset set operations (q66 — q26's ALL variants): INTERSECT ALL
+    * keeps min(multiplicity), EXCEPT ALL subtracts multiplicities —
+    * semantics both engines define identically; the per-key counts make
+    * the multiplicities observable under the hash.
+    */
+  private def q66SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey"))
+    val b = o.filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey"))
+    a.intersectAll(b)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .unionByName(
+        a.exceptAll(b).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+  }
+
   /** BPE-ish regex token counting next to whitespace tokens (training-data
     * token accounting): letter runs / digit runs / single punctuation.
     */
@@ -2140,6 +2159,7 @@ object SparkEntry {
     "q63_bucketed_join" -> (q63BucketedJoin _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q65_stream_outer" -> (q65StreamOuterJoin _),
+    "q66_setops_all" -> (q66SetOpsAll _),
     "d27_span_mask" -> (d27SpanMask _),
     "d28_bpe_apply" -> (d28BpeApply _),
     "d29_bpe_packing" -> (d29BpePacking _),
@@ -2726,6 +2746,23 @@ object SparkEntry {
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1""".stripMargin,
+
+    "q66_setops_all" ->
+      """WITH a AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |), b AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        |), ia AS (
+        |  SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b
+        |), ea AS (
+        |  SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b
+        |)
+        |SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS op
+        |FROM ia GROUP BY 1
+        |UNION ALL
+        |SELECT o_custkey, COUNT(*) AS n, 'except_all' AS op
+        |FROM ea GROUP BY 1""".stripMargin,
 
     "q64_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
