@@ -1000,54 +1000,81 @@ object SparkEntry {
             size(col("ps")))
           .otherwise(lit(0.0)).as("lm_score"))
 
-  /** Trained bigram-LM counts per scale dir, memoized for the session:
-    * two vocabulary-sized driver maps — d32 and d33 share one training
-    * pass across Bench's repeated runs. Cleared by
-    * [[releaseSessionCaches]] (plain driver maps, nothing persisted).
+  /** Bigram count cutoff: a bigram seen fewer than this many times is
+    * dropped from the model table, which makes its probability fall back
+    * to the add-one floor `1/(c(w1)+V)` — the SAME formula with count 0,
+    * so the cutoff is one `HAVING` filter replayed verbatim in the
+    * d32/d33/d34 oracles. This is what bounds the model at corpus scale:
+    * heavy-tail singleton bigrams (the vast majority of a web-scale
+    * bigram vocabulary, by Zipf) never enter the kept-bigram table, so
+    * the broadcast below stays executor-memory-sized no matter how large
+    * the corpus grows; raise the cutoff as the corpus does.
+    */
+  private[graft] val lmBigramMinCount = 2
+
+  /** Trained bigram-LM model per scale dir as MODEL TABLES, memoized for
+    * the session: a unigram count frame and a cutoff-filtered bigram
+    * count frame (both persisted), plus the vocabulary size. Nothing
+    * vocabulary-sized ever reaches the driver — the only collect is the
+    * single-row vocab count; the model is applied by join, never as a
+    * plan literal, so plan size is independent of vocabulary size.
+    * Cleared (and unpersisted) by [[releaseSessionCaches]].
     */
   private val lmModelCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Map[String, Long], Map[String, Long])]
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Long)]
 
-  private def lmModel(s: SparkSession, dir: String): (Map[String, Long], Map[String, Long]) =
+  private def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
     lmModelCache.getOrElseUpdate(dir, {
       val toks = t(s, dir, "documents").select(split(col("text"), " ").as("ws"))
       val ug = toks.select(explode(col("ws")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .groupBy("w").agg(count(lit(1)).as("ug_c"))
+        .persist()
+      val v = ug.count() // vocab size: single scalar; also primes the persist
       val bg = toks.filter(size(col("ws")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
           i => concat_ws(" ", element_at(col("ws"), i),
             element_at(col("ws"), i + 1)))).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      (ug, bg)
+        .groupBy("bg").agg(count(lit(1)).as("bg_c"))
+        .filter(col("bg_c") >= lmBigramMinCount)
+        .persist()
+      (ug, bg, v)
     })
 
   /** Documents with their per-pair probability lists (shared by d32's
-    * score report and d33's curriculum ordering).
+    * score report, d33's curriculum ordering and d34's keep policy).
+    *
+    * The model rides JOINS against the model tables: the kept-bigram
+    * side is explicitly broadcast (the cutoff bounds it), the unigram
+    * side is left to the planner (auto-broadcast locally, shuffle join
+    * on a cluster where the unigram vocab outgrows the threshold). The
+    * per-doc probability list is reassembled in bigram-position order
+    * (`array_sort` on (pi, p) structs — pi is unique per doc) so the
+    * later left-to-right fold adds the same IEEE doubles in the same
+    * order as the oracle's `list(p ORDER BY pi)`.
     */
   private def lmScoredDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val (ug, bg) = lmModel(s, dir)
-    val v = ug.size
-    val bgProb = bg.map { case (b, c12) =>
-      val w1 = b.substring(0, b.indexOf(' '))
-      b -> (c12 + 1).toDouble / (ug(w1) + v).toDouble
-    }
-    val ugProb = ug.map { case (w, c) => w -> 1.0 / (c + v).toDouble }
-    def mapLit(m: Map[String, Double]) = map(m.toSeq.sortBy(_._1)
-      .flatMap { case (k, p) => Seq(lit(k), lit(p)) }: _*)
-    val bm = mapLit(bgProb)
-    val um = mapLit(ugProb)
+    val (ug, bg, v) = lmModel(s, dir)
     val ws = split(col("text"), " ")
-    val probs = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1), i =>
-        coalesce(
-          element_at(bm, concat_ws(" ",
-            element_at(ws, i), element_at(ws, i + 1))),
-          element_at(um, element_at(ws, i)))))
-      .otherwise(array().cast("array<double>"))
-    d.select(col("doc_id"), col("text"), probs.as("ps"))
+    val flat = d.filter(size(ws) >= 2)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(ws) - 1), i =>
+          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))))
+      .toDF("doc_id", "pi", "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val probs = flat
+      .join(broadcast(bg), Seq("bg"), "left")
+      .join(ug.withColumnRenamed("w", "w1"), Seq("w1"))
+      .select(col("doc_id"), col("pi"),
+        ((coalesce(col("bg_c"), lit(0L)) + 1).cast("double") /
+          (col("ug_c") + lit(v)).cast("double")).as("p"))
+    val perDoc = probs.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("pi"), col("p")))),
+        x => x.getField("p")).as("ps"))
+    d.select(col("doc_id"), col("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("ps"), array().cast("array<double>")).as("ps"))
   }
 
   /** Curriculum packing (d33 — three machines composed end to end):
@@ -1411,6 +1438,9 @@ object SparkEntry {
   def releaseSessionCaches(): Unit = {
     (d2PairCache.values ++ classifiedCache.values ++ refClassifiedCache.values)
       .foreach(df => df.unpersist(blocking = false))
+    lmModelCache.values.foreach { case (ug, bg, _) =>
+      ug.unpersist(blocking = false); bg.unpersist(blocking = false)
+    }
     d2PairCache.clear()
     classifiedCache.clear()
     refClassifiedCache.clear()
@@ -2554,13 +2584,13 @@ object SparkEntry {
     "d31_split_assign" -> d31OracleSql,
 
     // d32: the oracle RE-DERIVES the bigram LM (unigram/bigram counts,
-    // vocab size, add-one smoothing) and folds the per-doc probabilities
-    // in the same left-to-right order — integer-derived double divisions
-    // are IEEE-identical across engines, so the statistical score
-    // hash-matches (log-space scoring would not: libm log is not
-    // bit-portable)
+    // vocab size, add-one smoothing, the SAME bigram count cutoff) and
+    // folds the per-doc probabilities in the same left-to-right order —
+    // integer-derived double divisions are IEEE-identical across
+    // engines, so the statistical score hash-matches (log-space scoring
+    // would not: libm log is not bit-portable)
     "d32_lm_score" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |), ugc AS (
         |  SELECT w, COUNT(*) AS c
@@ -2576,6 +2606,7 @@ object SparkEntry {
         |), bgc AS (
         |  SELECT bg, COUNT(*) AS c
         |  FROM (SELECT unnest(bgs) AS bg FROM pairs) GROUP BY 1
+        |  HAVING COUNT(*) >= $lmBigramMinCount
         |), flat AS (
         |  SELECT doc_id, generate_subscripts(bgs, 1) AS pi, unnest(bgs) AS bg
         |  FROM pairs
@@ -3117,6 +3148,7 @@ object SparkEntry {
        |), bgc AS (
        |  SELECT bg, COUNT(*) AS c
        |  FROM (SELECT unnest(bgs) AS bg FROM bgl) GROUP BY 1
+       |  HAVING COUNT(*) >= $lmBigramMinCount
        |), bflat AS (
        |  SELECT doc_id, generate_subscripts(bgs, 1) AS pi, unnest(bgs) AS bg
        |  FROM bgl
@@ -3835,6 +3867,7 @@ object SparkEntry {
        |), bgc AS (
        |  SELECT bg, COUNT(*) AS c
        |  FROM (SELECT unnest(bgs) AS bg FROM bgl) GROUP BY 1
+       |  HAVING COUNT(*) >= $lmBigramMinCount
        |), bflat AS (
        |  SELECT doc_id, generate_subscripts(bgs, 1) AS pi, unnest(bgs) AS bg
        |  FROM bgl

@@ -62,6 +62,22 @@ class PlansSpec extends SparkSpec {
     assert(withNull.isNullAt(0) && withNull.isNullAt(1))
   }
 
+  test("d32 LM plan: model rides joins, never plan literals; bigram side broadcast") {
+    val df = SparkEntry.queries("d32_lm_score")(spark, "/root/testdata/sf0.001")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the old design embedded the full unigram+bigram vocabulary as two
+    // map(...) literals — plan size grew with the corpus; the model-table
+    // design keeps the plan O(1) regardless of vocabulary
+    assert(!optimized.contains("map("),
+      "vocabulary-sized map literal leaked back into the LM plan")
+    assert(optimized.length < 50000,
+      s"LM plan is ${optimized.length} chars — looks vocabulary-sized")
+    assert(df.collect().nonEmpty)
+    val physical = df.queryExecution.executedPlan.toString
+    // the cutoff-bounded kept-bigram model table must ride a broadcast
+    assert(physical.contains("BroadcastHashJoin"), physical.take(2000))
+  }
+
   test("q38 plan shape: one chain node, folded probe array, codegen'd") {
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .createOrReplaceTempView("orders_legacy")
