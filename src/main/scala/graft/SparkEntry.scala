@@ -1857,6 +1857,33 @@ object SparkEntry {
         dsum2(col("o_totalprice")).as("total_price"))
   }
 
+  /** Salted skewed join under the oracle (q67 — the OTHER cornerstone
+    * 100 TB join pattern next to q63's bucketing: a Zipf-hot key whose
+    * partition would otherwise be the straggler task). The big side
+    * derives a deliberately skewed key — ~70% of orders collapse onto
+    * key 0, the rest spread over 1..100 — and joins a per-key dimension
+    * through [[graft.operators.Skew.saltedJoin]]: the hot key is spread
+    * over 8 salt partitions (big side salted deterministically from
+    * o_orderkey, small side replicated 8×). The oracle states the PLAIN
+    * join — salting must be result-invisible; SkewBucketSpec asserts it
+    * actually bounds the per-(key,salt) group size.
+    */
+  private def q67SaltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders")
+      .withColumn("skew_key",
+        when(pmod(col("o_orderkey"), lit(10)) < 7, lit(0L))
+          .otherwise(pmod(col("o_custkey"), lit(100)) + lit(1L)))
+    val small = t(s, dir, "customer")
+      .groupBy(pmod(col("c_custkey"), lit(101)).as("skew_key"))
+      .agg(count(lit(1)).as("dim_n"), min(col("c_mktsegment")).as("seg_label"))
+    Skew.saltedJoin(big, small, "skew_key", numSalts = 8,
+        saltSource = col("o_orderkey"))
+      .groupBy(col("skew_key"), col("seg_label"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("dim_n")).cast("long").as("sum_dim_n"),
+        dsum2(col("o_totalprice")).as("total_price"))
+  }
+
   /** Stream-STATIC join under the oracle (the remaining streaming join
     * runtime next to q58's stream-stream form): the events stream
     * enriched against the static customer dimension — Spark plans the
@@ -2187,6 +2214,7 @@ object SparkEntry {
     "q61_stream_multibatch" -> (q61StreamMultibatch _),
     "q62_incremental_merge" -> (q62IncrementalMerge _),
     "q63_bucketed_join" -> (q63BucketedJoin _),
+    "q67_salted_skew_join" -> (q67SaltedSkewJoin _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q65_stream_outer" -> (q65StreamOuterJoin _),
     "q66_setops_all" -> (q66SetOpsAll _),
@@ -2777,6 +2805,26 @@ object SparkEntry {
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // q67: the oracle is the PLAIN join — the salt must be invisible in
+    // the result (pmod == % here: every derived key operand is positive)
+    "q67_salted_skew_join" ->
+      """WITH big AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0
+        |              ELSE o_custkey % 100 + 1 END AS skew_key,
+        |    o_totalprice
+        |  FROM orders
+        |), small AS (
+        |  SELECT c_custkey % 101 AS skew_key, COUNT(*) AS dim_n,
+        |    MIN(c_mktsegment) AS seg_label
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT CAST(skew_key AS BIGINT) AS skew_key, seg_label,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(dim_n) AS BIGINT) AS sum_dim_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM big JOIN small USING (skew_key)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q66_setops_all" ->
       """WITH a AS (

@@ -30,6 +30,26 @@ class SkewBucketSpec extends SparkSpec {
     assert(parts >= 4, s"hot key landed on only $parts partitions")
   }
 
+  test("q67: post-salt group sizes are bounded near hot/numSalts") {
+    // q67's big-side key derivation at sf0.001: ~70% of orders collapse
+    // onto skew_key 0; after salting, no (key, salt) group may hold more
+    // than a small multiple of hot/numSalts — i.e. the straggler task is
+    // actually gone, not just the answer preserved
+    val numSalts = 8
+    val big = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("skew_key",
+        when(pmod(col("o_orderkey"), lit(10)) < 7, lit(0L))
+          .otherwise(pmod(col("o_custkey"), lit(100)) + lit(1L)))
+    val hot = big.filter(col("skew_key") === 0L).count()
+    val maxGroup = big
+      .withColumn("__salt", pmod(xxhash64(col("o_orderkey")), lit(numSalts)))
+      .groupBy("skew_key", "__salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(hot > big.count() / 2, s"fixture lost its skew: hot=$hot")
+    assert(maxGroup <= (hot / numSalts) * 2,
+      s"salt failed to spread the hot key: maxGroup=$maxGroup hot=$hot")
+  }
+
   test("bucketed tables join without a runtime exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bk").toString
     val w = new TableWriter(dir)
