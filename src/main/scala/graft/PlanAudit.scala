@@ -16,6 +16,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // default 100 truncates scan metadata BEFORE PartitionFilters — the
+      // audit must be able to show partition pruning (v7's lists scan)
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,7 +43,7 @@ object PlanAudit {
         val nWsc = s.linesIterator.count(_.contains("WholeStageCodegen"))
         println(s"==== $name  exchanges~$nExchange wholestage=$nWsc")
         joins.foreach(j => println(s"  JOIN ${j}"))
-        scans.foreach(sc => println(s"  SCAN ${sc.take(200)}"))
+        scans.foreach(sc => println(s"  SCAN $sc"))
       }
     spark.stop()
   }

@@ -487,7 +487,17 @@ object Similarity {
     // bounded collect: ≤ |queries| × nprobe list ids → partition pruning
     val probedLists = probes.select("cent_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    val lists = writer.read(spark, s"${name}_lists")
+    // directory-name inference types the cent_id partition column INT;
+    // re-read it as LONG (matching the probe side) so the pruning filter
+    // AND the join key are cast-free — a cast around the partition column
+    // is how pruning regresses silently (pinned by DedupSimilaritySpec)
+    val listsPath = writer.path(s"${name}_lists")
+    val inferred = spark.read.parquet(listsPath).schema
+    val longCentId = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cent_id")
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    val lists = spark.read.schema(longCentId).parquet(listsPath)
       .filter(col("cent_id").isin(probedLists: _*))
     val scored = lists.join(broadcast(probes), Seq("cent_id"))
       .filter(col("nbr_id") =!= col("query_id"))

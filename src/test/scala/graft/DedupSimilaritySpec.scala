@@ -243,6 +243,53 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF query scan carries PartitionFilters on cent_id, uncast") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpf_")
+    try {
+      val writer = new graft.sources.TableWriter(wh.toString)
+      Similarity.buildIvfIndex(e, cents, writer, "emb")
+      val df = Similarity.queryIvfIndex(spark, writer, "emb",
+        e.filter(col("vec_id") < 2), k = 5, nprobe = 2)
+      // pre-AQE physical plan: FileSourceScanExec nodes are reachable and
+      // partitionFilters are already resolved at this point
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val listScans = scans.filter(
+        _.relation.location.rootPaths.mkString(",").contains("emb_lists"))
+      assert(listScans.nonEmpty, s"no scan over emb_lists found among " +
+        scans.map(_.relation.location.rootPaths.mkString).mkString("; "))
+      val pf = listScans.flatMap(_.partitionFilters)
+      assert(pf.nonEmpty, "lists scan lost its PartitionFilters — the probe " +
+        "isin no longer prunes partitions")
+      val pfStr = pf.mkString(" && ")
+      assert(pfStr.contains("cent_id"), pfStr)
+      // a cast AROUND the partition column defeats pruning silently
+      assert(!pfStr.toLowerCase.matches(""".*cast\(cent_id[^)]*\).*"""),
+        s"pruning-defeating cast on cent_id: $pfStr")
+      // and the filter actually selects fewer list directories than exist
+      // (static filters only: the dynamic-pruning subquery is unevaluable
+      // outside execution, and the static IN must prune on its own)
+      val scan = listScans.head
+      val staticFilters = scan.partitionFilters
+        .filterNot(_.toString.contains("dynamicpruning"))
+      assert(staticFilters.exists(_.toString.contains(" IN ")),
+        s"static IN pruning filter missing: ${scan.partitionFilters.mkString(" && ")}")
+      val selected = scan.relation.location
+        .listFiles(staticFilters, scan.dataFilters).length
+      val total = scan.relation.location.listFiles(Nil, Nil).length
+      assert(selected < total,
+        s"pruning selected $selected of $total list partitions — nothing pruned")
+    } finally {
+      val walk = java.nio.file.Files.walk(wh)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("d3 banding (32 bands x 2 rows) proposes every exact pair on the corpus") {
     // recall is ASSERTED at the verified scale, not assumed: at 32x2 a
     // pair at the J=0.35 oracle threshold is proposed with p ~ 0.985 per
