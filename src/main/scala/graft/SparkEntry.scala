@@ -1332,6 +1332,33 @@ object SparkEntry {
       .select(col("k"), col("price").cast("double").as("price"))
   }
 
+  /** String-business-key variant of q62 — the common dbt incremental
+    * reality (natural/surrogate string keys): the same base + partial
+    * batch + idempotent re-run flow, but the merge key is the STRING
+    * 'o' || o_orderkey. Exercises mergeByKey's hash-derived bucketing
+    * (pmod(xxhash64(key), n)), which works for any key type where a
+    * `key % n` derivation would require an integer.
+    */
+  private def q62bMergeStringKey(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(concat(lit("o"), col("o_orderkey")).as("k"),
+        col("o_orderkey").as("okey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("okey") % 3 === 0)
+    val changes = base.filter(col("okey") % 7 === 0)
+      .withColumn("price",
+        (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .unionByName(o.filter(col("okey") % 3 === 1 && col("okey") % 5 === 0))
+    val wh = s"$q40Scratch/mergestore_str"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    writer.mergeByKey(s, "orders_merged_str", base.drop("okey"), "k")
+    writer.mergeByKey(s, "orders_merged_str", changes.drop("okey"), "k")
+    writer.mergeByKey(s, "orders_merged_str", changes.drop("okey"), "k")
+    writer.read(s, "orders_merged_str")
+      .select(col("k"), col("price").cast("double").as("price"))
+  }
+
   private def q59SnapshotMaterialized(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SnapshotStore
     val (v1, v2, t1, t2) = scd2Sources(s, dir)
@@ -2213,6 +2240,7 @@ object SparkEntry {
     "q60_stream_static" -> (q60StreamStaticJoin _),
     "q61_stream_multibatch" -> (q61StreamMultibatch _),
     "q62_incremental_merge" -> (q62IncrementalMerge _),
+    "q62b_merge_string_key" -> (q62bMergeStringKey _),
     "q63_bucketed_join" -> (q63BucketedJoin _),
     "q67_salted_skew_join" -> (q67SaltedSkewJoin _),
     "q64_grouping_sets" -> (q64GroupingSets _),
@@ -2863,6 +2891,23 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
         |)
         |SELECT k, CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+        |  AS DOUBLE) AS price
+        |FROM base
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE) FROM newbies""".stripMargin,
+
+    // q62b: the same closed form with a STRING business key
+    "q62b_merge_string_key" ->
+      """WITH base AS (
+        |  SELECT 'o' || o_orderkey AS k, o_orderkey AS okey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT 'o' || o_orderkey AS k, o_orderkey AS okey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT k, CAST(CASE WHEN okey % 7 = 0 THEN price + 1000 ELSE price END
         |  AS DOUBLE) AS price
         |FROM base
         |UNION ALL

@@ -126,13 +126,19 @@ object SnapshotStore {
     val merged = Snapshot.scd2(prior, src, key, checkCols, asOf, closeDeleted)
     val delta = merged.filter(
       col("valid_to") === lit(asOf) || col("valid_from") === lit(asOf))
+    // always clean the scratch dir — a failure between the stage write
+    // and the partition upsert must not leave __stage_* shadowing the
+    // table namespace
     val stage = writer.path(s"__stage_$name")
-    delta.write.mode("overwrite").parquet(stage)
-    writer.upsertPartitions(
-      spark.read.parquet(stage).withColumn("snap_run", lit(asOf)),
-      name, Seq("snap_run"))
-    val sp = new org.apache.hadoop.fs.Path(stage)
-    sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    try {
+      delta.write.mode("overwrite").parquet(stage)
+      writer.upsertPartitions(
+        spark.read.parquet(stage).withColumn("snap_run", lit(asOf)),
+        name, Seq("snap_run"))
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stage)
+      sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    }
     read(spark, writer, name, key).get
   }
 }

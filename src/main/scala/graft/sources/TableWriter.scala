@@ -45,8 +45,11 @@ final class TableWriter(warehouseDir: String) extends Serializable {
   /** Incremental MERGE materialization (dbt's `incremental` +
     * `merge` strategy on plain parquet): upsert `incoming` by `key` into
     * the table, rewriting ONLY the key-hash bucket partitions the batch
-    * touches. The table is laid out with a derived `__bucket = key %
-    * numBuckets` partition column; a merge reads just the affected
+    * touches. The table is laid out with a derived `__bucket =
+    * pmod(xxhash64(key), numBuckets)` partition column — hash-derived so
+    * ANY key type works (string business keys are the common dbt case),
+    * pinned to INT so the incoming side and the partition-inferred
+    * re-read side agree exactly. A merge reads just the affected
     * buckets, keeps the newest row per key (incoming wins ties), and
     * dynamic-partition-overwrites those buckets — untouched buckets are
     * never read or rewritten, so a daily trickle of updates costs
@@ -60,15 +63,18 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val withBucket = incoming
-      .withColumn("__bucket", pmod(col(key), lit(numBuckets)))
+      .withColumn("__bucket",
+        pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
       .withColumn("__gen", lit(1))
     val p = new org.apache.hadoop.fs.Path(path(name))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val merged = if (!fs.exists(p)) withBucket
     else {
+      // bounded collect: ≤ numBuckets ids
       val affected = withBucket.select("__bucket").distinct()
-        .collect().map(_.getLong(0))
+        .collect().map(_.getInt(0))
       val existing = spark.read.parquet(path(name))
+        .withColumn("__bucket", col("__bucket").cast("int"))
         .filter(col("__bucket").isin(affected: _*))
         .withColumn("__gen", lit(0))
       val w = Window.partitionBy(col(key))
@@ -77,17 +83,21 @@ final class TableWriter(warehouseDir: String) extends Serializable {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
-    // stage first: the dynamic overwrite would otherwise overwrite a path
-    // its own plan is reading
+    // stage first (the dynamic overwrite would otherwise overwrite a path
+    // its own plan is reading); always clean the scratch dir — a failure
+    // between stage write and overwrite must not leave __stage_* shadowing
+    // the table namespace
     val stage = path(s"__stage_$name")
-    merged.drop("__gen").write.mode(SaveMode.Overwrite).parquet(stage)
-    val out = spark.read.parquet(stage)
-    out.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(path(name))
-    val sp = new org.apache.hadoop.fs.Path(stage)
-    sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    try {
+      merged.drop("__gen").write.mode(SaveMode.Overwrite).parquet(stage)
+      spark.read.parquet(stage).write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(path(name))
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stage)
+      sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    }
     path(name)
   }
 

@@ -7,34 +7,74 @@ import org.apache.spark.sql.functions._
 class TableWriterSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The writer's bucket derivation, replayed for the assertions. */
+  private def bucketOf(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+    df.select(col("k").cast("string"),
+        pmod(xxhash64(col("k")), lit(16L)).cast("int"))
+      .as[(String, Int)].collect().toMap
+
+  private def files(p: java.nio.file.Path): Map[String, Long] = {
+    val s = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(f).toMillis).toMap
+    } finally s.close()
+  }
+
   test("mergeByKey: upsert semantics, idempotent, bucket-scoped rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
     val w = new TableWriter(dir)
-    // keys 2 and 18 share bucket 2 (mod 16); key 1 lives in bucket 1
     val base = Seq((1L, "a"), (2L, "b"), (18L, "c")).toDF("k", "v")
     w.mergeByKey(spark, "m", base, "k")
-    val bucket2 = java.nio.file.Paths.get(w.path("m"), "__bucket=2")
-    def files(p: java.nio.file.Path): Map[String, Long] = {
-      val s = java.nio.file.Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-          .map(f => f.getFileName.toString ->
-            java.nio.file.Files.getLastModifiedTime(f).toMillis).toMap
-      } finally s.close()
-    }
-    val before = files(bucket2)
-    // batch touching only bucket 1: update key 1, insert key 17
+    // batch updates key 1 and inserts key 17: buckets are hash-derived
+    // now, so find a base key living OUTSIDE the batch's buckets and
+    // assert its partition directory is untouched byte-for-byte
+    val bk = bucketOf(base.unionByName(Seq((17L, "d")).toDF("k", "v")))
+    val batchBuckets = Set(bk("1"), bk("17"))
+    val untouched = Seq("2", "18").filterNot(k => batchBuckets.contains(bk(k)))
+    assert(untouched.nonEmpty, s"fixture degenerate: all keys share buckets $bk")
+    val dirOf = untouched.map(k =>
+      java.nio.file.Paths.get(w.path("m"), s"__bucket=${bk(k)}"))
+    val before = dirOf.map(files)
     val batch = Seq((1L, "A"), (17L, "d")).toDF("k", "v")
     w.mergeByKey(spark, "m", batch, "k")
     val got = w.read(spark, "m").select("k", "v").as[(Long, String)]
       .collect().toSet
     assert(got == Set((1L, "A"), (2L, "b"), (18L, "c"), (17L, "d")))
-    // bucket 2 was neither read-rewritten nor touched
-    assert(files(bucket2) == before && before.nonEmpty)
+    // untouched buckets were neither read-rewritten nor touched
+    assert(dirOf.map(files) == before && before.forall(_.nonEmpty))
     // idempotent re-apply
     w.mergeByKey(spark, "m", batch, "k")
     assert(w.read(spark, "m").select("k", "v").as[(Long, String)]
+      .collect().toSet == got)
+  }
+
+  test("mergeByKey: STRING business keys, same byte-stable untouched buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-s").toString
+    val w = new TableWriter(dir)
+    val base = Seq(("cust-a", 1.0), ("cust-b", 2.0), ("cust-c", 3.0))
+      .toDF("k", "v")
+    w.mergeByKey(spark, "ms", base, "k")
+    val bk = bucketOf(base.unionByName(Seq(("cust-new", 0.0)).toDF("k", "v")))
+    val batchBuckets = Set(bk("cust-a"), bk("cust-new"))
+    val untouched = Seq("cust-b", "cust-c")
+      .filterNot(k => batchBuckets.contains(bk(k)))
+    assert(untouched.nonEmpty, s"fixture degenerate: $bk")
+    val dirOf = untouched.map(k =>
+      java.nio.file.Paths.get(w.path("ms"), s"__bucket=${bk(k)}"))
+    val before = dirOf.map(files)
+    val batch = Seq(("cust-a", 10.0), ("cust-new", 4.0)).toDF("k", "v")
+    w.mergeByKey(spark, "ms", batch, "k")
+    val got = w.read(spark, "ms").select("k", "v").as[(String, Double)]
+      .collect().toSet
+    assert(got == Set(("cust-a", 10.0), ("cust-b", 2.0), ("cust-c", 3.0),
+      ("cust-new", 4.0)))
+    assert(dirOf.map(files) == before && before.forall(_.nonEmpty))
+    // idempotent re-apply
+    w.mergeByKey(spark, "ms", batch, "k")
+    assert(w.read(spark, "ms").select("k", "v").as[(String, Double)]
       .collect().toSet == got)
   }
 
