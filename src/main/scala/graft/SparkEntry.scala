@@ -2010,6 +2010,52 @@ object SparkEntry {
     out
   }
 
+  /** Stream-stream FULL OUTER interval join (q68 — closes the streaming
+    * join matrix: q58 inner, q60 stream-static, q65 left outer, and now
+    * both-side null-matching): unmatched errors AND unmatched clicks
+    * each emit their null-matched row once the watermark proves no
+    * in-window partner can still arrive — the state store must expire
+    * BOTH sides. Reuses q65's sentinel machinery (far-future rows on
+    * out-of-band keys staged as a second file under maxFilesPerTrigger=1
+    * push both watermarks past the real data, forcing the eviction
+    * batches); the coalesced key keeps right-unmatched rows filterable.
+    * The oracle is the plain batch FULL JOIN over the real events.
+    */
+  private def q68StreamFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+    def farTs(hours: Long) =
+      new java.sql.Timestamp(maxTs.getTime + hours * 3600L * 1000L)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q68_").toString
+    e.write.parquet(s"$stage/p1")
+    e.sparkSession.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(-1L, farTs(48), -1L, "error", 0.0),
+          org.apache.spark.sql.Row(-2L, farTs(24), -2L, "click", 0.0)),
+        e.schema)
+      .write.parquet(s"$stage/p2")
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val stream2 = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val joined = EventsOps.intervalJoin(
+      stream.filter(col("event_type") === "error"),
+      stream2.filter(col("event_type") === "click"),
+      "user_id", before = "2 HOURS", after = "2 HOURS",
+      watermark = "1 hour", joinType = "fullOuter")
+    val out = graft.streaming.StreamOracle
+      .convergeAppend(joined, "q68_stream_fullouter_sink")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_value"), col("r_value"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+    deleteTree(java.nio.file.Paths.get(stage))
+    out
+  }
+
   /** CUBE over the q25 rollup keys (the remaining grouping-set family
     * member), with grouping_id pinning WHICH subtotal each row is — the
     * standard 2·g(a)+g(b) bitmask in both engines.
@@ -2245,6 +2291,7 @@ object SparkEntry {
     "q67_salted_skew_join" -> (q67SaltedSkewJoin _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q65_stream_outer" -> (q65StreamOuterJoin _),
+    "q68_stream_fullouter" -> (q68StreamFullOuterJoin _),
     "q66_setops_all" -> (q66SetOpsAll _),
     "d27_span_mask" -> (d27SpanMask _),
     "d28_bpe_apply" -> (d28BpeApply _),
@@ -2738,6 +2785,25 @@ object SparkEntry {
         |  e.value AS l_value, c.value AS r_value,
         |  epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
         |FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |  AND c.ts >= e.ts - INTERVAL 2 HOUR
+        |  AND c.ts <= e.ts + INTERVAL 2 HOUR""".stripMargin,
+
+    // q68 converges the stream-stream FULL OUTER interval join — both
+    // sides' unmatched rows emit null-matched after watermark eviction —
+    // to the plain batch FULL JOIN
+    "q68_stream_fullouter" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT COALESCE(e.user_id, c.user_id) AS user_id,
+        |  e.event_id AS l_event_id, c.event_id AS r_event_id,
+        |  e.value AS l_value, c.value AS r_value,
+        |  epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM e FULL JOIN c ON e.user_id = c.user_id
         |  AND c.ts >= e.ts - INTERVAL 2 HOUR
         |  AND c.ts <= e.ts + INTERVAL 2 HOUR""".stripMargin,
 

@@ -164,12 +164,16 @@ object EventsOps {
     val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
       .select(col(key).as("r_key"), col("ts").as("r_ts"),
         col("event_id").as("r_event_id"), col("value").as("r_value"))
-    l.join(r,
+    val joined = l.join(r,
       col(key) === col("r_key") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"),
       joinType)
-      .drop("r_key")
+    // full outer: a right-unmatched row carries its key only in r_key —
+    // surface it under the left name so the caller sees ONE key column
+    if (joinType.toLowerCase.replace("_", "") == "fullouter")
+      joined.withColumn(key, coalesce(col(key), col("r_key"))).drop("r_key")
+    else joined.drop("r_key")
   }
 
   /** Streaming-safe exact dedup on an id column: with a watermark, state for
