@@ -486,7 +486,7 @@ object SparkEntry {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       // consumed twice (argmax pick + member counts): checkpoint the
       // 3-column frame instead of recomputing clusters + scores
-      .localCheckpoint()
+      .transform(graft.core.Checkpoints.stable)
     graft.operators.TopPerGroup.top1(withCluster, Seq(col("cluster_id")),
         Seq(col("lm_score").desc, col("doc_id").asc))
       .join(withCluster.groupBy("cluster_id")
@@ -1099,7 +1099,7 @@ object SparkEntry {
       // the ranking/packing machinery's bounded driver collects (quantile
       // cutpoints, bucket offsets ×2) would each re-execute the LM-score
       // lineage; checkpoint the 3-column frame once instead
-      .localCheckpoint()
+      .transform(graft.core.Checkpoints.stable)
     val (pos, _) = graft.operators.Ranking.globalPosition(scored,
       col("__negscore"), Seq(col("__negscore"), col("doc_id")),
       "curriculum_pos", 32)

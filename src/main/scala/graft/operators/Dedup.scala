@@ -261,7 +261,7 @@ object Dedup {
       (candidates.sparkSession.emptyDataFrame, cnt)
     } else {
       val out = verifyPairsExact(df, candidates, idCol, textCol, n, threshold)
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.stable)
       ranked.unpersist(blocking = false)
       exploded.unpersist(blocking = false)
       (out, -1L)
@@ -316,7 +316,7 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
-      .localCheckpoint()
+      .transform(graft.core.Checkpoints.stable)
     signed.unpersist(blocking = false)
     out
   }
@@ -393,7 +393,7 @@ object Dedup {
           col("p.label") === col("l_id"), "left")
         .select(col("p.id").as("id"),
           least(col("p.label"), coalesce(col("l_label"), col("p.label"))).as("label"))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.stable)
       val sumNow = next.agg(sum(col("label"))).head().getLong(0)
       labels = next
       converged = sumNow == prevSum
@@ -481,7 +481,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-      .localCheckpoint() // small pair output; lets the sig cache go now
+      .transform(graft.core.Checkpoints.stable) // small pair output; lets the sig cache go now
     sigs.unpersist(blocking = false)
     out
   }

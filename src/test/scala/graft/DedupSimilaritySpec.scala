@@ -290,6 +290,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint flag: iterative clustering same answer, no local blocks") {
+    // spark.graft.reliableCheckpoint=true switches every lineage
+    // truncation from executor-local blocks (lost-executor = dead job on
+    // a cluster) to reliable checkpoint() files — same results required
+    // smallGraphThreshold=0 forces the distributed pointer-jump path (the
+    // default local union-find shortcut never checkpoints at all)
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val plain = Dedup.clusters(edges, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val reliable = Dedup.clusters(edges, smallGraphThreshold = 0)
+        .as[(Long, Long)].collect().toSet
+      assert(reliable == plain && plain.nonEmpty)
+      assert(spark.sparkContext.getCheckpointDir.nonEmpty,
+        "reliable checkpoint ran without a checkpoint dir")
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("d3 banding (32 bands x 2 rows) proposes every exact pair on the corpus") {
     // recall is ASSERTED at the verified scale, not assumed: at 32x2 a
     // pair at the J=0.35 oracle threshold is proposed with p ~ 0.985 per
