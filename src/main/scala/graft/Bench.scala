@@ -29,11 +29,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def parseBudgets(path: String): Map[String, Double] = {
+  /** Strict parse of the flat budget file `--record` writes. Anything the
+    * entry regex does not fully account for (nesting, comments, NaN, a
+    * typo'd hand edit) fails LOUDLY — a silently mis-parsed budgets file
+    * would weaken the `--check` gate to a no-op.
+    */
+  private[graft] def parseBudgets(path: String): Map[String, Double] = {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")
-    val entry = """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-    entry.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val entry = """^\s*"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)\s*,?\s*$""".r
+    val pairs = text.linesIterator.zipWithIndex
+      .filterNot { case (l, _) =>
+        val t = l.trim; t.isEmpty || t == "{" || t == "}" }
+      .map {
+        case (entry(k, v), _) =>
+          val d = v.toDouble
+          require(!d.isNaN && !d.isInfinite && d >= 0,
+            s"budget for $k is not a finite non-negative number: $v")
+          k -> d
+        case (line, i) => throw new IllegalArgumentException(
+          s"$path line ${i + 1} is not a budget entry: '$line' — " +
+            "re-record with --record or fix the edit")
+      }.toSeq
+    val dup = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty, s"$path has duplicate budget keys: ${dup.mkString(", ")}")
+    pairs.toMap
   }
 
   def main(args: Array[String]): Unit = {

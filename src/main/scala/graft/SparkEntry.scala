@@ -790,7 +790,9 @@ object SparkEntry {
   /** Token-ID SEQUENCE fidelity (d28 checks counts; this pins the ordered
     * ids a training pipeline actually emits): per-doc position-weighted
     * checksum Σ tokenId·position over the document's full BPE token
-    * stream, with the stable id scheme codepoint | 256+mergeRank. The
+    * stream, with the stable id scheme codepoint | MergeIdBase+mergeRank
+    * (merge ids sit past the Unicode range — collision-free for any
+    * script). The
     * oracle re-derives ids from the merge literals and replays the
     * ordered flatten (word subscripts → per-word token subscripts →
     * global positions via a running offset), so a single transposed or
@@ -3359,7 +3361,7 @@ object SparkEntry {
       .map { case ((a, b), i) => s"('$a$b', $i)" }.mkString(", ")
     s"""$bpeFinalCtes,
        |vocab AS (
-       |  SELECT tok, 256 + MIN(r) AS id
+       |  SELECT tok, ${graft.functions.Bpe.MergeIdBase} + MIN(r) AS id
        |  FROM (VALUES $vocabVals) v(tok, r) GROUP BY 1
        |), dw AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -168,24 +168,37 @@ object Bpe {
 
   def tokenCount(word: String): Int = encodeCached(word).length
 
+  /** Merge-token ids start past the Unicode code-point range (0x10FFFF),
+    * so a single-codepoint token from ANY script can never collide with a
+    * merge id — the scheme stays collision-free on non-ASCII corpora.
+    */
+  val MergeIdBase: Int = 0x110000
+
   /** Stable token-id scheme over the bundled table: a single-codepoint
-    * token is its codepoint; a multi-char token is 256 + the rank of the
-    * FIRST merge producing that string (every multi-char symbol IS some
-    * merge's output; MIN-rank resolves the rare case of two merges
-    * producing the same string). Engine-neutral by construction — the
-    * oracle re-derives the same ids from the merge literals.
+    * token is its codepoint; a multi-char token is [[MergeIdBase]] + the
+    * rank of the FIRST merge producing that string (every multi-char
+    * symbol IS some merge's output; MIN-rank resolves the rare case of
+    * two merges producing the same string). Engine-neutral by
+    * construction — the oracle re-derives the same ids from the merge
+    * literals.
     */
   private lazy val tokenIdMap: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + b, 256 + i)
+      m.putIfAbsent(a + b, MergeIdBase + i)
     }
     m
   }
 
   def tokenId(tok: String): Long =
     if (tok.codePointCount(0, tok.length) == 1) tok.codePointAt(0).toLong
-    else tokenIdMap.get(tok).toLong
+    else {
+      val id = tokenIdMap.get(tok)
+      if (id == null) throw new IllegalArgumentException(
+        s"multi-char token '$tok' is not any merge's output — " +
+          "it cannot have come from this table's encode()")
+      id.toLong
+    }
 
   /** Total BPE tokens of a text: single-space pre-tokenization (matching
     * `string_split(text, ' ')` / `split(col, " ")` everywhere else in the

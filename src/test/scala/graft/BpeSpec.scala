@@ -46,11 +46,18 @@ class BpeSpec extends SparkSpec {
   }
 
   test("token ids and position-weighted checksum pin the ordered sequence") {
-    // single-codepoint tokens are codepoints
+    // single-codepoint tokens are codepoints — for ANY script: the merge
+    // id space starts past the Unicode range so no codepoint collides
     assert(Bpe.tokenId("a") == 'a'.toLong)
-    // multi-char tokens are 256 + first producing merge's rank
+    assert(Bpe.tokenId("é") == 0xE9L)
+    assert(Bpe.tokenId("😀") == 0x1F600L) // surrogate pair
+    // multi-char tokens are MergeIdBase + first producing merge's rank
     val erRank = Bpe.merges.indexWhere { case (a, b) => a + b == "er" }
-    assert(erRank >= 0 && Bpe.tokenId("er") == 256L + erRank)
+    assert(erRank >= 0 &&
+      Bpe.tokenId("er") == Bpe.MergeIdBase.toLong + erRank)
+    assert(Bpe.MergeIdBase > Character.MAX_CODE_POINT)
+    // a multi-char non-merge token is an error, not an NPE
+    intercept[IllegalArgumentException](Bpe.tokenId("zzqq"))
     // checksum is position-sensitive: swapping two words changes it even
     // though the token multiset is identical
     val ab = Bpe.idChecksumText("key agg")

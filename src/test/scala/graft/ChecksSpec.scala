@@ -11,6 +11,27 @@ class ChecksSpec extends SparkSpec {
     (Some(2L), "c", "OPEN"), (None, "d", "WEIRD"))
     .toDF("id", "name", "status")
 
+  test("Bench.parseBudgets: strict — valid file parses, corruption fails loudly") {
+    def write(s: String): String = {
+      val f = java.nio.file.Files.createTempFile("budgets", ".json")
+      java.nio.file.Files.writeString(f, s); f.toString
+    }
+    val ok = Bench.parseBudgets(write(
+      "{\n  \"q1\": 0.1234,\n  \"q2\": 2.5\n}\n"))
+    assert(ok == Map("q1" -> 0.1234, "q2" -> 2.5))
+    // the real recorded file parses
+    assert(Bench.parseBudgets("BENCH_BUDGETS.json").nonEmpty)
+    // a hand edit the old regex parse would silently drop now throws
+    intercept[IllegalArgumentException](Bench.parseBudgets(write(
+      "{\n  \"q1\": 0.1, // tuned\n  \"q2\": 2.5\n}\n")))
+    intercept[IllegalArgumentException](Bench.parseBudgets(write(
+      "{\n  \"q1\": {\"nested\": 1},\n}\n")))
+    intercept[IllegalArgumentException](Bench.parseBudgets(write(
+      "{\n  \"q1\": NaN\n}\n")))
+    intercept[IllegalArgumentException](Bench.parseBudgets(write(
+      "{\n  \"q1\": 0.1,\n  \"q1\": 0.2\n}\n")))
+  }
+
   test("aggregate checks report violation counts in one pass") {
     val report = Checks.run(df, Seq(
       Checks.notNull("id"),
