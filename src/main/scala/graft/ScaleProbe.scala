@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [sfDir] [mult] [probes]
   *   probes: comma-separated subset of
-  *     d3,d11,d15,d18,bpe,v3,v5,v6,q32   (default: all)
+  *     d3,d11,d15,d18,bpe,v3,v5,v6,q32,d33,d34,q59,q62,q63   (default: all)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
   *   corpus grows (its cutover point is the measurement), and running it
@@ -26,7 +26,8 @@ object ScaleProbe {
     val mult = if (args.length > 1) args(1).toInt else 10
     val probes: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
-      else Set("d3", "d11", "d15", "d18", "bpe", "v3", "v5", "v6", "q32")
+      else Set("d3", "d11", "d15", "d18", "bpe", "v3", "v5", "v6", "q32",
+        "d33", "d34", "q59", "q62", "q63")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -53,7 +54,17 @@ object ScaleProbe {
         else shifted
       }.reduce(_ unionByName _)
 
-    if (probes.intersect(Set("d3", "d11", "d15", "d18", "bpe")).nonEmpty) {
+    def deleteTree(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+
+    if (probes.intersect(Set("d3", "d11", "d15", "d18", "bpe", "d33", "d34")).nonEmpty) {
       val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
       val docsN = replicate(docs1, "doc_id", mult, mutate = true)
         .repartition(cpus.toInt).persist()
@@ -83,8 +94,93 @@ object ScaleProbe {
           d.select(graft.functions.Bpe.bpeTokenCount(col("text")).as("n"))
             .agg(sum(col("n"))).count()
         }
+        // d33/d34 probe the LM-model family end to end at scale: train
+        // (model TABLES + broadcast-join apply — the round-6 scale-safe
+        // shape; nothing vocabulary-sized on the driver), then the full
+        // curriculum rank+pack / cluster-argmax compositions
+        if (on("d33")) t(s"d33_curriculum_$label") {
+          val model = SparkEntry.lmModelFrom(d)
+          val n = SparkEntry.curriculumChain(
+            SparkEntry.lmScoredDocsFrom(d, model)).count()
+          model._1.unpersist(blocking = false)
+          model._2.unpersist(blocking = false)
+          n
+        }
+        if (on("d34")) t(s"d34_cluster_rep_$label") {
+          val model = SparkEntry.lmModelFrom(d)
+          val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+            n = 3, threshold = 0.2, maxDocFreq = 50L)
+          val n = SparkEntry.clusterRepChain(
+            SparkEntry.lmScoredDocsFrom(d, model), pairs).count()
+          model._1.unpersist(blocking = false)
+          model._2.unpersist(blocking = false)
+          n
+        }
       }
       docsN.unpersist()
+    }
+
+    // Materialization family: the WRITE paths (snapshot store, bucket-
+    // scoped merge, bucketed tables) measured under replication
+    if (probes.intersect(Set("q59", "q62", "q63")).nonEmpty) {
+      val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
+      val ordersN = (0 until mult).map { r =>
+        orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+      }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
+      println(s"orders: ${orders1.count()} -> ${ordersN.count()} (${mult}x)")
+      for ((label, o) <- Seq("1x" -> orders1, s"${mult}x" -> ordersN)) {
+        def src = o.select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        if (on("q62")) t(s"q62_merge_$label") {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_merge_").toString
+          val w = new graft.sources.TableWriter(wh)
+          val base = src.filter(col("k") % 3 === 0)
+          val changes = base.filter(col("k") % 7 === 0)
+            .withColumn("price", (col("price") +
+              lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+            .unionByName(src.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+          w.mergeByKey(spark, "m", base, "k")
+          w.mergeByKey(spark, "m", changes, "k")
+          val n = w.read(spark, "m").count()
+          deleteTree(wh)
+          n
+        }
+        if (on("q59")) t(s"q59_snapshot_$label") {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_snap_").toString
+          val w = new graft.sources.TableWriter(wh)
+          val v1 = src.filter(col("k") % 3 === 0)
+          val v2 = v1.withColumn("price",
+            when(col("k") % 7 === 0, (col("price") +
+              lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+              .otherwise(col("price")))
+          graft.operators.SnapshotStore.run(spark, w, "snap", v1, "k",
+            Seq("price"), java.sql.Date.valueOf("2024-01-01"))
+          val n = graft.operators.SnapshotStore.run(spark, w, "snap", v2, "k",
+            Seq("price"), java.sql.Date.valueOf("2024-02-01")).count()
+          deleteTree(wh)
+          n
+        }
+        if (on("q63")) t(s"q63_bucketed_$label") {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_bk_").toString
+          val w = new graft.sources.TableWriter(wh)
+          val cust = graft.sources.Tables.load(spark, sfDir, "customer")
+          w.materializeBucketed(o.select(col("o_custkey").as("ck"),
+            col("o_totalprice")), s"probe_bk_orders", Seq("ck"), 8)
+          w.materializeBucketed(cust.select(col("c_custkey").as("ck"),
+            col("c_mktsegment")), s"probe_bk_cust", Seq("ck"), 8)
+          val n = spark.table("probe_bk_orders")
+            .join(spark.table("probe_bk_cust"), Seq("ck"))
+            .groupBy(col("c_mktsegment")).agg(count(lit(1))).count()
+          spark.sql("DROP TABLE IF EXISTS probe_bk_orders")
+          spark.sql("DROP TABLE IF EXISTS probe_bk_cust")
+          deleteTree(wh)
+          n
+        }
+      }
+      ordersN.unpersist()
     }
 
     if (probes.intersect(Set("v3", "v5", "v6")).nonEmpty) {

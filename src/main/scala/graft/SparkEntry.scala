@@ -472,15 +472,16 @@ object SparkEntry {
     * The oracle composes the transitive-closure clusters with the
     * re-derived LM model and the same argmax tie-break.
     */
-  private def d34ClusterRep(s: SparkSession, dir: String): DataFrame = {
-    val scored = lmScoredDocs(s, dir)
+  private[graft] def clusterRepChain(scoredDocs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val scored = scoredDocs
       .withColumn("lm_score",
         when(size(col("ps")) > 0,
           aggregate(col("ps"), lit(0.0), (acc, p) => acc + p) /
             size(col("ps")))
           .otherwise(lit(0.0)))
       .select("doc_id", "lm_score")
-    val cl = Dedup.clusters(d2PairsShared(s, dir))
+    val cl = Dedup.clusters(pairs)
     val withCluster = scored
       .join(cl.withColumnRenamed("member_id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -494,6 +495,9 @@ object SparkEntry {
       .select(col("cluster_id"), col("doc_id").as("kept_doc"),
         col("lm_score"), col("n_members"))
   }
+
+  private def d34ClusterRep(s: SparkSession, dir: String): DataFrame =
+    clusterRepChain(lmScoredDocs(s, dir), d2PairsShared(s, dir))
 
   /** Prefix-filtered EXACT Jaccard pairs (AllPairs family) — the
     * deterministic same-output twin of d3: identical true-pair answer,
@@ -1025,22 +1029,27 @@ object SparkEntry {
   private val lmModelCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Long)]
 
+  /** Cache-free trainer, DataFrame-parameterized so ScaleProbe can run it
+    * on replicated corpora; returns persisted model frames + vocab size.
+    */
+  private[graft] def lmModelFrom(docs: DataFrame): (DataFrame, DataFrame, Long) = {
+    val toks = docs.select(split(col("text"), " ").as("ws"))
+    val ug = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ug_c"))
+      .persist()
+    val v = ug.count() // vocab size: single scalar; also primes the persist
+    val bg = toks.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("bg_c"))
+      .filter(col("bg_c") >= lmBigramMinCount)
+      .persist()
+    (ug, bg, v)
+  }
+
   private def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
-    lmModelCache.getOrElseUpdate(dir, {
-      val toks = t(s, dir, "documents").select(split(col("text"), " ").as("ws"))
-      val ug = toks.select(explode(col("ws")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("ug_c"))
-        .persist()
-      val v = ug.count() // vocab size: single scalar; also primes the persist
-      val bg = toks.filter(size(col("ws")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => concat_ws(" ", element_at(col("ws"), i),
-            element_at(col("ws"), i + 1)))).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("bg_c"))
-        .filter(col("bg_c") >= lmBigramMinCount)
-        .persist()
-      (ug, bg, v)
-    })
+    lmModelCache.getOrElseUpdate(dir, lmModelFrom(t(s, dir, "documents")))
 
   /** Documents with their per-pair probability lists (shared by d32's
     * score report, d33's curriculum ordering and d34's keep policy).
@@ -1054,9 +1063,9 @@ object SparkEntry {
     * later left-to-right fold adds the same IEEE doubles in the same
     * order as the oracle's `list(p ORDER BY pi)`.
     */
-  private def lmScoredDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val (ug, bg, v) = lmModel(s, dir)
+  private[graft] def lmScoredDocsFrom(d: DataFrame,
+      model: (DataFrame, DataFrame, Long)): DataFrame = {
+    val (ug, bg, v) = model
     val ws = split(col("text"), " ")
     val flat = d.filter(size(ws) >= 2)
       .select(col("doc_id"), posexplode(
@@ -1079,6 +1088,9 @@ object SparkEntry {
         coalesce(col("ps"), array().cast("array<double>")).as("ps"))
   }
 
+  private def lmScoredDocs(s: SparkSession, dir: String): DataFrame =
+    lmScoredDocsFrom(t(s, dir, "documents"), lmModel(s, dir))
+
   /** Curriculum packing (d33 — three machines composed end to end):
     * documents ordered globally by LM fluency (d32's score, ties by
     * doc_id) via the distributed no-single-task ranking machinery, then
@@ -1088,8 +1100,8 @@ object SparkEntry {
     * prefix sum — so any divergence in ANY of the three stages breaks
     * the hash.
     */
-  private def d33CurriculumPack(s: SparkSession, dir: String): DataFrame = {
-    val scored = lmScoredDocs(s, dir)
+  private[graft] def curriculumChain(scoredDocs: DataFrame): DataFrame = {
+    val scored = scoredDocs
       .withColumn("lm_score",
         when(size(col("ps")) > 0,
           aggregate(col("ps"), lit(0.0), (acc, p) => acc + p) /
@@ -1111,6 +1123,9 @@ object SparkEntry {
         col("n_toks").cast("long").as("n_toks"),
         col("tape_start"), col("seq_id"), col("seq_offset"))
   }
+
+  private def d33CurriculumPack(s: SparkSession, dir: String): DataFrame =
+    curriculumChain(lmScoredDocs(s, dir))
 
   private def d17QuotaSample(s: SparkSession, dir: String): DataFrame =
     Sampling.quotaSample(t(s, dir, "documents"), col("lang"), col("doc_id"),
