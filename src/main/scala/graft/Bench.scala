@@ -17,9 +17,13 @@ import org.apache.spark.sql.SparkSession
   * absorb JVM/session startup.
   *
   * `--check`: in-repo perf regression gate. Compares each query's
-  * steady-state time against BENCH_BUDGETS.json (per-query budgets, by
-  * default recorded at sf0.01; override the file with
-  * SPARK_GRAFT_BUDGETS) and exits nonzero if any query exceeds BOTH 2×
+  * steady-state time against per-query budgets recorded at the SAME
+  * scale factor: sf0.01 budgets live in BENCH_BUDGETS.json (the
+  * original file) and every other SF in BENCH_BUDGETS_<sfdir>.json
+  * (e.g. BENCH_BUDGETS_sf0.1.json — the scale the driver actually
+  * benches), selected automatically from SPARK_GRAFT_SF_DIR's basename;
+  * override the file with SPARK_GRAFT_BUDGETS. Exits nonzero if any
+  * query exceeds BOTH 2×
   * its budget AND budget + 0.5 s — the relative bound catches real
   * regressions on heavy queries, the absolute grace keeps sub-100 ms
   * entries from tripping on scheduler noise. Queries without a budget
@@ -59,8 +63,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val check = args.contains("--check")
     val record = args.contains("--record")
-    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "BENCH_BUDGETS.json")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfBase = new java.io.File(sfDir).getName
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BUDGETS",
+      if (sfBase == "sf0.01") "BENCH_BUDGETS.json"
+      else s"BENCH_BUDGETS_$sfBase.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()

@@ -1928,6 +1928,160 @@ object SparkEntry {
         dsum2(col("o_totalprice")).as("total_price"))
   }
 
+  /** Small-file compaction under the oracle (q69 — the 100 TB
+    * housekeeping operator that completes the write-path family next to
+    * merge/q62 and bucketing/q63: incremental loads leave thousands of
+    * tiny files whose open/footer overhead eventually dominates scans).
+    * A third of orders is materialized as one large generation file
+    * plus 48 deliberately tiny appended files;
+    * [[graft.sources.TableWriter.compact]] bin-packs the sub-threshold
+    * files (cost tracks small-file mass, not table size) and is run
+    * TWICE — the second pass must be a structural no-op (post-compact
+    * files meet the size or count floor at every SF). The oracle states
+    * the table content closed-form, so a row lost or duplicated
+    * anywhere in the stage/unveil/delete commit protocol breaks the
+    * hash; CompactionSpec pins the structural claims with controlled
+    * sizes (file counts, above-threshold file byte-identical, crash
+    * recovery via _compaction_log).
+    */
+  private def q69Compaction(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val wh = s"$q40Scratch/compactstore"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    // large generation: one file compaction must leave byte-identical
+    o.filter(col("k") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(writer.path("orders_c"))
+    // small generation: 48 tiny appended files
+    o.filter(col("k") % 3 === 1).repartition(48)
+      .write.mode("append").parquet(writer.path("orders_c"))
+    writer.compact(s, "orders_c", targetBytes = 2L << 20)
+    writer.compact(s, "orders_c", targetBytes = 2L << 20) // structural no-op
+    writer.read(s, "orders_c")
+      .select(col("k"), col("price").cast("double").as("price"))
+  }
+
+  /** Z-order-clustered materialization under the oracle (q70 — the
+    * layout operator that completes the write-path family next to
+    * bucketing/q63 and compaction/q69: cluster a table so predicates on
+    * EITHER of two dimensions prune most files). Orders are clustered
+    * by the Morton interleave of two bucketized dimensions through
+    * [[graft.sources.TableWriter.materializeClustered]] (range
+    * partition + sort by z — every file gets narrow min/max on BOTH
+    * dimensions), read back through a two-sided rectangle predicate —
+    * the pruning case — and fingerprinted per z-block with sum(z), so
+    * a single flipped bit anywhere in the codegen'd spread arithmetic
+    * breaks the hash. The oracle unrolls the same four magic-number
+    * spread stages in ANSI SQL; ZOrderSpec pins the layout claims
+    * (per-file z-disjointness, per-file min/max narrowness on both
+    * dimensions, rectangle scan touching few files).
+    */
+  private def q70ZorderCluster(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      pmod(col("o_custkey"), lit(1024)).cast("int").as("a"),
+      pmod(col("o_orderkey"), lit(1024)).cast("int").as("b"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val wh = s"$q40Scratch/zorder"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    writer.materializeClustered(o, "orders_z",
+      graft.functions.ZOrder.zValue16(col("a"), col("b")), "z", numFiles = 16)
+    writer.read(s, "orders_z")
+      .filter(col("a") < 256 && col("b") >= 512)
+      .groupBy(shiftright(col("z"), 12).as("z_block"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).cast("long").as("sum_z"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"),
+        dsum2(col("price")).as("total_price"))
+  }
+
+  /** ANALYZE-style table statistics under the oracle (q73 — the
+    * cost-model feeder: broadcast decisions, partition sizing, and
+    * null/ndv drift contracts all start from per-column stats). One
+    * pass over orders computes row/non-null/EXACT-distinct counts and
+    * min/max (string-rendered for a uniform schema) for five columns of
+    * four different types, including a derived nullable column so the
+    * null accounting is actually exercised (TPC-H data carries no
+    * nulls). The multi-DISTINCT agg rides Spark's Expand — shuffle
+    * volume grows with column count, not passes; q19's KMV sketch is
+    * the approximate alternative this exact path validates.
+    */
+  private def q73TableStats(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      when(col("o_orderstatus") === "O", lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("status_nn"),
+      col("o_orderdate").cast("date").as("o_orderdate"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    graft.operators.TableStats.collect(o, Seq("o_orderkey", "o_orderstatus",
+      "status_nn", "o_orderdate", "o_totalprice"))
+  }
+
+  /** Snapshot-store retention vacuum under the oracle (q72 — the
+    * operator that keeps q59's append-only history BOUNDED: a year of
+    * daily run partitions must collapse to `retention + 1` partitions
+    * without changing what any reader reconstructs). Three snapshot
+    * runs (v1, v2, v3 = v2 with an extra bump for keys % 11 — the
+    * third state exercises close-and-reopen ON TOP of an already-bumped
+    * row), then [[graft.operators.SnapshotStore.vacuum]] collapses the
+    * first two runs into one partition. The oracle states the FULL
+    * three-state history closed-form — identical to what the unvacuumed
+    * store reconstructs — so a row lost, duplicated, or mis-superseded
+    * by the collapse breaks the hash; SnapshotVacuumSpec pins the
+    * structural claims (post-cutoff partitions byte-identical, expired
+    * run dirs gone).
+    */
+  private def q72SnapshotVacuum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SnapshotStore
+    val (v1, v2, t1, t2) = scd2Sources(s, dir)
+    val t3 = java.sql.Date.valueOf("2024-03-01")
+    val v3 = v2.withColumn("price",
+      when(col("k") % 11 === 0, col("price") + lit(500).cast("decimal(18,2)"))
+        .otherwise(col("price")).cast("decimal(18,2)"))
+    val wh = s"$q40Scratch/snapvac"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    SnapshotStore.run(s, writer, "orders_snap", v1, "k", Seq("price"), t1)
+    SnapshotStore.run(s, writer, "orders_snap", v2, "k", Seq("price"), t2)
+    SnapshotStore.run(s, writer, "orders_snap", v3, "k", Seq("price"), t3)
+    SnapshotStore.vacuum(s, writer, "orders_snap", "k", t2)
+    scd2Presented(SnapshotStore.read(s, writer, "orders_snap", "k").get)
+  }
+
+  /** Targeted delete-by-key under the oracle (q71 — the
+    * right-to-be-forgotten operator that completes the write-path family
+    * next to merge/q62: "delete these user ids" at 100 TB must cost
+    * O(touched buckets), not a table rewrite). Orders are laid out via
+    * mergeByKey's hash-bucket partitioning, then a doomed-key set (every
+    * 13th key PLUS keys absent from the table — deletes must tolerate
+    * no-op keys) is removed through
+    * [[graft.sources.TableWriter.deleteByKey]], applied TWICE to prove
+    * idempotence. The oracle states the surviving table closed-form, so
+    * a row leaked (doomed key surviving) or lost (survivor caught in a
+    * rewritten bucket) anywhere in the anti-join/overwrite cycle breaks
+    * the hash; DeleteByKeySpec pins the structural claims (untouched
+    * buckets byte-identical, emptied bucket dirs removed).
+    */
+  private def q71DeleteByKey(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val wh = s"$q40Scratch/deletestore"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    writer.mergeByKey(s, "orders_del", o, "k")
+    val doomed = o.filter(col("k") % 13 === 0).select(col("k"))
+      .unionByName(s.range(1, 5).select((col("id") * -1).as("k")))
+    writer.deleteByKey(s, "orders_del", doomed, "k")
+    writer.deleteByKey(s, "orders_del", doomed, "k") // idempotent re-run
+    writer.read(s, "orders_del")
+      .select(col("k"), col("price").cast("double").as("price"))
+  }
+
   /** Stream-STATIC join under the oracle (the remaining streaming join
     * runtime next to q58's stream-stream form): the events stream
     * enriched against the static customer dimension — Spark plans the
@@ -2306,6 +2460,11 @@ object SparkEntry {
     "q62b_merge_string_key" -> (q62bMergeStringKey _),
     "q63_bucketed_join" -> (q63BucketedJoin _),
     "q67_salted_skew_join" -> (q67SaltedSkewJoin _),
+    "q69_compaction" -> (q69Compaction _),
+    "q70_zorder_cluster" -> (q70ZorderCluster _),
+    "q71_delete_by_key" -> (q71DeleteByKey _),
+    "q72_snapshot_vacuum" -> (q72SnapshotVacuum _),
+    "q73_table_stats" -> (q73TableStats _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q65_stream_outer" -> (q65StreamOuterJoin _),
     "q68_stream_fullouter" -> (q68StreamFullOuterJoin _),
@@ -2995,6 +3154,133 @@ object SparkEntry {
         |FROM base
         |UNION ALL
         |SELECT k, CAST(price AS DOUBLE) FROM newbies""".stripMargin,
+
+    // q69: compaction must be content-invisible — the table after two
+    // compact passes (large generation + 48 tiny files bin-packed) is
+    // exactly the union of the two written generations
+    "q69_compaction" ->
+      """SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
+
+    // q70: the oracle unrolls the same four Morton magic-number spread
+    // stages (0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555) the
+    // codegen'd Column arithmetic uses; sum(z) per block pins every bit
+    "q70_zorder_cluster" ->
+      """WITH src AS (
+        |  SELECT CAST(o_custkey % 1024 AS INT) AS a,
+        |    CAST(o_orderkey % 1024 AS INT) AS b,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |), s1 AS (
+        |  SELECT *, (a | (a << 8)) & 16711935 AS a1,
+        |    (b | (b << 8)) & 16711935 AS b1 FROM src
+        |), s2 AS (
+        |  SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+        |    (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1
+        |), s3 AS (
+        |  SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+        |    (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2
+        |), s4 AS (
+        |  SELECT *, ((a3 | (a3 << 1)) & 1431655765)
+        |    | (((b3 | (b3 << 1)) & 1431655765) << 1) AS z FROM s3
+        |)
+        |SELECT CAST(z // 4096 AS BIGINT) AS z_block, count(*) AS n,
+        |  CAST(SUM(z) AS BIGINT) AS sum_z,
+        |  MIN(a) AS min_a, MAX(a) AS max_a,
+        |  MIN(b) AS min_b, MAX(b) AS max_b,
+        |  CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM s4 WHERE a < 256 AND b >= 512
+        |GROUP BY 1""".stripMargin,
+
+    // q71: delete must be exact and complete — survivors are precisely
+    // the rows whose key isn't doomed; a leaked doomed row or a lost
+    // survivor anywhere in the bucket rewrite breaks the hash
+    "q71_delete_by_key" ->
+      """SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
+
+    // q73: the stats themselves are the claim — exact ndv, null
+    // accounting, and typed min/max (string-rendered) per column, stated
+    // as one UNION ALL branch per column over the same projection
+    "q73_table_stats" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    NULLIF(o_orderstatus, 'O') AS status_nn,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders
+        |)
+        |SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+        |  COUNT(o_orderkey) AS n_nonnull,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM src
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus),
+        |  CAST(MIN(o_orderstatus) AS VARCHAR),
+        |  CAST(MAX(o_orderstatus) AS VARCHAR) FROM src
+        |UNION ALL
+        |SELECT 'status_nn', COUNT(*), COUNT(status_nn),
+        |  COUNT(DISTINCT status_nn),
+        |  CAST(MIN(status_nn) AS VARCHAR),
+        |  CAST(MAX(status_nn) AS VARCHAR) FROM src
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+        |  COUNT(DISTINCT o_orderdate),
+        |  CAST(MIN(o_orderdate) AS VARCHAR),
+        |  CAST(MAX(o_orderdate) AS VARCHAR) FROM src
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+        |  COUNT(DISTINCT o_totalprice),
+        |  CAST(MIN(o_totalprice) AS VARCHAR),
+        |  CAST(MAX(o_totalprice) AS VARCHAR) FROM src""".stripMargin,
+
+    // q72: vacuum must be reconstruction-invisible — the oracle is the
+    // FULL three-state SCD2 history (v1; v2 bumps %7 keys +1000 and adds
+    // newbies; v3 bumps %11 keys +500 on top), exactly what the
+    // unvacuumed store would reconstruct
+    "q72_snapshot_vacuum" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT k, CAST(price AS DOUBLE) AS price,
+        |  '2024-01-01' AS valid_from, '2024-02-01' AS valid_to
+        |FROM v1 WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT k, CAST(price + 1000 AS DOUBLE), '2024-02-01', '2024-03-01'
+        |FROM v1 WHERE k % 7 = 0 AND k % 11 = 0
+        |UNION ALL
+        |SELECT k, CAST(price + 1500 AS DOUBLE), '2024-03-01', NULL
+        |FROM v1 WHERE k % 7 = 0 AND k % 11 = 0
+        |UNION ALL
+        |SELECT k, CAST(price + 1000 AS DOUBLE), '2024-02-01', NULL
+        |FROM v1 WHERE k % 7 = 0 AND k % 11 <> 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-01-01', '2024-03-01'
+        |FROM v1 WHERE k % 7 <> 0 AND k % 11 = 0
+        |UNION ALL
+        |SELECT k, CAST(price + 500 AS DOUBLE), '2024-03-01', NULL
+        |FROM v1 WHERE k % 7 <> 0 AND k % 11 = 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-01-01', NULL
+        |FROM v1 WHERE k % 7 <> 0 AND k % 11 <> 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-02-01', '2024-03-01'
+        |FROM newbies WHERE k % 11 = 0
+        |UNION ALL
+        |SELECT k, CAST(price + 500 AS DOUBLE), '2024-03-01', NULL
+        |FROM newbies WHERE k % 11 = 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-02-01', NULL
+        |FROM newbies WHERE k % 11 <> 0""".stripMargin,
 
     // q59 is q56's history materialized through the append-only
     // run-partitioned SnapshotStore (second run executed twice to prove

@@ -112,6 +112,51 @@ object SnapshotStore {
     }
   }
 
+  /** Retention vacuum: collapse every run partition with
+    * `snap_run <= upTo` into ONE partition at `snap_run=upTo`, then
+    * drop the older run dirs. The collapse applies the SAME
+    * latest-run-wins rule per (key, valid_from) that [[read]] uses, so
+    * the reconstructed snapshot is bit-identical before and after
+    * (q72's oracle pins this); runs after `upTo` are never read or
+    * rewritten (byte-stable, spec-asserted). At 100 TB this bounds the
+    * store at `retention window + 1` partitions — a year of daily runs
+    * doesn't mean a year of deltas to merge at read time — and the
+    * vacuum reads only the prefix it collapses. Crash-safe by the same
+    * supersession argument: the collapsed partition (at the highest
+    * prefix run date) wins every (key, valid_from) it shares with an
+    * old run dir, so a crash between the overwrite and the dir deletes
+    * leaves reads correct and a re-run completes the deletes.
+    */
+  def vacuum(spark: SparkSession, writer: graft.sources.TableWriter,
+      name: String, key: String, upTo: java.sql.Date): Unit = {
+    val full = writer.read(spark, name)
+    val prefix = full.filter(col("snap_run") <= lit(upTo))
+    // bounded collect: ≤ number of persisted runs
+    val runs = prefix.select("snap_run").distinct().collect()
+      .map(_.getDate(0))
+    if (runs.length > 1) {
+      val w = Window.partitionBy(col(key), col("valid_from"))
+        .orderBy(col("snap_run").desc)
+      val collapsed = prefix
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("snap_run", lit(upTo))
+      val stage = writer.path(s"__stage_$name")
+      try {
+        collapsed.write.mode("overwrite").parquet(stage)
+        writer.upsertPartitions(spark.read.parquet(stage), name, Seq("snap_run"))
+      } finally {
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+      }
+      val root = new org.apache.hadoop.fs.Path(writer.path(name))
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      runs.filter(_.before(upTo)).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"snap_run=$d"), true)
+      }
+    }
+  }
+
   /** One snapshot pass: merge `src`'s state at `asOf` against the
     * reconstructed history, persist the delta (closed-at-asOf +
     * opened-at-asOf rows) as partition `snap_run=asOf`, and return the

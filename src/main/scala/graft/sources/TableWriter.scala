@@ -101,6 +101,181 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     path(name)
   }
 
+  /** Targeted delete-by-key on a [[mergeByKey]]-layout table — the
+    * right-to-be-forgotten operator (at 100 TB, "delete these 10k user
+    * ids" must not rewrite the table). `doomedKeys` (one column named
+    * `key`, any type) is hashed through the SAME
+    * `pmod(xxhash64(key), numBuckets)` derivation the layout uses, so
+    * only the bucket partitions that could contain a doomed key are
+    * read; of those, only buckets that ACTUALLY hold a doomed row (a
+    * bucket-pruned semi-join probe decides) are anti-joined and
+    * dynamic-partition-overwritten — so doomed keys absent from the
+    * table, and re-runs of the same delete, write NOTHING, and every
+    * unrewritten bucket is byte-stable (spec-asserted). Cost tracks
+    * touched buckets × bucket size, not table size. The doomed set
+    * stays distributed (the joins shuffle or broadcast at Spark's
+    * discretion) — only bucket IDs are collected
+    * (≤ numBuckets). A bucket whose every row is doomed is handled
+    * explicitly: dynamic overwrite can't write an empty partition, so
+    * emptied bucket dirs are deleted after the overwrite commits.
+    * `numBuckets` must match the value the table was laid out with.
+    */
+  def deleteByKey(spark: org.apache.spark.sql.SparkSession, name: String,
+      doomedKeys: DataFrame, key: String, numBuckets: Int = 16): String = {
+    import org.apache.spark.sql.functions._
+    val doomed = doomedKeys.select(col(key)).distinct()
+      .withColumn("__bucket",
+        pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+    // bounded collect: ≤ numBuckets ids
+    val affected = doomed.select("__bucket").distinct()
+      .collect().map(_.getInt(0))
+    val candidates = spark.read.parquet(path(name))
+      .withColumn("__bucket", col("__bucket").cast("int"))
+      .filter(col("__bucket").isin(affected.toIndexedSeq: _*))
+    // rewrite ONLY buckets that actually hold a doomed row — keys absent
+    // from the table (and re-runs of the same delete) cost a bucket-pruned
+    // semi-join probe, zero writes (bounded collect: ≤ numBuckets ids)
+    val hit = candidates.join(doomed.select(col(key)), Seq(key), "left_semi")
+      .select("__bucket").distinct().collect().map(_.getInt(0))
+    if (hit.nonEmpty) {
+      val existing = candidates.filter(col("__bucket").isin(hit.toIndexedSeq: _*))
+      val survivors = existing.join(doomed.select(col(key)), Seq(key), "left_anti")
+      val stage = path(s"__stage_$name")
+      val surviving: Set[Int] = try {
+        survivors.write.mode(SaveMode.Overwrite).parquet(stage)
+        val staged = spark.read.parquet(stage)
+        staged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket")
+          .parquet(path(name))
+        // bounded collect: ≤ numBuckets ids
+        staged.select("__bucket").distinct().collect()
+          .map(_.getInt(0)).toSet
+      } finally {
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+      }
+      val root = new org.apache.hadoop.fs.Path(path(name))
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      hit.filterNot(surviving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"__bucket=$b"), true)
+      }
+    }
+    path(name)
+  }
+
+  /** Small-file compaction — the 100 TB housekeeping operator (a trickle
+    * of incremental loads leaves thousands of KB-sized files whose
+    * per-file open/footer cost eventually dominates scans). Per leaf
+    * directory (so partitioned tables never merge across partition
+    * values): files smaller than `smallThreshold` (default
+    * `targetBytes/2`) are read back and rewritten as
+    * `ceil(smallBytes/targetBytes)` files; files at or above the
+    * threshold are NEVER read or rewritten — compaction cost tracks the
+    * small-file mass, not the table size, and large files stay
+    * byte-identical (spec-asserted).
+    *
+    * Plain parquet has no atomic multi-file commit, so the swap runs a
+    * miniature write-ahead protocol: compacted files enter the directory
+    * dot-prefixed (invisible to readers), a `_compaction_log` listing
+    * the doomed small files is written, the compacted files are renamed
+    * visible, the smalls are deleted, the log is removed. A crash before
+    * the log exists leaves only invisible garbage (cleaned on the next
+    * run); a crash after leaves the log, and the next run completes the
+    * deletes before doing anything else. The only reader-visible anomaly
+    * is transient duplication between unveil and delete — the documented
+    * plain-parquet tradeoff (loss is the alternative; table formats fix
+    * this with a manifest commit, which the log emulates at directory
+    * granularity).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, name: String,
+      targetBytes: Long, smallThresholdOpt: Option[Long] = None): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val smallThreshold = smallThresholdOpt.getOrElse(targetBytes / 2)
+    val root = new Path(path(name))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"no table at ${path(name)}")
+
+    def leafDirs(d: Path): Seq[Path] = {
+      val entries = fs.listStatus(d).toSeq
+      val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+        .filterNot(_.getName.startsWith("__stage_"))
+      if (subdirs.isEmpty) Seq(d) else subdirs.flatMap(leafDirs)
+    }
+
+    var (before, after) = (0, 0)
+    for (dir <- leafDirs(root)) {
+      val log = new Path(dir, "_compaction_log")
+      // recovery: a previous run crashed after unveiling — finish its deletes
+      if (fs.exists(log)) {
+        val in = fs.open(log)
+        val doomed = try scala.io.Source.fromInputStream(in).getLines().toList
+          finally in.close()
+        doomed.foreach(f => fs.delete(new Path(f), false))
+        fs.delete(log, false)
+      }
+      val files = fs.listStatus(dir).toSeq.filter(_.isFile)
+      // stale invisible output from a run that crashed pre-log: garbage
+      files.filter(_.getPath.getName.startsWith(".compact-"))
+        .foreach(f => fs.delete(f.getPath, false))
+      val live = files.map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && !n.startsWith("_"))
+      before += live.size
+      val small = files.filter(f => f.getLen < smallThreshold &&
+        !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
+      if (small.size <= 1) { after += live.size }
+      else {
+        val smallBytes = small.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+        val stage = new Path(root, s"__stage_compact_${dir.getName}")
+        try {
+          spark.read.parquet(small.map(_.getPath.toString): _*)
+            .coalesce(nOut)
+            .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          val parts = fs.listStatus(stage).toSeq.filter(_.isFile)
+            .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          val unveil = parts.zipWithIndex.map { case (p, i) =>
+            val id = java.util.UUID.randomUUID().toString.take(8)
+            val hidden = new Path(dir, s".compact-$id-$i.parquet")
+            fs.rename(p, hidden)
+            (hidden, new Path(dir, s"compact-$id-$i.parquet"))
+          }
+          val out = fs.create(log, true)
+          try out.write(small.map(_.getPath.toString)
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+          unveil.foreach { case (h, v) => fs.rename(h, v) }
+          small.foreach(f => fs.delete(f.getPath, false))
+          fs.delete(log, false)
+          after += live.size - small.size + unveil.size
+        } finally fs.delete(stage, true)
+      }
+    }
+    (before, after)
+  }
+
+  /** Z-order-clustered materialization: range-partition and sort the
+    * table by a caller-computed clustering value (typically
+    * [[graft.functions.ZOrder.zValue16]] over two bucketized
+    * dimensions), one file per range. Contiguous z-ranges are small
+    * rectangles in the source-dimension space, so every file carries
+    * narrow parquet min/max stats on BOTH dimensions and predicates on
+    * either one prune most row groups at scan time — the plain-parquet
+    * form of what manifest formats call data clustering / Z-ORDER BY.
+    * The clustering value is kept as column `zName` (provenance + lets
+    * layout specs assert per-file disjointness by reading files back).
+    */
+  def materializeClustered(df: DataFrame, name: String,
+      zValue: org.apache.spark.sql.Column, zName: String,
+      numFiles: Int): String = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn(zName, zValue)
+      .repartitionByRange(numFiles, col(zName))
+      .sortWithinPartitions(zName)
+      .write.mode(SaveMode.Overwrite).parquet(path(name))
+    path(name)
+  }
+
   /** Bucketed materialization: pre-shuffles the table into `numBuckets` by
     * `bucketCols` so equi-joins and aggregations on those keys read
     * co-located buckets with NO runtime exchange — the cluster-scale answer

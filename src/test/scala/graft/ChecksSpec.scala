@@ -19,8 +19,9 @@ class ChecksSpec extends SparkSpec {
     val ok = Bench.parseBudgets(write(
       "{\n  \"q1\": 0.1234,\n  \"q2\": 2.5\n}\n"))
     assert(ok == Map("q1" -> 0.1234, "q2" -> 2.5))
-    // the real recorded file parses
+    // both real recorded files (sf0.01 and sf0.1) parse
     assert(Bench.parseBudgets("BENCH_BUDGETS.json").nonEmpty)
+    assert(Bench.parseBudgets("BENCH_BUDGETS_sf0.1.json").nonEmpty)
     // a hand edit the old regex parse would silently drop now throws
     intercept[IllegalArgumentException](Bench.parseBudgets(write(
       "{\n  \"q1\": 0.1, // tuned\n  \"q2\": 2.5\n}\n")))

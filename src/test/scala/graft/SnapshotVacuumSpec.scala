@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.SnapshotStore
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Structural claims of SnapshotStore.vacuum that the q72 oracle entry
+  * (reconstruction fidelity) cannot see: which run partitions are
+  * touched, byte-stability of the post-cutoff ones, removal of the
+  * expired dirs, and the single-run no-op.
+  */
+class SnapshotVacuumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def files(dir: java.nio.file.Path): Map[String, String] = {
+    if (!java.nio.file.Files.isDirectory(dir)) return Map.empty
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        p.getFileName.toString -> md.digest(java.nio.file.Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    finally s.close()
+  }
+
+  private def presented(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("k"), col("v"),
+      col("valid_from").cast("string"), col("valid_to").cast("string"))
+    .as[(Long, String, String, String)].collect().toSet
+
+  test("vacuum: collapses prefix runs, expired dirs gone, post-cutoff runs byte-stable") {
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-02-01")
+    val d3 = java.sql.Date.valueOf("2024-03-01")
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = Seq((1L, "a"), (2L, "B"), (5L, "e")).toDF("k", "v")
+    val v3 = Seq((1L, "A"), (2L, "B"), (5L, "e"), (7L, "g")).toDF("k", "v")
+    val wh = java.nio.file.Files.createTempDirectory("graft_snapvac_")
+    try {
+      val writer = new graft.sources.TableWriter(wh.toString)
+      SnapshotStore.run(spark, writer, "t", v1, "k", Seq("v"), d1)
+      SnapshotStore.run(spark, writer, "t", v2, "k", Seq("v"), d2)
+      SnapshotStore.run(spark, writer, "t", v3, "k", Seq("v"), d3)
+      val root = java.nio.file.Paths.get(writer.path("t"))
+      val beforeRecon = presented(SnapshotStore.read(spark, writer, "t", "k").get)
+      val run3Before = files(root.resolve("snap_run=2024-03-01"))
+      assert(run3Before.nonEmpty)
+
+      SnapshotStore.vacuum(spark, writer, "t", "k", d2)
+      // expired run dir removed; collapsed partition holds the prefix;
+      // the post-cutoff run is byte-identical
+      assert(!java.nio.file.Files.exists(root.resolve("snap_run=2024-01-01")))
+      assert(files(root.resolve("snap_run=2024-02-01")).nonEmpty)
+      assert(files(root.resolve("snap_run=2024-03-01")) == run3Before)
+      // reconstruction is invisible to the vacuum
+      assert(presented(SnapshotStore.read(spark, writer, "t", "k").get) == beforeRecon)
+
+      // a second vacuum at the same cutoff is a structural no-op: only
+      // one run remains at or before the cutoff
+      val collapsed = files(root.resolve("snap_run=2024-02-01"))
+      SnapshotStore.vacuum(spark, writer, "t", "k", d2)
+      assert(files(root.resolve("snap_run=2024-02-01")) == collapsed)
+      assert(files(root.resolve("snap_run=2024-03-01")) == run3Before)
+    } finally {
+      val walk = java.nio.file.Files.walk(wh)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+}
