@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [sfDir] [mult] [probes]
   *   probes: comma-separated subset of
-  *     d3,d11,d15,d18,bpe,v3,v5,v6,q32,d33,d34,q59,q62,q63   (default: all)
+  *     d3,d11,d15,d18,bpe,v3,v5,v6,q32,d33,d34,q59,q62,q63,q69,q70,q71
+  *   (default: all)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
   *   corpus grows (its cutover point is the measurement), and running it
@@ -27,7 +28,7 @@ object ScaleProbe {
     val probes: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
       else Set("d3", "d11", "d15", "d18", "bpe", "v3", "v5", "v6", "q32",
-        "d33", "d34", "q59", "q62", "q63")
+        "d33", "d34", "q59", "q62", "q63", "q69", "q70", "q71")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -122,7 +123,7 @@ object ScaleProbe {
 
     // Materialization family: the WRITE paths (snapshot store, bucket-
     // scoped merge, bucketed tables) measured under replication
-    if (probes.intersect(Set("q59", "q62", "q63")).nonEmpty) {
+    if (probes.intersect(Set("q59", "q62", "q63", "q69", "q70", "q71")).nonEmpty) {
       val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
       val ordersN = (0 until mult).map { r =>
         orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
@@ -161,6 +162,67 @@ object ScaleProbe {
             Seq("price"), java.sql.Date.valueOf("2024-02-01")).count()
           deleteTree(wh)
           n
+        }
+        // q69's claim is "compaction cost tracks small-file MASS, not
+        // table size": the large generation grows with mult, the small
+        // trickle is FIXED (256 tiny files of 1x data) — so the timed
+        // compact call should stay flat as the table grows. Table build
+        // is untimed setup.
+        if (on("q69")) {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_compact_").toString
+          val w = new graft.sources.TableWriter(wh)
+          src.write.mode("overwrite").parquet(w.path("t"))
+          orders1.select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .filter(col("k") % 3 === 1)
+            .repartition(256).write.mode("append").parquet(w.path("t"))
+          t(s"q69_compact_$label") {
+            val (before, after) = w.compact(spark, "t", targetBytes = 8L << 20)
+            (before - after).toLong
+          }
+          deleteTree(wh)
+        }
+        // q70: range-partition + sort is ONE shuffle over the table —
+        // expected ~linear in mult; file count scales with mult so file
+        // min/max windows stay narrow
+        if (on("q70")) t(s"q70_zorder_$label") {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_z_").toString
+          val w = new graft.sources.TableWriter(wh)
+          val src2 = o.select(
+            pmod(col("o_custkey"), lit(1024)).cast("int").as("a"),
+            pmod(col("o_orderkey"), lit(1024)).cast("int").as("b"),
+            col("o_totalprice").as("price"))
+          w.materializeClustered(src2, "z",
+            graft.functions.ZOrder.zValue16(col("a"), col("b")), "z",
+            numFiles = 16 * (if (label == "1x") 1 else mult))
+          val n = w.read(spark, "z")
+            .filter(col("a") < 128 && col("b") >= 896).count()
+          deleteTree(wh)
+          n
+        }
+        // q71's claim is "delete cost tracks hit buckets, not table
+        // size": buckets scale with the table (constant bucket size), the
+        // doomed set is FIXED (~50 keys) — so the timed delete touches a
+        // bounded byte volume at any mult. Table build is untimed setup.
+        if (on("q71")) {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_del_").toString
+          val w = new graft.sources.TableWriter(wh)
+          val nb = 16 * (if (label == "1x") 1 else mult)
+          w.mergeByKey(spark, "t", src, "k", numBuckets = nb)
+          // FIXED doomed set (base-replica keys only): the claim under
+          // test is that a bounded delete touches a bounded byte volume
+          // regardless of table size — a doomed set growing with mult
+          // would legitimately rewrite every bucket
+          val doomed = src.filter(col("k") % 9973 === 0 &&
+            col("k") < 100000000L).select(col("k"))
+          t(s"q71_delete_$label") {
+            w.deleteByKey(spark, "t", doomed, "k", numBuckets = nb)
+            w.read(spark, "t").count()
+          }
+          deleteTree(wh)
         }
         if (on("q63")) t(s"q63_bucketed_$label") {
           val wh = java.nio.file.Files

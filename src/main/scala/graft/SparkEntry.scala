@@ -1853,6 +1853,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users")),
       "q47_stream_dedup_sink")
 
+  /** BOUNDED-STATE streaming dedup under the oracle (q77 —
+    * `dropDuplicatesWithinWatermark`, the production form of q47: plain
+    * streaming dropDuplicates keeps every key seen FOREVER, an unbounded
+    * state store on an infinite stream; the within-watermark variant
+    * expires each key once the watermark passes its event time + delay,
+    * so state tracks the watermark window, not stream history — the
+    * difference between a dedup that survives a year of uptime and one
+    * that OOMs). Key-only projection keeps the surviving row
+    * deterministic; on the finite oracle source every duplicate arrives
+    * inside the window, so the emitted set is exactly DISTINCT
+    * (user_id, event_type), which the oracle states directly.
+    */
+  private def q77StreamDedupBounded(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOracle.convergeAppend(
+      EventsOps.dedupEvents(
+        graft.sources.Tables.loadStream(s, dir, "events")
+          .select(col("ts"), col("user_id"), col("event_type")),
+        Seq("user_id", "event_type"), watermark = Some("1 hour"))
+        .select(col("user_id"), col("event_type")),
+      "q77_stream_dedup_bounded_sink")
+
   /** Stream-STREAM watermarked interval join under the oracle (the last
     * streaming surface q45/q46/q47/q54 left spec-only): errors and clicks
     * consumed as two independent readStream sources, joined by
@@ -1996,6 +2017,69 @@ object SparkEntry {
         min(col("a")).as("min_a"), max(col("a")).as("max_a"),
         min(col("b")).as("min_b"), max(col("b")).as("max_b"),
         dsum2(col("price")).as("total_price"))
+  }
+
+  /** Manifest-based data skipping under the oracle (q74 — the read-side
+    * complement of q70's clustering: what Iceberg/Delta manifests do,
+    * on plain parquet). Orders are z-clustered, a file-level min/max
+    * manifest is built in one distributed pass
+    * ([[graft.sources.ManifestIndex]]), and a two-sided rectangle read
+    * goes through manifest pruning: only files whose (a, b) intervals
+    * overlap the rectangle are scanned, with the exact predicate
+    * re-applied as a residual filter (pruning yields a superset). The
+    * oracle states the same rectangle aggregate over the raw table —
+    * a file wrongly pruned (lost rows) or a stale manifest breaks the
+    * hash; ManifestSkipSpec pins the structural claim (most files
+    * skipped on the clustered layout, none on an unclustered one that
+    * interleaves the dimensions everywhere).
+    */
+  private def q74ManifestSkip(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      pmod(col("o_custkey"), lit(1024)).cast("int").as("a"),
+      pmod(col("o_orderkey"), lit(1024)).cast("int").as("b"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val wh = s"$q40Scratch/manifest"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    writer.materializeClustered(o, "orders_m",
+      graft.functions.ZOrder.zValue16(col("a"), col("b")), "z", numFiles = 16)
+    graft.sources.ManifestIndex.build(s, writer.path("orders_m"), Seq("a", "b"))
+    graft.sources.ManifestIndex.readPruned(s, writer.path("orders_m"),
+      Seq(("a", 0, 255), ("b", 512, 1023)))
+      .filter(col("a") < 256 && col("b") >= 512) // exact residual predicate
+      .groupBy(shiftright(col("a"), 6).as("a_block"))
+      .agg(count(lit(1)).as("n"), dsum2(col("price")).as("total_price"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+  }
+
+  /** Snapshot time travel under the oracle (q76 — the as-of read the
+    * append-only run layout gives for free: any historical state is a
+    * partition-pruned reconstruction over runs ≤ asOf). Three runs,
+    * then a VACUUM at t2, then a time-travel read back to t2 — the
+    * composition is the claim: retention collapsed runs 1-2 into one
+    * partition, and the as-of read over the collapsed store still
+    * reconstructs EXACTLY the state q59 materialized after run 2 (the
+    * oracle is q59's two-state closed form verbatim). A vacuum that
+    * disturbed the cutoff state, or an as-of read that leaked run-3
+    * rows (t3 opens excluded by partition pruning; t3 closes excluded
+    * so the run-2 open version wins), breaks the hash.
+    */
+  private def q76TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SnapshotStore
+    val (v1, v2, t1, t2) = scd2Sources(s, dir)
+    val t3 = java.sql.Date.valueOf("2024-03-01")
+    val v3 = v2.withColumn("price",
+      when(col("k") % 11 === 0, col("price") + lit(500).cast("decimal(18,2)"))
+        .otherwise(col("price")).cast("decimal(18,2)"))
+    val wh = s"$q40Scratch/snaptt"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    SnapshotStore.run(s, writer, "orders_snap", v1, "k", Seq("price"), t1)
+    SnapshotStore.run(s, writer, "orders_snap", v2, "k", Seq("price"), t2)
+    SnapshotStore.run(s, writer, "orders_snap", v3, "k", Seq("price"), t3)
+    SnapshotStore.vacuum(s, writer, "orders_snap", "k", t2)
+    scd2Presented(
+      SnapshotStore.read(s, writer, "orders_snap", "k", asOf = Some(t2)).get)
   }
 
   /** ANALYZE-style table statistics under the oracle (q73 — the
@@ -2177,6 +2261,60 @@ object SparkEntry {
       .select(col("user_id"), col("l_event_id"), col("r_event_id"),
         col("l_value"), col("r_value"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+    deleteTree(java.nio.file.Paths.get(stage))
+    out
+  }
+
+  /** CHAINED streaming window aggregations under the oracle (q75 — two
+    * stateful operators in ONE streaming query, the Spark 3.4+
+    * capability that lets a pipeline maintain an hourly rollup and its
+    * 6-hourly re-aggregation without an intermediate sink): hourly
+    * tumbling count/sum per event type, re-aggregated into 6-hour
+    * windows via `window_time` — the second agg consumes the FIRST
+    * agg's watermark-closed windows, so each 6-hour row proves the
+    * planner scheduled both state stores and propagated the watermark
+    * through the chain. q65's sentinel machinery (a far-future row on
+    * an out-of-band key, staged as a second file under
+    * maxFilesPerTrigger=1) pushes the watermark past the real data so
+    * every real window closes; the sentinel's own windows never do and
+    * are additionally excluded by the window-start bound. `n_hours`
+    * pins the two-level structure (it counts CLOSED HOURLY WINDOWS per
+    * 6-hour parent, which no single-level aggregation produces).
+    * Decimal sums stay decimal through BOTH levels — a double in the
+    * middle would make the final sum order-dependent.
+    */
+  private def q75StreamChainedAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+    val farTs = new java.sql.Timestamp(maxTs.getTime + 48L * 3600L * 1000L)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q75_").toString
+    e.write.parquet(s"$stage/p1")
+    e.sparkSession.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(-1L, farTs, -1L, "click", 0.0)),
+        e.schema)
+      .write.parquet(s"$stage/p2")
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val hourly = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w1"), col("event_type"))
+      .agg(count(lit(1)).as("n1"),
+        sum(col("value").cast(DecimalType(18, 2))).as("v1"))
+    val sixHourly = hourly
+      .groupBy(window(window_time(col("w1")), "6 hours").as("w2"),
+        col("event_type"))
+      .agg(sum(col("n1")).as("n_events"),
+        sum(col("v1")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_hours"))
+    val out = graft.streaming.StreamOracle
+      .convergeAppend(sixHourly, "q75_stream_chained_sink")
+      .filter(col("w2.start") <= lit(maxTs))
+      .select(col("w2.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("n_hours"))
     deleteTree(java.nio.file.Paths.get(stage))
     out
   }
@@ -2465,9 +2603,13 @@ object SparkEntry {
     "q71_delete_by_key" -> (q71DeleteByKey _),
     "q72_snapshot_vacuum" -> (q72SnapshotVacuum _),
     "q73_table_stats" -> (q73TableStats _),
+    "q74_manifest_skip" -> (q74ManifestSkip _),
+    "q76_time_travel" -> (q76TimeTravel _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q65_stream_outer" -> (q65StreamOuterJoin _),
     "q68_stream_fullouter" -> (q68StreamFullOuterJoin _),
+    "q75_stream_chained" -> (q75StreamChainedAgg _),
+    "q77_stream_dedup_bounded" -> (q77StreamDedupBounded _),
     "q66_setops_all" -> (q66SetOpsAll _),
     "d27_span_mask" -> (d27SpanMask _),
     "d28_bpe_apply" -> (d28BpeApply _),
@@ -3201,6 +3343,65 @@ object SparkEntry {
     "q71_delete_by_key" ->
       """SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
+
+    // q77: on a finite in-window source, within-watermark dedup emits
+    // exactly the distinct key set — boundedness is the operator's point,
+    // exactness on the window is the oracle's
+    "q77_stream_dedup_bounded" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // q76: time travel to t2 over a vacuumed 3-run store must equal the
+    // state q59 materialized after run 2 — this is q59's closed form
+    // verbatim; any run-3 leakage or vacuum disturbance breaks the hash
+    "q76_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT k, CAST(price AS DOUBLE) AS price,
+        |  '2024-01-01' AS valid_from, '2024-02-01' AS valid_to
+        |FROM v1 WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT k, CAST(price + 1000 AS DOUBLE), '2024-02-01', NULL
+        |FROM v1 WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-01-01', NULL
+        |FROM v1 WHERE k % 7 <> 0
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE), '2024-02-01', NULL
+        |FROM newbies""".stripMargin,
+
+    // q75: the chained-agg oracle replays both levels; n_hours counts
+    // closed hourly windows per 6-hour parent — only a real two-level
+    // aggregation produces it
+    "q75_stream_chained" ->
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+        |    COUNT(*) AS n1, SUM(CAST(value AS DECIMAL(18,2))) AS v1
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT time_bucket(INTERVAL '6 hours', h) AS window_start,
+        |  event_type, CAST(SUM(n1) AS BIGINT) AS n_events,
+        |  CAST(SUM(v1) AS DOUBLE) AS sum_value, COUNT(*) AS n_hours
+        |FROM hourly GROUP BY 1, 2""".stripMargin,
+
+    // q74: pruning must lose nothing — the oracle is the plain rectangle
+    // aggregate over the raw table; a wrongly-skipped file breaks the hash
+    "q74_manifest_skip" ->
+      """WITH src AS (
+        |  SELECT CAST(o_custkey % 1024 AS INT) AS a,
+        |    CAST(o_orderkey % 1024 AS INT) AS b,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |)
+        |SELECT CAST(a // 64 AS INT) AS a_block, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total_price,
+        |  MIN(b) AS min_b, MAX(b) AS max_b
+        |FROM src WHERE a < 256 AND b >= 512
+        |GROUP BY 1""".stripMargin,
 
     // q73: the stats themselves are the claim — exact ndv, null
     // accounting, and typed min/max (string-rendered) per column, stated

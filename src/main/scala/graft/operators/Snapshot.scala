@@ -95,17 +95,27 @@ object Snapshot {
 object SnapshotStore {
 
   /** Reconstruct the current snapshot from the materialized history, or
-    * None if no run has been persisted yet.
+    * None if no run has been persisted yet. `asOf` time-travels: only
+    * runs at or before it participate, so the result is exactly what
+    * [[read]] returned right after that run — the append-only layout
+    * makes every historical state reconstructible for free (run
+    * partitions ≤ asOf are read, later ones partition-pruned away).
+    * Time travel reaches back only as far as [[vacuum]] has kept
+    * distinct runs: asOf earlier than the vacuum cutoff resolves to the
+    * collapsed state.
     */
   def read(spark: SparkSession, writer: graft.sources.TableWriter,
-      name: String, key: String): Option[DataFrame] = {
+      name: String, key: String,
+      asOf: Option[java.sql.Date] = None): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(writer.path(name))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
       val w = Window.partitionBy(col(key), col("valid_from"))
         .orderBy(col("snap_run").desc)
-      Some(writer.read(spark, name)
+      val hist = writer.read(spark, name)
+      val scoped = asOf.fold(hist)(d => hist.filter(col("snap_run") <= lit(d)))
+      Some(scoped
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn", "snap_run"))

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max manifest for data skipping on plain parquet — the
+  * read-side complement of Z-order clustering
+  * ([[graft.functions.ZOrder]]): what Iceberg/Delta keep in their
+  * manifests, maintained here as a `_manifest` parquet dataset INSIDE
+  * the table directory (underscore-prefixed, so plain readers ignore
+  * it). One distributed pass builds it: group rows by
+  * `_metadata.file_path` (a codegen'd hidden column, no UDF) and keep
+  * per-file row counts and per-column min/max in their native types.
+  *
+  * Query-time skipping reads the (tiny) manifest, keeps files whose
+  * [min, max] interval overlaps every requested bound, and scans only
+  * those — the driver collects just the surviving file list, the same
+  * order of magnitude as the file listing any parquet scan already
+  * builds driver-side. On a clustered table a two-sided rectangle
+  * predicate prunes most files (spec-asserted); the pruned read is a
+  * SUPERSET of the answer, so callers re-apply the exact predicate as
+  * a residual filter (q74 does; the oracle pins the composition).
+  *
+  * Null semantics: per-file min/max ignore nulls (like parquet's own
+  * row-group stats), and a file whose every value is null carries null
+  * bounds and is DROPPED by overlap pruning — correct precisely
+  * because range predicates reject NULL; a predicate that matches
+  * nulls (IS NULL) must not use bounds pruning.
+  */
+object ManifestIndex {
+
+  private def manifestPath(tablePath: String) = s"$tablePath/_manifest"
+
+  /** Build (or rebuild) the manifest for `cols`, one pass over the table. */
+  def build(spark: SparkSession, tablePath: String,
+      cols: Seq[String]): String = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    spark.read.parquet(tablePath)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(tablePath))
+    manifestPath(tablePath)
+  }
+
+  /** Files whose per-column [min, max] interval overlaps EVERY
+    * `(column, lo, hi)` bound (inclusive). Bounded collect: only the
+    * surviving file paths.
+    */
+  def prunedFiles(spark: SparkSession, tablePath: String,
+      bounds: Seq[(String, Any, Any)]): Seq[String] = {
+    require(bounds.nonEmpty, "skipping needs at least one bound")
+    val overlap = bounds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    }.reduce(_ && _)
+    spark.read.parquet(manifestPath(tablePath))
+      .filter(overlap).select("file")
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Scan only the files the manifest can't rule out. The result is a
+    * superset of rows matching the bounds — apply the exact predicate
+    * as a residual filter. Returns an empty frame (schema preserved)
+    * when every file is pruned.
+    */
+  def readPruned(spark: SparkSession, tablePath: String,
+      bounds: Seq[(String, Any, Any)]): DataFrame = {
+    val files = prunedFiles(spark, tablePath, bounds)
+    if (files.isEmpty) {
+      val schema = spark.read.parquet(tablePath).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(files: _*)
+  }
+}

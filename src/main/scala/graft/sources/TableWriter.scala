@@ -90,7 +90,13 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     val stage = path(s"__stage_$name")
     try {
       merged.drop("__gen").write.mode(SaveMode.Overwrite).parquet(stage)
-      spark.read.parquet(stage).write.mode(SaveMode.Overwrite)
+      // cluster by bucket before the partitioned write: each bucket's rows
+      // land in one task, so file count tracks buckets — without this,
+      // every shuffle task fans out a file into every bucket dir
+      // (tasks × buckets small files at scale)
+      spark.read.parquet(stage)
+        .repartition(col("__bucket"))
+        .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(path(name))
@@ -144,7 +150,9 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       val surviving: Set[Int] = try {
         survivors.write.mode(SaveMode.Overwrite).parquet(stage)
         val staged = spark.read.parquet(stage)
-        staged.write.mode(SaveMode.Overwrite)
+        // see mergeByKey: cluster by bucket so file count tracks buckets
+        staged.repartition(col("__bucket"))
+          .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__bucket")
           .parquet(path(name))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.{ManifestIndex, TableWriter}
+import org.apache.spark.sql.functions._
+
+/** Structural claims of ManifestIndex that the q74 oracle entry (content
+  * fidelity) cannot see: how many files the rectangle read actually
+  * touches on a clustered vs an unclustered layout, and the null-bounds
+  * file rule.
+  */
+class ManifestSkipSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pruning skips most files on a clustered layout, none on a scattered one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val w = new TableWriter(dir)
+    val src = (0L until 10000L).toDF("k")
+      .withColumn("a", (col("k") % 1000).cast("int"))
+      .withColumn("v", col("k") * 7)
+
+    // clustered: range-partitioned on a → each file owns a narrow a-slice
+    src.repartitionByRange(10, col("a")).sortWithinPartitions("a")
+      .write.parquet(w.path("clustered"))
+    ManifestIndex.build(spark, w.path("clustered"), Seq("a"))
+    val hit = ManifestIndex.prunedFiles(spark, w.path("clustered"),
+      Seq(("a", 0, 99)))
+    assert(hit.size <= 2, s"expected <=2 of 10 files, got ${hit.size}")
+    val got = ManifestIndex.readPruned(spark, w.path("clustered"),
+      Seq(("a", 0, 99))).filter(col("a") < 100)
+      .select("k").as[Long].collect().toSet
+    assert(got == (0L until 10000L).filter(_ % 1000 < 100).toSet)
+
+    // scattered: round-robin layout → every file spans all of a, the
+    // manifest can rule nothing out (pruning is honest, not magical)
+    src.repartition(10).write.parquet(w.path("scattered"))
+    ManifestIndex.build(spark, w.path("scattered"), Seq("a"))
+    val all = ManifestIndex.prunedFiles(spark, w.path("scattered"),
+      Seq(("a", 0, 99)))
+    assert(all.size == 10)
+  }
+
+  test("a file with all-null bounds is dropped — sound for null-rejecting predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-n").toString
+    val w = new TableWriter(dir)
+    Seq((1L, Some(5)), (2L, Some(7))).toDF("k", "x")
+      .coalesce(1).write.parquet(w.path("t"))
+    Seq((3L, None: Option[Int]), (4L, None: Option[Int])).toDF("k", "x")
+      .coalesce(1).write.mode("append").parquet(w.path("t"))
+    ManifestIndex.build(spark, w.path("t"), Seq("x"))
+    val files = ManifestIndex.prunedFiles(spark, w.path("t"), Seq(("x", 0, 100)))
+    assert(files.size == 1, "the all-null file must be pruned")
+    val got = ManifestIndex.readPruned(spark, w.path("t"), Seq(("x", 0, 100)))
+      .filter(col("x").between(0, 100)).select("k").as[Long].collect().toSet
+    assert(got == Set(1L, 2L)) // identical to the unpruned filtered scan
+  }
+}
