@@ -2105,6 +2105,68 @@ object SparkEntry {
       "status_nn", "o_orderdate", "o_totalprice"))
   }
 
+  /** Metadata-only range counts under the oracle (q79 — scan elision,
+    * the aggregation analogue of q74's file skipping: on a
+    * range-clustered table, `COUNT WHERE d BETWEEN lo AND hi` is
+    * answered from the manifest's per-file non-null counts for every
+    * file fully inside the range; only the boundary files the range
+    * cuts through are scanned — a year-long count over a 100 TB
+    * date-clustered corpus touches two files). Orders are
+    * range-clustered by order date, and three ranges exercise the
+    * three regimes: the FULL span (pure metadata, zero files scanned —
+    * pinned in ManifestSkipSpec), a half-year (contained + boundary
+    * mix), and a pre-history range (nothing). The oracle recomputes
+    * each count from the raw table, so a manifest count drifting from
+    * the data breaks the hash.
+    */
+  private def q79MetadataCount(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestIndex
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderdate").cast("date").as("d"))
+    val wh = s"$q40Scratch/metacount"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    o.repartitionByRange(16, col("d")).sortWithinPartitions("d")
+      .write.parquet(writer.path("orders_r"))
+    ManifestIndex.build(s, writer.path("orders_r"), Seq("d"))
+    def d(x: String) = java.sql.Date.valueOf(x)
+    val ranges = Seq(
+      ("full_span", d("1992-01-01"), d("1998-12-31")),
+      ("h1_1995", d("1995-01-01"), d("1995-06-30")),
+      ("pre_history", d("1990-01-01"), d("1990-12-31")))
+    import s.implicits._
+    ranges.map { case (name, lo, hi) =>
+      (name, ManifestIndex.countRange(s, writer.path("orders_r"), "d", lo, hi)._1)
+    }.toDF("range_name", "n")
+  }
+
+  /** dbt-style schema tests under the oracle (q78 — not_null / unique /
+    * accepted_values / relationships, the data-contract layer every
+    * dbt project runs after building; the reference ships no tests so
+    * this completes the dbt surface rather than mirroring it). All
+    * aggregate checks ride ONE job over orders
+    * ([[graft.core.Checks.run]]); relationships executes as a
+    * left-anti probe against customer. The accepted-values domain
+    * deliberately omits 'P' so a REAL violation count flows through
+    * (all-zero verdicts would not prove the counting). Oracle restates
+    * each check as SQL.
+    */
+  private def q78SchemaChecks(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Checks
+    val o = t(s, dir, "orders")
+    val report = Checks.run(o, Seq(
+      Checks.notNull("o_orderkey"),
+      Checks.unique("o_orderkey"),
+      Checks.acceptedValues("o_orderstatus", Seq("O", "F"))))
+    val refViol = Checks.referentialViolations(
+      o, "o_custkey", t(s, dir, "customer"), "c_custkey")
+    import s.implicits._
+    report.unionByName(
+        Seq(("relationships(o_custkey)", refViol)).toDF("check", "violations"))
+      .withColumnRenamed("check", "check_name")
+  }
+
   /** Snapshot-store retention vacuum under the oracle (q72 — the
     * operator that keeps q59's append-only history BOUNDED: a year of
     * daily run partitions must collapse to `retention + 1` partitions
@@ -2605,6 +2667,8 @@ object SparkEntry {
     "q73_table_stats" -> (q73TableStats _),
     "q74_manifest_skip" -> (q74ManifestSkip _),
     "q76_time_travel" -> (q76TimeTravel _),
+    "q78_schema_checks" -> (q78SchemaChecks _),
+    "q79_metadata_count" -> (q79MetadataCount _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q65_stream_outer" -> (q65StreamOuterJoin _),
     "q68_stream_fullouter" -> (q68StreamFullOuterJoin _),
@@ -3343,6 +3407,45 @@ object SparkEntry {
     "q71_delete_by_key" ->
       """SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
+
+    // q79: each manifest-answered count recomputed from the raw table;
+    // metadata drift breaks the hash
+    "q79_metadata_count" ->
+      """SELECT 'full_span' AS range_name,
+        |  CAST(COUNT(CASE WHEN CAST(o_orderdate AS DATE)
+        |    BETWEEN '1992-01-01' AND '1998-12-31' THEN 1 END) AS BIGINT) AS n
+        |FROM orders
+        |UNION ALL
+        |SELECT 'h1_1995',
+        |  CAST(COUNT(CASE WHEN CAST(o_orderdate AS DATE)
+        |    BETWEEN '1995-01-01' AND '1995-06-30' THEN 1 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'pre_history',
+        |  CAST(COUNT(CASE WHEN CAST(o_orderdate AS DATE)
+        |    BETWEEN '1990-01-01' AND '1990-12-31' THEN 1 END) AS BIGINT)
+        |FROM orders""".stripMargin,
+
+    // q78: each schema test restated as SQL; accepted_values omits 'P'
+    // on purpose so a real violation count flows through the report
+    "q78_schema_checks" ->
+      """SELECT 'not_null(o_orderkey)' AS check_name,
+        |  CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique(o_orderkey)',
+        |  CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'accepted_values(o_orderstatus)',
+        |  CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F')
+        |    OR o_orderstatus IS NULL THEN 1 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'relationships(o_custkey)',
+        |  CAST((SELECT COUNT(*) FROM orders o
+        |    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT)""".stripMargin,
 
     // q77: on a finite in-window source, within-watermark dedup emits
     // exactly the distinct key set — boundedness is the operator's point,

@@ -36,7 +36,8 @@ object ManifestIndex {
       cols: Seq[String]): String = {
     require(cols.nonEmpty, "manifest needs at least one column")
     val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"nn_$c")) // non-null count, for metadata-only aggs
     }
     spark.read.parquet(tablePath)
       .groupBy(col("_metadata.file_path").as("file"))
@@ -59,6 +60,34 @@ object ManifestIndex {
     spark.read.parquet(manifestPath(tablePath))
       .filter(overlap).select("file")
       .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Metadata-only range count — scan elision, the aggregation analogue
+    * of file skipping: `COUNT(*) WHERE c BETWEEN lo AND hi` is answered
+    * from the manifest alone for every file whose [min, max] sits fully
+    * inside the range (its contribution is the per-file non-null count;
+    * nulls never match a range predicate), and only BOUNDARY files —
+    * the ones the range cuts through — are actually scanned. On a
+    * range-clustered 100 TB table a year-long count touches two
+    * boundary files instead of the year. Returns
+    * (count, metadataOnlyFiles, scannedFiles).
+    */
+  def countRange(spark: SparkSession, tablePath: String, c: String,
+      lo: Any, hi: Any): (Long, Int, Int) = {
+    val m = spark.read.parquet(manifestPath(tablePath))
+    val contained = col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi)
+    val overlaps = col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    // bounded collect: one row per overlapping file
+    val rows = m.filter(overlaps)
+      .select(col("file"), contained.as("cont"), col(s"nn_$c").cast("long"))
+      .collect()
+    val (inside, boundary) = rows.partition(_.getBoolean(1))
+    val metaCount = inside.map(_.getLong(2)).sum
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else spark.read.parquet(boundary.map(_.getString(0)).toIndexedSeq: _*)
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi)).count()
+    (metaCount + scanned, inside.length, boundary.length)
   }
 
   /** Scan only the files the manifest can't rule out. The result is a

@@ -39,6 +39,29 @@ class ManifestSkipSpec extends SparkSpec {
     assert(all.size == 10)
   }
 
+  test("countRange: contained files answered from metadata, only boundary files scanned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-metacount").toString
+    val w = new TableWriter(dir)
+    val src = (0L until 10000L).toDF("k")
+      .withColumn("a", (col("k") % 1000).cast("int"))
+    src.repartitionByRange(10, col("a")).sortWithinPartitions("a")
+      .write.parquet(w.path("t"))
+    ManifestIndex.build(spark, w.path("t"), Seq("a"))
+
+    // full span: pure metadata — zero files scanned
+    val (nAll, contAll, scanAll) =
+      ManifestIndex.countRange(spark, w.path("t"), "a", 0, 999)
+    assert(nAll == 10000L && scanAll == 0 && contAll == 10)
+    // a range cutting through the layout: boundary files scanned, count exact
+    val (nMid, contMid, scanMid) =
+      ManifestIndex.countRange(spark, w.path("t"), "a", 150, 449)
+    assert(nMid == src.filter(col("a").between(150, 449)).count())
+    assert(contMid >= 1 && scanMid >= 1 && contMid + scanMid < 10)
+    // empty range: nothing touched
+    assert(ManifestIndex.countRange(spark, w.path("t"), "a", 2000, 3000) ==
+      ((0L, 0, 0)))
+  }
+
   test("a file with all-null bounds is dropped — sound for null-rejecting predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest-n").toString
     val w = new TableWriter(dir)
