@@ -2105,6 +2105,35 @@ object SparkEntry {
       "status_nn", "o_orderdate", "o_totalprice"))
   }
 
+  /** ORC round-trip under the oracle (q80 — completes the format family
+    * next to q51 JSONL, q57 CSV, q55 parquet evolution: ORC is the
+    * other columnar format a 100 TB warehouse inherits, and Spark
+    * carries a native vectorized ORC reader/writer). A typed slice of
+    * lineitem (bigint / string / decimal / date) is written to ORC,
+    * read back, and aggregated — the oracle computes the same
+    * aggregate from the ORIGINAL parquet, so any value mangled by the
+    * ORC writer/reader cycle (decimal scale, date epoch, string
+    * encoding) breaks the hash.
+    */
+  private def q80OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_returnflag"),
+      col("l_quantity").cast("decimal(18,2)").as("qty"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"),
+      col("l_shipdate").cast("date").as("d"))
+    val out = s"$q40Scratch/orc_rt"
+    deleteTree(java.nio.file.Paths.get(out))
+    l.write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        dsum2(col("qty")).as("sum_qty"),
+        dsum2(col("price")).as("sum_price"),
+        min(col("d")).cast("string").as("min_d"),
+        max(col("d")).cast("string").as("max_d"))
+  }
+
   /** Metadata-only range counts under the oracle (q79 — scan elision,
     * the aggregation analogue of q74's file skipping: on a
     * range-clustered table, `COUNT WHERE d BETWEEN lo AND hi` is
@@ -2669,6 +2698,7 @@ object SparkEntry {
     "q76_time_travel" -> (q76TimeTravel _),
     "q78_schema_checks" -> (q78SchemaChecks _),
     "q79_metadata_count" -> (q79MetadataCount _),
+    "q80_orc_roundtrip" -> (q80OrcRoundtrip _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q65_stream_outer" -> (q65StreamOuterJoin _),
     "q68_stream_fullouter" -> (q68StreamFullOuterJoin _),
@@ -3407,6 +3437,17 @@ object SparkEntry {
     "q71_delete_by_key" ->
       """SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
+
+    // q80: the oracle aggregates the ORIGINAL parquet — the ORC writer/
+    // reader cycle must be value-invisible for the hash to survive
+    "q80_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) AS min_d,
+        |  CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_d
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // q79: each manifest-answered count recomputed from the raw table;
     // metadata drift breaks the hash
