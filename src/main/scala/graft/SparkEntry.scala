@@ -1557,6 +1557,58 @@ object SparkEntry {
     s"group${i % d21Mod} shared promo line",
     s"tail line $i")
 
+  /** Cross-document duplicate-SPAN dedup (d35 — exact substring dedup in
+    * the Lee et al. 2022 sense, the span-level sibling of d21's line
+    * dedup and the exact counterpart of d3's MinHash: a token 8-gram
+    * seen in ≥2 distinct documents marks all 8 positions it covers, and
+    * covered positions are struck in place). The testdata corpus carries
+    * deliberately replicated passages (~9% of token positions across 47
+    * docs at sf0.01), so real spans die while unique text survives. The
+    * oracle replays gram construction with an 8-wide LEAD chain, the
+    * same ≥2-distinct-docs rule, coverage via generate_series, and
+    * ordered string_agg reassembly — any span wrongly struck or kept
+    * breaks the hash on the rebuilt TEXT itself, not just the counts.
+    */
+  private val d35K = 8
+
+  private def d35SpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = d35K)
+
+  private def d35OracleSql: String = {
+    val leadChain = (1 until d35K)
+      .map(i => s"lead(tok,$i) OVER w").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(text), ' ')) AS tok,
+       |    generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, pos AS s,
+       |    tok || ' ' || $leadChain AS gram
+       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |), dup AS (
+       |  SELECT gram FROM grams WHERE gram IS NOT NULL
+       |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+       |), cov AS (
+       |  SELECT DISTINCT g.doc_id, g.s + x.o AS pos
+       |  FROM grams g JOIN dup USING (gram)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${d35K - 1})) AS o) x
+       |), kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+       |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.doc_id IS NULL
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(nt.n, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(cv.n, 0) AS BIGINT) AS n_dup_pos,
+       |  COALESCE(kt.txt, '') AS cleaned
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1) nt USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY 1) cv USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+       |           FROM kept GROUP BY 1) kt USING (doc_id)""".stripMargin
+  }
+
   private def d21LineDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = (0 until d21Docs)
@@ -2134,6 +2186,85 @@ object SparkEntry {
         max(col("d")).cast("string").as("max_d"))
   }
 
+  /** Bloom-filter semi-join reduction under the oracle (q81 — the
+    * runtime-filter pattern that makes selective big-big joins survive
+    * 100 TB: a deterministic bitmap built over the dim-side join keys in
+    * one distributed pass (groupBy-word bit_or; the driver only ever sees
+    * ≤ numBits/64 longs), torrent-broadcast, and probed by a codegen'd
+    * expression on the fact side BEFORE the join's exchange — fact rows
+    * that cannot match never shuffle, so exchange volume tracks matching
+    * rows, not scan size. False positives (≈1% here) only pass extra rows
+    * to the exact join that follows; the oracle is the PLAIN join, so the
+    * filter must be result-invisible. BloomSpec pins the semantics the
+    * hash can't see: zero false negatives, FPR within 3× of theory, and
+    * the probe filter actually sitting under the join in the plan.
+    */
+  private def q81BloomPrejoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bloom
+    val dim = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_totalprice").cast(DecimalType(18, 2)) > lit(150000))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    // Bounded action: one long. At warehouse scale this comes from table
+    // stats (q73) instead of a count job.
+    val nKeys = math.max(1L, dim.count())
+    val numBits = Bloom.optimalNumBits(nKeys, 0.01)
+    val numHashes = Bloom.optimalNumHashes(numBits, nKeys)
+    val bits = Bloom.buildBroadcast(s, dim, col("o_orderkey"), numBits, numHashes)
+    val fact = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+    val pref = fact.filter(Bloom.mightContain(bits, col("l_orderkey"), numHashes))
+    pref.join(dim, pref("l_orderkey") === dim("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum2(col("qty")).as("sum_qty"),
+        dsum2(col("price")).as("sum_price"))
+  }
+
+  /** Dynamic partition pruning under the oracle (q82 — the partition-level
+    * complement of q81's row-level runtime filter: when the fact table is
+    * partitioned on the join key and the dim carries a selective filter on
+    * a NON-join attribute, the partitions to read are only knowable at
+    * runtime — Catalyst plants a `dynamicpruning` subquery in the fact
+    * scan's PartitionFilters that reuses the dim's broadcast, so whole
+    * partitions are skipped before a single fact row is read. At 100 TB a
+    * date-partitioned corpus joined to a quarter-filtered calendar dim
+    * reads 3 months, not 84. The dim filter is on `quarter`, which static
+    * analysis cannot translate to month bounds without evaluating the dim
+    * — DPP is the only mechanism that prunes here (DppSpec pins the
+    * `dynamicpruning` filter in the executed plan AND that only the 3
+    * matching partitions were actually read). Oracle states the same
+    * quarter closed-form over the raw table.
+    */
+  private def q82DynamicPruning(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"$q40Scratch/dpp"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val l = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+      col("l_shipdate").cast("date").as("d"))
+      .withColumn("ship_month", date_format(col("d"), "yyyy-MM"))
+    l.write.mode("overwrite").partitionBy("ship_month").parquet(s"$wh/lineitem_pm")
+    // calendar dim: every month present with its quarter label, written as
+    // a real table so the pruning side is a scan, as it would be at scale
+    l.select(col("ship_month")).distinct()
+      .withColumn("quarter",
+        concat(substring(col("ship_month"), 1, 4), lit("-Q"),
+          ceil(substring(col("ship_month"), 6, 2).cast("int") / 3)))
+      .write.mode("overwrite").parquet(s"$wh/month_dim")
+    val fact = s.read.parquet(s"$wh/lineitem_pm")
+    val dim = s.read.parquet(s"$wh/month_dim")
+      .filter(col("quarter") === "1996-Q2")
+    fact.join(broadcast(dim), Seq("ship_month"))
+      .groupBy(col("ship_month"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum2(col("qty")).as("sum_qty"),
+        dsum2(col("price")).as("sum_price"))
+  }
+
   /** Metadata-only range counts under the oracle (q79 — scan elision,
     * the aggregation analogue of q74's file skipping: on a
     * range-clustered table, `COUNT WHERE d BETWEEN lo AND hi` is
@@ -2302,6 +2433,67 @@ object SparkEntry {
       EventsOps.sessionStats(stream, "30 minutes"),
       "q61_stream_multibatch_sink")
       .select("user_id", "session_start", "n_events", "sum_value")
+    deleteTree(java.nio.file.Paths.get(stage))
+    out
+  }
+
+  /** Streaming UPSERT materialization (q83 — the composition that turns
+    * the streaming runtime into a continuously-maintained TABLE: a real
+    * multi-batch `readStream` drains through `foreachBatch`, and every
+    * micro-batch merges into a q62-style bucket-partitioned table via
+    * `mergeByKey`). The per-key semantics is latest-by-(ts, event_id) —
+    * NOT "incoming wins": chunks are hash-sliced, so a later batch can
+    * carry an OLDER event for a key, and each batch therefore resolves
+    * its rows against the existing bucket rows (argmax, the associative
+    * merge) before writing. That makes the final table provably
+    * batch-order-independent, which is exactly what the oracle (the
+    * global per-user argmax over raw events) checks. Per batch the cost
+    * is O(touched buckets), the 100 TB trickle-upsert shape; the
+    * checkpoint dir carries source progress, so a restarted query
+    * resumes instead of replaying.
+    */
+  private def q83StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q83_").toString
+    (0 until 4).foreach { c =>
+      e.filter(pmod(col("event_id"), lit(4)) === c)
+        .coalesce(1).write.parquet(s"$stage/c$c")
+    }
+    val wh = s"$q40Scratch/streamupsert"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    val tableP = new java.io.File(writer.path("user_latest"))
+    val latestW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/c*")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$stage/_ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inBatch = batch
+          .withColumn("__rn", row_number().over(latestW))
+          .filter(col("__rn") === 1).drop("__rn")
+        val resolved = if (!tableP.exists) inBatch
+        else {
+          val existing = writer.read(s, "user_latest").drop("__bucket")
+            .join(inBatch.select("user_id"), Seq("user_id"), "left_semi")
+          existing.unionByName(inBatch)
+            .withColumn("__rn", row_number().over(latestW))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
+        writer.mergeByKey(s, "user_latest", resolved, "user_id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = writer.read(s, "user_latest")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value").cast("double").as("value"))
     deleteTree(java.nio.file.Paths.get(stage))
     out
   }
@@ -2572,6 +2764,30 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Product quantization (v8 — the remaining member of the quantization
+    * family next to v5's scalar SQ8 and v6's coarse+SQ8: per-subspace
+    * codebooks, m bytes per vector, the billion-scale serving
+    * compression). Codebooks are trained by the SAME deterministic Lloyd
+    * discipline as v3 but per 16-dim subspace under L2; candidates are
+    * encoded, queries score the reconstructed vectors (value-equal to
+    * ADC), a k×4 shortlist reranks exactly. The oracle unrolls all four
+    * subspace trainings, the encode argmins, reconstruction by list
+    * concatenation, and both ranking passes — the full PQ pipeline is
+    * under the hash, not just the final ordering.
+    */
+  private val pqM = 4
+  private val pqSubDim = 16
+  private val pqStride = 13L
+  private val pqKsub = 16
+  private val pqIters = 2
+  private def v8AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cbs = Similarity.trainPqCodebooks(e, pqM, pqSubDim, pqStride, pqKsub, pqIters)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        codebooks = cbs, m = pqM, subDim = pqSubDim, rerankFactor = 8)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Sign-LSH bucketed k-NN. The bucketing is deterministic ARITHMETIC
     * (sign of dot products against fixed Gaussian hyperplanes), not opaque
     * hashing — so the oracle replicates the ACTUAL approximate semantics:
@@ -2638,6 +2854,7 @@ object SparkEntry {
     "d23_video_features" -> ((s: SparkSession, _: String) =>
       graft.models.MediaFixture.videoFeatures(s)),
     "d21_line_dedup" -> (d21LineDedup _),
+    "d35_span_dedup" -> (d35SpanDedup _),
     "d22_seq_packing" -> (d22SeqPacking _),
     "d14_length_filter" -> (d14LengthFilter _),
     "d15_corpus_pipeline" -> (d15CorpusPipeline _),
@@ -2685,6 +2902,7 @@ object SparkEntry {
     "q59_snapshot_store" -> (q59SnapshotMaterialized _),
     "q60_stream_static" -> (q60StreamStaticJoin _),
     "q61_stream_multibatch" -> (q61StreamMultibatch _),
+    "q83_stream_upsert" -> (q83StreamUpsert _),
     "q62_incremental_merge" -> (q62IncrementalMerge _),
     "q62b_merge_string_key" -> (q62bMergeStringKey _),
     "q63_bucketed_join" -> (q63BucketedJoin _),
@@ -2699,6 +2917,8 @@ object SparkEntry {
     "q78_schema_checks" -> (q78SchemaChecks _),
     "q79_metadata_count" -> (q79MetadataCount _),
     "q80_orc_roundtrip" -> (q80OrcRoundtrip _),
+    "q81_bloom_prejoin" -> (q81BloomPrejoin _),
+    "q82_dynamic_pruning" -> (q82DynamicPruning _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q65_stream_outer" -> (q65StreamOuterJoin _),
     "q68_stream_fullouter" -> (q68StreamFullOuterJoin _),
@@ -2723,6 +2943,7 @@ object SparkEntry {
     "v5_ann_sq8" -> (v5AnnSq8 _),
     "v6_ann_ivf_sq8" -> (v6AnnIvfSq8 _),
     "v7_ann_ivf_index" -> (v7AnnIvfIndex _),
+    "v8_ann_pq" -> (v8AnnPq _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2925,6 +3146,18 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    // q83: the streamed upsert table must equal the global per-user
+    // argmax — a batch-order dependence (e.g. "incoming wins" applied to
+    // hash-sliced chunks) surfaces as a stale row and breaks the hash
+    "q83_stream_upsert" ->
+      """SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value
+        |FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
 
     // q61 = q45's sessions computed across FOUR forced micro-batches
     // (maxFilesPerTrigger=1 over hash-chunked files) — cross-batch
@@ -3449,6 +3682,32 @@ object SparkEntry {
         |  CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_d
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // q81: the oracle is the PLAIN join — the bloom pre-filter must be
+    // result-invisible (false positives die in the exact join; a false
+    // negative would drop a group row or shrink a sum and break the hash)
+    "q81_bloom_prejoin" ->
+      """SELECT o.o_orderpriority, l.l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND CAST(o.o_totalprice AS DECIMAL(18,2)) > 150000
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q82: the oracle states the quarter closed-form over the raw table —
+    // a wrongly-pruned partition drops a whole month's rows and breaks
+    // the hash
+    "q82_dynamic_pruning" ->
+      """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+        |  l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+        |  IN ('1996-04', '1996-05', '1996-06')
+        |GROUP BY 1, 2""".stripMargin,
+
     // q79: each manifest-answered count recomputed from the raw table;
     // metadata drift breaks the hash
     "q79_metadata_count" ->
@@ -3873,6 +4132,7 @@ object SparkEntry {
     "v6_ann_ivf_sq8" -> v6OracleSql,
     // v7 = v3 through a persisted index; results must be bit-identical
     "v7_ann_ivf_index" -> v3OracleSql,
+    "v8_ann_pq" -> v8OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 
@@ -3892,6 +4152,7 @@ object SparkEntry {
         |FROM cum""".stripMargin,
 
     "d21_line_dedup" -> d21OracleSql,
+    "d35_span_dedup" -> d35OracleSql,
 
     // d28/d29: the oracle replays the BPE merge loop itself — recursive
     // CTE over the distinct words, one leftmost-lowest-rank merge per
@@ -4311,6 +4572,91 @@ object SparkEntry {
        |  SELECT * FROM approx
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY asim DESC, nbr_id ASC) <= 20
+       |), reranked AS (
+       |  SELECT query_id, nbr_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY list_dot_product(q_vec, nbr_vec)
+       |        / (SQRT(list_dot_product(q_vec, q_vec)) * SQRT(list_dot_product(nbr_vec, nbr_vec))) DESC,
+       |      nbr_id ASC) AS rank
+       |  FROM shortlist
+       |)
+       |SELECT query_id, nbr_id, rank FROM reranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** v8 oracle: the full PQ pipeline replayed — four independent
+    * per-subspace Lloyd trainings (L2 ranking, exact decimal means, empty
+    * clusters keep their centroid), encode argmins, reconstruction by
+    * list concatenation, approx cosine on reconstructions, k×4
+    * shortlist, exact rerank.
+    */
+  private def v8OracleSql: String = {
+    def dist(x: String, c: String) =
+      s"list_dot_product($x, $x) - 2 * list_dot_product($x, $c) + list_dot_product($c, $c)"
+    val subCtes = (0 until pqM).map { s =>
+      val lo = s * pqSubDim + 1
+      val hi = (s + 1) * pqSubDim
+      s"""|), c$s AS (
+          |  SELECT vec_id, v[$lo:$hi] AS sub FROM c
+          |), pq${s}_cent0 AS (
+          |  SELECT vec_id AS cent_id, sub AS cv FROM c$s
+          |  WHERE vec_id % $pqStride = 0 AND vec_id < ${pqStride * pqKsub}""".stripMargin
+    }.mkString("\n")
+    val trainCtes = (0 until pqM).flatMap { s =>
+      (1 to pqIters).map { i =>
+        val prev = s"pq${s}_cent${i - 1}"
+        s"""|), pq${s}_asg$i AS (
+            |  SELECT cent_id, sub FROM (
+            |    SELECT ct.cent_id, cs.sub,
+            |      ROW_NUMBER() OVER (PARTITION BY cs.vec_id ORDER BY
+            |        ${dist("cs.sub", "ct.cv")} ASC,
+            |        ct.cent_id ASC) AS rn
+            |    FROM c$s cs CROSS JOIN $prev ct
+            |  ) WHERE rn = 1
+            |), pq${s}_cent$i AS (
+            |  SELECT p.cent_id, COALESCE(n.cv, p.cv) AS cv
+            |  FROM $prev p LEFT JOIN (
+            |    SELECT cent_id, LIST(m ORDER BY d) AS cv FROM (
+            |      SELECT cent_id, d,
+            |        CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+            |      FROM (SELECT cent_id, UNNEST(sub) AS x,
+            |              UNNEST(range(1, len(sub) + 1)) AS d FROM pq${s}_asg$i)
+            |      GROUP BY 1, 2
+            |    ) GROUP BY 1
+            |  ) n USING (cent_id)""".stripMargin
+      }
+    }.mkString("\n")
+    val encCtes = (0 until pqM).map { s =>
+      s"""|), enc$s AS (
+          |  SELECT vec_id, cv FROM (
+          |    SELECT cs.vec_id, ct.cv,
+          |      ROW_NUMBER() OVER (PARTITION BY cs.vec_id ORDER BY
+          |        ${dist("cs.sub", "ct.cv")} ASC,
+          |        ct.cent_id ASC) AS rn
+          |    FROM c$s cs CROSS JOIN pq${s}_cent$pqIters ct
+          |  ) WHERE rn = 1""".stripMargin
+    }.mkString("\n")
+    val reconCols = (0 until pqM).map(s => s"e$s.cv").mkString(" || ")
+    val reconJoins = (1 until pqM)
+      .map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |$subCtes
+       |$trainCtes
+       |$encCtes
+       |), recon AS (
+       |  SELECT e0.vec_id, $reconCols AS av
+       |  FROM enc0 e0 $reconJoins
+       |), approx AS (
+       |  SELECT q.vec_id AS query_id, q.v AS q_vec, a.vec_id AS nbr_id,
+       |    a2.v AS nbr_vec,
+       |    list_dot_product(q.v, a.av)
+       |      / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(a.av, a.av))) AS asim
+       |  FROM recon a JOIN c a2 ON a.vec_id = a2.vec_id
+       |  CROSS JOIN c q WHERE q.vec_id < 8 AND a.vec_id <> q.vec_id
+       |), shortlist AS (
+       |  SELECT * FROM approx
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY asim DESC, nbr_id ASC) <= 40
        |), reranked AS (
        |  SELECT query_id, nbr_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id

@@ -124,6 +124,68 @@ object Dedup {
       .select(df.columns.map(col): _*)
   }
 
+  /** Cross-document duplicate-SPAN removal — the exact-substring dedup of
+    * Lee et al. (2022, "Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed for Spark instead of a suffix array: a token
+    * k-gram occurring in ≥ 2 distinct documents marks every token position
+    * it covers as duplicated, and covered positions are struck from the
+    * text (boilerplate paragraphs, licence blocks, templated intros die
+    * in-place; the document survives). Scale shape: gram construction is
+    * per-row (transform over sequence — no explode before the shuffle);
+    * ONE shuffle keyed by gram finds cross-doc grams (volume ≈ k× the
+    * token stream, the known cost of exact span dedup — MinHash d3 is the
+    * probabilistic cheap path); coverage and reassembly shuffle by doc.
+    * Nothing is pairwise across the corpus: a gram shared by m documents
+    * costs m rows, not m².
+    *
+    * Returns (id, n_tokens, n_dup_pos, cleaned) — one row per input doc,
+    * zero-token docs included.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    val toks = df.select(col(idCol).as("__id"),
+      TextFns.tokens(lower(col(textCol))).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    // all k-gram (start, text) pairs, built inside the row
+    val grams = toks
+      .filter(col("__n") >= k)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), col("__n") - k),
+        i => struct(i.as("start"),
+          array_join(slice(col("__toks"), i + 1, lit(k)), " ").as("gram"))))
+        .as("__g"))
+      .select(col("__id"), col("__g.start").as("__start"),
+        col("__g.gram").as("__gram"))
+    // the one gram-keyed shuffle: grams seen in >= 2 distinct docs
+    val dup = grams.groupBy(col("__gram"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__gram"))
+    // every position covered by a duplicated gram occurrence
+    val covered = grams.join(dup, Seq("__gram"))
+      .select(col("__id"),
+        explode(sequence(col("__start"), col("__start") + (k - 1))).as("__pos"))
+      .distinct()
+    val covCounts = covered.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__ndup"))
+    // reassemble surviving tokens in order
+    val kept = toks
+      .select(col("__id"), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .join(covered, Seq("__id", "__pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        s => s("__tok")), " ").as("__clean"))
+    toks.select(col("__id"), col("__n"))
+      .join(covCounts, Seq("__id"), "left")
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("__clean"), lit("")).as("cleaned"))
+  }
+
   /** Benchmark decontamination — the test-set overlap scrub every
     * training corpus needs (the GPT-3/Pile method: a document sharing at
     * least `minOverlap` distinct token `n`-grams with ANY benchmark

@@ -188,13 +188,22 @@ object RegexBank {
     * chained CASE of `rlike` predicates (the same shape as the reference's
     * 600-branch merchant CASE, models/card_merchants_model.sql:2-620). Stays
     * inside whole-stage codegen; prefer it when the bank is ≲100 rules.
+    *
+    * Built as ONE flat CaseWhen (chained `.when`, no-match → null default),
+    * not `when(..).otherwise(when(..))` nesting: N nested CaseWhen nodes
+    * cost O(N) recursion depth in every tree walk (the Column→Expression
+    * converter overflowed the stack at ~300 branches when entered from an
+    * already-deep call stack), while one N-branch CaseWhen walks in
+    * constant depth — the same shape `MerchantCase` uses for the 532-branch
+    * reference classifier.
     */
   def bestMatchChain(rules: Seq[Rule], caseInsensitive: Boolean = true)(c: Column): Column = {
     val sorted = rules.sortBy(r => (-r.priority, -r.pattern.length, r.key))
     val prefix = if (caseInsensitive) "(?i)" else ""
-    sorted.foldRight(lit(null).cast("string")) { (r, acc) =>
-      when(c.rlike(prefix + PgDialect.translateRegex(r.pattern)), lit(r.key)).otherwise(acc)
-    }
+    def cond(r: Rule): Column = c.rlike(prefix + PgDialect.translateRegex(r.pattern))
+    sorted.tail.foldLeft(when(cond(sorted.head), lit(sorted.head.key))) {
+      (acc, r) => acc.when(cond(r), lit(r.key))
+    }.otherwise(lit(null).cast("string"))
   }
 }
 

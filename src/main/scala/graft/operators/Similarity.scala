@@ -427,6 +427,129 @@ object Similarity {
       .select("query_id", "nbr_id", "rank")
   }
 
+  /** Deterministic per-subspace L2 Lloyd — PQ codebook training (Jégou et
+    * al. 2011, "Product Quantization for Nearest Neighbor Search"): the
+    * vector splits into `m` contiguous subspaces of `subDim` dims, and
+    * each subspace gets its own small codebook trained independently. A
+    * vector then compresses to m codes (m bytes at ksub ≤ 256) instead of
+    * dim floats — the memory ratio that makes billion-vector serving fit
+    * in RAM. Training follows [[trainIvfCentroids]]'s determinism rules
+    * (exact decimal means, empty clusters keep their centroid) but ranks
+    * by L2 distance — PQ quantizes residual geometry, where cosine's
+    * norm-invariance would collapse distinct magnitudes into one code.
+    * The full expression `x·x − 2·x·c + c·c` is used on both engines so
+    * IEEE results agree bit-for-bit. Init = the first `ksub`
+    * stride-selected slices — ksub is a CONSTANT, independent of corpus
+    * size (the IVF 100×-probe lesson: a K that grows with N makes
+    * training quadratic), so codebook size, code width, and per-round
+    * cost are fixed no matter how many vectors stream through.
+    *
+    * Returns (subspace, cent_id, centroid) — m × ksub × subDim doubles,
+    * driver-sized by construction.
+    */
+  def trainPqCodebooks(candidates: DataFrame, m: Int, subDim: Int,
+      initStride: Long, ksub: Int, iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Long, Seq[Double])] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    (0 until m).flatMap { s =>
+      val sub = candidates.select(col(idCol).as("nbr_id"),
+        slice(VectorFns.toDouble(col(vecCol)), s * subDim + 1, subDim).as("sub"))
+      var cents: Seq[(Long, Seq[Double])] = sub
+        .filter(col("nbr_id") % initStride === 0 &&
+          col("nbr_id") < initStride * ksub)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      for (_ <- 0 until iters) {
+        val centDf = broadcast(cents.toDF("cent_id", "cv"))
+        val w = Window.partitionBy(col("nbr_id"))
+          .orderBy(col("dist").asc, col("cent_id").asc)
+        val assigned = sub.join(centDf)
+          .withColumn("dist",
+            VectorFns.dot(col("sub"), col("sub"))
+              - lit(2.0) * VectorFns.dot(col("sub"), col("cv"))
+              + VectorFns.dot(col("cv"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cent_id"), col("sub"))
+        val means = assigned
+          .select(col("cent_id"), posexplode(col("sub")).as(Seq("d", "x")))
+          .groupBy(col("cent_id"), col("d"))
+          .agg((sum(col("x").cast("decimal(27,18)")).cast("double") /
+            count(lit(1))).as("m"))
+          .as[(Long, Int, Double)].collect()
+        val byCent = means.groupBy(_._1).map { case (cid, rows) =>
+          cid -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+        cents = cents.map { case (cid, prev) => (cid, byCent.getOrElse(cid, prev)) }
+      }
+      cents.map { case (cid, v) => (s, cid, v) }
+    }
+  }
+
+  /** PQ top-k: encode every candidate as its m nearest sub-centroids, score
+    * queries against the RECONSTRUCTED (concatenated-centroid) vectors,
+    * shortlist k×rerankFactor, then rerank the shortlist exactly — the v5
+    * SQ8 serving shape with codebook quantization in place of per-dim
+    * scalar. Scoring reconstructions value-wise is ADC: the production
+    * serving path precomputes per-query × per-subspace lookup tables so a
+    * candidate costs m table reads instead of dim multiplies — same
+    * numbers, different constant factor; the distributed shape (broadcast
+    * queries × one candidate scan, one ranking shuffle) is what this
+    * encodes. Encoding is per-row fan-out to m subspace rows, one
+    * broadcast codebook join, one groupBy(vec) to reassemble — no
+    * corpus-squared anything.
+    */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Seq[(Int, Long, Seq[Double])], m: Int, subDim: Int,
+      rerankFactor: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+    val subs = cand.select(col("nbr_id"), posexplode(
+      array((0 until m).map(s =>
+        slice(col("nbr_vec"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sub")))
+    val cb = broadcast(codebooks.toDF("s", "cent_id", "cv"))
+    val w0 = Window.partitionBy(col("nbr_id"), col("s"))
+      .orderBy(col("dist").asc, col("cent_id").asc)
+    val coded = subs.join(cb, Seq("s"))
+      .withColumn("dist",
+        VectorFns.dot(col("sub"), col("sub"))
+          - lit(2.0) * VectorFns.dot(col("sub"), col("cv"))
+          + VectorFns.dot(col("cv"), col("cv")))
+      .withColumn("rn", row_number().over(w0))
+      .filter(col("rn") === 1)
+      .select(col("nbr_id"), col("s"), col("cv"))
+    val encoded = coded.groupBy(col("nbr_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("s"), col("cv")))),
+        x => x("cv"))).as("approx_vec"))
+      .withColumn("approx_norm", VectorFns.norm(col("approx_vec")))
+      .join(cand, Seq("nbr_id"))
+
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+    val approx = encoded.join(broadcast(qs), col("nbr_id") =!= col("query_id"))
+      .withColumn("asim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("approx_vec")),
+        col("q_norm"), col("approx_norm")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("nbr_id").asc)
+    val shortlist = approx.withColumn("arank", row_number().over(w1))
+      .filter(col("arank") <= k * rerankFactor)
+
+    val exact = shortlist.withColumn("sim", VectorFns.cosinePre(
+      VectorFns.dot(col("q_vec"), col("nbr_vec")),
+      col("q_norm"), VectorFns.norm(col("nbr_vec"))))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
+
   /** Persist an IVF index — the build-once/query-many production shape:
     * `<name>_centroids` (tiny, K×dim) plus `<name>_lists`, the candidate
     * corpus with its nearest-centroid assignment written PARTITIONED BY
