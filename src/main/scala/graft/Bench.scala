@@ -84,25 +84,43 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed query must not masquerade as a fast one (round-6 post-mortem:
+    // 21 throwing entries were timed-to-throw and read as "10-60x speedups").
+    // Failures are excluded from `queries` and listed in `failed`.
+    // Optional name-prefix filter (comma-separated) for local iteration on a
+    // few queries — mirrors Verify's 3rd arg. The driver never sets it.
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            System.err.println(s"[bench] $name FAILED: $msg")
+            err = Some(msg)
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, times.head)
+      (name, times.min, times.head, err)
     }
     SparkEntry.releaseSessionCaches()
+    val results = raw.collect { case (n, s, c, None) => (n, s, c) }
+    val failed = raw.collect { case (n, _, _, Some(_)) => n }
     def jmap(f: ((String, Double, Double)) => Double): String =
       results.map(t => "\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
     val qs = jmap(_._2)
     val cold = jmap(_._3)
     val total = results.map(_._2).sum
     val totalCold = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"total_cold":$totalCold,"runs":$runs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"total_cold":$totalCold,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
 
     if (record) {
       val body = results.sortBy(_._1)
@@ -122,6 +140,10 @@ object Bench {
       }
       violations.foreach { case (name, steady, b) =>
         System.err.println(f"[bench] REGRESSION $name: $steady%.3f s vs budget $b%.3f s (>2x and >+0.5s)")
+      }
+      if (failed.nonEmpty) {
+        System.err.println(s"[bench] check FAILED: ${failed.size} queries threw")
+        sys.exit(1)
       }
       if (violations.nonEmpty) sys.exit(1)
       System.err.println(s"[bench] check OK: ${results.size - missing.size} queries within budget")

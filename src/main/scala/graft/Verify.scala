@@ -22,12 +22,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must NOT silently vanish from the round's
+    // correctness artifacts (round-6 post-mortem: 21 broken entries went
+    // unreported because failures only hit stderr). Every failure lands in
+    // $outDir/_failures.json so the driver can emit explicit `err` rows,
+    // and the process exits nonzero.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[verify] $name FAILED: $msg")
+          failures(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
         }
       }
     }
@@ -48,6 +56,15 @@ object Verify {
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
+          failures.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

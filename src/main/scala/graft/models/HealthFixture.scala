@@ -104,19 +104,37 @@ object HealthFixture {
        |  WHERE LENGTH(trim(a)) > 0
        |)""".stripMargin
 
-  /** metrics_month oracle (reference metrics_monthly.sql translated): month
-    * spine ≤ asOf left-joined to the five per-period aggregate blocks.
+  /** The metrics family oracle, grain-parameterized exactly like the Spark
+    * side (reference metrics_{weekly,monthly,quarterly,yearly}.sql differ
+    * only in spine bounds/step, the `+ interval - 1 day` period_end, the
+    * EXTRACT field, and the date_trunc argument — the compound-interval
+    * endpoints are where grain bugs hide, so each grain gets its own
+    * CORRECTNESS entry): grain spine ≤ asOf left-joined to the five
+    * per-period aggregate blocks.
     */
-  def metricsMonthOracleSql: String =
+  def metricsOracleSql(grain: String): String = {
+    // (spine start, series end, step, period_end offset, EXTRACT field);
+    // ends mirror HealthModels.spineFor: asOf +30d / +2mo / +6mo / +1y
+    val (start, end, step, endOff, num) = grain match {
+      case "week" =>
+        ("2022-01-03", "2023-01-30", "INTERVAL 1 WEEK", "INTERVAL 6 DAY", "WEEK")
+      case "month" =>
+        ("2022-01-01", "2023-02-28", "INTERVAL 1 MONTH", "INTERVAL 1 MONTH - INTERVAL 1 DAY", "MONTH")
+      case "quarter" =>
+        ("2022-01-01", "2023-06-30", "INTERVAL 3 MONTH", "INTERVAL 3 MONTH - INTERVAL 1 DAY", "QUARTER")
+      case "year" =>
+        ("2022-01-01", "2023-12-31", "INTERVAL 1 YEAR", "INTERVAL 1 YEAR - INTERVAL 1 DAY", "YEAR")
+      case g => throw new IllegalArgumentException(s"no metrics grain: $g")
+    }
     s"""WITH $logCtes, spine AS (
-       |  SELECT CAST(UNNEST(generate_series(DATE '2022-01-01', DATE '2023-02-28', INTERVAL 1 MONTH)) AS DATE) AS period_start
+       |  SELECT CAST(UNNEST(generate_series(DATE '$start', DATE '$end', $step)) AS DATE) AS period_start
        |), spine2 AS (
        |  SELECT period_start,
-       |    CAST(period_start + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE) AS period_end,
-       |    CAST(EXTRACT(MONTH FROM period_start) AS BIGINT) AS period_num
+       |    CAST(period_start + $endOff AS DATE) AS period_end,
+       |    CAST(EXTRACT($num FROM period_start) AS BIGINT) AS period_num
        |  FROM spine WHERE period_start <= DATE '$asOf'
        |), ex AS (
-       |  SELECT CAST(date_trunc('month', dt) AS DATE) AS period_start,
+       |  SELECT CAST(date_trunc('$grain', dt) AS DATE) AS period_start,
        |    COUNT(DISTINCT dt) AS workout_days,
        |    COUNT(CASE WHEN label = 'Treadmill' THEN 1 END) AS treadmill_runs,
        |    SUM(CASE WHEN label = 'Treadmill' THEN dist END) AS treadmill_miles,
@@ -125,7 +143,7 @@ object HealthFixture {
        |    SUM(CASE WHEN typ IN ('Weights', 'Calisthenics') THEN reps * sets END) AS strength_reps
        |  FROM ex_log GROUP BY 1
        |), wt AS (
-       |  SELECT CAST(date_trunc('month', dt) AS DATE) AS period_start,
+       |  SELECT CAST(date_trunc('$grain', dt) AS DATE) AS period_start,
        |    COUNT(*) AS weigh_ins, AVG(wgt) AS avg_weight
        |  FROM wt_log GROUP BY 1
        |), flags AS (
@@ -134,7 +152,7 @@ object HealthFixture {
        |      THEN 'New' ELSE 'Repeat' END AS dish_flag
        |  FROM (SELECT DISTINCT dt, dish FROM rc_log)
        |), rc AS (
-       |  SELECT CAST(date_trunc('month', r.dt) AS DATE) AS period_start,
+       |  SELECT CAST(date_trunc('$grain', r.dt) AS DATE) AS period_start,
        |    COUNT(*) AS dishes_cooked,
        |    COUNT(CASE WHEN f.dish_flag = 'New' THEN 1 END) AS new_dishes,
        |    COUNT(CASE WHEN f.dish_flag = 'Repeat' THEN 1 END) AS repeat_dishes,
@@ -142,11 +160,11 @@ object HealthFixture {
        |  FROM rc_log r JOIN flags f ON r.dt = f.dt AND r.dish = f.dish
        |  GROUP BY 1
        |), pl AS (
-       |  SELECT CAST(date_trunc('month', dt) AS DATE) AS period_start,
+       |  SELECT CAST(date_trunc('$grain', dt) AS DATE) AS period_start,
        |    COUNT(DISTINCT plant) AS distinct_plants
        |  FROM rc_flat GROUP BY 1
        |), sh AS (
-       |  SELECT CAST(date_trunc('month', dt) AS DATE) AS period_start,
+       |  SELECT CAST(date_trunc('$grain', dt) AS DATE) AS period_start,
        |    COUNT(DISTINCT ing) AS distinct_ingredients,
        |    SUM(qty) AS total_quantity,
        |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS shopping_cost
@@ -165,6 +183,7 @@ object HealthFixture {
        |LEFT JOIN rc USING (period_start)
        |LEFT JOIN pl USING (period_start)
        |LEFT JOIN sh USING (period_start)""".stripMargin
+  }
 
   /** plants_weekly oracle (reference plants_weekly.sql shape). */
   def plantsWeekOracleSql: String =

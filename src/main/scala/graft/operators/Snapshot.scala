@@ -87,20 +87,82 @@ object Snapshot {
   * dynamic overwrite of just that run's partition
   * ([[graft.sources.TableWriter.upsertPartitions]]).
   *
-  * The current snapshot is reconstructed by letting the LATEST run win
-  * per (key, valid_from): closing a row re-states it with `valid_to`
-  * set under the same (key, valid_from), superseding the open version
-  * from the earlier run; every other row appears exactly once.
+  * Alongside the history, each run overwrites a small OPEN-ROWS sidecar
+  * table (`<name>__open`, the currently-open rows only). This is what
+  * makes the store scale-safe on BOTH hot paths:
+  *
+  *  - the daily merge joins the source against the open sidecar — closed
+  *    history is never read, let alone shuffled, by a run;
+  *  - the current snapshot is `history WHERE valid_to IS NOT NULL` ∪
+  *    sidecar, with NO window and NO exchange: the append-only protocol
+  *    writes each (key, valid_from) pair at most once open and at most
+  *    once closed (a closed pair never re-opens — a returning key opens
+  *    at a NEW valid_from), so the closed rows need no supersession
+  *    logic at all ([[SnapshotVacuumSpec]] pins the exchange-free plan).
+  *
+  * Sidecar freshness is decided metadata-only (its `snap_run=` dir name
+  * vs the history's newest): a crash between the history commit and the
+  * sidecar overwrite leaves the sidecar one run behind, and every reader
+  * falls back to the latest-run-wins windowed reconstruction (closing a
+  * row re-states it under the same (key, valid_from), superseding the
+  * open version) until the next run heals it — correctness never depends
+  * on the sidecar, only the fast path does.
   */
 object SnapshotStore {
 
+  private def openName(name: String): String = s"${name}__open"
+
+  /** `snap_run` partition values present under a table root (metadata-only:
+    * one directory listing, no footer reads). ISO dates compare as strings.
+    */
+  private def runDirs(spark: SparkSession, writer: graft.sources.TableWriter,
+      name: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(writer.path(name))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("snap_run=")).map(_.stripPrefix("snap_run="))
+  }
+
+  /** Latest-run-wins windowed reconstruction — the self-healing slow path
+    * (time travel, or a sidecar left stale by a crash).
+    */
+  private def reconstruct(hist: DataFrame, key: String): DataFrame = {
+    val w = Window.partitionBy(col(key), col("valid_from"))
+      .orderBy(col("snap_run").desc)
+    hist.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "snap_run")
+  }
+
+  /** The currently-open rows (the merge input): the sidecar when fresh,
+    * else reconstructed from history.
+    */
+  private def openRows(spark: SparkSession, writer: graft.sources.TableWriter,
+      name: String, key: String): Option[DataFrame] = {
+    val runs = runDirs(spark, writer, name)
+    if (runs.isEmpty) None
+    else {
+      val openRuns = runDirs(spark, writer, openName(name))
+      // >= not ==: an all-quiet run writes an (unchanged) sidecar but no
+      // history partition, leaving the sidecar legitimately ahead
+      if (openRuns.nonEmpty && openRuns.max >= runs.max)
+        Some(writer.read(spark, openName(name)).drop("snap_run"))
+      else
+        Some(reconstruct(writer.read(spark, name), key)
+          .filter(col("valid_to").isNull))
+    }
+  }
+
   /** Reconstruct the current snapshot from the materialized history, or
-    * None if no run has been persisted yet. `asOf` time-travels: only
-    * runs at or before it participate, so the result is exactly what
-    * [[read]] returned right after that run — the append-only layout
-    * makes every historical state reconstructible for free (run
-    * partitions ≤ asOf are read, later ones partition-pruned away).
-    * Time travel reaches back only as far as [[vacuum]] has kept
+    * None if no run has been persisted yet. The current state (no `asOf`)
+    * is exchange-free — closed rows straight off the history scan union
+    * the open sidecar (see object doc for why no dedup is needed).
+    * `asOf` time-travels: only runs at or before it participate, so the
+    * result is exactly what [[read]] returned right after that run — the
+    * append-only layout makes every historical state reconstructible for
+    * free (run partitions ≤ asOf are read, later ones partition-pruned
+    * away). Time travel reaches back only as far as [[vacuum]] has kept
     * distinct runs: asOf earlier than the vacuum cutoff resolves to the
     * collapsed state.
     */
@@ -110,15 +172,18 @@ object SnapshotStore {
     val p = new org.apache.hadoop.fs.Path(writer.path(name))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else {
-      val w = Window.partitionBy(col(key), col("valid_from"))
-        .orderBy(col("snap_run").desc)
-      val hist = writer.read(spark, name)
-      val scoped = asOf.fold(hist)(d => hist.filter(col("snap_run") <= lit(d)))
-      Some(scoped
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "snap_run"))
+    else asOf match {
+      case Some(d) =>
+        Some(reconstruct(
+          writer.read(spark, name).filter(col("snap_run") <= lit(d)), key))
+      case None =>
+        val runs = runDirs(spark, writer, name)
+        val openRuns = runDirs(spark, writer, openName(name))
+        if (runs.nonEmpty && openRuns.nonEmpty && openRuns.max >= runs.max) {
+          val hist = writer.read(spark, name)
+          Some(hist.filter(col("valid_to").isNotNull).drop("snap_run")
+            .unionByName(writer.read(spark, openName(name)).drop("snap_run")))
+        } else Some(reconstruct(writer.read(spark, name), key))
     }
   }
 
@@ -167,29 +232,51 @@ object SnapshotStore {
     }
   }
 
-  /** One snapshot pass: merge `src`'s state at `asOf` against the
-    * reconstructed history, persist the delta (closed-at-asOf +
-    * opened-at-asOf rows) as partition `snap_run=asOf`, and return the
-    * reconstructed post-run snapshot. The delta is staged to a scratch
-    * dir first — the partition write would otherwise overwrite a path
-    * its own plan is reading.
+  /** One snapshot pass: merge `src`'s state at `asOf` against the OPEN
+    * rows only (closed history is out of the plan entirely — at 100 TB
+    * the daily merge joins the source against the open dimension state,
+    * not years of deltas), persist the delta (closed-at-asOf +
+    * opened-at-asOf rows) as partition `snap_run=asOf`, overwrite the
+    * open sidecar, and return the post-run snapshot. The merge result is
+    * staged once and feeds both writes — the partition write would
+    * otherwise overwrite a path its own plan is reading, and staging
+    * avoids computing the merge twice. Sidecar write comes AFTER the
+    * history commit: a crash in between degrades reads to the windowed
+    * fallback (see object doc), never to wrong answers.
     */
   def run(spark: SparkSession, writer: graft.sources.TableWriter,
       name: String, src: DataFrame, key: String, checkCols: Seq[String],
       asOf: java.sql.Date, closeDeleted: Boolean = false): DataFrame = {
-    val prior = read(spark, writer, name, key)
+    val runs = runDirs(spark, writer, name)
+    // The merge input is the open state STRICTLY BEFORE asOf. For the
+    // normal monotone daily run that IS the sidecar; but a re-run of an
+    // already-persisted asOf must not merge against the sidecar (it
+    // already reflects this run — the recomputed delta would lose the
+    // closures), so it reconstructs the pre-run state from the earlier
+    // partitions and rewrites the identical delta.
+    val prior =
+      if (runs.isEmpty) None
+      else if (runs.max >= asOf.toString)
+        Some(reconstruct(
+            writer.read(spark, name).filter(col("snap_run") < lit(asOf)), key)
+          .filter(col("valid_to").isNull))
+      else openRows(spark, writer, name, key)
     val merged = Snapshot.scd2(prior, src, key, checkCols, asOf, closeDeleted)
-    val delta = merged.filter(
-      col("valid_to") === lit(asOf) || col("valid_from") === lit(asOf))
     // always clean the scratch dir — a failure between the stage write
     // and the partition upsert must not leave __stage_* shadowing the
     // table namespace
     val stage = writer.path(s"__stage_$name")
     try {
-      delta.write.mode("overwrite").parquet(stage)
+      merged.write.mode("overwrite").parquet(stage)
+      val staged = spark.read.parquet(stage)
+      val delta = staged.filter(
+        col("valid_to") === lit(asOf) || col("valid_from") === lit(asOf))
       writer.upsertPartitions(
-        spark.read.parquet(stage).withColumn("snap_run", lit(asOf)),
-        name, Seq("snap_run"))
+        delta.withColumn("snap_run", lit(asOf)), name, Seq("snap_run"))
+      staged.filter(col("valid_to").isNull)
+        .withColumn("snap_run", lit(asOf))
+        .write.mode("overwrite").partitionBy("snap_run")
+        .parquet(writer.path(openName(name)))
     } finally {
       val sp = new org.apache.hadoop.fs.Path(stage)
       sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)

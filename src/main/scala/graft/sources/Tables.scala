@@ -17,18 +17,40 @@ object Tables {
   /** Read one parquet table from a scale-factor dir. Column pruning and
     * predicate pushdown reach the scan because this stays a plain relation.
     *
-    * The `events` table stores INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; it is read as raw nanos and truncated to microsecond
-    * timestamps (exactly what engines with native ns support do on read).
+    * The `events` table's `ts` column has shipped in two physical encodings
+    * across testdata generations: INT64 TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read as raw nanos via the legacy conf and
+    * truncated to microseconds) and plain `timestamp[us]` without UTC
+    * adjustment (which Spark reads as TIMESTAMP_NTZ). Branch on the type
+    * Spark actually loaded so either vintage yields an identical
+    * session-UTC TIMESTAMP column and every downstream consumer (windows,
+    * watermarks, the DuckDB oracle) sees the same values.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** `ts` → session-UTC TIMESTAMP regardless of the on-disk encoding.
+    * Integral = raw nanos (legacy nanosAsLong read); NTZ = wall-clock
+    * micros, identical values under the UTC session timezone; TIMESTAMP =
+    * already what we want.
+    */
+  private def normalizeTs(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType       => col("ts").cast(TimestampType)
+      case TimestampType          => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — extend Tables.normalizeTs")
     }
   }
 
@@ -61,8 +83,7 @@ object Tables {
     }
     val raw = spark.readStream.schema(schema).parquet(staged)
     if (name == "events")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      raw.withColumn("ts", normalizeTs(schema("ts").dataType))
     else raw
   }
 

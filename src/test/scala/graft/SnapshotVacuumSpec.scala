@@ -71,4 +71,51 @@ class SnapshotVacuumSpec extends SparkSpec {
       finally walk.close()
     }
   }
+
+  test("read: current state is exchange-free off the open sidecar; stale sidecar falls back") {
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-02-01")
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = Seq((1L, "a"), (2L, "B"), (5L, "e")).toDF("k", "v")
+    val wh = java.nio.file.Files.createTempDirectory("graft_snapopen_")
+    try {
+      val writer = new graft.sources.TableWriter(wh.toString)
+      SnapshotStore.run(spark, writer, "t", v1, "k", Seq("v"), d1)
+      val expected = presented(
+        SnapshotStore.run(spark, writer, "t", v2, "k", Seq("v"), d2))
+
+      // the 100 TB claim: the current-state plan is closed-history scan ∪
+      // open-sidecar scan — NO exchange, NO window over the full history
+      val cur = SnapshotStore.read(spark, writer, "t", "k").get
+      assert(presented(cur) == expected)
+      val plan = cur.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"current-state read shuffles:\n$plan")
+      assert(!plan.contains("Window"), s"current-state read windows:\n$plan")
+
+      // sidecar gone (simulates a crash between history commit and sidecar
+      // overwrite, or a pre-sidecar table): reads fall back to the windowed
+      // reconstruction and stay correct
+      val openDir = java.nio.file.Paths.get(writer.path("t__open"))
+      val walk0 = java.nio.file.Files.walk(openDir)
+      try walk0.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk0.close()
+      val healed = SnapshotStore.read(spark, writer, "t", "k").get
+      assert(presented(healed) == expected)
+      assert(healed.queryExecution.executedPlan.toString.contains("Window"))
+
+      // next run heals the sidecar and the fast path returns
+      val d3 = java.sql.Date.valueOf("2024-03-01")
+      SnapshotStore.run(spark, writer, "t", v2, "k", Seq("v"), d3)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(writer.path("t__open"), "snap_run=2024-03-01")))
+      val again = SnapshotStore.read(spark, writer, "t", "k").get
+      assert(!again.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      val walk = java.nio.file.Files.walk(wh)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
