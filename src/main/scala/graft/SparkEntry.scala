@@ -856,9 +856,13 @@ object SparkEntry {
     * CardFixture) — every classification path oracle-checked against the
     * DuckDB translation of reference classified_card_transactions.sql.
     */
-  // q32 and q33 consume the same classified frame — computed once per
-  // session (the classifier UDF pass + 3-arm union runs once, the rollup
-  // reads the persisted result)
+  // q32 and q33 consume the same classified frame — MATERIALIZED once per
+  // session to scratch parquet and re-read (the reference declares
+  // classified_card_transactions `materialized: table`; a persist() of the
+  // 532-branch classifier plan made every downstream run re-canonicalize
+  // that huge plan for the cache lookup and left the blocks exposed to
+  // storage-memory contention in long sessions — a table scan has neither
+  // problem). Cleared by releaseSessionCaches via the scratch-dir delete.
   private val classifiedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def cardClassified(s: SparkSession, dir: String): DataFrame =
@@ -870,12 +874,15 @@ object SparkEntry {
       // three arms (ReusedExchange), so no separate persist is needed here
       val tx = graft.operators.Parallelism.fanOut(
         s.sql(graft.models.CardFixture.txSql("orders_cardfix")))
+      val path = s"$q40Scratch/classified_${java.lang.Integer.toHexString(dir.hashCode)}"
       graft.models.CardModels.classifiedCardTransactions(
         tx, graft.models.CardFixture.rules,
         graft.models.CardFixture.merchantsDf(s),
         graft.models.CardFixture.mapDf(s),
         graft.models.CardFixture.leafDf(s),
-        graft.models.CardFixture.merchantSeed).persist()
+        graft.models.CardFixture.merchantSeed)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
     })
 
   private def q32Classified(s: SparkSession, dir: String): DataFrame =
@@ -924,26 +931,31 @@ object SparkEntry {
     q34Metrics(Grain.Month)(s, dir)
 
   /** Reference plants_weekly: flatten + weekly entity counts. */
-  private def q35PlantsWeek(s: SparkSession, dir: String): DataFrame = {
+  private def q35Plants(g: Grain)(s: SparkSession, dir: String): DataFrame = {
     val (_, _, rc, _) = healthLogs(s, dir)
     graft.models.HealthModels.entityRollup(
-      graft.models.HealthModels.recipeLogFlattened(rc), "Date", "plant",
-      Grain.Week)
+      graft.models.HealthModels.recipeLogFlattened(rc), "Date", "plant", g)
   }
+  private def q35PlantsWeek(s: SparkSession, dir: String): DataFrame =
+    q35Plants(Grain.Week)(s, dir)
 
-  /** Reference workouts_yearly: flatten + yearly entity counts. */
-  private def q36WorkoutsYear(s: SparkSession, dir: String): DataFrame = {
+  /** Reference workouts_{grain}: flatten + per-period entity counts. */
+  private def q36Workouts(g: Grain)(s: SparkSession, dir: String): DataFrame = {
     val (ex, _, _, _) = healthLogs(s, dir)
     graft.models.HealthModels.entityRollup(
       graft.models.HealthModels.exerciseLogFlattened(ex), "Date",
-      "Exercise Label", Grain.Year)
+      "Exercise Label", g)
   }
+  private def q36WorkoutsYear(s: SparkSession, dir: String): DataFrame =
+    q36Workouts(Grain.Year)(s, dir)
 
-  /** Reference recipes_quarterly: quarterly dish counts. */
-  private def q37RecipesQuarter(s: SparkSession, dir: String): DataFrame = {
+  /** Reference recipes_{grain}: per-period dish counts. */
+  private def q37Recipes(g: Grain)(s: SparkSession, dir: String): DataFrame = {
     val (_, _, rc, _) = healthLogs(s, dir)
-    graft.models.HealthModels.entityRollup(rc, "Date", "Dish", Grain.Quarter)
+    graft.models.HealthModels.entityRollup(rc, "Date", "Dish", g)
   }
+  private def q37RecipesQuarter(s: SparkSession, dir: String): DataFrame =
+    q37Recipes(Grain.Quarter)(s, dir)
 
   /** The legacy 532-branch merchant classifier + spend/share tail
     * (reference card_merchants_model.sql in full) over a probe fixture that
@@ -1509,18 +1521,23 @@ object SparkEntry {
     * pipeline on synthetic seeds; THIS hash-checks rule-content parity
     * the way q38 does for the legacy CASE chain.
     */
-  // q41/q42 share the frame, computed once per session (q32/q33 pattern)
+  // q41/q42 share the frame, materialized once per session (q32/q33
+  // pattern — table scan instead of a persisted giant plan)
   private val refClassifiedCache =
     scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
   private def refClassified(s: SparkSession): DataFrame =
-    refClassifiedCache.getOrElseUpdate(s,
+    refClassifiedCache.getOrElseUpdate(s, {
+      val path = s"$q40Scratch/ref_classified"
       graft.models.CardModels.classifiedCardTransactions(
         graft.models.RefSeedFixture.txDf(s),
         graft.models.RefSeeds.rules,
         graft.models.RefSeeds.merchantsDf(s),
         graft.models.RefSeeds.mapDf(s),
         graft.models.RefSeeds.leafDf(s),
-        graft.models.RefSeeds.merchantSeed).persist())
+        graft.models.RefSeeds.merchantSeed)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
 
   private def q41ClassifiedRef(s: SparkSession, dir: String): DataFrame =
     refClassified(s).withColumn("amount", col("amount").cast("double"))
@@ -2915,8 +2932,17 @@ object SparkEntry {
     "q34w_metrics_week" -> (q34Metrics(Grain.Week) _),
     "q34y_metrics_year" -> (q34Metrics(Grain.Year) _),
     "q35_plants_week" -> (q35PlantsWeek _),
+    "q35m_plants_month" -> (q35Plants(Grain.Month) _),
+    "q35q_plants_quarter" -> (q35Plants(Grain.Quarter) _),
+    "q35y_plants_year" -> (q35Plants(Grain.Year) _),
     "q36_workouts_year" -> (q36WorkoutsYear _),
+    "q36m_workouts_month" -> (q36Workouts(Grain.Month) _),
+    "q36q_workouts_quarter" -> (q36Workouts(Grain.Quarter) _),
+    "q36w_workouts_week" -> (q36Workouts(Grain.Week) _),
     "q37_recipes_quarter" -> (q37RecipesQuarter _),
+    "q37m_recipes_month" -> (q37Recipes(Grain.Month) _),
+    "q37w_recipes_week" -> (q37Recipes(Grain.Week) _),
+    "q37y_recipes_year" -> (q37Recipes(Grain.Year) _),
     "q38_merchants_legacy" -> (q38MerchantsLegacy _),
     "q39_seed_ingest" -> (q39SeedIngest _),
     "q40_materialize" -> (q40Materialize _),
@@ -4089,8 +4115,17 @@ object SparkEntry {
     "q34w_metrics_week" -> graft.models.HealthFixture.metricsOracleSql("week"),
     "q34y_metrics_year" -> graft.models.HealthFixture.metricsOracleSql("year"),
     "q35_plants_week" -> graft.models.HealthFixture.plantsWeekOracleSql,
+    "q35m_plants_month" -> graft.models.HealthFixture.entityOracleSql("plants", "month"),
+    "q35q_plants_quarter" -> graft.models.HealthFixture.entityOracleSql("plants", "quarter"),
+    "q35y_plants_year" -> graft.models.HealthFixture.entityOracleSql("plants", "year"),
     "q36_workouts_year" -> graft.models.HealthFixture.workoutsYearOracleSql,
+    "q36m_workouts_month" -> graft.models.HealthFixture.entityOracleSql("workouts", "month"),
+    "q36q_workouts_quarter" -> graft.models.HealthFixture.entityOracleSql("workouts", "quarter"),
+    "q36w_workouts_week" -> graft.models.HealthFixture.entityOracleSql("workouts", "week"),
     "q37_recipes_quarter" -> graft.models.HealthFixture.recipesQuarterOracleSql,
+    "q37m_recipes_month" -> graft.models.HealthFixture.entityOracleSql("recipes", "month"),
+    "q37w_recipes_week" -> graft.models.HealthFixture.entityOracleSql("recipes", "week"),
+    "q37y_recipes_year" -> graft.models.HealthFixture.entityOracleSql("recipes", "year"),
     "q38_merchants_legacy" -> graft.models.MerchantCase.spendShareOracleSql,
 
     "q41_classified_ref" -> graft.models.RefSeedFixture.classifiedOracleSql,

@@ -185,24 +185,31 @@ object HealthFixture {
        |LEFT JOIN sh USING (period_start)""".stripMargin
   }
 
-  /** plants_weekly oracle (reference plants_weekly.sql shape). */
-  def plantsWeekOracleSql: String =
+  /** Entity-rollup family oracle, grain-parameterized like the Spark side
+    * (reference {plants,workouts,recipes}_{weekly,monthly,quarterly,yearly}
+    * .sql — 12 near-identical models differing only in the date_trunc
+    * argument and source; every (family, grain) pair the reference ships
+    * gets its own CORRECTNESS entry).
+    */
+  def entityOracleSql(family: String, grain: String): String = {
+    val (cte, entity) = family match {
+      case "plants"   => ("rc_flat", "plant")
+      case "workouts" => ("ex_flat", "label")
+      case "recipes"  => ("rc_log", "dish")
+      case f => throw new IllegalArgumentException(s"no entity family: $f")
+    }
     s"""WITH $logCtes
-       |SELECT CAST(date_trunc('week', dt) AS DATE) AS date_period,
-       |  COUNT(*) AS n_rows, COUNT(DISTINCT plant) AS n_distinct
-       |FROM rc_flat GROUP BY 1""".stripMargin
+       |SELECT CAST(date_trunc('$grain', dt) AS DATE) AS date_period,
+       |  COUNT(*) AS n_rows, COUNT(DISTINCT $entity) AS n_distinct
+       |FROM $cte GROUP BY 1""".stripMargin
+  }
+
+  /** plants_weekly oracle (reference plants_weekly.sql shape). */
+  def plantsWeekOracleSql: String = entityOracleSql("plants", "week")
 
   /** workouts_yearly oracle (reference workouts_yearly.sql shape). */
-  def workoutsYearOracleSql: String =
-    s"""WITH $logCtes
-       |SELECT CAST(date_trunc('year', dt) AS DATE) AS date_period,
-       |  COUNT(*) AS n_rows, COUNT(DISTINCT label) AS n_distinct
-       |FROM ex_flat GROUP BY 1""".stripMargin
+  def workoutsYearOracleSql: String = entityOracleSql("workouts", "year")
 
   /** recipes_quarterly oracle (reference recipes_quarterly.sql shape). */
-  def recipesQuarterOracleSql: String =
-    s"""WITH $logCtes
-       |SELECT CAST(date_trunc('quarter', dt) AS DATE) AS date_period,
-       |  COUNT(*) AS n_rows, COUNT(DISTINCT dish) AS n_distinct
-       |FROM rc_log GROUP BY 1""".stripMargin
+  def recipesQuarterOracleSql: String = entityOracleSql("recipes", "quarter")
 }

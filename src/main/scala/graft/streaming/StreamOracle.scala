@@ -18,6 +18,25 @@ import org.apache.spark.sql.DataFrame
   */
 object StreamOracle {
 
+  /** Stateful streaming operators pin `spark.sql.shuffle.partitions` at
+    * query start as the STATE partition count, and every state partition
+    * pays fixed per-microbatch costs (state-store instance, checkpoint
+    * delta files — a stream-stream join keeps FOUR stores per partition).
+    * A production deployment sizes this to key cardinality and throughput;
+    * these finite oracle queries converge in 1–3 microbatches where the
+    * per-partition fixed cost dominates the per-row work, so they run at a
+    * smaller state parallelism (override: SPARK_GRAFT_STREAM_PARTITIONS).
+    * Results are partitioning-independent — only the batch session conf is
+    * restored afterwards.
+    */
+  private def withStatePartitions[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try body finally spark.conf.set(key, prior)
+  }
+
   /** Streams `agg` (a streaming aggregation) into a complete-mode memory
     * sink named `name`, processes everything available, stops the query,
     * and returns the converged table. The view is re-created per call so
@@ -27,13 +46,15 @@ object StreamOracle {
   def converge(agg: DataFrame, name: String): DataFrame = {
     val spark = agg.sparkSession
     spark.catalog.dropTempView(name)
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -46,13 +67,15 @@ object StreamOracle {
   def convergeAppend(out: DataFrame, name: String): DataFrame = {
     val spark = out.sparkSession
     spark.catalog.dropTempView(name)
-    val q = out.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 }

@@ -3,7 +3,6 @@ package graft.streaming
 import graft.operators.EventsOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Structured-Streaming CLI: streams the events table through the SAME
   * tumbling aggregation the batch path uses (EventsOps — one definition,
@@ -25,20 +24,10 @@ object StreamRunner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events.parquet carries INT64 nano timestamps → read raw, truncate to µs.
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // File streams read directories; stage the single events file into one.
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
-    java.nio.file.Files.createSymbolicLink(
-      stageDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // The shared loader handles staging (file streams read directories)
+    // and normalizes ts across testdata encodings (INT64 nanos vs
+    // timestamp[us]/NTZ) — see graft.sources.Tables.
+    val stream = graft.sources.Tables.loadStream(spark, sfDir, "events")
 
     val agg = EventsOps.tumblingStatsStreaming(stream, width, watermark)
     val q = agg.writeStream.outputMode("append")
