@@ -156,10 +156,20 @@ object ScaleProbe {
             when(col("k") % 7 === 0, (col("price") +
               lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
               .otherwise(col("price")))
-          graft.operators.SnapshotStore.run(spark, w, "snap", v1, "k",
-            Seq("price"), java.sql.Date.valueOf("2024-01-01"))
-          val n = graft.operators.SnapshotStore.run(spark, w, "snap", v2, "k",
-            Seq("price"), java.sql.Date.valueOf("2024-02-01")).count()
+          // phase timers (stderr): run1 = first-load write path, run2 =
+          // daily-merge write path, read = post-run reconstruction
+          def ph[T](what: String)(f: => T): T = {
+            val t0 = System.nanoTime()
+            val r = f
+            System.err.println(
+              f"    [q59_$label] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            r
+          }
+          ph("run1")(graft.operators.SnapshotStore.run(spark, w, "snap", v1,
+            "k", Seq("price"), java.sql.Date.valueOf("2024-01-01")))
+          val snap2 = ph("run2")(graft.operators.SnapshotStore.run(spark, w,
+            "snap", v2, "k", Seq("price"), java.sql.Date.valueOf("2024-02-01")))
+          val n = ph("count")(snap2.count())
           deleteTree(wh)
           n
         }

@@ -100,8 +100,9 @@ object Snapshot {
   *    at a NEW valid_from), so the closed rows need no supersession
   *    logic at all ([[SnapshotVacuumSpec]] pins the exchange-free plan).
   *
-  * Sidecar freshness is decided metadata-only (its `snap_run=` dir name
-  * vs the history's newest): a crash between the history commit and the
+  * Sidecar freshness is decided metadata-only (its newest `run_<d>`
+  * generation dir vs the history's newest `snap_run=` partition): a
+  * crash between the history commit and the
   * sidecar overwrite leaves the sidecar one run behind, and every reader
   * falls back to the latest-run-wins windowed reconstruction (closing a
   * row re-states it under the same (key, valid_from), superseding the
@@ -135,6 +136,27 @@ object SnapshotStore {
       .drop("__rn", "snap_run")
   }
 
+  /** Sidecar generations are SIBLING DIRECTORIES (`<name>__open/run_<d>`),
+    * not partitions of one table: each run plain-overwrites a fresh dir
+    * whose build plan reads the PREVIOUS dir — never the same path, so no
+    * read-write conflict and no staging copy. Readers take the newest
+    * generation; older ones are crash-window stragglers the next run
+    * deletes.
+    */
+  private def sidecarRuns(spark: SparkSession,
+      writer: graft.sources.TableWriter, name: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(writer.path(openName(name)))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("run_")).map(_.stripPrefix("run_"))
+  }
+
+  private def sidecarLatest(spark: SparkSession,
+      writer: graft.sources.TableWriter, name: String,
+      latest: String): DataFrame =
+    spark.read.parquet(s"${writer.path(openName(name))}/run_$latest")
+
   /** The currently-open rows (the merge input): the sidecar when fresh,
     * else reconstructed from history.
     */
@@ -143,11 +165,11 @@ object SnapshotStore {
     val runs = runDirs(spark, writer, name)
     if (runs.isEmpty) None
     else {
-      val openRuns = runDirs(spark, writer, openName(name))
+      val openRuns = sidecarRuns(spark, writer, name)
       // >= not ==: an all-quiet run writes an (unchanged) sidecar but no
       // history partition, leaving the sidecar legitimately ahead
       if (openRuns.nonEmpty && openRuns.max >= runs.max)
-        Some(writer.read(spark, openName(name)).drop("snap_run"))
+        Some(sidecarLatest(spark, writer, name, openRuns.max))
       else
         Some(reconstruct(writer.read(spark, name), key)
           .filter(col("valid_to").isNull))
@@ -178,11 +200,11 @@ object SnapshotStore {
           writer.read(spark, name).filter(col("snap_run") <= lit(d)), key))
       case None =>
         val runs = runDirs(spark, writer, name)
-        val openRuns = runDirs(spark, writer, openName(name))
+        val openRuns = sidecarRuns(spark, writer, name)
         if (runs.nonEmpty && openRuns.nonEmpty && openRuns.max >= runs.max) {
           val hist = writer.read(spark, name)
           Some(hist.filter(col("valid_to").isNotNull).drop("snap_run")
-            .unionByName(writer.read(spark, openName(name)).drop("snap_run")))
+            .unionByName(sidecarLatest(spark, writer, name, openRuns.max)))
         } else Some(reconstruct(writer.read(spark, name), key))
     }
   }
@@ -236,13 +258,21 @@ object SnapshotStore {
     * rows only (closed history is out of the plan entirely — at 100 TB
     * the daily merge joins the source against the open dimension state,
     * not years of deltas), persist the delta (closed-at-asOf +
-    * opened-at-asOf rows) as partition `snap_run=asOf`, overwrite the
-    * open sidecar, and return the post-run snapshot. The merge result is
-    * staged once and feeds both writes — the partition write would
-    * otherwise overwrite a path its own plan is reading, and staging
-    * avoids computing the merge twice. Sidecar write comes AFTER the
-    * history commit: a crash in between degrades reads to the windowed
-    * fallback (see object doc), never to wrong answers.
+    * opened-at-asOf rows) as partition `snap_run=asOf`, advance the open
+    * sidecar, and return the post-run snapshot.
+    *
+    * Write volume per run is 2×delta + open-state, never 2×full-merge:
+    * only the DELTA is staged (the partition write would otherwise
+    * overwrite a path its own plan is reading); the new sidecar state is
+    * then `prior-open ANTI-JOIN closed-keys ∪ opened-rows` — the closed
+    * side is delta-sized so the anti-join broadcasts, no join recompute,
+    * no exchange. The sidecar advances by a dynamic partition overwrite
+    * at `snap_run=asOf` (a fresh directory — nothing the plan reads),
+    * after which older sidecar partitions are deleted; a crash anywhere
+    * in that window leaves extra partitions that readers partition-prune
+    * away ([[sidecarLatest]]) and the next run removes. Sidecar writes
+    * come AFTER the history commit: a crash in between degrades reads to
+    * the windowed fallback (see object doc), never to wrong answers.
     */
   def run(spark: SparkSession, writer: graft.sources.TableWriter,
       name: String, src: DataFrame, key: String, checkCols: Seq[String],
@@ -267,16 +297,29 @@ object SnapshotStore {
     // table namespace
     val stage = writer.path(s"__stage_$name")
     try {
-      merged.write.mode("overwrite").parquet(stage)
-      val staged = spark.read.parquet(stage)
-      val delta = staged.filter(
-        col("valid_to") === lit(asOf) || col("valid_from") === lit(asOf))
+      merged.filter(
+          col("valid_to") === lit(asOf) || col("valid_from") === lit(asOf))
+        .write.mode("overwrite").parquet(stage)
+      val delta = spark.read.parquet(stage)
       writer.upsertPartitions(
         delta.withColumn("snap_run", lit(asOf)), name, Seq("snap_run"))
-      staged.filter(col("valid_to").isNull)
-        .withColumn("snap_run", lit(asOf))
-        .write.mode("overwrite").partitionBy("snap_run")
-        .parquet(writer.path(openName(name)))
+      val opened = delta.filter(col("valid_from") === lit(asOf) &&
+        col("valid_to").isNull)
+      val newOpen = prior match {
+        case None => opened
+        case Some(p) =>
+          p.join(delta.filter(col("valid_to") === lit(asOf)).select(col(key)),
+              Seq(key), "left_anti")
+            .unionByName(opened)
+      }
+      newOpen.write.mode("overwrite")
+        .parquet(s"${writer.path(openName(name))}/run_$asOf")
+      val openRoot = new org.apache.hadoop.fs.Path(writer.path(openName(name)))
+      val fs = openRoot.getFileSystem(spark.sessionState.newHadoopConf())
+      sidecarRuns(spark, writer, name).filter(_ < asOf.toString)
+        .foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(openRoot, s"run_$d"), true)
+        }
     } finally {
       val sp = new org.apache.hadoop.fs.Path(stage)
       sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)

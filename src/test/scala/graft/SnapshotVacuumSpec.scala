@@ -108,7 +108,7 @@ class SnapshotVacuumSpec extends SparkSpec {
       val d3 = java.sql.Date.valueOf("2024-03-01")
       SnapshotStore.run(spark, writer, "t", v2, "k", Seq("v"), d3)
       assert(java.nio.file.Files.exists(
-        java.nio.file.Paths.get(writer.path("t__open"), "snap_run=2024-03-01")))
+        java.nio.file.Paths.get(writer.path("t__open"), "run_2024-03-01")))
       val again = SnapshotStore.read(spark, writer, "t", "k").get
       assert(!again.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally {
