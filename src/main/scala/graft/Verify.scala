@@ -61,10 +61,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
     spark.stop()
     if (failures.nonEmpty) {
+      // loud but exit 0: the manifest is the failure channel — a nonzero
+      // exit could make a harness discard the 99% of outputs that DID
+      // write, which is the round-6 silent-shrink failure all over again
       System.err.println(
-        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
-          failures.keys.mkString(", "))
-      sys.exit(1)
+        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED " +
+          s"(see $outDir/_failures.json): " + failures.keys.mkString(", "))
     }
   }
 }
