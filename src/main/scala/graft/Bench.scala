@@ -133,6 +133,19 @@ object Bench {
       val missing = results.map(_._1).filterNot(budgets.contains)
       if (missing.nonEmpty)
         System.err.println(s"[bench] no budget (re-record needed): ${missing.mkString(", ")}")
+      // the registry must never shrink: every entry that had a budget at
+      // the last --record must still exist (deleted entries are lost
+      // coverage — round 6's failure mode). Skipped under a BENCH_ONLY
+      // filter, which shrinks the run deliberately.
+      if (only.isEmpty) {
+        val present = raw.map(_._1).toSet
+        val deleted = budgets.keySet.filterNot(present)
+        if (deleted.nonEmpty) {
+          System.err.println(s"[bench] check FAILED: registry lost " +
+            s"${deleted.size} budgeted entries: ${deleted.toSeq.sorted.mkString(", ")}")
+          sys.exit(1)
+        }
+      }
       val violations = results.flatMap { case (name, steady, _) =>
         budgets.get(name).collect {
           case b if steady > 2 * b && steady - b > 0.5 => (name, steady, b)
