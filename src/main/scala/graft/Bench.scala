@@ -123,6 +123,9 @@ object Bench {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
 
     if (record) {
+      require(only.isEmpty,
+        "--record with SPARK_GRAFT_BENCH_ONLY would overwrite the budgets " +
+          "file with only the filtered entries — unset one of them")
       val body = results.sortBy(_._1)
         .map(t => s"""  "${t._1}": ${f"${t._2}%.4f"}""").mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(budgetPath), body)

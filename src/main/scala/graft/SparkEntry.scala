@@ -1915,6 +1915,38 @@ object SparkEntry {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming aggregation on the ROCKSDB state store under the oracle
+    * (q84 — the production state backend: the default provider keeps all
+    * state on-heap, capping streaming state at executor memory; RocksDB
+    * spills to local disk and is what a 100 TB deployment runs). Same
+    * tumbling discipline as q46 but keyed per (hour, user) so the state
+    * is keys × windows, and the provider conf — which each query pins at
+    * start — is scoped to this entry and restored after. The oracle
+    * recomputes the closed form, so a state-backend-dependent divergence
+    * (serialization, merge, eviction) breaks the hash.
+    */
+  private def q84StreamRocksdb(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val e = graft.sources.Tables.loadStream(s, dir, "events")
+      graft.streaming.StreamOracle.converge(
+        e.groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum2(col("value")).as("sum_value")),
+        "q84_stream_rocksdb_sink")
+        .select(col("w.start").as("window_start"), col("user_id"),
+          col("n_events"), col("sum_value"))
+    } finally {
+      prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+  }
+
   /** Streaming exact dedup under the oracle: the state-store
     * dropDuplicates path (EventsOps.dedupEvents) feeding a streaming
     * aggregation, run to convergence. Keys-only projection BEFORE the
@@ -2953,6 +2985,7 @@ object SparkEntry {
     "q45_stream_sessions" -> (q45StreamSessions _),
     "q46_stream_hourly" -> (q46StreamHourly _),
     "q47_stream_dedup" -> (q47StreamDedup _),
+    "q84_stream_rocksdb" -> (q84StreamRocksdb _),
     "q48_cube" -> (q48Cube _),
     "q49_semi_anti" -> (q49SemiAnti _),
     "q50_string_agg" -> (q50StringAgg _),
@@ -3254,6 +3287,14 @@ object SparkEntry {
     "q47_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q84: same closed form as the streaming agg, keyed (hour, user) —
+    // the entry's value is that the ROCKSDB state path produces it
+    "q84_stream_rocksdb" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q48_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
