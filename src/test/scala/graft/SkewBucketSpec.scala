@@ -30,6 +30,45 @@ class SkewBucketSpec extends SparkSpec {
     assert(parts >= 4, s"hot key landed on only $parts partitions")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    // Skew.scala's doc claims AQE handles SMJ skew automatically and
+    // salting is the explicit fallback — this pins the first half of that
+    // claim in THIS engine's session. One key carries ~90% of a padded
+    // big side; broadcast is disabled so the join is sort-merge; skew
+    // thresholds are lowered to test scale. The final adaptive plan must
+    // carry the skew=true marker AND the answer must equal the plain join.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(100000).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val small = spark.range(100000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      // keep pad in the output so column pruning can't shrink the shuffle
+      // below the skew thresholds
+      val joined = big.join(small, Seq("k")).select(col("k"), col("pad"), col("v"))
+      // collect() executes THIS dataset's QueryExecution (count() would
+      // build a separate one and leave this plan isFinalPlan=false)
+      val n = joined.collect().length.toLong
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$plan")
+      // 90k rows share k=7 matching one small row; 10k distinct ids match 1:1
+      assert(n == 100000L, s"skew-split join changed the answer: $n")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q67: post-salt group sizes are bounded near hot/numSalts") {
     // q67's big-side key derivation at sf0.001: ~70% of orders collapse
     // onto skew_key 0; after salting, no (key, salt) group may hold more
