@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [sfDir] [mult] [probes]
   *   probes: comma-separated subset of
-  *     d3,d11,d15,d18,bpe,v3,v5,v6,q32,d33,d34,q59,q62,q63,q69,q70,q71
-  *   (default: all)
+  *     d3,d11,d15,d18,bpe,v3,v5,v6,q32,d33,d34,q59,q62,q63,q69,q70,q71,
+  *     stream
+  *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
   *   corpus grows (its cutover point is the measurement), and running it
@@ -119,6 +120,77 @@ object ScaleProbe {
         }
       }
       docsN.unpersist()
+    }
+
+    // Streaming family: state-store scaling. Replicas shift TIME (not
+    // keys), so window/state-key count grows linearly while per-window
+    // arrival density stays constant — the honest shape for "more history
+    // at the same rate". Measures the default (on-heap) provider, the
+    // RocksDB provider, and the stream-stream interval join.
+    if (on("stream")) {
+      val ev1 = graft.sources.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      for ((label, n) <- Seq("1x" -> 1, s"${mult}x" -> mult)) {
+        val evN = (0 until n).map { r =>
+          ev1.withColumn("event_id", col("event_id") + lit(r * 1000000000L))
+            .withColumn("ts", col("ts") + expr(s"INTERVAL ${r * 31} DAY"))
+        }.reduce(_ unionByName _)
+        val stage = java.nio.file.Files
+          .createTempDirectory("probe_stream_").toString
+        // Ingest as TIME-ORDERED slices, 2 files per microbatch: a live
+        // stream arrives over many microbatches and the watermark evicts
+        // state between them, so join/window state is bounded by the
+        // event-time window — single-batch ingest of the whole history
+        // would instead degrade a time-bounded stream-stream join to
+        // per-key cross products over ALL history (measured: 352 s at
+        // 100x vs ~30 s sliced). Slice count is FIXED so per-slice work
+        // scales with the data.
+        val slices = 16
+        // materialize the replica union ONCE; slicing re-scans the
+        // materialized copy, not the n-way union plan
+        evN.write.parquet(s"$stage/all")
+        val evM = spark.read.parquet(s"$stage/all")
+        val bounds = evM.agg(
+          min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
+        val width = math.max(1L, (hi - lo) / slices)
+        (0 until slices).foreach { i =>
+          val (a, b) = (lo + i * width,
+            if (i == slices - 1) hi else lo + (i + 1) * width)
+          evM.filter(unix_micros(col("ts")) >= a &&
+              unix_micros(col("ts")) < b)
+            .coalesce(2).write.parquet(f"$stage/in/s$i%02d")
+        }
+        def stream = spark.readStream.schema(ev1.schema)
+          .option("maxFilesPerTrigger", "2").parquet(s"$stage/in/s*")
+        def tumbling = stream
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        t(s"stream_tumbling_$label") {
+          graft.streaming.StreamOracle
+            .converge(tumbling, "probe_stream_sink").count()
+        }
+        t(s"stream_rocksdb_$label") {
+          val key = "spark.sql.streaming.stateStore.providerClass"
+          spark.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+          try graft.streaming.StreamOracle
+            .converge(tumbling, "probe_stream_rdb_sink").count()
+          finally spark.conf.unset(key)
+        }
+        t(s"stream_interval_join_$label") {
+          graft.streaming.StreamOracle.convergeAppend(
+            graft.operators.EventsOps.intervalJoin(
+              stream.filter(col("event_type") === "error"),
+              stream.filter(col("event_type") === "click"),
+              "user_id", before = "2 HOURS", after = "2 HOURS",
+              watermark = "1 hour"),
+            "probe_stream_ij_sink").count()
+        }
+        deleteTree(stage)
+      }
     }
 
     // Materialization family: the WRITE paths (snapshot store, bucket-
