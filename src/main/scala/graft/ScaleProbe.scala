@@ -29,7 +29,7 @@ object ScaleProbe {
     val probes: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
       else Set("d3", "d11", "d15", "d18", "bpe", "v3", "v5", "v6", "q32",
-        "d33", "d34", "q59", "q62", "q63", "q69", "q70", "q71")
+        "d33", "d34", "q59", "q62", "q63", "q69", "q70", "q71", "q20", "q43")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -120,6 +120,43 @@ object ScaleProbe {
         }
       }
       docsN.unpersist()
+    }
+
+    // Time-series join family: the two custom "missing operator"
+    // implementations — bucketized range join (one equi-shuffle,
+    // candidates within buckets) and union+window as-of (one shuffle on
+    // the keys) — on time-extended replicas. Both must scale ~linearly;
+    // a naive inequality join would be O(rows² per key).
+    if (probes.intersect(Set("q20", "q43")).nonEmpty) {
+      val ev1 = graft.sources.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      for ((label, n) <- Seq("1x" -> 1, s"${mult}x" -> mult)) {
+        val evN = (0 until n).map { r =>
+          ev1.withColumn("event_id", col("event_id") + lit(r * 1000000000L))
+            .withColumn("ts", col("ts") + expr(s"INTERVAL ${r * 31} DAY"))
+        }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
+        evN.count()
+        val us = unix_micros(col("ts"))
+        if (on("q43")) t(s"q43_range_join_$label") {
+          val points = evN.filter(col("event_type") === "click")
+            .select(col("user_id"), us.as("p"))
+          val intervals = evN.filter(col("event_type") === "error")
+            .select(col("user_id"), (us - 3600000000L).as("lo"),
+              (us + 3600000000L).as("hi"))
+          graft.operators.RangeJoin.pointInInterval(points, intervals,
+            "p", "lo", "hi", bucketWidth = 3.6e9,
+            keys = Seq("user_id")).count()
+        }
+        if (on("q20")) t(s"q20_asof_join_$label") {
+          graft.operators.AsOfJoin.backward(
+            evN.filter(col("event_type") === "click"),
+            evN.filter(col("event_type") === "error")
+              .select(col("user_id"), col("ts"), col("value")),
+            Seq("user_id"), "ts", "ts", Seq("value")).count()
+        }
+        evN.unpersist()
+      }
     }
 
     // Streaming family: state-store scaling. Replicas shift TIME (not
