@@ -196,8 +196,17 @@ object SnapshotStore {
     if (!fs.exists(p)) None
     else asOf match {
       case Some(d) =>
+        // clamp to the earliest retained run: an asOf older than the
+        // vacuum cutoff resolves to the collapsed state (the documented
+        // retention floor) — NOT to a silently-empty table, which is what
+        // a plain `snap_run <= asOf` filter would produce once the prefix
+        // has been collapsed into a partition dated after asOf
+        val runs = runDirs(spark, writer, name)
+        val eff =
+          if (runs.nonEmpty && d.toString < runs.min) runs.min else d.toString
         Some(reconstruct(
-          writer.read(spark, name).filter(col("snap_run") <= lit(d)), key))
+          writer.read(spark, name)
+            .filter(col("snap_run").cast("string") <= eff), key))
       case None =>
         val runs = runDirs(spark, writer, name)
         val openRuns = sidecarRuns(spark, writer, name)

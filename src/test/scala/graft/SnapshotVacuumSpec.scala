@@ -64,6 +64,14 @@ class SnapshotVacuumSpec extends SparkSpec {
       SnapshotStore.vacuum(spark, writer, "t", "k", d2)
       assert(files(root.resolve("snap_run=2024-02-01")) == collapsed)
       assert(files(root.resolve("snap_run=2024-03-01")) == run3Before)
+
+      // time travel below the retention floor clamps to the collapsed
+      // state (the doc's promise) — it must NOT silently return empty
+      val atFloor = presented(
+        SnapshotStore.read(spark, writer, "t", "k", asOf = Some(d2)).get)
+      val belowFloor = presented(
+        SnapshotStore.read(spark, writer, "t", "k", asOf = Some(d1)).get)
+      assert(atFloor.nonEmpty && belowFloor == atFloor)
     } finally {
       val walk = java.nio.file.Files.walk(wh)
       try walk.sorted(java.util.Comparator.reverseOrder())
