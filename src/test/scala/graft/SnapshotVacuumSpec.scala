@@ -112,6 +112,18 @@ class SnapshotVacuumSpec extends SparkSpec {
       assert(presented(healed) == expected)
       assert(healed.queryExecution.executedPlan.toString.contains("Window"))
 
+      // re-running the FIRST persisted run is the empty-prior edge (the
+      // merge input reconstructs from zero earlier partitions — an empty
+      // frame, not None) and must leave the reconstruction unchanged
+      // run() returns the CURRENT state (all runs), so both the return
+      // and a fresh read must still equal the post-run-2 snapshot; the
+      // re-run's sidecar generation (dated d1) must not shadow d2's
+      assert(presented(
+        SnapshotStore.run(spark, writer, "t", v1, "k", Seq("v"), d1))
+        == expected)
+      assert(presented(SnapshotStore.read(spark, writer, "t", "k").get)
+        == expected)
+
       // next run heals the sidecar and the fast path returns
       val d3 = java.sql.Date.valueOf("2024-03-01")
       SnapshotStore.run(spark, writer, "t", v2, "k", Seq("v"), d3)
