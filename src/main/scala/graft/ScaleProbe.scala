@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [sfDir] [mult] [probes]
   *   probes: comma-separated subset of
-  *     d3,d11,d15,d18,bpe,v3,v5,v6,q32,d33,d34,q59,q62,q63,q69,q70,q71,
-  *     stream
+  *     d3,d11,d15,d18,bpe,v3,v5,v6,v8,q32,d33,d34,q59,q62,q63,q69,q70,
+  *     q71,q20,q43,stream
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -29,7 +29,8 @@ object ScaleProbe {
     val probes: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
       else Set("d3", "d11", "d15", "d18", "bpe", "v3", "v5", "v6", "q32",
-        "d33", "d34", "q59", "q62", "q63", "q69", "q70", "q71", "q20", "q43")
+        "d33", "d34", "q59", "q62", "q63", "q69", "q70", "q71", "q20", "q43",
+        "v8")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -364,7 +365,7 @@ object ScaleProbe {
       ordersN.unpersist()
     }
 
-    if (probes.intersect(Set("v3", "v5", "v6")).nonEmpty) {
+    if (probes.intersect(Set("v3", "v5", "v6", "v8")).nonEmpty) {
       val emb1 = graft.sources.Tables.load(spark, sfDir, "embeddings")
       val embN = (0 until mult).map { r =>
         emb1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
@@ -389,6 +390,14 @@ object ScaleProbe {
           val cents = Similarity.trainIvfCentroids(e, initStride = 97L * m, iters = 3)
           Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 8), k = 5,
             centroids = cents, nprobe = 2, rerankFactor = 4, dim = 64).count()
+        }
+        // v8's ksub is constant by design (256-max codebook per subspace);
+        // only the stride scales so training stays O(N)
+        if (on("v8")) t(s"v8_pq_$label") {
+          val cbs = Similarity.trainPqCodebooks(e, m = 4, subDim = 16,
+            initStride = 13L * m, ksub = 16, iters = 2)
+          Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5,
+            codebooks = cbs, m = 4, subDim = 16, rerankFactor = 8).count()
         }
       }
       embN.unpersist()
