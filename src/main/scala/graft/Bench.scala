@@ -29,9 +29,39 @@ import org.apache.spark.sql.SparkSession
   * entries from tripping on scheduler noise. Queries without a budget
   * are reported (new entries need a re-baseline via `--record`), never
   * failed. `--record` rewrites the budget file from this run's
-  * steady-state numbers.
+  * steady-state numbers — under a RATCHET: an existing budget may be
+  * lowered freely, but RAISING one requires naming the entry in
+  * `--raise q63,q83` (and recording the justification in ROUND_LOG.md);
+  * an unnamed raise fails the record without writing. This stops slow
+  * perf drift from being absorbed wholesale into the baseline the
+  * `--check` gate compares against. Recording with any throwing query
+  * also fails: a budgets file silently missing the failed entries would
+  * turn lost coverage permanently undetectable (the round-6 failure
+  * mode).
+  *
+  * Every run (with or without flags) also writes the full parsed result
+  * — steady + cold per query, failures, runs, sf — to BENCH_FULL.json,
+  * so round-over-round comparison never depends on a truncated stdout
+  * capture.
   */
 object Bench {
+
+  /** Budget-ratchet decision, factored for the spec: given the prior
+    * budgets, fresh steady times, and the set of entries explicitly
+    * authorized to raise, either the new budgets map (Right) or the
+    * list of entries whose budget would rise WITHOUT authorization
+    * (Left — the caller must refuse to write). Lowering and new entries
+    * are always allowed; an authorized raise takes the fresh value.
+    */
+  private[graft] def ratchet(prior: Map[String, Double],
+      fresh: Seq[(String, Double)],
+      raise: Set[String]): Either[Seq[String], Map[String, Double]] = {
+    val unauthorized = fresh.collect {
+      case (n, s) if prior.get(n).exists(s > _) && !raise.contains(n) => n
+    }
+    if (unauthorized.nonEmpty) Left(unauthorized)
+    else Right(fresh.toMap)
+  }
 
   /** Strict parse of the flat budget file `--record` writes. Anything the
     * entry regex does not fully account for (nesting, comments, NaN, a
@@ -63,6 +93,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val check = args.contains("--check")
     val record = args.contains("--record")
+    val raiseNames: Set[String] = args.indexOf("--raise") match {
+      case -1 => Set.empty
+      case i =>
+        require(i + 1 < args.length, "--raise needs a comma-separated entry list")
+        args(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sfBase = new java.io.File(sfDir).getName
     val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BUDGETS",
@@ -117,7 +153,14 @@ object Bench {
     val total = results.map(_._2).sum
     val totalCold = results.map(_._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"total_cold":$totalCold,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"total_cold":$totalCold,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+    println(fullJson)
+    // the durable per-round artifact: stdout capture gets truncated by
+    // harnesses, this file never does. Skipped under a BENCH_ONLY filter
+    // (a partial run must not shadow the last full record).
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     spark.stop()
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
@@ -126,10 +169,30 @@ object Bench {
       require(only.isEmpty,
         "--record with SPARK_GRAFT_BENCH_ONLY would overwrite the budgets " +
           "file with only the filtered entries — unset one of them")
-      val body = results.sortBy(_._1)
-        .map(t => s"""  "${t._1}": ${f"${t._2}%.4f"}""").mkString("{\n", ",\n", "\n}\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(budgetPath), body)
-      System.err.println(s"[bench] recorded ${results.size} budgets → $budgetPath")
+      require(failed.isEmpty,
+        s"--record with ${failed.size} throwing queries would silently drop " +
+          s"their budgets from the baseline: ${failed.mkString(", ")}")
+      val prior =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(budgetPath)))
+          parseBudgets(budgetPath)
+        else Map.empty[String, Double]
+      ratchet(prior, results.map(t => (t._1, t._2)), raiseNames) match {
+        case Left(unauthorized) =>
+          System.err.println(
+            s"[bench] record REFUSED: ${unauthorized.size} budgets would rise " +
+              "without authorization — re-run with " +
+              s"--raise ${unauthorized.sorted.mkString(",")} and justify each " +
+              "raise in ROUND_LOG.md, or fix the regression")
+          unauthorized.sorted.foreach { n =>
+            System.err.println(f"[bench]   $n: ${results.find(_._1 == n).get._2}%.3f s vs recorded ${prior(n)}%.3f s")
+          }
+          sys.exit(1)
+        case Right(budgets) =>
+          val body = budgets.toSeq.sortBy(_._1)
+            .map(t => s"""  "${t._1}": ${f"${t._2}%.4f"}""").mkString("{\n", ",\n", "\n}\n")
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(budgetPath), body)
+          System.err.println(s"[bench] recorded ${budgets.size} budgets → $budgetPath")
+      }
     }
     if (check) {
       val budgets = parseBudgets(budgetPath)

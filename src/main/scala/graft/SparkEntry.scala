@@ -888,6 +888,73 @@ object SparkEntry {
   private def q32Classified(s: SparkSession, dir: String): DataFrame =
     cardClassified(s, dir).withColumn("amount", col("amount").cast("double"))
 
+  /** Reference card_transactions_model (card_transactions_model.sql:1-24)
+    * standalone (q85) — the legacy clean_type projection previously
+    * hash-checked only through its q32/q41 consumers; its own oracle row
+    * localizes a regression to the model instead of the chain.
+    */
+  private def q85CardTxModel(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_cardfix")
+    graft.models.CardModels.cardTransactionsModel(
+        s.sql(graft.models.CardFixture.txSql("orders_cardfix")))
+      .withColumn("amount", col("amount").cast("double"))
+  }
+
+  /** Reference exercise_log_flattened (exercise_log_flattened.sql:1-13)
+    * standalone (q86) — previously checked only through the q36 rollups.
+    */
+  private def q86ExerciseFlattened(s: SparkSession, dir: String): DataFrame = {
+    val (ex, _, _, _) = healthLogs(s, dir)
+    graft.models.HealthModels.exerciseLogFlattened(ex)
+  }
+
+  /** Reference recipe_log_flattened (recipe_log_flattened.sql:1-12)
+    * standalone (q87) — previously checked only through q12/q35 consumers.
+    */
+  private def q87RecipeFlattened(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, rc, _) = healthLogs(s, dir)
+    graft.models.HealthModels.recipeLogFlattened(rc)
+      .withColumn("Cost", col("Cost").cast("double"))
+  }
+
+  /** The whole 27-model reference DAG under ONE oracle (q88 — the `dbt
+    * build` analogue at engine level): every model materializes through
+    * [[graft.core.ModelRegistry.runAllParallel]] (independent subtrees
+    * build concurrently, each write a lineage barrier), and the entry
+    * returns the terminal `metrics_month` read back from its TABLE. The
+    * oracle is the same metrics-month SQL q34 checks — so a hash match
+    * here proves the PARALLEL SCHEDULE reproduces the single-threaded
+    * reference answer through the full dependency graph, not just that
+    * one model computes correctly in isolation.
+    */
+  // one DAG build per (session, sfdir) — a deployment materializes the
+  // DAG once per data version, then queries tables. Cleared by
+  // releaseSessionCaches via the scratch-dir delete.
+  private val dagRunCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+  private def q88RunAllParallel(s: SparkSession, dir: String): DataFrame = {
+    val writer = dagRunCache.getOrElseUpdate((s, dir), {
+      val (ex, wt, rc, sh) = healthLogs(s, dir)
+      t(s, dir, "orders").createOrReplaceTempView("orders_cardfix")
+      val sources = Map(
+        "card_transactions" -> s.sql(graft.models.CardFixture.txSql("orders_cardfix")),
+        "exercise_log" -> ex, "weights" -> wt, "recipe_log" -> rc,
+        "shopping_log" -> sh,
+        "merchant_regex" -> graft.models.CardFixture.regexDf(s),
+        "merchants" -> graft.models.CardFixture.merchantsDf(s),
+        "merchant_account_map" -> graft.models.CardFixture.mapDf(s),
+        "accounts_leaf" -> graft.models.CardFixture.leafDf(s))
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/dagrun_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.models.ReferencePipeline.registry(
+          java.time.LocalDate.parse(graft.models.HealthFixture.asOf))
+        .runAllParallel(s, sources, writer = Some(w))
+      w
+    })
+    writer.read(s, "metrics_month")
+      .withColumn("period_num", col("period_num").cast("long"))
+  }
+
   /** Reference spend_daily (spend_daily.sql:2-12): the 10-key rollup over
     * the classified output — exact decimal sums reported as double.
     */
@@ -1510,7 +1577,9 @@ object SparkEntry {
     lmModelCache.clear()
     dppBuildCache.clear()
     ivfIndexCache.clear()
+    ivfPqIndexCache.clear()
     pqCodebookCache.clear()
+    dagRunCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
   }
 
@@ -2305,7 +2374,10 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def dppBuild(s: SparkSession, dir: String): String =
     dppBuildCache.getOrElseUpdate((s, dir), {
-      val wh = s"$q40Scratch/dpp"
+      // dir-suffixed path: the cache key is (session, dir) but the files
+      // are shared disk — two sfDirs in one session must not overwrite
+      // each other's build (same pattern as the classified scratch table)
+      val wh = s"$q40Scratch/dpp_${java.lang.Integer.toHexString(dir.hashCode)}"
       deleteTree(java.nio.file.Paths.get(wh))
       val l = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_returnflag"),
@@ -2836,7 +2908,8 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     val writer = ivfIndexCache.getOrElseUpdate((s, dir), {
       val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
-      val w = new graft.sources.TableWriter(s"$q40Scratch/ivfindex")
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/ivfindex_${java.lang.Integer.toHexString(dir.hashCode)}")
       Similarity.buildIvfIndex(e, cents, w, "emb")
       w
     })
@@ -2873,6 +2946,39 @@ object SparkEntry {
       Similarity.trainPqCodebooks(e, pqM, pqSubDim, pqStride, pqKsub, pqIters))
     Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5,
         codebooks = cbs, m = pqM, subDim = pqSubDim, rerankFactor = 8)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Persisted IVF+PQ serving index (v9 — the 100 TB composition the
+    * round-7 verdict named as the similarity-search capstone: v7 persists
+    * full-precision inverted lists, v8 trains PQ per session; v9 stores
+    * the PQ CODES in the partition-pruned list layout). Build once per
+    * (session, sfdir): IVF centroids + PQ codebooks train exactly as
+    * v3/v8, every candidate lands in `emb_lists` under its cent_id
+    * partition as (nbr_id, m codes, approx_norm). A query probes nprobe
+    * lists (partition pruning — ~nprobe/K of the CODES read, which are
+    * already m longs per vector instead of dim floats), reconstructs the
+    * probed candidates from the persisted codebooks (value-equal to ADC),
+    * shortlists k×8, and reranks exactly against the corpus table. The
+    * oracle unrolls the whole thing — both trainings, encode, probing,
+    * quantized scoring, rerank — so the persisted index is bit-checked,
+    * not just shaped.
+    */
+  private val ivfPqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+  private def v9AnnIvfPqIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val writer = ivfPqIndexCache.getOrElseUpdate((s, dir), {
+      val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
+      val cbs = pqCodebookCache.getOrElseUpdate((s, dir),
+        Similarity.trainPqCodebooks(e, pqM, pqSubDim, pqStride, pqKsub, pqIters))
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/ivfpq_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Similarity.buildIvfPqIndex(e, cents, cbs, pqM, pqSubDim, w, "emb")
+      w
+    })
+    Similarity.queryIvfPqIndex(s, writer, "emb", e,
+        e.filter(col("vec_id") < 8), k = 5, nprobe = 2, rerankFactor = 8)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -2986,6 +3092,10 @@ object SparkEntry {
     "q46_stream_hourly" -> (q46StreamHourly _),
     "q47_stream_dedup" -> (q47StreamDedup _),
     "q84_stream_rocksdb" -> (q84StreamRocksdb _),
+    "q85_card_tx_model" -> (q85CardTxModel _),
+    "q86_exercise_flattened" -> (q86ExerciseFlattened _),
+    "q87_recipe_flattened" -> (q87RecipeFlattened _),
+    "q88_run_all_parallel" -> (q88RunAllParallel _),
     "q48_cube" -> (q48Cube _),
     "q49_semi_anti" -> (q49SemiAnti _),
     "q50_string_agg" -> (q50StringAgg _),
@@ -3045,6 +3155,7 @@ object SparkEntry {
     "v6_ann_ivf_sq8" -> (v6AnnIvfSq8 _),
     "v7_ann_ivf_index" -> (v7AnnIvfIndex _),
     "v8_ann_pq" -> (v8AnnPq _),
+    "v9_ann_ivfpq_index" -> (v9AnnIvfPqIndex _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3295,6 +3406,17 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q85_card_tx_model" -> graft.models.CardFixture.txModelOracleSql,
+    "q86_exercise_flattened" ->
+      graft.models.HealthFixture.exerciseFlattenedOracleSql,
+    "q87_recipe_flattened" ->
+      graft.models.HealthFixture.recipeFlattenedOracleSql,
+    // q88: the DAG-built metrics_month must equal the same closed form q34
+    // checks — a hash match proves the parallel 27-model schedule, not
+    // just the one model
+    "q88_run_all_parallel" ->
+      graft.models.HealthFixture.metricsOracleSql("month"),
 
     "q48_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
@@ -4254,6 +4376,7 @@ object SparkEntry {
     // v7 = v3 through a persisted index; results must be bit-identical
     "v7_ann_ivf_index" -> v3OracleSql,
     "v8_ann_pq" -> v8OracleSql,
+    "v9_ann_ivfpq_index" -> v9OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 
@@ -4710,7 +4833,13 @@ object SparkEntry {
     * list concatenation, approx cosine on reconstructions, k×4
     * shortlist, exact rerank.
     */
-  private def v8OracleSql: String = {
+  /** Shared PQ CTE chain — subspace slices, per-subspace Lloyd trainings,
+    * encode argmins, and the `recon` concatenation. Continues a WITH
+    * chain that already defines `c` (vec_id, v). Used verbatim by the v8
+    * oracle (in-session PQ) and the v9 oracle (persisted IVF+PQ index):
+    * one source of truth for the quantizer arithmetic both replay.
+    */
+  private def pqCtesSql: String = {
     def dist(x: String, c: String) =
       s"list_dot_product($x, $x) - 2 * list_dot_product($x, $c) + list_dot_product($c, $c)"
     val subCtes = (0 until pqM).map { s =>
@@ -4759,14 +4888,18 @@ object SparkEntry {
     val reconCols = (0 until pqM).map(s => s"e$s.cv").mkString(" || ")
     val reconJoins = (1 until pqM)
       .map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    s"""|$subCtes
+        |$trainCtes
+        |$encCtes
+        |), recon AS (
+        |  SELECT e0.vec_id, $reconCols AS av
+        |  FROM enc0 e0 $reconJoins""".stripMargin
+  }
+
+  private def v8OracleSql: String = {
     s"""WITH c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |$subCtes
-       |$trainCtes
-       |$encCtes
-       |), recon AS (
-       |  SELECT e0.vec_id, $reconCols AS av
-       |  FROM enc0 e0 $reconJoins
+       |$pqCtesSql
        |), approx AS (
        |  SELECT q.vec_id AS query_id, q.v AS q_vec, a.vec_id AS nbr_id,
        |    a2.v AS nbr_vec,
@@ -4774,6 +4907,59 @@ object SparkEntry {
        |      / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(a.av, a.av))) AS asim
        |  FROM recon a JOIN c a2 ON a.vec_id = a2.vec_id
        |  CROSS JOIN c q WHERE q.vec_id < 8 AND a.vec_id <> q.vec_id
+       |), shortlist AS (
+       |  SELECT * FROM approx
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY asim DESC, nbr_id ASC) <= 40
+       |), reranked AS (
+       |  SELECT query_id, nbr_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY list_dot_product(q_vec, nbr_vec)
+       |        / (SQRT(list_dot_product(q_vec, q_vec)) * SQRT(list_dot_product(nbr_vec, nbr_vec))) DESC,
+       |      nbr_id ASC) AS rank
+       |  FROM shortlist
+       |)
+       |SELECT query_id, nbr_id, rank FROM reranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** v9 oracle: the persisted IVF+PQ index unrolled end-to-end — v3's
+    * IVF Lloyd training (ivfTrainCtesSql defines `c` + cent{iters}),
+    * the shared PQ trainings/encode/reconstruction (pqCtesSql), inverted
+    * -list assignment on the ORIGINAL vectors, nprobe=2 probing, the
+    * code-reconstruction cosine over the probed lists, k×8 shortlist,
+    * exact rerank. Everything the build writes and the query reads is
+    * under the hash: codes drifting from the codebooks, a stale
+    * approx_norm, or a pruning bug all break it.
+    */
+  private def v9OracleSql: String = {
+    val cf = s"cent$ivfIters"
+    s"""$ivfTrainCtesSql
+       |$pqCtesSql
+       |), assigned AS (
+       |  SELECT nbr_id, cent_id FROM (
+       |    SELECT c.vec_id AS nbr_id, ct.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
+       |        ct.cent_id ASC) AS rn
+       |    FROM c CROSS JOIN $cf ct
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, q_vec, cent_id FROM (
+       |    SELECT c.vec_id AS query_id, c.v AS q_vec, ct.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
+       |        ct.cent_id ASC) AS rn
+       |    FROM c CROSS JOIN $cf ct WHERE c.vec_id < 8
+       |  ) WHERE rn <= 2
+       |), approx AS (
+       |  SELECT p.query_id, p.q_vec, a.nbr_id, a2.v AS nbr_vec,
+       |    list_dot_product(p.q_vec, r.av)
+       |      / (SQRT(list_dot_product(p.q_vec, p.q_vec)) * SQRT(list_dot_product(r.av, r.av))) AS asim
+       |  FROM assigned a
+       |  JOIN probes p ON a.cent_id = p.cent_id
+       |  JOIN recon r ON r.vec_id = a.nbr_id
+       |  JOIN c a2 ON a2.vec_id = a.nbr_id
+       |  WHERE a.nbr_id <> p.query_id
        |), shortlist AS (
        |  SELECT * FROM approx
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id

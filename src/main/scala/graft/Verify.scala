@@ -25,8 +25,9 @@ object Verify {
     // A query that throws must NOT silently vanish from the round's
     // correctness artifacts (round-6 post-mortem: 21 broken entries went
     // unreported because failures only hit stderr). Every failure lands in
-    // $outDir/_failures.json so the driver can emit explicit `err` rows,
-    // and the process exits nonzero.
+    // $outDir/_failures.json so the driver can emit explicit `err` rows.
+    // The process still exits 0 — the manifest (plus stderr) is the
+    // failure channel, NOT the exit code; see the comment at the bottom.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {

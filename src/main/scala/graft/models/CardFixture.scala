@@ -142,6 +142,13 @@ object CardFixture {
     merchantSeed.toDF("merchant_key", "merchant_name")
   }
 
+  /** The regex seed as a DataFrame (merchant_regex source shape the
+    * ReferencePipeline registry expects). */
+  def regexDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    regexSeed.toDF("regex_key", "merchant_key", "pattern_regex", "priority")
+  }
+
   def mapDf(s: SparkSession): DataFrame = {
     import s.implicits._
     mapSeed.map { case (k, a, d, f) => (k, a, d.orNull, f.orNull, null: String) }
@@ -243,6 +250,32 @@ object CardFixture {
   def classifiedCte: String =
     CardOracle.classifiedCte(txSql("orders"), regexValues, merchantValues,
       mapValues, leafValues)
+
+  /** card_transactions_model oracle (reference
+    * card_transactions_model.sql:1-24): projection with the LEGACY
+    * clean_type CASE — null type on a card outside the 4-card payment
+    * list is 'Payment'; description ILIKE patterns only decide rows
+    * whose card IS in the list; everything else 'Sale'. Amount as
+    * double (q32 decimal convention). The model's own CORRECTNESS row —
+    * previously checked only transitively through q32/q41 consumers.
+    */
+  def txModelOracleSql: String = {
+    val pats = Seq("%online transfer%", "%edward jones%", "%jpmorgan chase%",
+      "%fedwire%", "%automatic payment%")
+    val ilikes = pats.map(p => s"lower(description) LIKE '$p'").mkString("\n         OR ")
+    s"""WITH tx AS (
+       |${txSql("orders")}
+       |)
+       |SELECT key, date, CAST(amount AS DOUBLE) AS amount, card_last4,
+       |  CASE WHEN type IS NOT NULL THEN type
+       |       WHEN card_last4 NOT IN (3221, 4245, 5083, 6823) THEN 'Payment'
+       |       WHEN $ilikes THEN 'Payment'
+       |       ELSE 'Sale' END AS clean_type,
+       |  description AS raw_description,
+       |  category AS raw_category,
+       |  type AS raw_type
+       |FROM tx""".stripMargin
+  }
 
   /** q32 oracle: the classified model, amount reported as double. */
   def classifiedOracleSql: String =

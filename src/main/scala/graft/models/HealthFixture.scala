@@ -204,6 +204,36 @@ object HealthFixture {
        |FROM $cte GROUP BY 1""".stripMargin
   }
 
+  /** exercise_log_flattened oracle (reference
+    * exercise_log_flattened.sql:1-13): non-Cardio rows, comma-split
+    * Target Areas unnested/trimmed, empty fragments dropped — the FULL
+    * column set this time (the logCtes ex_flat keeps only what the
+    * rollups need), so the intermediate model gets its own CORRECTNESS
+    * row instead of being checked only through its consumers.
+    */
+  def exerciseFlattenedOracleSql: String =
+    s"""WITH $logCtes
+       |SELECT dt AS "Date", label AS "Exercise Label", typ AS "Type",
+       |  trim(a) AS target_area, reps AS "Reps", sets AS "Sets"
+       |FROM (
+       |  SELECT dt, label, typ, reps, sets,
+       |    UNNEST(string_split(areas, ',')) AS a
+       |  FROM ex_log WHERE typ <> 'Cardio')
+       |WHERE LENGTH(trim(a)) > 0""".stripMargin
+
+  /** recipe_log_flattened oracle (reference recipe_log_flattened.sql:1-12):
+    * comma-split Plants unnested/trimmed with Dish and Cost carried
+    * through; Cost reported as double (q32 decimal convention).
+    */
+  def recipeFlattenedOracleSql: String =
+    s"""WITH $logCtes
+       |SELECT dt AS "Date", dish AS "Dish", trim(p) AS plant,
+       |  CAST(cost AS DOUBLE) AS "Cost"
+       |FROM (
+       |  SELECT dt, dish, cost, UNNEST(string_split(plants, ',')) AS p
+       |  FROM rc_log)
+       |WHERE LENGTH(trim(p)) > 0""".stripMargin
+
   /** plants_weekly oracle (reference plants_weekly.sql shape). */
   def plantsWeekOracleSql: String = entityOracleSql("plants", "week")
 

@@ -705,4 +705,149 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "rank")
   }
+
+  /** Persist the full IVF+PQ serving index — the 100 TB ANN composition:
+    * [[buildIvfIndex]]'s partition-pruned inverted-list layout, but each
+    * list row stores the vector's m PQ CODES (+ the norm of its
+    * reconstruction) instead of the raw doubles — m longs per vector in
+    * place of dim floats, the compression that keeps a billion-vector
+    * index resident. Three tables:
+    *   - `{name}_centroids` (cent_id, cent_vec) — K×dim, tiny;
+    *   - `{name}_codebooks` (s, code, cv) — m×ksub×subDim, tiny;
+    *   - `{name}_lists` (nbr_id, codes, approx_norm) PARTITIONED BY
+    *     cent_id — each inverted list a physical partition directory.
+    * List assignment runs on the ORIGINAL vector (membership must not
+    * depend on quantization error, same rule as [[ivfSq8TopK]]);
+    * approx_norm is the norm of the code reconstruction, precomputed
+    * once at build so query-time scoring needs no per-candidate sqrt
+    * re-derivation. Encoding is per-row fan-out to m subspace rows, one
+    * broadcast codebook join, one groupBy(vec) reassembly — O(N·m·ksub)
+    * work, nothing corpus-squared, and ksub/m are constants in corpus
+    * size (codebook bytes and per-vector cost fixed no matter how many
+    * vectors stream through — the v8 100×-probe property, now persisted).
+    */
+  def buildIvfPqIndex(candidates: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[(Int, Long, Seq[Double])], m: Int, subDim: Int,
+      writer: graft.sources.TableWriter, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+      .withColumn("nbr_norm", VectorFns.norm(col("nbr_vec")))
+    val cents = centroids.toDF("cent_id", "cent_vec")
+      .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
+    val w = Window.partitionBy(col("nbr_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val assigned = cand.join(broadcast(cents))
+      .withColumn("cent_sim", VectorFns.cosinePre(
+        VectorFns.dot(col("nbr_vec"), col("cent_vec")),
+        col("nbr_norm"), col("cent_norm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("nbr_id"), col("nbr_vec"), col("cent_id"))
+    // PQ-encode: per-subspace L2 argmin against the broadcast codebooks
+    val subs = assigned.select(col("nbr_id"), col("cent_id"), posexplode(
+      array((0 until m).map(s =>
+        slice(col("nbr_vec"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sub")))
+    val cb = broadcast(codebooks.toDF("s", "code", "cv"))
+    val w0 = Window.partitionBy(col("nbr_id"), col("s"))
+      .orderBy(col("dist").asc, col("code").asc)
+    val coded = subs.join(cb, Seq("s"))
+      .withColumn("dist",
+        VectorFns.dot(col("sub"), col("sub"))
+          - lit(2.0) * VectorFns.dot(col("sub"), col("cv"))
+          + VectorFns.dot(col("cv"), col("cv")))
+      .withColumn("rn", row_number().over(w0))
+      .filter(col("rn") === 1)
+      .select(col("nbr_id"), col("cent_id"), col("s"), col("code"), col("cv"))
+    val lists = coded.groupBy(col("nbr_id"), col("cent_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          x => x("code")).as("codes"),
+        VectorFns.norm(flatten(transform(
+          array_sort(collect_list(struct(col("s"), col("cv")))),
+          x => x("cv")))).as("approx_norm"))
+    writer.materialize(s"${name}_lists", lists, partitionBy = Seq("cent_id"))
+    writer.materialize(s"${name}_codebooks", codebooks.toDF("s", "code", "cv"))
+    writer.materialize(s"${name}_centroids", cents.select("cent_id", "cent_vec"))
+  }
+
+  /** Query the persisted IVF+PQ index: probes assign each query its
+    * nprobe nearest lists from the (re-read, tiny) centroid table; the
+    * probed `cent_id`s partition-prune the lists scan, so only
+    * ~nprobe/K of the CODES — already ~dim·4/m× smaller than the raw
+    * corpus — are read. Each surviving candidate's reconstruction is
+    * assembled ONCE (per candidate, not per query) by a broadcast
+    * codebook join, and queries score against it — value-equal to ADC
+    * (the per-query×subspace lookup-table serving trick is the same
+    * arithmetic regrouped; what this encodes is the distributed shape:
+    * one pruned scan, broadcast small sides, one ranking shuffle). The
+    * k×rerankFactor shortlist then reranks EXACTLY against the original
+    * vectors fetched from `corpus` by key — a broadcast semi-join of a
+    * k×rerankFactor×|queries|-row shortlist against the corpus table,
+    * the only touch of full-precision data on the whole path.
+    */
+  def queryIvfPqIndex(spark: SparkSession, writer: graft.sources.TableWriter,
+      name: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = writer.read(spark, s"${name}_centroids")
+      .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
+    val qs = queries.select(
+      col(idCol).as("query_id"), VectorFns.toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", VectorFns.norm(col("q_vec")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val probes = qs.join(broadcast(cents))
+      .withColumn("cent_sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("cent_vec")), col("q_norm"), col("cent_norm")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .drop("cent_vec", "cent_norm", "cent_sim", "crank")
+    // bounded collect: ≤ |queries| × nprobe list ids → partition pruning
+    val probedLists = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // LONG-typed partition column re-read — the cast-free pruning rule
+    // queryIvfIndex established (pinned by DedupSimilaritySpec)
+    val listsPath = writer.path(s"${name}_lists")
+    val inferred = spark.read.parquet(listsPath).schema
+    val longCentId = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cent_id")
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    val lists = spark.read.schema(longCentId).parquet(listsPath)
+      .filter(col("cent_id").isin(probedLists: _*))
+    // reconstruct each pruned candidate once from its codes
+    val cb = broadcast(writer.read(spark, s"${name}_codebooks"))
+    val subs = lists.select(col("nbr_id"), col("cent_id"), col("approx_norm"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+    val recon = subs.join(cb, Seq("s", "code"))
+      .groupBy(col("nbr_id"), col("cent_id"), col("approx_norm"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("s"), col("cv")))),
+        x => x("cv"))).as("approx_vec"))
+    val approx = recon.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("asim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("approx_vec")),
+        col("q_norm"), col("approx_norm")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("nbr_id").asc)
+    val shortlist = approx.withColumn("arank", row_number().over(w1))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("query_id"), col("nbr_id"), col("q_vec"), col("q_norm"))
+    // exact rerank: the shortlist (small) broadcasts against the corpus
+    val orig = corpus.select(
+      col(idCol).as("nbr_id"), VectorFns.toDouble(col(vecCol)).as("nbr_vec"))
+    val exact = orig.join(broadcast(shortlist), Seq("nbr_id"))
+      .withColumn("sim", VectorFns.cosinePre(
+        VectorFns.dot(col("q_vec"), col("nbr_vec")),
+        col("q_norm"), VectorFns.norm(col("nbr_vec"))))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+  }
 }

@@ -292,10 +292,22 @@ object SnapshotStore {
     // already-persisted asOf must not merge against the sidecar (it
     // already reflects this run — the recomputed delta would lose the
     // closures), so it reconstructs the pre-run state from the earlier
-    // partitions and rewrites the identical delta.
+    // partitions and rewrites the identical delta. The re-run path is
+    // taken ONLY for an asOf that was actually persisted: an asOf older
+    // than runs.max that was never run is an out-of-order BACKFILL, and
+    // silently accepting it would write a snap_run=asOf delta that later
+    // runs never merged — the fast-path read (closed history ∪ latest
+    // sidecar) and the windowed fallback would then return DIFFERENT
+    // data. Rejected until backfill is a designed operation.
+    val isRerun = runs.contains(asOf.toString)
+    require(runs.isEmpty || isRerun || runs.max < asOf.toString,
+      s"snapshot $name: asOf $asOf precedes the latest run ${runs.max} but was " +
+        "never persisted — out-of-order backfill would leave a delta later " +
+        "runs never merged (readers would disagree); run dates monotonically " +
+        "or re-run an existing snap_run date")
     val prior =
       if (runs.isEmpty) None
-      else if (runs.max >= asOf.toString)
+      else if (isRerun)
         Some(reconstruct(
             writer.read(spark, name).filter(col("snap_run") < lit(asOf)), key)
           .filter(col("valid_to").isNull))

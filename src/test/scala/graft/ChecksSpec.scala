@@ -33,6 +33,22 @@ class ChecksSpec extends SparkSpec {
       "{\n  \"q1\": 0.1,\n  \"q1\": 0.2\n}\n")))
   }
 
+  test("Bench.ratchet: lowering and new entries pass; a silent raise fails") {
+    val prior = Map("q1" -> 1.0, "q2" -> 2.0)
+    // lower + brand-new entry: allowed, fresh values win
+    assert(Bench.ratchet(prior, Seq("q1" -> 0.5, "q3" -> 9.0), Set.empty)
+      == Right(Map("q1" -> 0.5, "q3" -> 9.0)))
+    // an unnamed raise is REFUSED and names the offender
+    assert(Bench.ratchet(prior, Seq("q1" -> 0.5, "q2" -> 4.0), Set.empty)
+      == Left(Seq("q2")))
+    // naming the entry in --raise authorizes exactly that raise
+    assert(Bench.ratchet(prior, Seq("q1" -> 0.5, "q2" -> 4.0), Set("q2"))
+      == Right(Map("q1" -> 0.5, "q2" -> 4.0)))
+    // authorization is per-entry: q2 named, q1 still refused
+    assert(Bench.ratchet(prior, Seq("q1" -> 1.5, "q2" -> 4.0), Set("q2"))
+      == Left(Seq("q1")))
+  }
+
   test("aggregate checks report violation counts in one pass") {
     val report = Checks.run(df, Seq(
       Checks.notNull("id"),

@@ -290,6 +290,66 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF+PQ index: codes not vectors on disk, pruned+uncast scan, deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 8)
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
+    val cbs = Similarity.trainPqCodebooks(e, m = 4, subDim = 16,
+      initStride = 13L, ksub = 16, iters = 2)
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
+    try {
+      val writer = new graft.sources.TableWriter(wh.toString)
+      Similarity.buildIvfPqIndex(e, cents, cbs, m = 4, subDim = 16, writer, "emb")
+      // the compression claim is structural: the lists table holds m CODES
+      // and a precomputed norm, never the raw doubles
+      // (cent_id is the directory-inferred partition column, not file data)
+      val listSchema = spark.read.parquet(writer.path("emb_lists")).schema
+      assert(listSchema.fieldNames.toSet ==
+        Set("nbr_id", "codes", "approx_norm", "cent_id"), listSchema.treeString)
+      assert(listSchema("codes").dataType.simpleString.startsWith("array<bigint>"),
+        listSchema("codes").dataType.simpleString)
+      val df = Similarity.queryIvfPqIndex(spark, writer, "emb", e, queries,
+        k = 5, nprobe = 2, rerankFactor = 8)
+      // partition pruning survives, cast-free (the queryIvfIndex rule)
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val listScans = scans.filter(
+        _.relation.location.rootPaths.mkString(",").contains("emb_lists"))
+      assert(listScans.nonEmpty)
+      val pfStr = listScans.flatMap(_.partitionFilters).mkString(" && ")
+      assert(pfStr.contains("cent_id"), pfStr)
+      assert(!pfStr.toLowerCase.matches(""".*cast\(cent_id[^)]*\).*"""),
+        s"pruning-defeating cast on cent_id: $pfStr")
+      def key(d: org.apache.spark.sql.DataFrame) =
+        d.select("query_id", "nbr_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+      val got = key(df)
+      // deterministic across runs, and quantized recall stays sane vs exact
+      assert(got == key(Similarity.queryIvfPqIndex(spark, writer, "emb", e,
+        queries, k = 5, nprobe = 2, rerankFactor = 8)))
+      val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+        .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+      val ivfOnly = Similarity.ivfTopKWithCentroids(e, queries, k = 5,
+          centroids = cents, nprobe = 2)
+        .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+      val gotPairs = got.map(t => (t._1, t._2))
+      val recall = (exact intersect gotPairs).size.toDouble / exact.size
+      val rIvf = (exact intersect ivfOnly).size.toDouble / exact.size
+      // the IVF-only recall is the pruning ceiling; 16-code PQ inside the
+      // probed lists may cost a few shortlist misses on this tiny corpus
+      // but must stay near it — far below means corrupted codes, not
+      // quantization noise
+      assert(recall >= rIvf - 0.15 && recall >= 0.4,
+        s"IVF+PQ recall@5 = $recall vs IVF-only $rIvf")
+    } finally {
+      val walk = java.nio.file.Files.walk(wh)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("reliable-checkpoint flag: iterative clustering same answer, no local blocks") {
     // spark.graft.reliableCheckpoint=true switches every lineage
     // truncation from executor-local blocks (lost-executor = dead job on

@@ -31,6 +31,35 @@ class SnapshotVacuumSpec extends SparkSpec {
       col("valid_from").cast("string"), col("valid_to").cast("string"))
     .as[(Long, String, String, String)].collect().toSet
 
+  test("run: out-of-order backfill of a never-persisted date is rejected; true re-run still works") {
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-02-01")
+    val d3 = java.sql.Date.valueOf("2024-03-01")
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v3 = Seq((1L, "A"), (2L, "b")).toDF("k", "v")
+    val wh = java.nio.file.Files.createTempDirectory("graft_snapbf_")
+    try {
+      val writer = new graft.sources.TableWriter(wh.toString)
+      SnapshotStore.run(spark, writer, "t", v1, "k", Seq("v"), d1)
+      SnapshotStore.run(spark, writer, "t", v3, "k", Seq("v"), d3)
+      // d2 < runs.max and was never persisted: the old code silently took
+      // the re-run path and wrote a delta no later run merged (fast-path
+      // and windowed readers then disagree). Now it refuses.
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.run(spark, writer, "t", v1, "k", Seq("v"), d2))
+      assert(e.getMessage.contains("backfill"))
+      // a genuine re-run of a persisted date (d1) is still allowed and
+      // leaves the presented state unchanged
+      val before = presented(SnapshotStore.read(spark, writer, "t", "k").get)
+      SnapshotStore.run(spark, writer, "t", v1, "k", Seq("v"), d1)
+      assert(presented(SnapshotStore.read(spark, writer, "t", "k").get) == before)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(wh.toString)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(wh.toString), true)
+    }
+  }
+
   test("vacuum: collapses prefix runs, expired dirs gone, post-cutoff runs byte-stable") {
     val d1 = java.sql.Date.valueOf("2024-01-01")
     val d2 = java.sql.Date.valueOf("2024-02-01")
