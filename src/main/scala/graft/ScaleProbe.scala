@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [sfDir] [mult] [probes]
   *   probes: comma-separated subset of
-  *     d3,d11,d15,d18,bpe,v3,v5,v6,v8,q32,d33,d34,q59,q62,q63,q69,q70,
-  *     q71,q20,q43,stream
+  *     d3,d11,d15,d18,d21,d35,bpe,v3,v5,v6,v8,v9,q32,d33,d34,q59,q62,q63,
+  *     q69,q70,q71,q20,q43,stream
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -28,9 +28,9 @@ object ScaleProbe {
     val mult = if (args.length > 1) args(1).toInt else 10
     val probes: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
-      else Set("d3", "d11", "d15", "d18", "bpe", "v3", "v5", "v6", "q32",
-        "d33", "d34", "q59", "q62", "q63", "q69", "q70", "q71", "q20", "q43",
-        "v8")
+      else Set("d3", "d11", "d15", "d18", "d21", "d35", "bpe", "v3", "v5",
+        "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69", "q70", "q71",
+        "q20", "q43", "v8", "v9")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -67,7 +67,8 @@ object ScaleProbe {
       }
     }
 
-    if (probes.intersect(Set("d3", "d11", "d15", "d18", "bpe", "d33", "d34")).nonEmpty) {
+    if (probes.intersect(
+        Set("d3", "d11", "d15", "d18", "d21", "d35", "bpe", "d33", "d34")).nonEmpty) {
       val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
       val docsN = replicate(docs1, "doc_id", mult, mutate = true)
         .repartition(cpus.toInt).persist()
@@ -91,6 +92,25 @@ object ScaleProbe {
         if (on("d18")) t(s"d18_prefix_jaccard_$label") {
           Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
             n = 3, threshold = 0.35).count()
+        }
+        // d35: cross-doc span dedup (Lee et al.) — ONE gram-keyed shuffle
+        // over in-row 8-grams; replicas share their pre-mutation passages,
+        // so duplicated-span mass GROWS with mult (the hard direction)
+        if (on("d35")) t(s"d35_span_dedup_$label") {
+          Dedup.spanDedup(d, "doc_id", "text", k = 8).count()
+        }
+        // d21: line-boilerplate strike — two line-keyed shuffles. The
+        // testdata text carries no newlines, so a line structure is
+        // synthesized the way the d21 fixture does: a header every doc
+        // shares, the doc body, a per-group promo line, a unique tail.
+        if (on("d21")) t(s"d21_line_dedup_$label") {
+          val lined = d.withColumn("text", concat_ws("\n",
+            lit("=== COMMON HEADER ==="), col("text"),
+            concat(lit("group"), pmod(col("doc_id"), lit(97)),
+              lit(" shared promo line")),
+            concat(lit("tail "), col("doc_id"))))
+          Dedup.dropBoilerplateLines(lined, "doc_id", "text",
+            maxLineDocFreq = 50L).count()
         }
         if (on("bpe")) t(s"d28_bpe_tokens_$label") {
           // corpus-linear per-row merge loop (memoized per distinct word)
@@ -226,6 +246,33 @@ object ScaleProbe {
               "user_id", before = "2 HOURS", after = "2 HOURS",
               watermark = "1 hour"),
             "probe_stream_ij_sink").count()
+        }
+        // checkpoint-restore: the production restart story (q84's missing
+        // leg). Run 1 drains the full history into a CHECKPOINTED RocksDB
+        // aggregation; run 2 restarts the SAME checkpoint with one new
+        // slice appended. Warm time = state reload + one microbatch, and
+        // state size grows ~linearly with mult (time shift → more
+        // windows), so warm-vs-mult is the reload-cost-vs-state-size curve.
+        locally {
+          val key = "spark.sql.streaming.stateStore.providerClass"
+          spark.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+          try {
+            val ck = s"$stage/_restart_ckpt"
+            def runOnce(qn: String): Long = {
+              val q = tumbling.writeStream
+                .outputMode("complete").format("memory").queryName(qn)
+                .option("checkpointLocation", ck).start()
+              try { q.processAllAvailable(); spark.table(qn).count() }
+              finally q.stop()
+            }
+            t(s"stream_restart_cold_$label") { runOnce("probe_restart_sink") }
+            // one more slice lands after the shutdown
+            evM.filter(unix_micros(col("ts")) >= hi - width)
+              .coalesce(2).write.parquet(f"$stage/in/s$slices%02d")
+            t(s"stream_restart_warm_$label") { runOnce("probe_restart_sink2") }
+          } finally spark.conf.unset(key)
         }
         deleteTree(stage)
       }
@@ -365,7 +412,7 @@ object ScaleProbe {
       ordersN.unpersist()
     }
 
-    if (probes.intersect(Set("v3", "v5", "v6", "v8")).nonEmpty) {
+    if (probes.intersect(Set("v3", "v5", "v6", "v8", "v9")).nonEmpty) {
       val emb1 = graft.sources.Tables.load(spark, sfDir, "embeddings")
       val embN = (0 until mult).map { r =>
         emb1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
@@ -398,6 +445,36 @@ object ScaleProbe {
             initStride = 13L * m, ksub = 16, iters = 2)
           Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5,
             codebooks = cbs, m = 4, subDim = 16, rerankFactor = 8).count()
+        }
+        // v9: the persisted IVF+PQ serving index. Build (train + encode +
+        // write) is the once-per-corpus-version cost and must stay ~linear;
+        // the QUERY phase serves from partition-pruned code lists and must
+        // stay roughly FLAT as the corpus grows (probing nprobe/K of it).
+        // Phase timers go to stderr; the headline number is build+query.
+        if (on("v9")) t(s"v9_ivfpq_index_$label") {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_ivfpq_").toString
+          val w = new graft.sources.TableWriter(wh)
+          def ph[T](what: String)(f: => T): T = {
+            val t0 = System.nanoTime()
+            val r = f
+            System.err.println(
+              f"    [v9_$label] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            r
+          }
+          ph("build") {
+            val cents = Similarity.trainIvfCentroids(e, initStride = 97L * m, iters = 3)
+            val cbs = Similarity.trainPqCodebooks(e, m = 4, subDim = 16,
+              initStride = 13L * m, ksub = 16, iters = 2)
+            Similarity.buildIvfPqIndex(e, cents, cbs, m = 4, subDim = 16, w, "emb")
+          }
+          val n = ph("query") {
+            Similarity.queryIvfPqIndex(spark, w, "emb", e,
+              e.filter(col("vec_id") < 8), k = 5, nprobe = 2,
+              rerankFactor = 8).count()
+          }
+          deleteTree(wh)
+          n
         }
       }
       embN.unpersist()

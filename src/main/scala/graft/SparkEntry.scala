@@ -2602,34 +2602,34 @@ object SparkEntry {
         col("event_type"), col("value"))
     val stage = java.nio.file.Files
       .createTempDirectory("graft_q83_").toString
-    (0 until 4).foreach { c =>
-      e.filter(pmod(col("event_id"), lit(4)) === c)
-        .coalesce(1).write.parquet(s"$stage/c$c")
-    }
+    // ONE pass slices the history into 4 hash chunks (hash-sliced, not
+    // time-sliced, deliberately: later batches carry older events, the
+    // adversarial shape for order-independence); repartition on the chunk
+    // key lands each chunk in one task → one file per chunk dir
+    e.withColumn("__c", pmod(col("event_id"), lit(4)).cast("int"))
+      .repartition(col("__c"))
+      .write.partitionBy("__c").parquet(s"$stage/chunks")
     val wh = s"$q40Scratch/streamupsert"
     deleteTree(java.nio.file.Paths.get(wh))
     val writer = new graft.sources.TableWriter(wh)
-    val tableP = new java.io.File(writer.path("user_latest"))
     val latestW = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
     val stream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$stage/c*")
+      .parquet(s"$stage/chunks/__c=*")
+    // per-batch resolution happens INSIDE the merge: resolveOrder makes
+    // mergeByKey keep the per-user argmax across existing ∪ batch in its
+    // one window pass — no second table read, no caller-side pre-merge.
+    // The argmax is associative, so the table stays batch-order-
+    // independent (the property the oracle checks).
     val q = stream.writeStream
       .option("checkpointLocation", s"$stage/_ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val inBatch = batch
           .withColumn("__rn", row_number().over(latestW))
           .filter(col("__rn") === 1).drop("__rn")
-        val resolved = if (!tableP.exists) inBatch
-        else {
-          val existing = writer.read(s, "user_latest").drop("__bucket")
-            .join(inBatch.select("user_id"), Seq("user_id"), "left_semi")
-          existing.unionByName(inBatch)
-            .withColumn("__rn", row_number().over(latestW))
-            .filter(col("__rn") === 1).drop("__rn")
-        }
-        writer.mergeByKey(s, "user_latest", resolved, "user_id")
+        writer.mergeByKey(s, "user_latest", inBatch, "user_id",
+          resolveOrder = Seq(col("ts").desc, col("event_id").desc))
         ()
       }
       .start()

@@ -71,23 +71,34 @@ object ManifestIndex {
     * range-clustered 100 TB table a year-long count touches two
     * boundary files instead of the year. Returns
     * (count, metadataOnlyFiles, scannedFiles).
+    *
+    * Scale shape (Iceberg-style distributed manifest evaluation): the
+    * CONTAINED files' contribution is a distributed aggregate over the
+    * manifest — the driver never materializes the contained file list,
+    * which at 100 TB is O(10⁷) paths. Only the BOUNDARY file paths are
+    * collected, and on a range-clustered table the range cuts through
+    * O(1) files regardless of table size (a year-long range has two
+    * boundaries however many files the year spans).
     */
   def countRange(spark: SparkSession, tablePath: String, c: String,
       lo: Any, hi: Any): (Long, Int, Int) = {
     val m = spark.read.parquet(manifestPath(tablePath))
     val contained = col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi)
     val overlaps = col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
-    // bounded collect: one row per overlapping file
-    val rows = m.filter(overlaps)
-      .select(col("file"), contained.as("cont"), col(s"nn_$c").cast("long"))
-      .collect()
-    val (inside, boundary) = rows.partition(_.getBoolean(1))
-    val metaCount = inside.map(_.getLong(2)).sum
+    // contained files: pruning-as-an-aggregate, nothing collected but the sum
+    val metaRow = m.filter(overlaps && contained)
+      .agg(coalesce(sum(col(s"nn_$c").cast("long")), lit(0L)).as("meta"),
+        count(lit(1)).as("n"))
+      .head()
+    val (metaCount, insideN) = (metaRow.getLong(0), metaRow.getLong(1))
+    // bounded collect: boundary files only — O(1) on a clustered table
+    val boundary = m.filter(overlaps && !contained)
+      .select(col("file")).collect().map(_.getString(0))
     val scanned =
       if (boundary.isEmpty) 0L
-      else spark.read.parquet(boundary.map(_.getString(0)).toIndexedSeq: _*)
+      else spark.read.parquet(boundary.toIndexedSeq: _*)
         .filter(col(c) >= lit(lo) && col(c) <= lit(hi)).count()
-    (metaCount + scanned, inside.length, boundary.length)
+    (metaCount + scanned, insideN.toInt, boundary.length)
   }
 
   /** Scan only the files the manifest can't rule out. The result is a

@@ -57,9 +57,21 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     * merge-on-read do this with finer granularity; the bucket-scoped
     * rewrite is the honest plain-parquet equivalent.) The incoming batch
     * must carry at most one row per key.
+    *
+    * `resolveOrder` (optional) replaces the default "incoming wins"
+    * rule with an ATTRIBUTE-BASED winner: the first row per key under
+    * that ordering survives, whether it came from the batch or the
+    * table. This makes the merge an associative argmax — batches can
+    * arrive in any order and the table converges to the same state
+    * (the streaming-upsert property q83 proves) — and it resolves in
+    * ONE window pass inside the merge instead of a caller-side
+    * pre-merge against a second read of the table. The ordering must be
+    * total per key (break ties on a unique column) or the winner is
+    * nondeterministic.
     */
   def mergeByKey(spark: org.apache.spark.sql.SparkSession, name: String,
-      incoming: DataFrame, key: String, numBuckets: Int = 16): String = {
+      incoming: DataFrame, key: String, numBuckets: Int = 16,
+      resolveOrder: Seq[org.apache.spark.sql.Column] = Nil): String = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val withBucket = incoming
@@ -77,32 +89,51 @@ final class TableWriter(warehouseDir: String) extends Serializable {
         .withColumn("__bucket", col("__bucket").cast("int"))
         .filter(col("__bucket").isin(affected: _*))
         .withColumn("__gen", lit(0))
-      val w = Window.partitionBy(col(key))
-        .orderBy(col("__gen").desc) // incoming wins
+      val w = Window.partitionBy(col(key)).orderBy(
+        (if (resolveOrder.nonEmpty) resolveOrder
+         else Seq(col("__gen").desc)): _*) // default: incoming wins
       existing.unionByName(withBucket)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
-    // stage first (the dynamic overwrite would otherwise overwrite a path
-    // its own plan is reading); always clean the scratch dir — a failure
-    // between stage write and overwrite must not leave __stage_* shadowing
-    // the table namespace
+    // stage first (writing the table in place would overwrite the path the
+    // merge plan itself is reading), then SWAP the staged bucket dirs into
+    // the table root — renames are metadata ops, so the touched-bucket
+    // content is physically written ONCE per merge instead of twice (the
+    // old dynamic-overwrite pass re-wrote the whole staged content). The
+    // repartition clusters each bucket into one task, so file count tracks
+    // buckets — without it every shuffle task fans a file into every
+    // bucket dir (tasks × buckets small files at scale). Old bucket
+    // content moves to an underscore-prefixed, '='-free trash name first
+    // (hidden from readers — partition discovery only keeps underscore
+    // dirs that look like partitions), so readers never see two
+    // generations of one bucket; a crash mid-swap leaves at most a
+    // briefly-missing bucket and trash that the next merge sweeps.
     val stage = path(s"__stage_$name")
+    val stageP = new org.apache.hadoop.fs.Path(stage)
     try {
-      merged.drop("__gen").write.mode(SaveMode.Overwrite).parquet(stage)
-      // cluster by bucket before the partitioned write: each bucket's rows
-      // land in one task, so file count tracks buckets — without this,
-      // every shuffle task fans out a file into every bucket dir
-      // (tasks × buckets small files at scale)
-      spark.read.parquet(stage)
+      merged.drop("__gen")
         .repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
-        .parquet(path(name))
+        .parquet(stage)
+      if (!fs.exists(p)) fs.mkdirs(p)
+      // sweep trash a previous crashed swap may have left
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("_trash_"))
+        .foreach(st => fs.delete(st.getPath, true))
+      fs.listStatus(stageP)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+        .foreach { st =>
+          val bucketDir = st.getPath.getName
+          val dst = new org.apache.hadoop.fs.Path(p, bucketDir)
+          val trash = new org.apache.hadoop.fs.Path(p,
+            "_trash_" + bucketDir.replace("=", "_"))
+          if (fs.exists(dst)) fs.rename(dst, trash)
+          fs.rename(st.getPath, dst)
+          fs.delete(trash, true)
+        }
     } finally {
-      val sp = new org.apache.hadoop.fs.Path(stage)
-      sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+      fs.delete(stageP, true)
     }
     path(name)
   }

@@ -62,6 +62,38 @@ class ManifestSkipSpec extends SparkSpec {
       ((0L, 0, 0)))
   }
 
+  test("countRange at a 100k-file manifest: contained mass aggregates distributively, driver collects only boundaries") {
+    // A synthetic manifest standing in for a 100 TB table's file listing:
+    // 100,000 file rows, each owning a disjoint 10-unit range of `a`. No
+    // physical files behind the contained rows are needed BECAUSE the
+    // point under test is that countRange never touches them — the
+    // contained contribution comes from a distributed aggregate over the
+    // manifest frame (pruning-as-a-join), and the only rows the driver
+    // collects are the BOUNDARY files, which a clustered layout bounds at
+    // O(1) whatever the table size. A range with clean edges collects
+    // ZERO paths here; the old implementation collected all 10^5
+    // overlapping rows (GB-scale at O(10^7) real files).
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigmanifest").toString
+    val nFiles = 100000L
+    (0L until nFiles).toDF("fid")
+      .select(
+        concat(lit("synthetic://f"), col("fid")).as("file"),
+        lit(10L).as("n_rows"),
+        (col("fid") * 10).cast("int").as("min_a"),
+        (col("fid") * 10 + 9).cast("int").as("max_a"),
+        lit(10L).as("nn_a"))
+      .write.mode("overwrite").parquet(s"$dir/t/_manifest")
+    // clean-edged range over half the table: every overlapping file is
+    // contained → zero boundary files → zero scans of nonexistent paths,
+    // and the count is exact from metadata alone
+    val (n, inside, scanned) =
+      ManifestIndex.countRange(spark, s"$dir/t", "a", 0, nFiles / 2 * 10 - 1)
+    assert(n == nFiles / 2 * 10 && inside == nFiles / 2 && scanned == 0)
+    // pre-history range: nothing contained, nothing scanned
+    assert(ManifestIndex.countRange(spark, s"$dir/t", "a", -5000, -1) ==
+      ((0L, 0, 0)))
+  }
+
   test("a file with all-null bounds is dropped — sound for null-rejecting predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest-n").toString
     val w = new TableWriter(dir)
