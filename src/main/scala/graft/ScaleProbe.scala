@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [sfDir] [mult] [probes]
   *   probes: comma-separated subset of
-  *     d3,d11,d15,d18,d21,d35,bpe,v3,v5,v6,v8,v9,q32,d33,d34,q59,q62,q63,
-  *     q69,q70,q71,q20,q43,stream
+  *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,q32,d33,d34,
+  *     q59,q62,q63,q69,q70,q71,q20,q43,stream,restart
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -28,9 +28,9 @@ object ScaleProbe {
     val mult = if (args.length > 1) args(1).toInt else 10
     val probes: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
-      else Set("d3", "d11", "d15", "d18", "d21", "d35", "bpe", "v3", "v5",
-        "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69", "q70", "q71",
-        "q20", "q43", "v8", "v9")
+      else Set("d3", "d11", "d15", "d18", "d21", "d35", "d36", "d37", "bpe",
+        "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
+        "q70", "q71", "q20", "q43", "v8", "v9")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -68,7 +68,8 @@ object ScaleProbe {
     }
 
     if (probes.intersect(
-        Set("d3", "d11", "d15", "d18", "d21", "d35", "bpe", "d33", "d34")).nonEmpty) {
+        Set("d3", "d11", "d15", "d18", "d21", "d35", "d37", "bpe", "d33",
+          "d34")).nonEmpty) {
       val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
       val docsN = replicate(docs1, "doc_id", mult, mutate = true)
         .repartition(cpus.toInt).persist()
@@ -111,6 +112,39 @@ object ScaleProbe {
             concat(lit("tail "), col("doc_id"))))
           Dedup.dropBoilerplateLines(lined, "doc_id", "text",
             maxLineDocFreq = 50L).count()
+        }
+        // d37: incremental dedup against a persisted band index. The NEW
+        // batch is FIXED (the base corpus's %10 slice — one crawl
+        // increment) while the indexed corpus grows with mult, so the two
+        // timers separate the once-per-corpus index build (~linear) from
+        // the per-batch incremental cost (one broadcast-join scan of the
+        // index, no signature recompute for indexed docs).
+        if (on("d37")) {
+          val newBatch = docs1.filter(col("doc_id") % 10 === 0)
+          val oldDocs = d.filter(col("doc_id") % 10 =!= 0)
+          val idxDir = java.nio.file.Files
+            .createTempDirectory("probe_lshidx_").toString
+          t(s"d37_index_build_$label") {
+            Dedup.minhashBandRows(
+              Dedup.minhashSignatures(oldDocs, "doc_id", "text",
+                n = 3, numHashes = 64), numHashes = 64, bands = 32)
+              .write.mode("overwrite").parquet(idxDir)
+            spark.read.parquet(idxDir).count()
+          }
+          val index = spark.read.parquet(idxDir)
+          t(s"d37_incremental_$label") {
+            val nb = Dedup.minhashBandRows(
+              Dedup.minhashSignatures(newBatch, "doc_id", "text",
+                n = 3, numHashes = 64), numHashes = 64, bands = 32)
+            val cands = Dedup.incrementalLshCandidates(index, nb)
+              .select(col("id_old").as("id_a"), col("id_new").as("id_b"))
+            val candIds = cands.select(col("id_a").as("doc_id"))
+              .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
+            val slim = d.join(candIds, Seq("doc_id"), "left_semi")
+            Dedup.verifyPairsExact(slim, cands, "doc_id", "text",
+              n = 3, threshold = 0.35).count()
+          }
+          deleteTree(idxDir)
         }
         if (on("bpe")) t(s"d28_bpe_tokens_$label") {
           // corpus-linear per-row merge loop (memoized per distinct word)
@@ -184,8 +218,10 @@ object ScaleProbe {
     // keys), so window/state-key count grows linearly while per-window
     // arrival density stays constant — the honest shape for "more history
     // at the same rate". Measures the default (on-heap) provider, the
-    // RocksDB provider, and the stream-stream interval join.
-    if (on("stream")) {
+    // RocksDB provider, and the stream-stream interval join. `restart`
+    // selects just the checkpoint-restore leg (the rest of the family
+    // already has recorded numbers and is expensive at 100×).
+    if (on("stream") || on("restart")) {
       val ev1 = graft.sources.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -225,11 +261,11 @@ object ScaleProbe {
         def tumbling = stream
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"))
-        t(s"stream_tumbling_$label") {
+        if (on("stream")) t(s"stream_tumbling_$label") {
           graft.streaming.StreamOracle
             .converge(tumbling, "probe_stream_sink").count()
         }
-        t(s"stream_rocksdb_$label") {
+        if (on("stream")) t(s"stream_rocksdb_$label") {
           val key = "spark.sql.streaming.stateStore.providerClass"
           spark.conf.set(key,
             "org.apache.spark.sql.execution.streaming.state." +
@@ -238,7 +274,7 @@ object ScaleProbe {
             .converge(tumbling, "probe_stream_rdb_sink").count()
           finally spark.conf.unset(key)
         }
-        t(s"stream_interval_join_$label") {
+        if (on("stream")) t(s"stream_interval_join_$label") {
           graft.streaming.StreamOracle.convergeAppend(
             graft.operators.EventsOps.intervalJoin(
               stream.filter(col("event_type") === "error"),
@@ -412,7 +448,7 @@ object ScaleProbe {
       ordersN.unpersist()
     }
 
-    if (probes.intersect(Set("v3", "v5", "v6", "v8", "v9")).nonEmpty) {
+    if (probes.intersect(Set("v3", "v5", "v6", "v8", "v9", "d36")).nonEmpty) {
       val emb1 = graft.sources.Tables.load(spark, sfDir, "embeddings")
       val embN = (0 until mult).map { r =>
         emb1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
@@ -475,6 +511,20 @@ object ScaleProbe {
           }
           deleteTree(wh)
           n
+        }
+        // d36 SemDeDup: K scales as ~√N (stride = N/K), the regime that
+        // balances centroid assignment (O(N·K)) against the within-cluster
+        // pair scan (expected O(N²/K)) at O(N^1.5) total — the paper's
+        // fixed-cluster-size regime (K ∝ N) needs approximate assignment
+        // (assign through an IVF probe, not exact argmax over all K) to
+        // beat it; this probe measures the exact-assignment form.
+        if (on("d36")) t(s"d36_semdedup_$label") {
+          val stride = math.max(1L,
+            (44 * math.sqrt(m.toDouble)).round)
+          val cents = Similarity.trainIvfCentroids(e, initStride = stride,
+            iters = 2)
+          Similarity.semDedup(e, cents, minCosine = 0.45)
+            .filter(!col("kept")).count()
         }
       }
       embN.unpersist()

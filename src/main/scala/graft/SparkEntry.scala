@@ -1576,6 +1576,7 @@ object SparkEntry {
     refClassifiedCache.clear()
     lmModelCache.clear()
     dppBuildCache.clear()
+    d37IndexCache.clear()
     ivfIndexCache.clear()
     ivfPqIndexCache.clear()
     pqCodebookCache.clear()
@@ -1704,6 +1705,109 @@ object SparkEntry {
        |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
        |           FROM kept GROUP BY 1) kt USING (doc_id)""".stripMargin
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via the embedding
+    * space's k-means partition — pairwise cosine ONLY within a cluster,
+    * drop the higher id of any pair at ≥ minCosine. Reuses the v3 trained
+    * quantizer (same stride init, same Lloyd rounds), so the oracle
+    * replays training via ivfTrainCtesSql and then the within-cluster
+    * pair scan + keep rule in plain SQL. The float threshold compare is
+    * safe for the same reason v3's rank ordering is: Spark's sequential
+    * dot fold and DuckDB's list_dot_product are bit-identical on these
+    * vectors (the v3/v6 oracles would break on any divergence), so both
+    * engines see the same side of the >= for every pair. 0.45 sits inside
+    * this corpus's within-cluster near-dup band (in-cluster cosines top
+    * out at 0.51/0.60 at sf0.01/sf0.1): 8/500 resp. 40/2000 vectors drop.
+    */
+  private val d36MinCosine = 0.45
+
+  private def d36SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
+    Similarity.semDedup(e, cents, minCosine = d36MinCosine)
+  }
+
+  private def d36OracleSql: String = {
+    val cf = s"cent$ivfIters"
+    s"""$ivfTrainCtesSql
+       |), assigned AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT c.vec_id, c.v, ct.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
+       |        ct.cent_id ASC) AS rn
+       |    FROM c CROSS JOIN $cf ct
+       |  ) WHERE rn = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v)
+       |      / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+       |    >= $d36MinCosine
+       |)
+       |SELECT a.vec_id, a.cent_id, d.vec_id IS NULL AS kept
+       |FROM assigned a LEFT JOIN dropped d USING (vec_id)""".stripMargin
+  }
+
+  /** Incremental dedup against a PERSISTED MinHash band index — the crawl
+    * pattern: the corpus's (id, band, band_hash) rows are a table built
+    * once (here: docs with doc_id % 10 != 0, written through TableWriter
+    * into session scratch), and each NEW batch (doc_id % 10 == 0) is
+    * signatured, banded, broadcast against the index scan, exact-verified,
+    * and appended. No signature recompute for indexed docs, no shuffle of
+    * the index. Same recall discipline as d3: banding at 32×2 proposes a
+    * superset of all true ≥0.35 pairs on this corpus
+    * (IncrementalIndexSpec asserts it, plus append == full rebuild), so
+    * the oracle is the EXACT new-vs-old pair set.
+    */
+  private val d37IndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def d37IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val index = d37IndexCache.getOrElseUpdate((s, dir), {
+      val path = s"$q40Scratch/lshindex_${java.lang.Integer.toHexString(dir.hashCode)}"
+      Dedup.minhashBandRows(
+          Dedup.minhashSignatures(
+            d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+            n = 3, numHashes = 64),
+          numHashes = 64, bands = 32)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+    val newBands = Dedup.minhashBandRows(
+      Dedup.minhashSignatures(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        n = 3, numHashes = 64),
+      numHashes = 64, bands = 32)
+    val cands = Dedup.incrementalLshCandidates(index, newBands)
+      .select(col("id_old").as("id_a"), col("id_new").as("id_b"))
+    // exact verify only re-reads TEXT for docs that appear in a candidate
+    // pair (semi-join first) — the corpus is never re-shingled wholesale
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
+    val slim = d.join(candIds, Seq("doc_id"), "left_semi")
+    Dedup.verifyPairsExact(slim, cands, "doc_id", "text", n = 3, threshold = 0.35)
+      .select(col("id_a").as("old_id"), col("id_b").as("new_id"),
+        col("n_common"), col("jaccard"))
+  }
+
+  private def d37OracleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), exploded AS (
+       |  SELECT id, len(shingles) AS set_size, UNNEST(shingles) AS sh FROM docs
+       |)
+       |SELECT a.id AS old_id, b.id AS new_id, COUNT(*) AS n_common,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) AS jaccard
+       |FROM exploded a JOIN exploded b ON a.sh = b.sh
+       |  AND a.id % 10 <> 0 AND b.id % 10 = 0
+       |GROUP BY a.id, b.id, a.set_size, b.set_size
+       |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.set_size + b.set_size - COUNT(*) AS DOUBLE) >= 0.35""".stripMargin
 
   private def d21LineDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3049,6 +3153,8 @@ object SparkEntry {
       graft.models.MediaFixture.videoFeatures(s)),
     "d21_line_dedup" -> (d21LineDedup _),
     "d35_span_dedup" -> (d35SpanDedup _),
+    "d36_semdedup" -> (d36SemDedup _),
+    "d37_incremental_minhash" -> (d37IncrementalMinhash _),
     "d22_seq_packing" -> (d22SeqPacking _),
     "d14_length_filter" -> (d14LengthFilter _),
     "d15_corpus_pipeline" -> (d15CorpusPipeline _),
@@ -4397,6 +4503,8 @@ object SparkEntry {
 
     "d21_line_dedup" -> d21OracleSql,
     "d35_span_dedup" -> d35OracleSql,
+    "d36_semdedup" -> d36OracleSql,
+    "d37_incremental_minhash" -> d37OracleSql,
 
     // d28/d29: the oracle replays the BPE merge loop itself — recursive
     // CTE over the distinct words, one leftmost-lowest-rank merge per

@@ -335,29 +335,46 @@ object Dedup {
     * band hash become candidates (one shuffle on the band key). Estimated
     * Jaccard = fraction of agreeing signature slots.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-
-    // Signatures are reused three times (band hashing + both sides of the
-    // est-Jaccard lookup); persist so the shingle+hash work runs once.
-    val signed = df.select(
+  /** MinHash signatures: one row per doc, `(id, sig)` with `numHashes`
+    * min-hash slots. Shared by the one-shot pair scan and the persisted
+    * incremental index.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(
       col(idCol).as("id"),
       TextFns.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", TextFns.minhashSignature(col("sh"), numHashes))
       .select("id", "sig")
-      .persist()
 
-    // Band join carries only (band, band_hash, id) — signatures stay out of
-    // the shuffle; candidate ids are deduped before signatures re-attach.
-    val banded = signed.select(
+  /** LSH band rows `(id, band, band_hash)` from a signature frame — the
+    * row shape a persisted band index stores (docs sharing any
+    * (band, band_hash) are candidates).
+    */
+  def minhashBandRows(signed: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    signed.select(
       col("id"),
       posexplode(array((0 until bands).map { bIdx =>
         xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
       }: _*)).as(Seq("band", "band_hash")))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+
+    // Signatures are reused three times (band hashing + both sides of the
+    // est-Jaccard lookup); persist so the shingle+hash work runs once.
+    val signed = minhashSignatures(df, idCol, textCol, n, numHashes).persist()
+
+    // Band join carries only (band, band_hash, id) — signatures stay out of
+    // the shuffle; candidate ids are deduped before signatures re-attach.
+    val banded = minhashBandRows(signed, numHashes, bands)
 
     val l = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
     val r = banded.select(col("id").as("id_b"), col("band"), col("band_hash"))
@@ -382,6 +399,24 @@ object Dedup {
     signed.unpersist(blocking = false)
     out
   }
+
+  /** Incremental dedup of a NEW batch against a PERSISTED band index: the
+    * 100 TB crawl pattern — the corpus's (id, band, band_hash) rows live in
+    * a table built once and appended per batch, so deduplicating today's
+    * crawl never re-signatures yesterday's corpus. The new batch (small by
+    * contract — one crawl increment vs the whole corpus) is signatured,
+    * banded, and BROADCAST against the index: the join is one linear scan
+    * of the index with zero shuffle of it, and no signature recompute for
+    * indexed docs. Returns candidate `(id_old, id_new)` pairs; callers
+    * verify exactly (same recall discipline as the one-shot LSH path) and
+    * then append the new batch's band rows to the index.
+    */
+  def incrementalLshCandidates(index: DataFrame, newBands: DataFrame): DataFrame =
+    index.select(col("id").as("id_old"), col("band"), col("band_hash"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        newBands.select(col("id").as("id_new"), col("band"), col("band_hash"))),
+        Seq("band", "band_hash"))
+      .select("id_old", "id_new").distinct()
 
   /** Connected components over a near-dup pair list → dedup clusters: every
     * member maps to the minimum id reachable through any chain of pairs (the

@@ -850,4 +850,55 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "rank")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication through the cluster structure of the embedding space.
+    * Every vector is assigned to its nearest trained centroid (same
+    * deterministic argmax-cosine rule as the IVF family), and pair
+    * comparison happens ONLY within a cluster — the k-means partition is
+    * what keeps the pair space out of O(N²). A vector is dropped when any
+    * LOWER-id member of its cluster is within `minCosine` of it — a
+    * deterministic, order-independent keep rule (the paper keeps one
+    * exemplar per semantic-duplicate group; lowest id is the exemplar
+    * choice here, matching the dedup family's convention).
+    *
+    * Scale shape: one broadcast join against the centroid literals + one
+    * equi-shuffle on `cent_id`; within-cluster pair count is Σ|c|², the
+    * quantity the paper controls by growing K with the corpus (clusters of
+    * ~constant size; train on a fixed-size sample so training stays O(1)
+    * in the corpus). Output: (vec_id, cent_id, kept) for every input row.
+    */
+  def semDedup(emb: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cand = emb.select(col(idCol).as("vid"),
+        VectorFns.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+    val cents = broadcast(centroids.toDF("cent_id", "cent_vec")
+      .withColumn("cent_norm", VectorFns.norm(col("cent_vec"))))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val assigned = cand.join(cents)
+      .withColumn("cent_sim", VectorFns.cosinePre(
+        VectorFns.dot(col("v"), col("cent_vec")), col("nrm"), col("cent_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("cent_id"))
+    val a = assigned.select(col("cent_id"), col("vid").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cent_id"), col("vid").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val dropped = a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFns.cosinePre(VectorFns.dot(col("v_a"), col("v_b")),
+        col("n_a"), col("n_b")) >= minCosine)
+      .select(col("id_b").as("vid")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.select(col("vid"), col("cent_id"))
+      .join(dropped, Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cent_id"),
+        col("is_dropped").isNull.as("kept"))
+  }
 }
