@@ -97,8 +97,14 @@ object ScaleProbe {
         // d35: cross-doc span dedup (Lee et al.) — ONE gram-keyed shuffle
         // over in-row 8-grams; replicas share their pre-mutation passages,
         // so duplicated-span mass GROWS with mult (the hard direction)
+        // sum over the REBUILT text (not .count()): the output is one row
+        // per doc through left joins on unique keys, so a bare count lets
+        // the optimizer collapse the whole strike/reassemble pipeline —
+        // measured: flat 0.8 s from 5k to 500k docs, i.e. nothing ran
         if (on("d35")) t(s"d35_span_dedup_$label") {
-          Dedup.spanDedup(d, "doc_id", "text", k = 8).count()
+          Dedup.spanDedup(d, "doc_id", "text", k = 8)
+            .select(sum(length(col("cleaned"))) + sum(col("n_dup_pos")))
+            .head().getLong(0)
         }
         // d21: line-boilerplate strike — two line-keyed shuffles. The
         // testdata text carries no newlines, so a line structure is
@@ -111,7 +117,8 @@ object ScaleProbe {
               lit(" shared promo line")),
             concat(lit("tail "), col("doc_id"))))
           Dedup.dropBoilerplateLines(lined, "doc_id", "text",
-            maxLineDocFreq = 50L).count()
+              maxLineDocFreq = 50L)
+            .select(sum(length(col("text")))).head().getLong(0)
         }
         // d37: incremental dedup against a persisted band index. The NEW
         // batch is FIXED (the base corpus's %10 slice — one crawl
@@ -295,19 +302,32 @@ object ScaleProbe {
             "org.apache.spark.sql.execution.streaming.state." +
               "RocksDBStateStoreProvider")
           try {
-            val ck = s"$stage/_restart_ckpt"
-            def runOnce(qn: String): Long = {
+            def runOnce(ck: String, qn: String): Long = {
               val q = tumbling.writeStream
                 .outputMode("complete").format("memory").queryName(qn)
                 .option("checkpointLocation", ck).start()
               try { q.processAllAvailable(); spark.table(qn).count() }
               finally q.stop()
             }
-            t(s"stream_restart_cold_$label") { runOnce("probe_restart_sink") }
+            val ck = s"$stage/_restart_ckpt"
+            t(s"stream_restart_cold_$label") { runOnce(ck, "probe_restart_sink") }
             // one more slice lands after the shutdown
             evM.filter(unix_micros(col("ts")) >= hi - width)
               .coalesce(2).write.parquet(f"$stage/in/s$slices%02d")
-            t(s"stream_restart_warm_$label") { runOnce("probe_restart_sink2") }
+            t(s"stream_restart_warm_$label") { runOnce(ck, "probe_restart_sink2") }
+            // same curve under CHANGELOG checkpointing — the production
+            // toggle that commits per-batch changelogs instead of full
+            // RocksDB snapshots (cheaper steady-state commits; restore =
+            // last snapshot + changelog replay). Fresh checkpoint dir:
+            // the format is checkpoint-sticky, a restart cannot flip it.
+            val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+              "changelogCheckpointing.enabled"
+            spark.conf.set(clKey, "true")
+            try {
+              val ck2 = s"$stage/_restart_ckpt_cl"
+              t(s"stream_restart_cl_cold_$label") { runOnce(ck2, "probe_restart_cl") }
+              t(s"stream_restart_cl_warm_$label") { runOnce(ck2, "probe_restart_cl2") }
+            } finally spark.conf.unset(clKey)
           } finally spark.conf.unset(key)
         }
         deleteTree(stage)
