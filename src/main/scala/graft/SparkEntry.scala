@@ -1579,6 +1579,7 @@ object SparkEntry {
     d37IndexCache.clear()
     ivfIndexCache.clear()
     ivfPqIndexCache.clear()
+    bm25IndexCache.clear()
     pqCodebookCache.clear()
     dagRunCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
@@ -3099,6 +3100,272 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** BM25 top-k lexical retrieval (v10) — the inverted-index serving
+    * plan over `documents`: postings built in one map-side-combined
+    * shuffle, the query term set broadcast against it, every downstream
+    * frame candidate-bounded (see [[Retrieval.bm25TopK]]). Queries are
+    * the first 8 tokens of every 97th doc. Output is rank-only: ln()
+    * differs between Java and DuckDB's libm by 1 ulp on ~0.1% of idf
+    * arguments (measured over this corpus's df domain), so the contract
+    * is the ordering — flips would need two distinct docs within ~1e-13
+    * relative BM25 score, while distinct docs differ by whole terms and
+    * identical docs tie exactly in both engines (doc_id breaks the tie).
+    */
+  private val bm25K = 10
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25QTerms = 8
+
+  /** Persisted BM25 inverted index, built once per (session, sfdir) —
+    * the serving composition (bucketed postings + vocab + stats); both
+    * v10 and v11 query it. Bit-identical to the one-shot
+    * [[Retrieval.bm25TopK]], which RetrievalSpec pins.
+    */
+  private val bm25IndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def bm25Index(s: SparkSession, dir: String): graft.sources.TableWriter =
+    bm25IndexCache.getOrElseUpdate((s, dir), {
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/bm25_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Retrieval.buildBm25Index(t(s, dir, "documents"), w, "docs")
+      w
+    })
+
+  private def v10Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, bm25Index(s, dir), "docs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Shared BM25 CTE chain (through ranked `bm`), parameterized on the
+    * query-document predicate; constants are interpolated from the SAME
+    * Scala doubles the Spark plan uses, so literal parsing can't diverge.
+    */
+  private def bm25CtesSql(queryPred: String): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), q AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, UNNEST(toks[1:$bm25QTerms]) AS term
+       |    FROM ws WHERE $queryPred
+       |  )
+       |), tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM ws
+       |  ) GROUP BY 1, 2, 3
+       |), qt AS (SELECT DISTINCT term FROM q
+       |), ctf AS (SELECT tf.* FROM tf JOIN qt USING (term)
+       |), dfreq AS (SELECT term, COUNT(*) AS df FROM ctf GROUP BY 1
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM ws
+       |), bmscored AS (
+       |  SELECT q.query_id, c.doc_id, c.term,
+       |    ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+       |        / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(c.tf AS DOUBLE) * ${bm25K1 + 1.0})
+       |      / (CAST(c.tf AS DOUBLE) + $bm25K1 * (${1.0 - bm25B}
+       |          + $bm25B * CAST(c.dl AS DOUBLE) / s.avgdl)) AS sc
+       |  FROM ctf c JOIN dfreq d USING (term) JOIN q ON q.term = c.term
+       |  CROSS JOIN stats s
+       |  WHERE c.doc_id <> q.query_id
+       |), bm AS (
+       |  SELECT query_id, doc_id, n_hit,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM (
+       |    SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       |      SUM(CAST(sc AS DECIMAL(38,18))) AS score
+       |    FROM bmscored GROUP BY 1, 2
+       |  )""".stripMargin
+
+  private def v10OracleSql: String =
+    s"""${bm25CtesSql("doc_id % 97 = 0")}
+       |)
+       |SELECT query_id, doc_id, rank, n_hit FROM bm WHERE rank <= $bm25K""".stripMargin
+
+  /** Hybrid retrieval via reciprocal-rank fusion (v11): BM25 lexical
+    * ranks fused with brute-force-cosine vector ranks over the SAME
+    * query set (every 97th id present in both `documents` and
+    * `embeddings`), rrf = Σ 1/(60+rank) in fixed addend order. Ranks
+    * are integers on both sides (bm25's robust per v10's argument,
+    * cosine's bit-exact per v1), so the fused score and ordering are
+    * deterministic.
+    */
+  private def v11HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val e = t(s, dir, "embeddings")
+    val qdocs = d.join(e.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val qterms = Retrieval.queryTerms(qdocs, col("doc_id") % 97 === 0, bm25QTerms)
+    val bm = Retrieval.queryBm25Index(s, bm25Index(s, dir), "docs", qterms,
+      k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+    val ann = Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 97 === 0),
+        k = bm25K)
+      .select(col("query_id"), col("nbr_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(bm, ann, k = bm25K)
+      .select(col("query_id"), col("doc_id"),
+        col("fused_rank").cast("long").as("fused_rank"),
+        col("rrf"),
+        col("rank_a").cast("long").as("bm25_rank"),
+        col("rank_b").cast("long").as("ann_rank"))
+  }
+
+  private def v11OracleSql: String =
+    s"""${bm25CtesSql("doc_id % 97 = 0 AND doc_id IN (SELECT vec_id FROM embeddings)")}
+       |), ec AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), eq AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM ec WHERE vec_id % 97 = 0
+       |), apairs AS (
+       |  SELECT eq.query_id, ec.vec_id AS doc_id,
+       |    list_dot_product(qv, v)
+       |      / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))) AS sim
+       |  FROM ec CROSS JOIN eq WHERE ec.vec_id <> eq.query_id
+       |), ann AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, doc_id) AS rank
+       |    FROM apairs
+       |  ) WHERE rank <= $bm25K
+       |), bmk AS (
+       |  SELECT query_id, doc_id, rank FROM bm WHERE rank <= $bm25K
+       |), fused AS (
+       |  SELECT query_id, doc_id, a.rank AS rank_a, b.rank AS rank_b,
+       |    COALESCE(1.0 / (60.0 + CAST(a.rank AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(b.rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM bmk a FULL JOIN ann b USING (query_id, doc_id)
+       |)
+       |SELECT query_id, doc_id, fused_rank, rrf, bm25_rank, ann_rank FROM (
+       |  SELECT query_id, doc_id,
+       |    CAST(rank_a AS BIGINT) AS bm25_rank,
+       |    CAST(rank_b AS BIGINT) AS ann_rank, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS fused_rank
+       |  FROM fused
+       |) WHERE fused_rank <= $bm25K""".stripMargin
+
+  /** Gopher quality rules (Rae et al. 2021, §A1.1) — the published
+    * heuristic filter set, one boolean per rule plus the conjunction:
+    * word count 50..100k, mean word length 3..10, ≥80% alphabetic
+    * words, ≥2 distinct stop words, symbol-token ratio ≤0.1, and (the
+    * repetition rule adapted to token granularity) the most frequent
+    * token ≤20% of the doc. All measures are single-division rationals
+    * over integer counts, so every threshold compare lands on the same
+    * side in both engines. The only shuffle is the (doc, token)
+    * mode-frequency aggregate, keyed by doc — embarrassingly parallel
+    * at any corpus size.
+    *
+    * Stop list: the paper's {the,be,to,of,and,that,have,with} collapses
+    * to {the} on this synthetic 31-token vocabulary (every doc fails),
+    * so the rule keeps its published form — ≥2 DISTINCT stop words —
+    * over the corpus's actual function words, the same list d5/d6
+    * already use.
+    */
+  private val gopherStops = Seq("the", "a", "of", "and")
+
+  private def d38GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val ws = d.select(col("doc_id"), split(col("text"), " ").as("toks"),
+      length(col("text")).as("tlen"))
+    val modeTf = ws.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_tf"))
+    val stopsArr = array(gopherStops.map(lit): _*)
+    val n = size(col("toks")).cast("double")
+    ws.join(modeTf, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        ((col("tlen").cast("double") - n + lit(1.0)) / n).as("mean_wlen"),
+        (size(filter(col("toks"), w => w.rlike("[a-zA-Z]"))).cast("double") / n)
+          .as("alpha_ratio"),
+        size(filter(stopsArr, st => array_contains(col("toks"), st)))
+          .cast("long").as("n_stop_kinds"),
+        (size(filter(col("toks"), w => w.contains("#") || w.contains("...")))
+          .cast("double") / n).as("symbol_ratio"),
+        (col("max_tf").cast("double") / n).as("top_tok_frac"))
+      .withColumn("ok_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("ok_mean_wlen",
+        col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+      .withColumn("ok_alpha", col("alpha_ratio") >= 0.8)
+      .withColumn("ok_stops", col("n_stop_kinds") >= 2)
+      .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("ok_top_tok", col("top_tok_frac") <= 0.2)
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_wlen") && col("ok_alpha")
+          && col("ok_stops") && col("ok_symbols") && col("ok_top_tok"))
+  }
+
+  private def d38OracleSql: String = {
+    val stops = gopherStops.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    LENGTH(text) AS tlen
+       |  FROM documents
+       |), mtf AS (
+       |  SELECT doc_id, MAX(c) AS max_tf FROM (
+       |    SELECT doc_id, w, COUNT(*) AS c
+       |    FROM (SELECT doc_id, UNNEST(toks) AS w FROM ws) GROUP BY 1, 2
+       |  ) GROUP BY 1
+       |), m AS (
+       |  SELECT w.doc_id,
+       |    CAST(len(w.toks) AS BIGINT) AS n_words,
+       |    (CAST(w.tlen AS DOUBLE) - CAST(len(w.toks) AS DOUBLE) + 1.0)
+       |      / CAST(len(w.toks) AS DOUBLE) AS mean_wlen,
+       |    CAST(len(list_filter(w.toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+       |      / CAST(len(w.toks) AS DOUBLE) AS alpha_ratio,
+       |    CAST(len(list_filter($stops, st -> list_contains(w.toks, st))) AS BIGINT)
+       |      AS n_stop_kinds,
+       |    CAST(len(list_filter(w.toks, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+       |      / CAST(len(w.toks) AS DOUBLE) AS symbol_ratio,
+       |    CAST(m.max_tf AS DOUBLE) / CAST(len(w.toks) AS DOUBLE) AS top_tok_frac
+       |  FROM ws w JOIN mtf m USING (doc_id)
+       |)
+       |SELECT doc_id, n_words, mean_wlen, alpha_ratio, n_stop_kinds,
+       |  symbol_ratio, top_tok_frac,
+       |  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       |  mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS ok_mean_wlen,
+       |  alpha_ratio >= 0.8 AS ok_alpha,
+       |  n_stop_kinds >= 2 AS ok_stops,
+       |  symbol_ratio <= 0.1 AS ok_symbols,
+       |  top_tok_frac <= 0.2 AS ok_top_tok,
+       |  n_words >= 50 AND n_words <= 100000
+       |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+       |    AND alpha_ratio >= 0.8 AND n_stop_kinds >= 2
+       |    AND symbol_ratio <= 0.1 AND top_tok_frac <= 0.2 AS keep
+       |FROM m""".stripMargin
+  }
+
+  /** Per-source vocabulary heavy hitters (d39): exact top-20 tokens per
+    * source by frequency. The corpus-sized stage is the one map-side-
+    * combined (source, token) count shuffle; the ranking window runs on
+    * the vocabulary-bounded aggregate (Zipf keeps that far below corpus
+    * size at any scale).
+    */
+  private def d39VocabTopK(s: SparkSession, dir: String): DataFrame =
+    Retrieval.topTokensPerGroup(t(s, dir, "documents"), "source", k = 20)
+      .withColumn("rank", col("rank").cast("long"))
+
+  private def d39OracleSql: String =
+    """WITH counts AS (
+      |  SELECT source, token, COUNT(*) AS cnt FROM (
+      |    SELECT source, UNNEST(string_split(text, ' ')) AS token
+      |    FROM documents
+      |  ) GROUP BY 1, 2
+      |)
+      |SELECT source, token, cnt, rank FROM (
+      |  SELECT source, token, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, token) AS rank
+      |  FROM counts
+      |) WHERE rank <= 20""".stripMargin
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3262,6 +3529,10 @@ object SparkEntry {
     "v7_ann_ivf_index" -> (v7AnnIvfIndex _),
     "v8_ann_pq" -> (v8AnnPq _),
     "v9_ann_ivfpq_index" -> (v9AnnIvfPqIndex _),
+    "v10_bm25_topk" -> (v10Bm25TopK _),
+    "v11_hybrid_rrf" -> (v11HybridRrf _),
+    "d38_gopher_rules" -> (d38GopherRules _),
+    "d39_vocab_topk" -> (d39VocabTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4483,6 +4754,10 @@ object SparkEntry {
     "v7_ann_ivf_index" -> v3OracleSql,
     "v8_ann_pq" -> v8OracleSql,
     "v9_ann_ivfpq_index" -> v9OracleSql,
+    "v10_bm25_topk" -> v10OracleSql,
+    "v11_hybrid_rrf" -> v11OracleSql,
+    "d38_gopher_rules" -> d38OracleSql,
+    "d39_vocab_topk" -> d39OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval and rank fusion over the documents corpus — the
+  * text half of a retrieval stack next to [[Similarity]]'s vector half.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - [[bm25TopK]] is the classic inverted-index serving plan expressed
+  *     relationally: ONE shuffle builds the (doc, term) postings with
+  *     map-side combine, the (tiny) query term set is broadcast against
+  *     it, and from that point every frame in the plan is
+  *     candidate-bounded — docs sharing at least one query term. The
+  *     corpus-wide frames (postings, document-length stats) never join
+  *     each other; document frequencies are computed on the
+  *     query-term-restricted postings only. No corpus-sized window, no
+  *     driver collect.
+  *   - [[rrfFuse]] joins two rank frames that are both top-k-bounded
+  *     (|queries| × k rows), so fusion cost is independent of corpus
+  *     size by construction.
+  *
+  * Determinism discipline (what makes these hash-matchable in DuckDB):
+  * per-term BM25 partials are cast to DECIMAL(38,18) and summed exactly
+  * — order-independent by construction, never a float SUM whose
+  * addition order the engine chooses. The one non-portable operation is
+  * ln() — Java's Math.log and DuckDB's libm disagree by 1 ulp on ~0.1%
+  * of idf arguments (measured) — so the contract output is the RANKING,
+  * not the score: rank flips would need two distinct docs within ~1e-13
+  * relative score, and genuinely distinct docs differ by whole terms
+  * while identical docs tie exactly in both engines and break on doc_id.
+  */
+object Retrieval {
+
+  /** Distinct (query_id, term) rows from the first `nTerms` tokens of
+    * each predicate-selected document — the deterministic query workload
+    * used by the v10/v11 entries. Query sets are assumed (and asserted
+    * nowhere else) to be broadcast-sized: queries are a serving-side
+    * input, not a corpus.
+    */
+  def queryTerms(docs: DataFrame, pred: Column, nTerms: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.filter(pred)
+      .select(col(idCol).as("query_id"),
+        explode(slice(split(col(textCol), " "), 1, nTerms)).as("term"))
+      .distinct()
+
+  /** Tokenized postings: one shuffle, map-side combined; dl rides the
+    * key (it is functionally dependent on doc_id, so key cardinality is
+    * unchanged). Columns: (doc_id, dl, term, tf).
+    */
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Shared scoring tail: candidate postings already restricted to query
+    * terms and carrying their df, joined to the (local, broadcast) query
+    * frame, scored per term, folded per (query, doc) in term order, and
+    * ranked per query. Corpus stats arrive as driver literals — two
+    * scalars whose collection is exact (long counts), so score bits are
+    * unchanged vs a frame-borne cross join, and no broadcast-build job
+    * re-executes corpus lineage for a single row.
+    */
+  private def scoreAndRank(cand: DataFrame, qDf: DataFrame, k: Int,
+      k1: Double, b: Double, nDocs: Long, avgdl: Double,
+      excludeSelf: Boolean): DataFrame = {
+    val scored0 = cand.join(broadcast(qDf), Seq("term"))
+    val scored = (if (excludeSelf)
+      scored0.filter(col("doc_id") =!= col("query_id")) else scored0)
+      .withColumn("s",
+        log((lit(nDocs.toDouble) - col("df").cast("double")
+            + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl").cast("double") / lit(avgdl))))
+
+    // deterministic summation without an order-pinned fold: per-term
+    // partials are cast to DECIMAL(38,18) and summed EXACTLY — addition
+    // order can't matter, the aggregate stays codegen'd with map-side
+    // partials (a collect_list+sorted-fold formulation measured 5×
+    // slower: interpreted ObjectHashAggregate over per-group arrays).
+    // 1e-18 resolution is far below any real score gap; the double→
+    // decimal cast follows the repo's q1-era money convention.
+    val perDoc = scored
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_hit"),
+        sum(col("s").cast("decimal(38,18)")).as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "n_hit")
+  }
+
+  /** Collect the (bounded, serving-side) query workload to the driver:
+    * (query_id, term) pairs plus the sorted distinct term list. Queries
+    * are requests, not a corpus — materializing them once keeps their
+    * lineage from re-executing under every broadcast build.
+    */
+  private def localQueries(queries: DataFrame): (Seq[(Long, String)], Seq[String]) = {
+    val rows = queries.select(col("query_id").cast("long"), col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    (rows, rows.map(_._2).distinct.sorted)
+  }
+
+  /** BM25 top-k retrieval (Robertson–Spärck Jones idf, k1/b as given),
+    * one-shot over a corpus frame. `queries` carries distinct
+    * (query_id, term) rows and is collected (bounded serving input).
+    * Output: (query_id, doc_id, rank, n_hit) — rank 1..k by score desc
+    * with doc_id as the total tie-break, n_hit = matched query terms.
+    * Set `excludeSelf` when query ids live in the doc id space and the
+    * query document itself should not be retrieved.
+    *
+    * Plan shape: ONE corpus pass builds the postings and a second
+    * computes the per-query-term document frequencies (both map-side
+    * combined); stats and dfs are driver-side scalars bounded by the
+    * query term count, so the main job is a single linear pipeline —
+    * scan → explode → combine-agg → term filter → two local-broadcast
+    * joins → fold → per-query top-k. For repeated query batches use
+    * [[buildBm25Index]]/[[queryBm25Index]], which persist the corpus
+    * passes.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, excludeSelf: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (qRows, qTerms) = localQueries(queries)
+    val qDf = qRows.toDF("query_id", "term")
+
+    val ws = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val statsRow = ws.agg(count(lit(1)), sum(size(col("toks")))).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+
+    val candTf = postingsOf(docs, idCol, textCol)
+      .filter(col("term").isin(qTerms: _*))
+    // df per query term: bounded by |qTerms|, collected and joined as
+    // local data (the alternative — a per-term window — repartitions
+    // candidate postings BY TERM, which skews on common terms)
+    val dfs = candTf.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cand = candTf.join(broadcast(dfs.toDF("term", "df")), Seq("term"))
+    scoreAndRank(cand, qDf, k, k1, b, nDocs, avgdl, excludeSelf)
+  }
+
+  /** Persist the BM25 serving index — the inverted-index layout that
+    * amortizes the corpus passes across query batches, in the same
+    * style as the IVF/PQ ANN index (v7/v9):
+    *   - `{name}_postings`: (doc_id, dl, term, tf) partitioned by
+    *     `term_bucket = pmod(xxhash64(term), buckets)` — a query batch
+    *     prunes to the buckets its terms hash into, so the fraction of
+    *     postings read scales with the query vocabulary, not the corpus
+    *     (hash-bucketed, not term-partitioned: real vocabularies are
+    *     100k+ terms, which would explode the directory count, and
+    *     Zipf-heavy terms would skew single-term partitions);
+    *   - `{name}_vocab`: (term, df) — document frequencies for ALL
+    *     terms, computed once from the written postings (no second
+    *     corpus tokenize);
+    *   - `{name}_stats`: one row (n_docs, sum_dl).
+    */
+  def buildBm25Index(docs: DataFrame, writer: graft.sources.TableWriter,
+      name: String, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val tf = postingsOf(docs, idCol, textCol)
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+    // cluster by bucket before the partitioned write: without this every
+    // shuffle partition spills a sliver into every bucket directory
+    // (partitions × buckets small files — file-listing cost dwarfs the
+    // data at query time); with it each bucket directory is one
+    // contiguous file per writing task that owns it
+    writer.materialize(s"${name}_postings",
+      tf.repartition(col("term_bucket")),
+      partitionBy = Seq("term_bucket"))
+    val written = writer.read(spark, s"${name}_postings")
+    writer.materialize(s"${name}_vocab",
+      written.groupBy("term").agg(count(lit(1)).as("df")))
+    writer.materialize(s"${name}_stats",
+      docs.select(split(col(textCol), " ").as("toks"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("sum_dl")))
+  }
+
+  /** Query a persisted BM25 index: stats and the query terms' dfs are
+    * tiny lookups; the one corpus-sized read is the postings scan,
+    * partition-pruned to the term buckets the query vocabulary hashes
+    * into and term-filtered inside them. Bit-identical ranking to
+    * [[bm25TopK]] over the same corpus (postings are integers, parquet
+    * round-trips them exactly, and the score arithmetic is shared).
+    */
+  def queryBm25Index(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false, buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val (qRows, qTerms) = localQueries(queries)
+    val qDf = qRows.toDF("query_id", "term")
+
+    val statsRow = writer.read(spark, s"${name}_stats").collect()(0)
+    val nDocs = statsRow.getAs[Long]("n_docs")
+    val avgdl = statsRow.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+    val dfs = writer.read(spark, s"${name}_vocab")
+      .filter(col("term").isin(qTerms: _*))
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"))).toSeq
+
+    // bucket list via the engine's own xxhash64 (one local-data job, no
+    // corpus scan) — keeps the pruning predicate in the partition
+    // column's written type (int), so pruning stays cast-free
+    val hit = qTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val cand = writer.read(spark, s"${name}_postings")
+      .filter(col("term_bucket").isin(hit: _*)
+        && col("term").isin(qTerms: _*))
+      .join(broadcast(dfs.toDF("term", "df")), Seq("term"))
+    scoreAndRank(cand, qDf, k, k1, b, nDocs, avgdl, excludeSelf)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two rank frames,
+    * each (query_id, <idCol>, rank): rrf = Σ 1/(rrfK + rank) over the
+    * systems that returned the id, re-ranked to top-k. The two addends
+    * are combined in a FIXED order (a then b), so the fused score is
+    * bit-deterministic given integer input ranks.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Double = 60.0,
+      idCol: String = "doc_id"): DataFrame = {
+    def side(df: DataFrame, as: String): DataFrame =
+      df.select(col("query_id"), col(idCol).as("id"), col("rank").as(as))
+    val fused = side(a, "rank_a")
+      .join(side(b, "rank_b"), Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_a").cast("double")),
+          lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("rank_b").cast("double")),
+            lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("id").asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("id").as(idCol), col("fused_rank"),
+        col("rrf"), col("rank_a"), col("rank_b"))
+  }
+
+  /** Exact top-k tokens per group by frequency (count desc, token asc).
+    * The corpus-sized work is the single (group, token) count shuffle
+    * with map-side combine; the window that ranks it runs on the
+    * aggregated frame, whose size is vocabulary-bounded (Zipf: far
+    * smaller than the corpus) — same post-agg-window justification as
+    * the rollup entries. Output: (<groupCol>, token, cnt, rank).
+    */
+  def topTokensPerGroup(docs: DataFrame, groupCol: String, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantics of the lexical-retrieval family (v10/v11/d38/d39). The
+  * oracles hash-check determinism against DuckDB; this spec pins the
+  * retrieval PROPERTIES on hand-built corpora where the right answer is
+  * computable by inspection.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // -------------------------------------------------------------- BM25
+
+  private val corpus = docs(
+    0L -> "apple banana cherry date egg fig grape melon",   // the query doc
+    1L -> "apple banana cherry date egg fig grape kiwi",    // 7 shared terms
+    2L -> "apple banana cherry plum pear quince rye sage",  // 3 shared
+    3L -> "apple walnut yam zucchini bean corn dill endive", // 1 shared
+    4L -> "walnut yam zucchini bean corn dill endive fennel", // 0 shared
+    5L -> "apple apple apple apple banana banana cherry date" // high tf
+  )
+
+  private lazy val q = Retrieval.queryTerms(corpus, col("doc_id") === 0L, 8)
+  private lazy val ranked =
+    Retrieval.bm25TopK(corpus, q, k = 10, excludeSelf = true)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_hit"))).toList
+
+  test("bm25: query terms are the distinct first-n tokens") {
+    val terms = q.select("term").as[String].collect().toSet
+    assert(terms ==
+      Set("apple", "banana", "cherry", "date", "egg", "fig", "grape", "melon"))
+  }
+
+  test("bm25: self is excluded, zero-overlap docs don't appear") {
+    val ids = ranked.map(_._1).toSet
+    assert(!ids.contains(0L), "query doc retrieved despite excludeSelf")
+    assert(!ids.contains(4L), "doc with no query term was scored")
+  }
+
+  test("bm25: n_hit counts matched query terms") {
+    val hits = ranked.map(t => t._1 -> t._3).toMap
+    assert(hits(1L) == 7L)
+    assert(hits(2L) == 3L)
+    assert(hits(3L) == 1L)
+  }
+
+  test("bm25: more shared terms outrank fewer (idf/tf comparable here)") {
+    val rank = ranked.map(t => t._1 -> t._2).toMap
+    assert(rank(1L) < rank(2L), s"7-hit doc must beat 3-hit doc: $rank")
+    assert(rank(2L) < rank(3L), s"3-hit doc must beat 1-hit doc: $rank")
+  }
+
+  test("bm25: duplicated docs tie exactly and break on doc_id") {
+    val twin = docs(
+      0L -> "apple banana cherry",
+      7L -> "apple banana zz yy xx",
+      8L -> "apple banana zz yy xx", // identical token multiset to 7
+      9L -> "unrelated words only here")
+    val r = Retrieval.bm25TopK(twin,
+        Retrieval.queryTerms(twin, col("doc_id") === 0L, 3),
+        k = 10, excludeSelf = true)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+    val pos7 = r.indexWhere(_._1 == 7L)
+    val pos8 = r.indexWhere(_._1 == 8L)
+    assert(pos7 >= 0 && pos8 == pos7 + 1,
+      s"identical docs must be adjacent with the lower id first: ${r.toList}")
+  }
+
+  test("bm25: persisted index returns bit-identical rankings to one-shot") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Retrieval.queryTerms(real, col("doc_id") % 11 === 0, 6)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val w = new graft.sources.TableWriter(tmp)
+    Retrieval.buildBm25Index(real, w, "docs")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("n_hit"))).toSet
+    val oneShot = rows(Retrieval.bm25TopK(real, qs, k = 7, excludeSelf = true))
+    val viaIndex = rows(
+      Retrieval.queryBm25Index(spark, w, "docs", qs, k = 7, excludeSelf = true))
+    assert(oneShot == viaIndex)
+    assert(oneShot.nonEmpty)
+  }
+
+  // --------------------------------------------------------------- RRF
+
+  test("rrf: a doc ranked by both systems beats same-rank singletons") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(a, b, k = 10)
+      .orderBy("fused_rank")
+      .collect().map(_.getAs[Long]("doc_id")).toList
+    // 10: 1/61 + 1/62 ≈ .0325 beats 12: 1/61 ≈ .0164 beats 11: 1/62
+    assert(fused == List(10L, 12L, 11L), s"got $fused")
+  }
+
+  test("rrf: equal scores break on id; missing side yields null rank") {
+    val a = Seq((1L, 5L, 1), (1L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+      .filter(col("doc_id") === 5L) // single row, rank 1
+    val b = Seq((1L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+    val rows = Retrieval.rrfFuse(a, b, k = 10).orderBy("fused_rank").collect()
+    // both docs carry 1/61: tie broken by id → 3 before 5
+    assert(rows.map(_.getAs[Long]("doc_id")).toList == List(3L, 5L))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("rank_a")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("rank_b")))
+  }
+
+  // ------------------------------------------------------------ Gopher
+
+  test("d38 gopher rules discriminate on the real corpus") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val flagged = SparkEntry.queries("d38_gopher_rules")(
+      spark, "/root/testdata/sf0.001")
+    val n = real.count()
+    val kept = flagged.filter(col("keep")).count()
+    assert(kept > 0 && kept < n,
+      s"rule set should split the corpus, kept $kept of $n")
+    // every keep is the conjunction of its flags
+    val bad = flagged.filter(col("keep") =!=
+      (col("ok_word_count") && col("ok_mean_wlen") && col("ok_alpha")
+        && col("ok_stops") && col("ok_symbols") && col("ok_top_tok"))).count()
+    assert(bad == 0L)
+  }
+
+  // ------------------------------------------------- vocab heavy hitters
+
+  test("d39 top tokens: exact counts, rank by count desc then token") {
+    val d = Seq(
+      (1L, "a", "x x x y y z"),
+      (2L, "a", "x y q"),
+      (3L, "b", "only other source")).toDF("doc_id", "source", "text")
+    val top = Retrieval.topTokensPerGroup(d, "source", k = 2)
+      .filter(col("source") === "a")
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
+    assert(top.toList == List(("x", 4L), ("y", 3L)))
+  }
+}
