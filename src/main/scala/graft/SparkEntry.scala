@@ -1579,6 +1579,7 @@ object SparkEntry {
     d37IndexCache.clear()
     ivfIndexCache.clear()
     ivfPqIndexCache.clear()
+    ivfIncCache.clear()
     bm25IndexCache.clear()
     pqCodebookCache.clear()
     dagRunCache.clear()
@@ -3087,6 +3088,42 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Incremental IVF ingest (v12) — the ANN side of the crawl pattern
+    * (d37's discipline on vectors): the index is BUILT from the base
+    * corpus (vec_id % 10 != 0, quantizer trained on it alone), then the
+    * new batch (vec_id % 10 == 0) is assigned against the frozen
+    * quantizer read back from the index and APPENDED into the
+    * cent_id-partitioned lists — no re-read, no re-write, no
+    * re-training of anything already indexed; per-batch cost is linear
+    * in the batch. Queries then serve from the merged index with
+    * partition pruning. Because assignment is per-vector arithmetic,
+    * append == rebuild exactly (IvfAppendSpec pins it); the oracle
+    * replays base-only Lloyd training plus one-pass assignment of the
+    * union.
+    */
+  private val ivfIncCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def v12AnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val writer = ivfIncCache.getOrElseUpdate((s, dir), {
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val cents = Similarity.trainIvfCentroids(base, initStride = 97L,
+        iters = ivfIters)
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/ivfinc_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Similarity.buildIvfIndex(base, cents, w, "emb")
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 10 === 0), w, "emb")
+      w
+    })
+    Similarity.queryIvfIndex(s, writer, "emb",
+        e.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def v12OracleSql: String =
+    ivfQueryOracleSql(" WHERE vec_id % 10 <> 0")
+
   /** Sign-LSH bucketed k-NN. The bucketing is deterministic ARITHMETIC
     * (sign of dot products against fixed Gaussian hyperplanes), not opaque
     * hashing — so the oracle replicates the ACTUAL approximate semantics:
@@ -3530,6 +3567,7 @@ object SparkEntry {
     "v8_ann_pq" -> (v8AnnPq _),
     "v9_ann_ivfpq_index" -> (v9AnnIvfPqIndex _),
     "v10_bm25_topk" -> (v10Bm25TopK _),
+    "v12_ann_ivf_append" -> (v12AnnIvfAppend _),
     "v11_hybrid_rrf" -> (v11HybridRrf _),
     "d38_gopher_rules" -> (d38GopherRules _),
     "d39_vocab_topk" -> (d39VocabTopK _),
@@ -4755,6 +4793,7 @@ object SparkEntry {
     "v8_ann_pq" -> v8OracleSql,
     "v9_ann_ivfpq_index" -> v9OracleSql,
     "v10_bm25_topk" -> v10OracleSql,
+    "v12_ann_ivf_append" -> v12OracleSql,
     "v11_hybrid_rrf" -> v11OracleSql,
     "d38_gopher_rules" -> d38OracleSql,
     "d39_vocab_topk" -> d39OracleSql,
@@ -5084,7 +5123,13 @@ object SparkEntry {
     * consumer closes it with its next `), ... AS (`). Used by the v3 and
     * v6 oracles.
     */
-  private def ivfTrainCtesSql: String = {
+  private def ivfTrainCtesSql: String = ivfTrainCtesSqlWhere("")
+
+  /** Unrolled Lloyd training over `c` restricted by `trainWhere` (empty
+    * = whole corpus) — the parameterized form lets v12 replay a
+    * quantizer trained on the pre-append base corpus only.
+    */
+  private def ivfTrainCtesSqlWhere(trainWhere: String): String = {
     val rounds = (1 to ivfIters).map { i =>
       val prev = s"cent${i - 1}"
       s"""|), asg$i AS (
@@ -5093,7 +5138,7 @@ object SparkEntry {
           |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
           |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
           |        ct.cent_id ASC) AS rn
-          |    FROM c CROSS JOIN $prev ct
+          |    FROM tr c CROSS JOIN $prev ct
           |  ) WHERE rn = 1
           |), cent$i AS (
           |  SELECT p.cent_id,
@@ -5111,16 +5156,26 @@ object SparkEntry {
     }.mkString("\n")
     s"""WITH c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), tr AS (
+       |  SELECT * FROM c$trainWhere
        |), cent0 AS (
        |  SELECT vec_id AS cent_id, v AS cv,
        |    SQRT(list_dot_product(v, v)) AS cn
-       |  FROM c WHERE vec_id % 97 = 0
+       |  FROM tr WHERE vec_id % 97 = 0
        |$rounds""".stripMargin
   }
 
-  private def v3OracleSql: String = {
+  private def v3OracleSql: String = ivfQueryOracleSql("")
+
+  /** IVF probe/query oracle over the FULL corpus, with the quantizer
+    * trained on `c` restricted by `trainWhere` — shared by v3 (empty:
+    * train == corpus) and v12 (train == pre-append base, then the
+    * batch is assigned by the same frozen quantizer, which is exactly
+    * what one-pass assignment of the union computes).
+    */
+  private def ivfQueryOracleSql(trainWhere: String): String = {
     val cf = s"cent$ivfIters"
-    s"""$ivfTrainCtesSql
+    s"""${ivfTrainCtesSqlWhere(trainWhere)}
        |), assigned AS (
        |  SELECT nbr_id, nbr_vec, cent_id FROM (
        |    SELECT c.vec_id AS nbr_id, c.v AS nbr_vec, ct.cent_id,

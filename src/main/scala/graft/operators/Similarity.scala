@@ -561,9 +561,13 @@ object Similarity {
     * querying the persisted index returns bit-identical results to the
     * in-memory form.
     */
-  def buildIvfIndex(candidates: DataFrame, centroids: Seq[(Long, Seq[Double])],
-      writer: graft.sources.TableWriter, name: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+  /** Argmax-cosine centroid assignment — the shared arithmetic of index
+    * build AND incremental append (per-vector, no global state, so
+    * assigning a union equals assigning its parts: append == rebuild).
+    */
+  private def assignToCentroids(candidates: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      idCol: String, vecCol: String): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cand = candidates.select(
@@ -573,15 +577,49 @@ object Similarity {
       .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
     val w = Window.partitionBy(col("nbr_id"))
       .orderBy(col("cent_sim").desc, col("cent_id").asc)
-    val assigned = cand.join(broadcast(cents))
+    cand.join(broadcast(cents))
       .withColumn("cent_sim", VectorFns.cosinePre(
         VectorFns.dot(col("nbr_vec"), col("cent_vec")),
         col("nbr_norm"), col("cent_norm")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col("nbr_id"), col("nbr_vec"), col("nbr_norm"), col("cent_id"))
+  }
+
+  def buildIvfIndex(candidates: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      writer: graft.sources.TableWriter, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val assigned = assignToCentroids(candidates, centroids, idCol, vecCol)
     writer.materialize(s"${name}_lists", assigned, partitionBy = Seq("cent_id"))
-    writer.materialize(s"${name}_centroids", cents.select("cent_id", "cent_vec"))
+    writer.materialize(s"${name}_centroids",
+      centroids.toDF("cent_id", "cent_vec"))
+  }
+
+  /** Incremental ingest into a persisted IVF index — the ANN side of the
+    * crawl pattern (d37's discipline applied to vectors): a new batch is
+    * assigned against the EXISTING quantizer (read back from the index,
+    * so the caller needs no training state) and appended into the
+    * cent_id-partitioned lists. Nothing already indexed is re-read or
+    * re-written — cost is linear in the batch, zero in the corpus. The
+    * quantizer is intentionally frozen: re-training would move list
+    * boundaries and require a full re-encode (that operation is a
+    * REBUILD, not an append); recall drift under distribution shift is
+    * the operator's documented trade-off, exactly as in FAISS's
+    * `add`-after-`train` contract.
+    */
+  def appendIvfIndex(batch: DataFrame,
+      writer: graft.sources.TableWriter, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val centroids = writer.read(spark, s"${name}_centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val assigned = assignToCentroids(batch, centroids, idCol, vecCol)
+    writer.materialize(s"${name}_lists", assigned,
+      partitionBy = Seq("cent_id"),
+      mode = org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Query a persisted IVF index: centroids are re-read (tiny) to assign
