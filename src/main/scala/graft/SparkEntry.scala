@@ -1581,6 +1581,7 @@ object SparkEntry {
     ivfPqIndexCache.clear()
     ivfIncCache.clear()
     bm25IndexCache.clear()
+    bm25IncCache.clear()
     pqCodebookCache.clear()
     dagRunCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
@@ -3225,6 +3226,32 @@ object SparkEntry {
        |)
        |SELECT query_id, doc_id, rank, n_hit FROM bm WHERE rank <= $bm25K""".stripMargin
 
+  /** Incremental BM25 index ingest (v13): the index is built from the
+    * base corpus (doc_id % 10 != 0) and the rest arrives as an appended
+    * batch — postings appended, dfs additively merged, stats summed
+    * (see [[Retrieval.appendBm25Index]]). Every update is integer
+    * addition, so the merged index is BIT-identical to one built over
+    * the whole corpus, and the oracle is exactly v10's full-corpus
+    * replay — same discipline as v7 sharing v3's oracle.
+    */
+  private val bm25IncCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def v13Bm25Append(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val writer = bm25IncCache.getOrElseUpdate((s, dir), {
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/bm25inc_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Retrieval.buildBm25Index(d.filter(col("doc_id") % 10 =!= 0), w, "docs")
+      Retrieval.appendBm25Index(d.filter(col("doc_id") % 10 === 0), w, "docs")
+      w
+    })
+    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, writer, "docs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (v11): BM25 lexical
     * ranks fused with brute-force-cosine vector ranks over the SAME
     * query set (every 97th id present in both `documents` and
@@ -3568,6 +3595,7 @@ object SparkEntry {
     "v9_ann_ivfpq_index" -> (v9AnnIvfPqIndex _),
     "v10_bm25_topk" -> (v10Bm25TopK _),
     "v12_ann_ivf_append" -> (v12AnnIvfAppend _),
+    "v13_bm25_append" -> (v13Bm25Append _),
     "v11_hybrid_rrf" -> (v11HybridRrf _),
     "d38_gopher_rules" -> (d38GopherRules _),
     "d39_vocab_topk" -> (d39VocabTopK _),
@@ -4794,6 +4822,9 @@ object SparkEntry {
     "v9_ann_ivfpq_index" -> v9OracleSql,
     "v10_bm25_topk" -> v10OracleSql,
     "v12_ann_ivf_append" -> v12OracleSql,
+    // v13 = v10 through an incrementally-built index; bit-identical by
+    // integer-addition merge (see v13Bm25Append)
+    "v13_bm25_append" -> v10OracleSql,
     "v11_hybrid_rrf" -> v11OracleSql,
     "d38_gopher_rules" -> d38OracleSql,
     "d39_vocab_topk" -> d39OracleSql,

@@ -192,6 +192,62 @@ object Retrieval {
           sum(size(col("toks"))).cast("long").as("sum_dl")))
   }
 
+  /** Incremental ingest into a persisted BM25 index — the lexical third
+    * of the crawl-pattern triad (d37 minhash bands, v12 IVF lists, this):
+    * the batch's postings are tokenized ONCE and appended into the
+    * bucket-partitioned layout (existing postings files untouched), the
+    * vocabulary's document frequencies are additively merged (staged to
+    * a sibling dir then swapped — writing in place would overwrite the
+    * path the merge plan is reading), and the two corpus scalars are
+    * updated from driver-side longs. Every update is integer addition,
+    * so append == rebuild BIT-EXACTLY, query-for-query (RetrievalSpec
+    * pins it) — unlike the ANN indexes there is no frozen-quantizer
+    * approximation trade-off. Batch docs must be NEW ids (same contract
+    * as the other appends). Cost: linear in the batch for postings, one
+    * vocabulary-sized merge for dfs (vocab ≪ corpus by Zipf; the
+    * mergeByKey bucket layout is the upgrade path if the vocabulary
+    * itself outgrows single-pass rewrites).
+    */
+  def appendBm25Index(newDocs: DataFrame, writer: graft.sources.TableWriter,
+      name: String, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val tfB = postingsOf(newDocs, idCol, textCol)
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+    writer.materialize(s"${name}_postings",
+      tfB.repartition(col("term_bucket")),
+      partitionBy = Seq("term_bucket"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+
+    val merged = writer.read(spark, s"${name}_vocab")
+      .select(col("term"), col("df").as("df_old"))
+      .join(tfB.groupBy("term").agg(count(lit(1)).as("df_new")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+          .as("df"))
+    writer.materialize(s"${name}_vocab_next", merged)
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab"))
+    val next = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_next"))
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    fs.rename(next, dst)
+
+    // stats: two longs via the driver — the read is collected before the
+    // overwrite, so there is no read-your-own-write hazard
+    val old = writer.read(spark, s"${name}_stats").collect()(0)
+    val b = newDocs.select(split(col(textCol), " ").as("toks"))
+      .agg(count(lit(1)).as("n"), sum(size(col("toks"))).cast("long").as("s"))
+      .collect()(0)
+    import spark.implicits._
+    writer.materialize(s"${name}_stats",
+      Seq((old.getAs[Long]("n_docs") + b.getAs[Long]("n"),
+        old.getAs[Long]("sum_dl") + b.getAs[Long]("s")))
+        .toDF("n_docs", "sum_dl"))
+  }
+
   /** Query a persisted BM25 index: stats and the query terms' dfs are
     * tiny lookups; the one corpus-sized read is the postings scan,
     * partition-pruned to the term buckets the query vocabulary hashes

@@ -91,6 +91,43 @@ class RetrievalSpec extends SparkSpec {
     assert(oneShot.nonEmpty)
   }
 
+  test("bm25: incremental append == full rebuild, bit for bit") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Retrieval.queryTerms(real, col("doc_id") % 11 === 0, 6)
+    val incDir = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    val allDir = java.nio.file.Files.createTempDirectory("bm25all").toString
+    val wInc = new graft.sources.TableWriter(incDir)
+    val wAll = new graft.sources.TableWriter(allDir)
+    Retrieval.buildBm25Index(real.filter(col("doc_id") % 10 =!= 0), wInc, "docs")
+    def files(sub: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$incDir/$sub")).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val postingsBefore = files("docs_postings")
+    Retrieval.appendBm25Index(real.filter(col("doc_id") % 10 === 0), wInc, "docs")
+    val postingsAfter = files("docs_postings")
+    postingsBefore.foreach { case (p, ts) =>
+      assert(postingsAfter.get(p).contains(ts), s"append disturbed $p")
+    }
+    Retrieval.buildBm25Index(real, wAll, "docs")
+    def sorted(w: graft.sources.TableWriter, t: String, cols: String*) =
+      w.read(spark, t).select(cols.map(col): _*).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sorted(wInc, "docs_vocab", "term", "df")
+      == sorted(wAll, "docs_vocab", "term", "df"))
+    assert(sorted(wInc, "docs_stats", "n_docs", "sum_dl")
+      == sorted(wAll, "docs_stats", "n_docs", "sum_dl"))
+    def rows(w: graft.sources.TableWriter) =
+      Retrieval.queryBm25Index(spark, w, "docs", qs, k = 7, excludeSelf = true)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("rank"), r.getAs[Long]("n_hit"))).toSet
+    val inc = rows(wInc)
+    assert(inc == rows(wAll))
+    assert(inc.nonEmpty)
+  }
+
   // --------------------------------------------------------------- RRF
 
   test("rrf: a doc ranked by both systems beats same-rank singletons") {
