@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [sfDir] [mult] [probes]
   *   probes: comma-separated subset of
-  *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,q32,d33,d34,
-  *     q59,q62,q63,q69,q70,q71,q20,q43,stream,restart
+  *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,v12,q32,d33,
+  *     d34,q59,q62,q63,q69,q70,q71,q20,q43,bm25,stream,restart
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -30,7 +30,7 @@ object ScaleProbe {
       if (args.length > 2) args(2).split(",").toSet
       else Set("d3", "d11", "d15", "d18", "d21", "d35", "d36", "d37", "bpe",
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
-        "q70", "q71", "q20", "q43", "v8", "v9")
+        "q70", "q71", "q20", "q43", "v8", "v9", "v12", "bm25")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -69,7 +69,7 @@ object ScaleProbe {
 
     if (probes.intersect(
         Set("d3", "d11", "d15", "d18", "d21", "d35", "d37", "bpe", "d33",
-          "d34")).nonEmpty) {
+          "d34", "bm25")).nonEmpty) {
       val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
       val docsN = replicate(docs1, "doc_id", mult, mutate = true)
         .repartition(cpus.toInt).persist()
@@ -179,6 +179,40 @@ object ScaleProbe {
           model._1.unpersist(blocking = false)
           model._2.unpersist(blocking = false)
           n
+        }
+        // BM25 serving index: build is the once-per-corpus-version cost
+        // (~linear: tokenize + one combine-agg shuffle + bucketed write);
+        // append ingests a FIXED batch (one crawl increment) so its cost
+        // must stay flat as the indexed corpus grows; the query probe
+        // runs a fixed workload against each index size. HONESTY NOTE:
+        // this corpus's 31-term vocabulary makes every query term a
+        // max-df term, so the candidate set IS the corpus and query time
+        // tracks corpus size BY CONSTRUCTION — on a real (Zipf, 100k+
+        // term) vocabulary the candidate set tracks query-term document
+        // frequency instead; what this probe CAN pin is that build and
+        // append stay linear/flat and the query plan stays
+        // bucket-pruned.
+        if (on("bm25")) {
+          val whDir = java.nio.file.Files
+            .createTempDirectory("probe_bm25_").toString
+          val w = new graft.sources.TableWriter(whDir)
+          t(s"bm25_index_build_$label") {
+            Retrieval.buildBm25Index(d, w, "docs")
+            spark.read.parquet(s"$whDir/docs_postings").count()
+          }
+          val qs = Retrieval.queryTerms(docs1, col("doc_id") % 97 === 0, 8)
+          t(s"bm25_query_$label") {
+            Retrieval.queryBm25Index(spark, w, "docs", qs, k = 10,
+              excludeSelf = true).count()
+          }
+          t(s"bm25_append_$label") {
+            Retrieval.appendBm25Index(
+              docs1.filter(col("doc_id") % 10 === 0)
+                .withColumn("doc_id", col("doc_id") + lit(990000000L)),
+              w, "docs")
+            spark.read.parquet(s"$whDir/docs_vocab").count()
+          }
+          deleteTree(whDir)
         }
       }
       docsN.unpersist()
@@ -468,7 +502,8 @@ object ScaleProbe {
       ordersN.unpersist()
     }
 
-    if (probes.intersect(Set("v3", "v5", "v6", "v8", "v9", "d36")).nonEmpty) {
+    if (probes.intersect(
+        Set("v3", "v5", "v6", "v8", "v9", "v12", "d36")).nonEmpty) {
       val emb1 = graft.sources.Tables.load(spark, sfDir, "embeddings")
       val embN = (0 until mult).map { r =>
         emb1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
@@ -501,6 +536,36 @@ object ScaleProbe {
             initStride = 13L * m, ksub = 16, iters = 2)
           Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5,
             codebooks = cbs, m = 4, subDim = 16, rerankFactor = 8).count()
+        }
+        // v12: incremental IVF append — a FIXED batch (one ingest
+        // increment, the 1× corpus's %10 slice) assigned against the
+        // frozen quantizer of an index whose size grows with mult. The
+        // append must stay FLAT: assignment is O(batch × K) with K
+        // constant, and the write touches only the batch's rows.
+        if (on("v12")) {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_ivfinc_").toString
+          val w = new graft.sources.TableWriter(wh)
+          t(s"v12_ivf_base_build_$label") {
+            val base = e.filter(col("vec_id") % 10 =!= 0)
+            // stride must intersect the %10-filtered base id set — at
+            // mult=100, 97·m=9700 shares factor 10 with the replica
+            // offset and every solution lands on an excluded %10==0 id
+            // (trainIvfCentroids now fails loud on that); 97·m+1 keeps
+            // K small and nonzero at every mult here (K 16..46)
+            val cents = Similarity.trainIvfCentroids(base,
+              initStride = 97L * m + 1, iters = 3)
+            Similarity.buildIvfIndex(base, cents, w, "emb")
+            spark.read.parquet(s"$wh/emb_lists").count()
+          }
+          t(s"v12_ivf_append_$label") {
+            Similarity.appendIvfIndex(
+              emb1.filter(col("vec_id") % 10 === 0)
+                .withColumn("vec_id", col("vec_id") + lit(990000000L)),
+              w, "emb")
+            spark.read.parquet(s"$wh/emb_lists").count()
+          }
+          deleteTree(wh)
         }
         // v9: the persisted IVF+PQ serving index. Build (train + encode +
         // write) is the once-per-corpus-version cost and must stay ~linear;

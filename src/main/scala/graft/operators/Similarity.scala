@@ -149,6 +149,12 @@ object Similarity {
       .filter(col(idCol) % initStride === 0)
       .select(col(idCol), VectorFns.toDouble(col(vecCol)))
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    // loud, not empty: a stride that misses every candidate id (easy to
+    // hit when the training frame is itself id-filtered) would otherwise
+    // produce an empty quantizer and, downstream, an index with no lists
+    require(cents.nonEmpty,
+      s"initStride=$initStride selected no initial centroids from the " +
+        "training frame - pick a stride that intersects its id set")
 
     for (_ <- 0 until iters) {
       val centDf = broadcast(cents.toDF("cent_id", "cent_vec")
