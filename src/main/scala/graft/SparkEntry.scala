@@ -2748,6 +2748,49 @@ object SparkEntry {
     out
   }
 
+  /** Streaming search-index maintenance (q89): "the crawl is a stream".
+    * The corpus arrives as a file stream of hash-sliced chunks
+    * (maxFilesPerTrigger=1 → one microbatch per chunk) and every batch
+    * is ingested into the persisted BM25 index by
+    * [[Retrieval.appendBm25Index]] — the first batch BOOTSTRAPS the
+    * index, later ones append postings / merge dfs / sum stats. All
+    * merge steps are integer addition over disjoint doc sets, so the
+    * maintained index is batch-order-independent and BIT-equal to a
+    * one-shot build over the whole corpus — which is why this streaming
+    * run shares v10's full-corpus oracle, closing the loop between the
+    * streaming surface (§2.9) and the retrieval stack. The checkpoint
+    * dir carries source progress: a restarted maintainer resumes, it
+    * does not re-append (same discipline as q83).
+    */
+  private def q89StreamIndexMaintain(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q89_").toString
+    d.withColumn("__c", pmod(col("doc_id"), lit(4)).cast("int"))
+      .repartition(col("__c"))
+      .write.partitionBy("__c").parquet(s"$stage/chunks")
+    val wh = s"$q40Scratch/streambm25"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/chunks/__c=*")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$stage/_ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Retrieval.appendBm25Index(batch, writer, "docs")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
+    val out = Retrieval.queryBm25Index(s, writer, "docs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+    deleteTree(java.nio.file.Paths.get(stage))
+    out
+  }
+
   /** Stream-stream LEFT OUTER interval join (q65 — the hard streaming
     * join form q58's inner variant cannot reach): an unmatched error
     * emits its null-matched row only once the watermark PROVES no
@@ -3551,6 +3594,7 @@ object SparkEntry {
     "q60_stream_static" -> (q60StreamStaticJoin _),
     "q61_stream_multibatch" -> (q61StreamMultibatch _),
     "q83_stream_upsert" -> (q83StreamUpsert _),
+    "q89_stream_index" -> (q89StreamIndexMaintain _),
     "q62_incremental_merge" -> (q62IncrementalMerge _),
     "q62b_merge_string_key" -> (q62bMergeStringKey _),
     "q63_bucketed_join" -> (q63BucketedJoin _),
@@ -4825,6 +4869,9 @@ object SparkEntry {
     // v13 = v10 through an incrementally-built index; bit-identical by
     // integer-addition merge (see v13Bm25Append)
     "v13_bm25_append" -> v10OracleSql,
+    // q89 = v10 through a STREAMED index build (foreachBatch appends);
+    // same bit-identity argument, so the same full-corpus oracle
+    "q89_stream_index" -> v10OracleSql,
     "v11_hybrid_rrf" -> v11OracleSql,
     "d38_gopher_rules" -> d38OracleSql,
     "d39_vocab_topk" -> d39OracleSql,

@@ -212,40 +212,56 @@ object Retrieval {
       name: String, buckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
+    // bootstrap: the first batch CREATES the index, so a streaming
+    // ingest needs no out-of-band initial build (q89 relies on this)
+    val statsP = new org.apache.hadoop.fs.Path(writer.path(s"${name}_stats"))
+    if (!statsP.getFileSystem(spark.sessionState.newHadoopConf()).exists(statsP)) {
+      buildBm25Index(newDocs, writer, name, buckets, idCol, textCol)
+      return
+    }
+    // one tokenize pass serves all three updates (postings, dfs, stats):
+    // the batch postings are pinned for the scope of the append — without
+    // this, the postings write, the df merge, and the stats update each
+    // re-tokenize the batch
     val tfB = postingsOf(newDocs, idCol, textCol)
       .withColumn("term_bucket",
         pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-    writer.materialize(s"${name}_postings",
-      tfB.repartition(col("term_bucket")),
-      partitionBy = Seq("term_bucket"),
-      mode = org.apache.spark.sql.SaveMode.Append)
+      .persist()
+    try {
+      writer.materialize(s"${name}_postings",
+        tfB.repartition(col("term_bucket")),
+        partitionBy = Seq("term_bucket"),
+        mode = org.apache.spark.sql.SaveMode.Append)
 
-    val merged = writer.read(spark, s"${name}_vocab")
-      .select(col("term"), col("df").as("df_old"))
-      .join(tfB.groupBy("term").agg(count(lit(1)).as("df_new")),
-        Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
-          .as("df"))
-    writer.materialize(s"${name}_vocab_next", merged)
-    val conf = spark.sessionState.newHadoopConf()
-    val dst = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab"))
-    val next = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_next"))
-    val fs = dst.getFileSystem(conf)
-    fs.delete(dst, true)
-    fs.rename(next, dst)
+      val merged = writer.read(spark, s"${name}_vocab")
+        .select(col("term"), col("df").as("df_old"))
+        .join(tfB.groupBy("term").agg(count(lit(1)).as("df_new")),
+          Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+            .as("df"))
+      writer.materialize(s"${name}_vocab_next", merged)
+      val conf = spark.sessionState.newHadoopConf()
+      val dst = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab"))
+      val next = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_next"))
+      val fs = dst.getFileSystem(conf)
+      fs.delete(dst, true)
+      fs.rename(next, dst)
 
-    // stats: two longs via the driver — the read is collected before the
-    // overwrite, so there is no read-your-own-write hazard
-    val old = writer.read(spark, s"${name}_stats").collect()(0)
-    val b = newDocs.select(split(col(textCol), " ").as("toks"))
-      .agg(count(lit(1)).as("n"), sum(size(col("toks"))).cast("long").as("s"))
-      .collect()(0)
-    import spark.implicits._
-    writer.materialize(s"${name}_stats",
-      Seq((old.getAs[Long]("n_docs") + b.getAs[Long]("n"),
-        old.getAs[Long]("sum_dl") + b.getAs[Long]("s")))
-        .toDF("n_docs", "sum_dl"))
+      // stats: two longs via the driver — derived from the pinned
+      // postings ((doc_id, dl) is distinct per doc there; every doc has
+      // ≥1 posting since split("") = [""]); the read is collected before
+      // the overwrite, so there is no read-your-own-write hazard
+      val old = writer.read(spark, s"${name}_stats").collect()(0)
+      val b = tfB.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
+        .collect()(0)
+      import spark.implicits._
+      writer.materialize(s"${name}_stats",
+        Seq((old.getAs[Long]("n_docs") + b.getAs[Long]("n"),
+          old.getAs[Long]("sum_dl") + b.getAs[Long]("s")))
+          .toDF("n_docs", "sum_dl"))
+    } finally tfB.unpersist(blocking = false)
   }
 
   /** Query a persisted BM25 index: stats and the query terms' dfs are
