@@ -3449,6 +3449,47 @@ object SparkEntry {
        |FROM m""".stripMargin
   }
 
+  /** Hashed TF-IDF document vectors (d40, Weinberger et al. 2009) — the
+    * text→vector bridge over `documents`: terms feature-hashed into 64
+    * buckets by the SHARED polynomial hash (the d4 arithmetic, replayed
+    * verbatim by the oracle's list_reduce), weighted tf·(N+1)/(df+1)
+    * (rational Laplace idf — no transcendental, so the weights are
+    * bit-exact cross-engine), accumulated per bucket through exact
+    * DECIMAL(38,18) sums. Sparse (doc_id, dim, weight, n_terms) output.
+    */
+  private def d40HashedTfidf(s: SparkSession, dir: String): DataFrame =
+    Retrieval.hashedTfidf(t(s, dir, "documents"), dims = 64)
+
+  private def d40OracleSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |    FROM documents
+      |  ) GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT COUNT(*) AS n FROM documents
+      |), dims AS (
+      |  SELECT term,
+      |    list_reduce(list_prepend(CAST(741103597153329 AS BIGINT),
+      |      list_transform(range(1, length(term) + 1),
+      |        i -> CAST(ascii(term[i:i]) AS BIGINT))),
+      |      (a, c) -> (a * 131 + c) % 1125899906842597) % 64 AS dim
+      |  FROM dfreq
+      |), w AS (
+      |  SELECT t.doc_id, d2.dim, t.term,
+      |    CAST(t.tf AS DOUBLE)
+      |      * ((CAST(s.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) AS wt
+      |  FROM tf t JOIN dfreq d USING (term) JOIN dims d2 USING (term)
+      |  CROSS JOIN stats s
+      |)
+      |SELECT doc_id, dim,
+      |  list_reduce(list_prepend(0.0, array_agg(wt ORDER BY term)),
+      |    (a, b) -> a + b) AS weight,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   /** Per-source vocabulary heavy hitters (d39): exact top-20 tokens per
     * source by frequency. The corpus-sized stage is the one map-side-
     * combined (source, token) count shuffle; the ranking window runs on
@@ -3643,6 +3684,7 @@ object SparkEntry {
     "v11_hybrid_rrf" -> (v11HybridRrf _),
     "d38_gopher_rules" -> (d38GopherRules _),
     "d39_vocab_topk" -> (d39VocabTopK _),
+    "d40_hashed_tfidf" -> (d40HashedTfidf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4875,6 +4917,7 @@ object SparkEntry {
     "v11_hybrid_rrf" -> v11OracleSql,
     "d38_gopher_rules" -> d38OracleSql,
     "d39_vocab_topk" -> d39OracleSql,
+    "d40_hashed_tfidf" -> d40OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

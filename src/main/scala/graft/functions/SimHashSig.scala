@@ -35,10 +35,11 @@ object SimHashTokenHash {
     x = (x * m) % M
     x ^ (x >>> 25)
   }
-  /** (h1, h2) bit-source pair for a token. ASCII-safe; non-ASCII uses code
-    * points on both engines.
+  /** The raw polynomial roll (pre-mix) — also the shared token→bucket
+    * hash for feature hashing (d40): engine-independent by the same
+    * bounds argument.
     */
-  final def tokenHash(s: String): (Long, Long) = {
+  final def poly(s: String): Long = {
     var h = H0
     var i = 0
     while (i < s.length) {
@@ -46,6 +47,14 @@ object SimHashTokenHash {
       h = (h * 131 + cp) % M
       i += Character.charCount(cp)
     }
+    h
+  }
+
+  /** (h1, h2) bit-source pair for a token. ASCII-safe; non-ASCII uses code
+    * points on both engines.
+    */
+  final def tokenHash(s: String): (Long, Long) = {
+    val h = poly(s)
     (mix(h, 8191L), mix(h, 4099L))
   }
 }

@@ -144,6 +144,16 @@ object TextFns {
     * Implements the [[SimHashTokenHash]] spec (poly roll over code points +
     * two multiply-mod-xorshift streams) in Column algebra.
     */
+  /** Shared-arithmetic polynomial token hash ([[SimHashTokenHash]] spec,
+    * pre-mix): bounded below 2^50 so any engine with 64-bit integer SQL
+    * replays it exactly — the portable token→bucket hash for feature
+    * hashing (d40) and the first stage of the SimHash streams.
+    */
+  def polyTokenHash(t: Column): Column =
+    aggregate(transform(split(t, ""), ch => ascii(ch).cast("long")),
+      lit(SimHashTokenHash.H0),
+      (h, code) => (h * lit(131L) + code) % lit(SimHashTokenHash.M))
+
   def simhash64Hof(c: Column): Column = {
     val M = lit(SimHashTokenHash.M)
     val toks = tokens(c)

@@ -324,6 +324,53 @@ object Retrieval {
         col("rrf"), col("rank_a"), col("rank_b"))
   }
 
+  /** Hashed TF-IDF document vectors (feature hashing, Weinberger et al.
+    * 2009) — the text→vector bridge: each term is mapped to one of
+    * `dims` buckets by the SHARED polynomial token hash (the d4/simhash
+    * arithmetic, replayable in any 64-bit-integer SQL engine) and its
+    * tf·idf weight accumulates there. Output is the SPARSE form —
+    * (doc_id, dim, weight, n_terms) rows for occupied buckets only —
+    * which is also what keeps the result hash-comparable (dense array
+    * columns don't survive the cross-engine compare).
+    *
+    * Determinism: idf is the RATIONAL Laplace form (N+1)/(df+1) — no
+    * transcendental, so the weights themselves are bit-exact across
+    * engines (unlike BM25's ln-based scores); per-bucket accumulation is
+    * an order-PINNED double fold (sorted by term) — NOT a decimal-cast
+    * sum: a double's exact value can need ~50 fractional digits, so
+    * DECIMAL(38,18) conversion rounds, and the two engines round that
+    * conversion differently (~1e-15 relative, measured). That is
+    * invisible behind BM25's rank-only contract but not here, where the
+    * weight IS the output. Buckets hold 1–3 terms, so the fold costs
+    * nothing.
+    * Scale shape: one (doc, term) count shuffle with map-side combine, a
+    * vocabulary-bounded df aggregate broadcast back, then one narrow
+    * (doc, dim) combine-agg — nothing corpus-sized crosses the driver
+    * (N arrives as one collected long).
+    */
+  def hashedTfidf(docs: DataFrame, dims: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("dim",
+        graft.functions.TextFns.polyTokenHash(col("term")) % lit(dims.toLong))
+      .withColumn("wt",
+        col("tf").cast("double")
+          * ((lit(nDocs.toDouble) + lit(1.0))
+            / (col("df").cast("double") + lit(1.0))))
+      .groupBy("doc_id", "dim")
+      .agg(sort_array(collect_list(struct(col("term"), col("wt")))).as("arr"))
+      .select(col("doc_id"), col("dim"),
+        aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("wt")).as("weight"),
+        size(col("arr")).cast("long").as("n_terms"))
+  }
+
   /** Exact top-k tokens per group by frequency (count desc, token asc).
     * The corpus-sized work is the single (group, token) count shuffle
     * with map-side combine; the window that ranks it runs on the

@@ -168,6 +168,36 @@ class RetrievalSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  // -------------------------------------------------- hashed TF-IDF
+
+  test("d40 hashed tf-idf: dims match the JVM poly hash, weights exact") {
+    val d = Seq(
+      (1L, "aa aa bb"),
+      (2L, "aa cc")).toDF("doc_id", "text")
+    val out = Retrieval.hashedTfidf(d, dims = 64)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dim"))
+        -> (r.getAs[Double]("weight"), r.getAs[Long]("n_terms"))).toMap
+    def dim(t: String): Long = graft.functions.SimHashTokenHash.poly(t) % 64
+    // N=2; idf(aa)=(2+1)/(2+1)=1, idf(bb)=idf(cc)=3/2
+    assert(out((1L, dim("aa")))._1 == 2.0 * 1.0) // tf=2
+    assert(out((1L, dim("bb")))._1 == 1.0 * 1.5)
+    assert(out((2L, dim("cc")))._1 == 1.0 * 1.5)
+    assert(out((1L, dim("aa")))._2 == 1L)
+    // distinct terms land in distinct buckets here (no collision in this
+    // fixture), so every (doc, dim) row carries exactly one term
+    assert(out.values.forall(_._2 == 1L))
+  }
+
+  test("d40: colliding terms accumulate into one bucket row") {
+    // force a collision by hashing into ONE dim
+    val d = Seq((1L, "xx yy")).toDF("doc_id", "text")
+    val out = Retrieval.hashedTfidf(d, dims = 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_terms") == 2L)
+    // both terms: tf=1, df=1, N=1 → idf=(1+1)/(1+1)=1 → weight 1+1
+    assert(out(0).getAs[Double]("weight") == 2.0)
+  }
+
   // ------------------------------------------------- vocab heavy hitters
 
   test("d39 top tokens: exact counts, rank by count desc then token") {
