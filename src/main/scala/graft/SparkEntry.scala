@@ -3514,6 +3514,226 @@ object SparkEntry {
       |  FROM counts
       |) WHERE rank <= 20""".stripMargin
 
+  /** Persisted positional index, built once per (session, sfdir) — the
+    * phrase-search sibling of [[bm25Index]] (same bucket-pruned serving
+    * layout, positions instead of tf).
+    */
+  private val posIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def posIndex(s: SparkSession, dir: String): graft.sources.TableWriter =
+    posIndexCache.getOrElseUpdate((s, dir), {
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/posidx_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Retrieval.buildPositionalIndex(t(s, dir, "documents"), w, "docs")
+      w
+    })
+
+  /** Exact phrase search (v14): every 97th document's first three tokens
+    * as the query phrase, served from the persisted positional index —
+    * occurrence counts are integers end-to-end, so unlike BM25 this is a
+    * FULL hash contract (values, not just ranks). The oracle states the
+    * same result closed-form by counting trigram occurrences — the
+    * position-intersection the index computes ({p} ∩ {p−1} ∩ {p−2} on
+    * the three terms' position lists) is exactly trigram equality.
+    */
+  private def v14PhraseTopK(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val phrases = d
+      .filter(col("doc_id") % 97 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    Retrieval.phraseQuery(s, posIndex(s, dir), "docs", phrases,
+      k = bm25K, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def v14OracleSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), tg AS (
+       |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+       |  FROM ws WHERE len(toks) >= 3
+       |), cnt AS (
+       |  SELECT doc_id, tri, COUNT(*) AS n_occ FROM tg GROUP BY 1, 2
+       |), q AS (
+       |  SELECT doc_id AS query_id,
+       |    toks[1] || ' ' || toks[2] || ' ' || toks[3] AS tri
+       |  FROM ws WHERE doc_id % 97 = 0 AND len(toks) >= 3
+       |), m AS (
+       |  SELECT q.query_id, c.doc_id, c.n_occ
+       |  FROM q JOIN cnt c USING (tri)
+       |  WHERE c.doc_id <> q.query_id
+       |)
+       |SELECT query_id, doc_id, CAST(n_occ AS BIGINT) AS n_occ, rank
+       |FROM (
+       |  SELECT query_id, doc_id, n_occ,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY n_occ DESC, doc_id) AS rank
+       |  FROM m
+       |) WHERE rank <= $bm25K""".stripMargin
+
+  private val dsirBuckets = 64
+  private val dsirK = 200
+
+  /** DSIR data selection (d41, Xie et al. 2023): the corpus scored
+    * against an English-target hashed-unigram bag model, global top-200
+    * kept — see [[graft.operators.Sampling.dsirTopK]] for the model and
+    * the determinism argument (DECIMAL-summed addends, rank-only
+    * contract on the one ln() op, the v10 discipline).
+    */
+  private def d41DsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.dsirTopK(t(s, dir, "documents"),
+      col("lang") === "en", buckets = dsirBuckets, k = dsirK)
+
+  private def d41OracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang = 'en' AS is_tgt,
+       |    UNNEST(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), htok AS (
+       |  SELECT doc_id, is_tgt,
+       |    list_reduce(list_prepend(CAST(741103597153329 AS BIGINT),
+       |      list_transform(range(1, length(term) + 1),
+       |        i -> CAST(ascii(term[i:i]) AS BIGINT))),
+       |      (a, c) -> (a * 131 + c) % 1125899906842597)
+       |      % $dsirBuckets AS b
+       |  FROM tok
+       |), perdoc AS (
+       |  SELECT doc_id, is_tgt, b, COUNT(*) AS cnt FROM htok GROUP BY 1, 2, 3
+       |), model AS (
+       |  SELECT b, SUM(cnt) AS raw,
+       |    SUM(CASE WHEN is_tgt THEN cnt ELSE 0 END) AS tgt
+       |  FROM perdoc GROUP BY 1
+       |), tot AS (SELECT SUM(raw) AS nr, SUM(tgt) AS nt FROM model
+       |), lw AS (
+       |  SELECT b,
+       |    ln((CAST(tgt AS DOUBLE) + 1.0)
+       |        * (CAST(nr AS DOUBLE) + $dsirBuckets.0)
+       |      / ((CAST(raw AS DOUBLE) + 1.0)
+       |        * (CAST(nt AS DOUBLE) + $dsirBuckets.0))) AS logw
+       |  FROM model CROSS JOIN tot
+       |), scored AS (
+       |  SELECT doc_id,
+       |    SUM(CAST(CAST(cnt AS DOUBLE) * logw AS DECIMAL(38,18))) AS w,
+       |    CAST(COUNT(*) AS BIGINT) AS n_feats
+       |  FROM perdoc JOIN lw USING (b) GROUP BY 1
+       |)
+       |SELECT doc_id, rank, n_feats FROM (
+       |  SELECT doc_id, n_feats,
+       |    ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $dsirK""".stripMargin
+
+  /** CDC run shared by q90/q91: the q62 merge flow (base, partial batch,
+    * idempotent re-run) plus a targeted delete, executed ONCE per
+    * (session, sfdir) through the change-feed variants — the feed is
+    * what both entries read. Re-running the identical batch (merge 3)
+    * must append ZERO feed rows; the delete appends the CURRENT (post-
+    * update) images.
+    */
+  private val cdcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def cdcRun(s: SparkSession, dir: String): graft.sources.TableWriter =
+    cdcCache.getOrElseUpdate((s, dir), {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val base = o.filter(col("k") % 3 === 0)
+      val changes = base.filter(col("k") % 7 === 0)
+        .withColumn("price",
+          (col("price") + lit(1000).cast("decimal(18,2)"))
+            .cast("decimal(18,2)"))
+        .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+      val wh = s"$q40Scratch/cdcstore_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      w.mergeByKeyCdc(s, "orders_cdc", base, "k", batchId = 1L)
+      w.mergeByKeyCdc(s, "orders_cdc", changes, "k", batchId = 2L)
+      w.mergeByKeyCdc(s, "orders_cdc", changes, "k", batchId = 3L) // silent
+      w.deleteByKeyCdc(s, "orders_cdc",
+        base.filter(col("k") % 11 === 0).select(col("k")), "k", batchId = 4L)
+      w
+    })
+
+  /** Change-data feed of the merge/delete flow (q90): every row-level
+    * change the table went through, batch-stamped — inserts on first
+    * load, pre/post images for the bumped cohort plus inserts for the
+    * new cohort on batch 2, NOTHING for the idempotent re-run (batch 3),
+    * and delete images (post-update values) for the doomed cohort.
+    * Exact decimals → full hash contract.
+    */
+  private def q90CdcFeed(s: SparkSession, dir: String): DataFrame =
+    cdcRun(s, dir).read(s, "orders_cdc_changes")
+      .select(col("batch_id"), col("change_op"), col("k"),
+        col("price").cast("double").as("price"))
+
+  private def q90OracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), newb AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+      |), feed AS (
+      |  SELECT CAST(1 AS BIGINT) AS batch_id, 'insert' AS change_op, k, price
+      |  FROM base
+      |  UNION ALL
+      |  SELECT 2, 'update_pre', k, price FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT 2, 'update_post', k, CAST(price + 1000 AS DECIMAL(18,2))
+      |  FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT 2, 'insert', k, price FROM newb
+      |  UNION ALL
+      |  SELECT 4, 'delete', k,
+      |    CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+      |      AS DECIMAL(18,2))
+      |  FROM base WHERE k % 11 = 0
+      |)
+      |SELECT batch_id, change_op, k, CAST(price AS DOUBLE) AS price
+      |FROM feed""".stripMargin
+
+  /** Incremental view maintenance off the change feed (q91): a grouped
+    * (COUNT, SUM) view maintained purely from CDC deltas —
+    * +insert/+update_post, −update_pre/−delete — with NO read of the
+    * base table. The oracle recomputes the view from the closed-form
+    * final table state, so the entry proves feed-fold == recompute:
+    * the materialized-view-maintenance contract. Exact decimal sums.
+    */
+  private def q91CdcView(s: SparkSession, dir: String): DataFrame = {
+    val feed = cdcRun(s, dir).read(s, "orders_cdc_changes")
+    val signed = feed.withColumn("sign",
+      when(col("change_op").isin("insert", "update_post"), lit(1L))
+        .otherwise(lit(-1L)))
+    signed.groupBy((col("k") % 10).as("grp"))
+      .agg(sum(col("sign")).as("n_rows"),
+        sum(when(col("sign") === 1L, col("price"))
+          .otherwise(-col("price"))).cast("double").as("sum_price"))
+  }
+
+  private def q91OracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), newb AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+      |), finalstate AS (
+      |  SELECT k,
+      |    CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+      |      AS DECIMAL(18,2)) AS price
+      |  FROM base WHERE k % 11 <> 0
+      |  UNION ALL
+      |  SELECT k, price FROM newb
+      |)
+      |SELECT k % 10 AS grp, COUNT(*) AS n_rows,
+      |  CAST(SUM(price) AS DOUBLE) AS sum_price
+      |FROM finalstate GROUP BY 1""".stripMargin
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3685,6 +3905,10 @@ object SparkEntry {
     "d38_gopher_rules" -> (d38GopherRules _),
     "d39_vocab_topk" -> (d39VocabTopK _),
     "d40_hashed_tfidf" -> (d40HashedTfidf _),
+    "v14_phrase_topk" -> (v14PhraseTopK _),
+    "d41_dsir_select" -> (d41DsirSelect _),
+    "q90_cdc_feed" -> (q90CdcFeed _),
+    "q91_cdc_incremental_view" -> (q91CdcView _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4918,6 +5142,10 @@ object SparkEntry {
     "d38_gopher_rules" -> d38OracleSql,
     "d39_vocab_topk" -> d39OracleSql,
     "d40_hashed_tfidf" -> d40OracleSql,
+    "v14_phrase_topk" -> v14OracleSql,
+    "d41_dsir_select" -> d41OracleSql,
+    "q90_cdc_feed" -> q90OracleSql,
+    "q91_cdc_incremental_view" -> q91OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

@@ -371,6 +371,99 @@ object Retrieval {
         size(col("arr")).cast("long").as("n_terms"))
   }
 
+  /** Positional inverted index — the phrase-search extension of the BM25
+    * serving layout: one postings row per (term, doc) carrying the
+    * term's ORDERED 1-based position list, partitioned by
+    * `term_bucket = pmod(xxhash64(term), buckets)` exactly like
+    * [[buildBm25Index]] so a phrase query prunes to the buckets its
+    * terms hash into. Build cost: ONE tokenize shuffle (map-side
+    * position collect is not possible for collect_list, but the
+    * (term, doc) key keeps every group within one document's token
+    * count, so no group is corpus-sized). Positions are ints (2^31
+    * tokens per document is beyond any real document).
+    */
+  def buildPositionalIndex(docs: DataFrame, writer: graft.sources.TableWriter,
+      name: String, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val posts = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("p0", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list((col("p0") + 1).cast("int")))
+        .as("positions"))
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+    // same bucket-clustered write as the BM25 postings: one contiguous
+    // file per bucket dir instead of tasks × buckets slivers
+    writer.materialize(s"${name}_positions",
+      posts.repartition(col("term_bucket")),
+      partitionBy = Seq("term_bucket"))
+  }
+
+  /** Exact phrase query against a [[buildPositionalIndex]] layout.
+    * `phrases`: (query_id LONG, terms ARRAY<STRING>) — a bounded
+    * serving-side workload, collected like [[localQueries]]. A document
+    * matches when the phrase occurs CONSECUTIVELY: the occurrence-start
+    * set is the intersection over phrase offsets i of
+    * {p - i : p ∈ positions(term_i)}, computed entirely in Column
+    * algebra (transform + array_intersect fold) — integers end-to-end,
+    * so unlike BM25 the output is fully hash-exact cross-engine, not
+    * rank-only. Output: (query_id, doc_id, n_occ, rank), rank 1..k by
+    * occurrence count desc / doc_id asc.
+    *
+    * Plan shape: the postings read is partition-pruned to the query
+    * terms' buckets and term-filtered inside them; the broadcast
+    * (term, off) join fans each surviving posting to the offsets that
+    * term occupies in some phrase; one (query, doc)-keyed shuffle
+    * aggregates the offset sets; everything after is
+    * candidate-bounded. Phrases with repeated terms work: each offset
+    * is a distinct broadcast row, and the doc must satisfy ALL of them
+    * (countDistinct(off) = phrase length).
+    */
+  def phraseQuery(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String, phrases: DataFrame,
+      k: Int, excludeSelf: Boolean = false, buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val pRows = phrases
+      .select(col("query_id").cast("long"), col("terms"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    val qOff = pRows.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (q, t, i, ts.length) } }
+    val qDf = qOff.toDF("query_id", "term", "off", "plen")
+    val qTerms = qOff.map(_._2).distinct.sorted
+    // bucket ids via the engine's own xxhash64 (local-data job), pruning
+    // predicate stays in the written int type — same as queryBm25Index
+    val hit = qTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
+        .as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val posts = writer.read(spark, s"${name}_positions")
+      .filter(col("term_bucket").isin(hit: _*)
+        && col("term").isin(qTerms: _*))
+      .select(col("term"), col("doc_id"), col("positions"))
+    val shifted = posts.join(broadcast(qDf), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("plen"), col("off"),
+        transform(col("positions"), p => p - col("off")).as("starts"))
+    val folded = shifted.groupBy("query_id", "doc_id", "plen")
+      .agg(countDistinct(col("off")).as("n_hit"),
+        collect_list(col("starts")).as("sets"))
+      .filter(col("n_hit") === col("plen"))
+      .withColumn("occ",
+        aggregate(slice(col("sets"), lit(2), size(col("sets")) - 1),
+          element_at(col("sets"), 1),
+          (acc, x) => array_intersect(acc, x)))
+      .withColumn("n_occ", size(col("occ")).cast("long"))
+      .filter(col("n_occ") > 0)
+    val scoped =
+      if (excludeSelf) folded.filter(col("doc_id") =!= col("query_id"))
+      else folded
+    scoped
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("n_occ").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_occ"), col("rank"))
+  }
+
   /** Exact top-k tokens per group by frequency (count desc, token asc).
     * The corpus-sized work is the single (group, token) count shuffle
     * with map-side combine; the window that ranks it runs on the

@@ -102,4 +102,66 @@ object Sampling {
       gk -> ((w * capacity / counts(gk)) * M).toLong }
     inMix.filter(Sketches.numHash(idCol) < thresholdCol(g, thr, -1L))
   }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every document by how
+    * much more likely its hashed-unigram bag is under the TARGET
+    * distribution than under the raw corpus, and keep the global top-k.
+    * Features are the shared-arithmetic polynomial token hash folded
+    * into `buckets` bins (the d40 feature-hashing bridge); both bag
+    * models are Laplace-smoothed (+1 per bin, +buckets on the total), so
+    * the per-bin log weight is
+    * ln((tgt+1)·(Nraw+B) / ((raw+1)·(Ntgt+B))) and a document's
+    * importance weight is Σ_b count_doc[b] · logw[b].
+    *
+    * Determinism: the per-bin addends are doubles multiplied by integer
+    * counts (IEEE-deterministic), summed through DECIMAL(38,18) casts —
+    * order-independent, so exact-duplicate documents get bit-identical
+    * sums and break ties on doc_id. ln() is the one 1-ulp-portable op,
+    * so the contract output is the RANK, not the weight — the same
+    * argument BM25 (v10) rests on. Output: (doc_id, rank, n_feats) for
+    * the top `k`, rank by weight desc / doc_id asc; n_feats (occupied
+    * bins, exact int) keeps a second hash-checkable signal.
+    *
+    * Scale shape: one (doc, bin) count shuffle with map-side combine
+    * (bins ≤ `buckets`, so each doc contributes ≤ B rows regardless of
+    * length); the bag models are a `buckets`-row aggregate (two longs
+    * collected for the totals); scoring is a broadcast join + one
+    * doc-keyed combine-agg; selection is a distributed TakeOrdered —
+    * no global sort, no corpus-sized window, nothing corpus-sized near
+    * the driver.
+    */
+  def dsirTopK(docs: DataFrame, targetPred: Column, buckets: Int, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("is_tgt"),
+        explode(split(col(textCol), " ")).as("term"))
+      .withColumn("b",
+        graft.functions.TextFns.polyTokenHash(col("term"))
+          % lit(buckets.toLong))
+      .groupBy("doc_id", "is_tgt", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val model = perDoc.groupBy("b").agg(
+      sum(col("cnt")).as("raw"),
+      sum(when(col("is_tgt"), col("cnt")).otherwise(lit(0L))).as("tgt"))
+    val tot = model.agg(sum(col("raw")), sum(col("tgt"))).collect()(0)
+    val (nRaw, nTgt) = (tot.getLong(0), tot.getLong(1))
+    val logw = model.select(col("b"),
+      log((col("tgt").cast("double") + lit(1.0))
+          * lit(nRaw.toDouble + buckets)
+          / ((col("raw").cast("double") + lit(1.0))
+            * lit(nTgt.toDouble + buckets))).as("logw"))
+    val scored = perDoc.join(broadcast(logw), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum((col("cnt").cast("double") * col("logw"))
+          .cast("decimal(38,18)")).as("w"),
+        count(lit(1)).cast("long").as("n_feats"))
+    // TakeOrdered top-k, then rank the k survivors (k-row window)
+    scored.orderBy(col("w").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("w").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("n_feats"))
+  }
 }

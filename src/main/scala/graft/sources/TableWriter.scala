@@ -203,6 +203,105 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     path(name)
   }
 
+  /** [[mergeByKey]] with a change-data feed (the Delta/Iceberg CDF
+    * analogue on plain parquet): the row-level changes the merge will
+    * apply are computed FIRST — against the same touched-bucket read the
+    * merge itself does — and appended to `{name}_changes` as
+    * (batch_id, change_op, <payload>) rows, then the merge runs.
+    * change_op ∈ insert | update_pre | update_post; a batch row
+    * identical (null-safely) to the table row emits NOTHING, so
+    * idempotent re-runs are silent in the feed — which is what lets a
+    * downstream consumer apply the feed as deltas (+post −pre) without
+    * double counting. Cost: one extra key join over the touched buckets
+    * (the same data the merge reads anyway). The feed is append-only
+    * and batch_id-stamped; consumers needing exactly-once should
+    * dedupe on batch_id. Default "incoming wins" resolution only —
+    * attribute-based resolveOrder merges have no well-defined per-batch
+    * pre/post image (the winner may be the existing row).
+    */
+  def mergeByKeyCdc(spark: org.apache.spark.sql.SparkSession, name: String,
+      incoming: DataFrame, key: String, batchId: Long,
+      numBuckets: Int = 16): String = {
+    import org.apache.spark.sql.functions._
+    val valueCols = incoming.columns.filterNot(_ == key).toSeq
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val outCols = (Seq(col("batch_id"), col("change_op"), col(key))
+      ++ valueCols.map(col))
+    val changes: DataFrame =
+      if (!fs.exists(p))
+        incoming.withColumn("batch_id", lit(batchId))
+          .withColumn("change_op", lit("insert"))
+          .select(outCols: _*)
+      else {
+        val withBucket = incoming.withColumn("__bucket",
+          pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+        // bounded collect: ≤ numBuckets ids
+        val affected = withBucket.select("__bucket").distinct()
+          .collect().map(_.getInt(0))
+        val existing = spark.read.parquet(path(name))
+          .withColumn("__bucket", col("__bucket").cast("int"))
+          .filter(col("__bucket").isin(affected.toIndexedSeq: _*))
+          .drop("__bucket")
+        val n = incoming.alias("n")
+        val o = existing.alias("o")
+        val j = n.join(o, col(s"n.$key") === col(s"o.$key"), "left")
+        val unchanged = valueCols
+          .map(c => col(s"n.$c") <=> col(s"o.$c"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        def img(side: String, op: String): Seq[org.apache.spark.sql.Column] =
+          Seq(lit(batchId).as("batch_id"), lit(op).as("change_op"),
+            col(s"$side.$key").as(key)) ++
+            valueCols.map(c => col(s"$side.$c").as(c))
+        val inserts = j.filter(col(s"o.$key").isNull)
+          .select(img("n", "insert"): _*)
+        val updated = j.filter(col(s"o.$key").isNotNull && !unchanged)
+        inserts
+          .unionByName(updated.select(img("o", "update_pre"): _*))
+          .unionByName(updated.select(img("n", "update_post"): _*))
+      }
+    materialize(s"${name}_changes", changes, mode = SaveMode.Append)
+    mergeByKey(spark, name, incoming, key, numBuckets)
+  }
+
+  /** [[deleteByKey]] with a change-data feed: the CURRENT values of the
+    * doomed keys actually present in the table are appended to
+    * `{name}_changes` as change_op = delete rows (absent keys and
+    * re-runs emit nothing — same silence contract as
+    * [[mergeByKeyCdc]]), then the delete runs. Together the two cover
+    * the full CDF op set {insert, update_pre, update_post, delete}, and
+    * folding the feed (+insert +post −pre −delete) reconstructs any
+    * aggregate of the table state exactly — the incremental
+    * view-maintenance contract q91 pins.
+    */
+  def deleteByKeyCdc(spark: org.apache.spark.sql.SparkSession, name: String,
+      doomedKeys: DataFrame, key: String, batchId: Long,
+      numBuckets: Int = 16): String = {
+    import org.apache.spark.sql.functions._
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val doomed = doomedKeys.select(col(key)).distinct()
+        .withColumn("__bucket",
+          pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+      // bounded collect: ≤ numBuckets ids
+      val affected = doomed.select("__bucket").distinct()
+        .collect().map(_.getInt(0))
+      val victims = spark.read.parquet(path(name))
+        .withColumn("__bucket", col("__bucket").cast("int"))
+        .filter(col("__bucket").isin(affected.toIndexedSeq: _*))
+        .drop("__bucket")
+        .join(doomed.select(col(key)), Seq(key), "left_semi")
+      val valueCols = victims.columns.filterNot(_ == key).toSeq
+      materialize(s"${name}_changes",
+        victims.select((Seq(lit(batchId).as("batch_id"),
+          lit("delete").as("change_op"), col(key))
+          ++ valueCols.map(col)): _*),
+        mode = SaveMode.Append)
+    }
+    deleteByKey(spark, name, doomedKeys, key, numBuckets)
+  }
+
   /** Small-file compaction — the 100 TB housekeeping operator (a trickle
     * of incremental loads leaves thousands of KB-sized files whose
     * per-file open/footer cost eventually dominates scans). Per leaf

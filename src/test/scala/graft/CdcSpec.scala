@@ -1,0 +1,102 @@
+package graft
+
+import graft.sources.TableWriter
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-feed semantics of mergeByKeyCdc/deleteByKeyCdc (q90/q91).
+  * The driver oracle hash-checks the feed content on the real flow; this
+  * spec pins the PROPERTIES the feed contract rests on: silence of
+  * idempotent re-runs, replayability (folding the feed reconstructs the
+  * table state exactly), delete images carrying current values, and the
+  * feed never touching the merged table's own content.
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWriter(): TableWriter =
+    new TableWriter(
+      java.nio.file.Files.createTempDirectory("cdc").toString)
+
+  private def rows(ks: (Long, Double)*): DataFrame =
+    ks.toDF("k", "v")
+
+  private def feed(w: TableWriter): List[(Long, String, Long, Double)] =
+    w.read(spark, "t_changes")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("change_op"), r.getAs[Long]("k"),
+        r.getAs[Double]("v"))).toList.sorted
+
+  test("cdc: first batch is all inserts; identical re-run is silent") {
+    val w = freshWriter()
+    val b = rows(1L -> 10.0, 2L -> 20.0)
+    w.mergeByKeyCdc(spark, "t", b, "k", batchId = 1L)
+    assert(feed(w).toSet ==
+      Set((1L, "insert", 1L, 10.0), (1L, "insert", 2L, 20.0)))
+    w.mergeByKeyCdc(spark, "t", b, "k", batchId = 2L)
+    assert(feed(w).count(_._1 == 2L) == 0,
+      s"idempotent re-run must emit nothing: ${feed(w)}")
+  }
+
+  test("cdc: changed rows emit pre+post images, unchanged rows nothing") {
+    val w = freshWriter()
+    w.mergeByKeyCdc(spark, "t", rows(1L -> 10.0, 2L -> 20.0, 3L -> 30.0),
+      "k", batchId = 1L)
+    // 1 changes, 2 is resent unchanged, 4 is new
+    w.mergeByKeyCdc(spark, "t", rows(1L -> 11.0, 2L -> 20.0, 4L -> 40.0),
+      "k", batchId = 2L)
+    val b2 = feed(w).filter(_._1 == 2L).toSet
+    assert(b2 == Set(
+      (2L, "update_pre", 1L, 10.0), (2L, "update_post", 1L, 11.0),
+      (2L, "insert", 4L, 40.0)), s"got $b2")
+  }
+
+  test("cdc: delete images carry CURRENT values; absent keys are silent") {
+    val w = freshWriter()
+    w.mergeByKeyCdc(spark, "t", rows(1L -> 10.0, 2L -> 20.0), "k", 1L)
+    w.mergeByKeyCdc(spark, "t", rows(1L -> 11.0), "k", 2L)
+    w.deleteByKeyCdc(spark, "t", Seq(1L, 99L).toDF("k"), "k", batchId = 3L)
+    val b3 = feed(w).filter(_._1 == 3L).toSet
+    // the delete image is the post-update value, 99 emits nothing
+    assert(b3 == Set((3L, "delete", 1L, 11.0)), s"got $b3")
+    // re-running the delete is silent too
+    w.deleteByKeyCdc(spark, "t", Seq(1L).toDF("k"), "k", batchId = 4L)
+    assert(feed(w).count(_._1 == 4L) == 0)
+  }
+
+  test("cdc: folding the feed reconstructs the table state exactly") {
+    val w = freshWriter()
+    w.mergeByKeyCdc(spark, "t", rows(1L -> 10.0, 2L -> 20.0, 3L -> 30.0),
+      "k", 1L)
+    w.mergeByKeyCdc(spark, "t", rows(2L -> 21.0, 4L -> 40.0), "k", 2L)
+    w.deleteByKeyCdc(spark, "t", Seq(3L).toDF("k"), "k", 3L)
+    // replay: apply ops in batch order into a map
+    val state = scala.collection.mutable.Map.empty[Long, Double]
+    feed(w).foreach {
+      case (_, "insert", k, v)      => state(k) = v
+      case (_, "update_post", k, v) => state(k) = v
+      case (_, "update_pre", _, _)  => ()
+      case (_, "delete", k, _)      => state.remove(k)
+      case other => fail(s"unknown op $other")
+    }
+    val table = w.read(spark, "t").select("k", "v")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(state.toMap == table,
+      s"feed replay diverged: replay=$state table=$table")
+    assert(table == Map(1L -> 10.0, 2L -> 21.0, 4L -> 40.0))
+  }
+
+  test("cdc: merged table content is identical to a plain mergeByKey") {
+    val wCdc = freshWriter()
+    val wPlain = freshWriter()
+    val b1 = rows(1L -> 10.0, 2L -> 20.0)
+    val b2 = rows(2L -> 21.0, 3L -> 30.0)
+    wCdc.mergeByKeyCdc(spark, "t", b1, "k", 1L)
+    wCdc.mergeByKeyCdc(spark, "t", b2, "k", 2L)
+    wPlain.mergeByKey(spark, "t", b1, "k")
+    wPlain.mergeByKey(spark, "t", b2, "k")
+    def dump(w: TableWriter) = w.read(spark, "t").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(dump(wCdc) == dump(wPlain))
+  }
+}

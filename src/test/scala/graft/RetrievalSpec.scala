@@ -198,6 +198,70 @@ class RetrievalSpec extends SparkSpec {
     assert(out(0).getAs[Double]("weight") == 2.0)
   }
 
+  // ------------------------------------------------------ phrase search
+
+  private def phraseSetup(rows: (Long, String)*): graft.sources.TableWriter = {
+    val tmp = java.nio.file.Files.createTempDirectory("posidx").toString
+    val w = new graft.sources.TableWriter(tmp)
+    Retrieval.buildPositionalIndex(docs(rows: _*), w, "docs")
+    w
+  }
+
+  private def phrase(w: graft.sources.TableWriter, qid: Long,
+      terms: String*): Set[(Long, Long)] =
+    Retrieval.phraseQuery(spark, w, "docs",
+        Seq((qid, terms)).toDF("query_id", "terms"), k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_occ")))
+      .toSet
+
+  test("phrase: consecutive occurrences only, counted exactly") {
+    val w = phraseSetup(
+      1L -> "a b c a b c a b",     // "a b c" twice, "a b" three times
+      2L -> "a c b a c b",         // has a,b,c but never "a b c"
+      3L -> "x a b c y",           // once, mid-document
+      4L -> "c b a")               // reversed — no match
+    assert(phrase(w, 99L, "a", "b", "c") == Set((1L, 2L), (3L, 1L)))
+    assert(phrase(w, 99L, "a", "b") == Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("phrase: repeated terms in the phrase match only true repeats") {
+    val w = phraseSetup(
+      1L -> "go go go stop",  // "go go" occurs at positions 1 and 2
+      2L -> "go stop go",     // never consecutively
+      3L -> "go go")          // once
+    assert(phrase(w, 99L, "go", "go") == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("phrase: excludeSelf drops the query document, rank orders by count") {
+    val w = phraseSetup(
+      0L -> "p q r",
+      1L -> "p q r p q r p q r",
+      2L -> "p q r z")
+    val r = Retrieval.phraseQuery(spark, w, "docs",
+        Seq((0L, Seq("p", "q", "r"))).toDF("query_id", "terms"),
+        k = 10, excludeSelf = true)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_occ"),
+        r.getAs[Int]("rank"))).toList
+    assert(r == List((1L, 3L, 1), (2L, 1L, 2)))
+  }
+
+  test("phrase: postings read is pruned to the query terms' buckets") {
+    val w = phraseSetup(
+      1L -> ("one two three " + (1 to 60).map(i => s"filler$i").mkString(" ")))
+    val plan = Retrieval.phraseQuery(spark, w, "docs",
+        Seq((9L, Seq("one", "two"))).toDF("query_id", "terms"), k = 5)
+      .queryExecution.executedPlan.toString
+    // the scan must carry a partition filter on term_bucket (pruned read),
+    // never a full-index scan
+    assert(plan.contains("term_bucket"),
+      s"no term_bucket pruning in plan:\n$plan")
+    val scanned = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanned.nonEmpty && scanned.contains("term_bucket"),
+      s"no partition filter on the positional read:\n$plan")
+  }
+
   // ------------------------------------------------- vocab heavy hitters
 
   test("d39 top tokens: exact counts, rank by count desc then token") {

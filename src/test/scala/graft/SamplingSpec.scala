@@ -87,4 +87,51 @@ class SamplingSpec extends SparkSpec {
     val full = got.toMap
     assert(subset.forall { case (id, s) => full(id) == s })
   }
+
+  // ------------------------------------------------------------- DSIR
+
+  private lazy val dsirCorpus = Seq(
+    // target docs (is_tgt = lang 'en') speak "alpha beta"; raw speaks
+    // "gamma delta" — a doc's weight should track which side it sounds like
+    (1L, "en", "alpha beta alpha beta alpha"),
+    (2L, "en", "alpha beta beta alpha beta"),
+    (3L, "de", "gamma delta gamma delta gamma"),
+    (4L, "de", "gamma delta delta gamma delta"),
+    (5L, "de", "alpha beta alpha beta beta"),   // raw doc in target voice
+    (6L, "en", "gamma delta gamma gamma"),      // target doc in raw voice
+    (7L, "de", "alpha beta alpha beta beta")    // exact duplicate of 5
+  ).toDF("doc_id", "lang", "text")
+
+  test("dsir: target-sounding docs outrank raw-sounding docs") {
+    val r = Sampling.dsirTopK(dsirCorpus, col("lang") === "en",
+        buckets = 64, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank"))
+      .toMap
+    // every alpha/beta doc must beat every gamma/delta doc, regardless
+    // of which side of the target predicate it sits on
+    val targetVoice = Seq(1L, 2L, 5L, 7L).map(r)
+    val rawVoice = Seq(3L, 4L, 6L).map(r)
+    assert(targetVoice.max < rawVoice.min,
+      s"target-voiced docs must all outrank raw-voiced docs: $r")
+  }
+
+  test("dsir: exact duplicates tie bit-exactly and break on doc_id") {
+    val r = Sampling.dsirTopK(dsirCorpus, col("lang") === "en",
+        buckets = 64, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank"))
+      .toMap
+    // docs 5 and 7 are token-identical → identical DECIMAL sums →
+    // adjacent ranks with the lower id first
+    assert(r(7L) == r(5L) + 1, s"duplicates must be rank-adjacent: $r")
+  }
+
+  test("dsir: k bounds the output and ranks are 1..k dense") {
+    val big = (1 to 500).map(i =>
+      (i.toLong, if (i % 5 == 0) "en" else "de",
+        s"tok${i % 17} tok${i % 13} tok${i % 7}"))
+      .toDF("doc_id", "lang", "text")
+    val r = Sampling.dsirTopK(big, col("lang") === "en", buckets = 64, k = 50)
+      .collect().map(_.getAs[Long]("rank")).sorted.toList
+    assert(r == (1L to 50L).toList)
+  }
 }
