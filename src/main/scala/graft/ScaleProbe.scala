@@ -30,7 +30,8 @@ object ScaleProbe {
       if (args.length > 2) args(2).split(",").toSet
       else Set("d3", "d11", "d15", "d18", "d21", "d35", "d36", "d37", "bpe",
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
-        "q70", "q71", "q20", "q43", "v8", "v9", "v12", "bm25")
+        "q70", "q71", "q20", "q43", "v8", "v9", "v12", "bm25", "dsir",
+        "phrase", "cdc")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -69,7 +70,7 @@ object ScaleProbe {
 
     if (probes.intersect(
         Set("d3", "d11", "d15", "d18", "d21", "d35", "d37", "bpe", "d33",
-          "d34", "bm25")).nonEmpty) {
+          "d34", "bm25", "dsir", "phrase")).nonEmpty) {
       val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
       val docsN = replicate(docs1, "doc_id", mult, mutate = true)
         .repartition(cpus.toInt).persist()
@@ -214,8 +215,84 @@ object ScaleProbe {
           }
           deleteTree(whDir)
         }
+        // d41: DSIR — one (doc, bin) combine shuffle, a 64-row bag model,
+        // TakeOrdered selection. Must scale ~linearly in corpus size
+        // (nothing grows with the model: bins are constant).
+        if (on("dsir")) t(s"d41_dsir_$label") {
+          graft.operators.Sampling.dsirTopK(d, col("lang") === "en",
+            buckets = 64, k = 200).count()
+        }
+        // v14: positional index build (~linear tokenize + one shuffle) and
+        // phrase query over a FIXED query set — the query cost must track
+        // the query terms' posting mass (bucket-pruned read), which here
+        // grows with mult because every replica shares the query docs'
+        // leading trigram (the hard direction: candidates scale with the
+        // corpus, the read stays pruned).
+        if (on("phrase")) {
+          val whDir = java.nio.file.Files
+            .createTempDirectory("probe_pos_").toString
+          val w = new graft.sources.TableWriter(whDir)
+          t(s"v14_pos_build_$label") {
+            Retrieval.buildPositionalIndex(d, w, "docs")
+            spark.read.parquet(s"$whDir/docs_positions").count()
+          }
+          val phrases = docs1
+            .filter(col("doc_id") % 97 === 0
+              && size(split(col("text"), " ")) >= 3)
+            .select(col("doc_id").as("query_id"),
+              slice(split(col("text"), " "), 1, 3).as("terms"))
+          t(s"v14_phrase_query_$label") {
+            Retrieval.phraseQuery(spark, w, "docs", phrases, k = 10,
+              excludeSelf = true).count()
+          }
+          deleteTree(whDir)
+        }
       }
       docsN.unpersist()
+    }
+
+    // CDC merge feed: the table grows mult× while the update batch stays
+    // FIXED (one crawl/ops increment) and the bucket count scales with
+    // the table (the 100 TB sizing rule: bucket volume held constant).
+    // Expected: base load ~linear; the batched update+feed FLAT —
+    // cost = touched buckets × bucket volume, both mult-independent;
+    // the idempotent re-run pays the same read but writes nothing new.
+    if (on("cdc")) {
+      val o1 = graft.sources.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      for ((label, n) <- Seq("1x" -> 1, s"${mult}x" -> mult)) {
+        val oN = (0 until n).map(r =>
+            o1.withColumn("k", col("k") + lit(r * 1000000000L)))
+          .reduce(_ unionByName _).repartition(cpus.toInt).persist()
+        oN.count()
+        val buckets = 16 * n
+        val whDir = java.nio.file.Files
+          .createTempDirectory("probe_cdc_").toString
+        val w = new graft.sources.TableWriter(whDir)
+        def feedRows(): Long = spark.read.parquet(s"$whDir/t_changes").count()
+        t(s"cdc_base_load_$label") {
+          w.mergeByKeyCdc(spark, "t", oN, "k", batchId = 1L,
+            numBuckets = buckets)
+          feedRows()
+        }
+        val batch = o1.filter(col("k") % 1000 === 0)
+          .withColumn("price",
+            (col("price") + lit(1).cast("decimal(18,2)"))
+              .cast("decimal(18,2)"))
+        t(s"cdc_update_batch_$label") {
+          w.mergeByKeyCdc(spark, "t", batch, "k", batchId = 2L,
+            numBuckets = buckets)
+          feedRows()
+        }
+        t(s"cdc_silent_rerun_$label") {
+          w.mergeByKeyCdc(spark, "t", batch, "k", batchId = 3L,
+            numBuckets = buckets)
+          feedRows()
+        }
+        deleteTree(whDir)
+        oN.unpersist()
+      }
     }
 
     // Time-series join family: the two custom "missing operator"
