@@ -1584,6 +1584,9 @@ object SparkEntry {
     bm25IncCache.clear()
     pqCodebookCache.clear()
     dagRunCache.clear()
+    posIndexCache.clear()
+    cdcCache.clear()
+    compactIdxCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
   }
 
@@ -3054,17 +3057,39 @@ object SparkEntry {
   // q40Scratch, which it deletes).
   private val ivfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.sources.TableWriter]
-  private def v7AnnIvfIndex(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val writer = ivfIndexCache.getOrElseUpdate((s, dir), {
+  private def ivfIndex(s: SparkSession, dir: String): graft.sources.TableWriter =
+    ivfIndexCache.getOrElseUpdate((s, dir), {
+      val e = t(s, dir, "embeddings")
       val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
       val w = new graft.sources.TableWriter(
         s"$q40Scratch/ivfindex_${java.lang.Integer.toHexString(dir.hashCode)}")
       Similarity.buildIvfIndex(e, cents, w, "emb")
       w
     })
-    Similarity.queryIvfIndex(s, writer, "emb",
+
+  private def v7AnnIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.queryIvfIndex(s, ivfIndex(s, dir), "emb",
         e.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Metadata-filtered ANN (v15 — the "nearest English documents"
+    * serving form every retrieval deployment needs): the SAME persisted
+    * v7 index, probed with nprobe=2, with the predicate applied as a
+    * semi-join on the partition-pruned lists BEFORE scoring (post-filter
+    * semantics — the FAISS IDSelector contract; a sparse filter returns
+    * fewer than k rather than widening the read). The oracle replays
+    * training + assignment + probing and adds the same IN-filter before
+    * ranking.
+    */
+  private def v15AnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val allowed = t(s, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id").as("nbr_id"))
+    Similarity.queryIvfIndex(s, ivfIndex(s, dir), "emb",
+        e.filter(col("vec_id") < 8), k = 5, nprobe = 2,
+        allowed = Some(allowed))
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -3734,6 +3759,116 @@ object SparkEntry {
       |  CAST(SUM(price) AS DOUBLE) AS sum_price
       |FROM finalstate GROUP BY 1""".stripMargin
 
+  /** Serving-index compaction under the oracle (q92): four incremental
+    * appends leave one small file per (batch × touched bucket) in the
+    * BM25 postings layout — the small-file reality of any streamed
+    * index (q89). `compact()` bin-packs each bucket DIRECTORY back
+    * toward one file (partition dirs never merge across buckets), and
+    * the query over the compacted index must stay BIT-identical —
+    * v10's oracle — proving compaction is content-invisible on the
+    * serving path, not just on plain tables (q69). The build is
+    * incremental-append all the way down, so the bit-exact
+    * append==rebuild argument (v13) composes with the compaction
+    * content-invisibility argument (q69) into the full maintenance
+    * cycle: ingest → compact → serve.
+    */
+  private val compactIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q92IndexCompaction(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // the ingest→compact cycle runs once per (session, sfdir) — the
+    // bm25Index/v7 discipline: the maintained index is a session
+    // artifact, steady cost is SERVING cost (CompactionSpec pins the
+    // structural claims of the cycle itself)
+    val writer = compactIdxCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/compactbm25_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      (0 to 3).foreach { c =>
+        Retrieval.appendBm25Index(
+          d.filter(pmod(col("doc_id"), lit(4)) === c), w, "docs")
+      }
+      w.compact(s, "docs_postings", targetBytes = 256L * 1024 * 1024)
+      w
+    })
+    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, writer, "docs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Streaming CDC apply (q93): the change feed q90 persists, consumed
+    * through the REAL readStream path one feed file per microbatch, and
+    * folded into the grouped view as a streaming aggregation over
+    * signed deltas (+insert/+post, −pre/−delete). Complete-mode
+    * convergence equals q91's batch fold, which equals the closed-form
+    * recompute — so the whole chain (merge → feed → stream → view) runs
+    * under one oracle. This is the materialized-view-maintenance
+    * deployment shape at 100 TB: the view never reads the base table,
+    * only the (batch-bounded) feed.
+    */
+  private def q93StreamCdcView(s: SparkSession, dir: String): DataFrame = {
+    val w = cdcRun(s, dir)
+    val feedPath = w.path("orders_cdc_changes")
+    val schema = s.read.parquet(feedPath).schema
+    val feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedPath)
+    val signed = feed.withColumn("sign",
+      when(col("change_op").isin("insert", "update_post"), lit(1L))
+        .otherwise(lit(-1L)))
+    graft.streaming.StreamOracle.converge(
+      signed.groupBy((col("k") % 10).as("grp"))
+        .agg(sum(col("sign")).as("n_rows"),
+          sum(when(col("sign") === 1L, col("price"))
+            .otherwise(-col("price"))).as("sum_price_dec")),
+      "q93_stream_cdc_sink")
+      .select(col("grp"), col("n_rows"),
+        col("sum_price_dec").cast("double").as("sum_price"))
+  }
+
+  /** Centrality-based canonical ranking (d42): PageRank over the d2
+    * near-dup pair graph — the third keep policy next to min-id (d13)
+    * and best-LM-score (d34): rank template-family members by how
+    * central they are in the duplication structure. Edges are the
+    * SHARED d2 pair stage (computed once per session); see
+    * [[graft.operators.Dedup.pageRank]] for the iteration arithmetic
+    * and the rank-only determinism argument.
+    */
+  private def d42CentralityRank(s: SparkSession, dir: String): DataFrame =
+    Dedup.pageRank(d2PairsShared(s, dir), iters = 5, damping = 0.85, k = 100)
+
+  private def d42OracleSql: String = {
+    val iter = (1 to 5).map { i =>
+      s"""|), r$i AS (
+          |  SELECT e.dst AS id,
+          |    (1.0 - 0.85) / nn.n
+          |      + 0.85 * CAST(SUM(CAST(r.r / CAST(e.deg AS DOUBLE)
+          |          AS DECIMAL(38,18))) AS DOUBLE) AS r
+          |  FROM edgesd e JOIN r${i - 1} r ON e.src = r.id CROSS JOIN nn
+          |  GROUP BY e.dst, nn.n""".stripMargin
+    }.mkString("\n")
+    s"""WITH pairs AS (
+       |$d2OracleSql
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1
+       |), edgesd AS (
+       |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+       |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+       |), r0 AS (SELECT src AS id, 1.0 / nn.n AS r FROM deg CROSS JOIN nn
+       |$iter
+       |)
+       |SELECT doc_id, rank, degree FROM (
+       |  SELECT r.id AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       |    ROW_NUMBER() OVER (ORDER BY r.r DESC, r.id) AS rank
+       |  FROM r5 r JOIN deg d ON r.id = d.src
+       |) WHERE rank <= 100""".stripMargin
+  }
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3909,6 +4044,10 @@ object SparkEntry {
     "d41_dsir_select" -> (d41DsirSelect _),
     "q90_cdc_feed" -> (q90CdcFeed _),
     "q91_cdc_incremental_view" -> (q91CdcView _),
+    "q92_index_compaction" -> (q92IndexCompaction _),
+    "q93_stream_cdc_view" -> (q93StreamCdcView _),
+    "d42_centrality_rank" -> (d42CentralityRank _),
+    "v15_ann_filtered" -> (v15AnnFiltered _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5146,6 +5285,15 @@ object SparkEntry {
     "d41_dsir_select" -> d41OracleSql,
     "q90_cdc_feed" -> q90OracleSql,
     "q91_cdc_incremental_view" -> q91OracleSql,
+    // q92 = v10 through an append-built THEN COMPACTED index; compaction
+    // is content-invisible (q69's argument) and append==rebuild (v13's),
+    // so the full-corpus replay is the oracle
+    "q92_index_compaction" -> v10OracleSql,
+    // q93 = q91's view maintained through the streaming planner over the
+    // same feed; complete-mode convergence == the batch fold
+    "q93_stream_cdc_view" -> q91OracleSql,
+    "d42_centrality_rank" -> d42OracleSql,
+    "v15_ann_filtered" -> v15OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 
@@ -5522,7 +5670,8 @@ object SparkEntry {
     * batch is assigned by the same frozen quantizer, which is exactly
     * what one-pass assignment of the union computes).
     */
-  private def ivfQueryOracleSql(trainWhere: String): String = {
+  private def ivfQueryOracleSql(trainWhere: String,
+      candWhere: String = ""): String = {
     val cf = s"cent$ivfIters"
     s"""${ivfTrainCtesSqlWhere(trainWhere)}
        |), assigned AS (
@@ -5546,7 +5695,7 @@ object SparkEntry {
        |    list_dot_product(p.q_vec, a.nbr_vec)
        |      / (SQRT(list_dot_product(p.q_vec, p.q_vec)) * SQRT(list_dot_product(a.nbr_vec, a.nbr_vec))) AS sim
        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
-       |  WHERE a.nbr_id <> p.query_id
+       |  WHERE a.nbr_id <> p.query_id$candWhere
        |)
        |SELECT query_id, nbr_id, rank FROM (
        |  SELECT query_id, nbr_id,
@@ -5554,6 +5703,13 @@ object SparkEntry {
        |  FROM scored
        |) WHERE rank <= 5""".stripMargin
   }
+
+  /** v15 = v3's replay with the metadata predicate added before ranking
+    * — same training, same assignment, same probes, candidates
+    * restricted to English documents.
+    */
+  private def v15OracleSql: String = ivfQueryOracleSql("",
+    " AND a.nbr_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")
 
   /** v6 oracle: the full IVF+SQ8 composition replayed — v3's unrolled
     * Lloyd training (ivfTrainCtesSql), v5's exact min/max codebook and

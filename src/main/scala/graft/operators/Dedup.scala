@@ -582,4 +582,63 @@ object Dedup {
     sigs.unpersist(blocking = false)
     out
   }
+
+  /** PageRank over the (symmetric) near-dup pair graph — the
+    * centrality-based canonical-document policy: where d13 keeps the
+    * min-id member of a cluster and d34 the best-scored, this ranks
+    * members by how CENTRAL they are in the duplication structure (the
+    * most-linked variant is the best canonical form of a template
+    * family). Standard damped PageRank, `iters` fixed iterations from a
+    * uniform start; nodes are the pair-graph endpoints (singletons have
+    * no centrality to rank).
+    *
+    * Determinism: each iteration's per-edge contribution r/deg is one
+    * IEEE double divide; the in-edge sum goes through DECIMAL(38,18)
+    * casts (order-independent); the combine back to a double is one
+    * multiply-add. The only cross-engine slack is the double→decimal
+    * cast rounding (~1e-15 relative, the d40 measurement), so the
+    * contract output is the RANK (plus the exact integer degree) —
+    * structurally tied nodes get bit-identical sums in each engine and
+    * break on id, and genuinely distinct nodes differ by far more than
+    * the cast slack.
+    *
+    * Scale shape: the edge list is shuffled ONCE onto src (the
+    * join-with-ranks key) and each iteration is one broadcast-or-shuffle
+    * join plus one dst-keyed combine-agg — iters × 2 shuffles of
+    * edge-bounded data, no corpus-sized window, the node count arrives
+    * as one driver long. Selection is TakeOrdered.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      k: Int = 100, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, Seq("src")).persist()
+    val n = deg.count() // one driver long: the node count
+    val base = (1.0 - damping) / n
+    var ranks = edgesD.select(col("src").as("id")).distinct()
+      .withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      ranks = edgesD.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"),
+          (col("r") / col("deg").cast("double")).cast("decimal(38,18)")
+            .as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("id"),
+          (lit(base) + lit(damping) * col("sc").cast("double")).as("r"))
+    }
+    val out = ranks.join(deg.withColumnRenamed("src", "id"), Seq("id"))
+      .orderBy(col("r").desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("r").desc, col("id"))))
+      .select(col("id").as("doc_id"), col("rank").cast("long").as("rank"),
+        col("deg").cast("long").as("degree"))
+      // k-row output materialized so the edge cache can be released now
+      .transform(graft.core.Checkpoints.stable)
+    edgesD.unpersist(blocking = false)
+    out
+  }
 }

@@ -637,7 +637,8 @@ object Similarity {
     */
   def queryIvfIndex(spark: SparkSession, writer: graft.sources.TableWriter,
       name: String, queries: DataFrame, k: Int, nprobe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cents = writer.read(spark, s"${name}_centroids")
       .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
     val qs = queries.select(
@@ -664,8 +665,21 @@ object Similarity {
       if (f.name == "cent_id")
         f.copy(dataType = org.apache.spark.sql.types.LongType)
       else f))
-    val lists = spark.read.schema(longCentId).parquet(listsPath)
+    val lists0 = spark.read.schema(longCentId).parquet(listsPath)
       .filter(col("cent_id").isin(probedLists: _*))
+    // metadata-filtered ANN (the "similar docs WHERE lang='en'" serving
+    // form): the predicate lands as a semi-join on the PRUNED lists, so
+    // filtering narrows the candidate set after partition pruning —
+    // never widens the read. Post-filter semantics: candidates are
+    // dropped after probing, so a highly selective filter can return
+    // fewer than k (the FAISS/IDSelector contract); raise nprobe when
+    // the filter is sparse.
+    val lists = allowed match {
+      case Some(ids) =>
+        lists0.join(ids.select(col(ids.columns.head).as("nbr_id")),
+          Seq("nbr_id"), "left_semi")
+      case None => lists0
+    }
     val scored = lists.join(broadcast(probes), Seq("cent_id"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("sim", VectorFns.cosinePre(

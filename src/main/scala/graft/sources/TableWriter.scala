@@ -260,7 +260,12 @@ final class TableWriter(warehouseDir: String) extends Serializable {
           .unionByName(updated.select(img("o", "update_pre"): _*))
           .unionByName(updated.select(img("n", "update_post"): _*))
       }
-    materialize(s"${name}_changes", changes, mode = SaveMode.Append)
+    // one file per feed batch: the feed is delta-sized, and a consumer
+    // (q93 streams it file-per-microbatch) should see batches, not the
+    // writer's shuffle-partition fan-out; a deployment whose single
+    // batch outgrows one file would repartition by a size estimate here
+    materialize(s"${name}_changes", changes.coalesce(1),
+      mode = SaveMode.Append)
     mergeByKey(spark, name, incoming, key, numBuckets)
   }
 
@@ -296,7 +301,7 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       materialize(s"${name}_changes",
         victims.select((Seq(lit(batchId).as("batch_id"),
           lit("delete").as("change_op"), col(key))
-          ++ valueCols.map(col)): _*),
+          ++ valueCols.map(col)): _*).coalesce(1),
         mode = SaveMode.Append)
     }
     deleteByKey(spark, name, doomedKeys, key, numBuckets)

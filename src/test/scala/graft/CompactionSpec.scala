@@ -102,4 +102,45 @@ class CompactionSpec extends SparkSpec {
     assert(w.read(spark, "rt").as[Long].collect().sorted.toSeq ==
       (0L until 20L))
   }
+
+  test("compact: index bucket dirs shrink to one file, query bit-identical") {
+    // the q92 composition: incremental appends fragment the BM25 postings
+    // layout (one file per batch × touched bucket); compaction must
+    // reduce each bucket dir to a single file and leave the served
+    // ranking bit-identical
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-idx").toString
+    val w = new TableWriter(dir)
+    (0 to 3).foreach { c =>
+      graft.operators.Retrieval.appendBm25Index(
+        real.filter(pmod(col("doc_id"), lit(4)) === c), w, "docs")
+    }
+    def bucketFiles(): Map[String, Int] = {
+      val root = java.nio.file.Paths.get(w.path("docs_postings"))
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("term_bucket="))
+          .map(p => p.getFileName.toString -> listing(p.toString).size)
+          .toMap
+      } finally s.close()
+    }
+    val qs = graft.operators.Retrieval.queryTerms(
+      real, col("doc_id") % 11 === 0, 6)
+    def serve() = graft.operators.Retrieval.queryBm25Index(
+        spark, w, "docs", qs, k = 7, excludeSelf = true)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("n_hit"))).toSet
+    val before = bucketFiles()
+    assert(before.values.exists(_ > 1),
+      s"appends should have fragmented at least one bucket: $before")
+    val pre = serve()
+    w.compact(spark, "docs_postings", targetBytes = 256L << 20)
+    val after = bucketFiles()
+    assert(after.values.forall(_ == 1),
+      s"every bucket dir must compact to one file: $after")
+    assert(serve() == pre, "compaction changed the served ranking")
+    assert(pre.nonEmpty)
+  }
 }

@@ -243,6 +243,56 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered IVF query: results within the filter, all-pass == unfiltered") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 8)
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfflt_")
+    try {
+      val writer = new graft.sources.TableWriter(wh.toString)
+      Similarity.buildIvfIndex(e, cents, writer, "emb")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "nbr_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+      val unfiltered = key(Similarity.queryIvfIndex(spark, writer, "emb",
+        queries, k = 5, nprobe = 2))
+      // all-pass filter must be a no-op
+      val allPass = key(Similarity.queryIvfIndex(spark, writer, "emb",
+        queries, k = 5, nprobe = 2,
+        allowed = Some(e.select(col("vec_id")))))
+      assert(allPass == unfiltered && unfiltered.nonEmpty)
+      // even-ids-only: every result id is even, and dropping the odd
+      // candidates re-ranks (post-filter semantics — survivors keep
+      // their relative cosine order)
+      val even = Similarity.queryIvfIndex(spark, writer, "emb",
+        queries, k = 5, nprobe = 2,
+        allowed = Some(e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"))))
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"),
+          r.getAs[Int]("rank")))
+      assert(even.nonEmpty && even.forall(_._2 % 2 == 0),
+        s"odd candidate leaked through the filter: ${even.toList}")
+      // the even-filtered ranking == unfiltered ranking with odd rows
+      // struck and ranks re-densified
+      val expect = Similarity.queryIvfIndex(spark, writer, "emb",
+          queries, k = 100000, nprobe = 2).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"),
+          r.getAs[Int]("rank")))
+        .filter(_._2 % 2 == 0)
+        .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+          rs.sortBy(_._3).map(_._2).zipWithIndex.take(5)
+            .map { case (n, i) => (q, n, i + 1) } }
+        .toSet
+      assert(even.toSet == expect)
+    } finally {
+      val walk = java.nio.file.Files.walk(wh)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("persisted IVF query scan carries PartitionFilters on cent_id, uncast") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
@@ -494,5 +544,51 @@ class DedupSimilaritySpec extends SparkSpec {
     val out = Dedup.verifyPairsExact(docs, cands, "doc_id", "text",
       n = 3, threshold = 0.4).as[(Long, Long, Long, Double)].collect()
     assert(out.toSeq == Seq((1L, 2L, 2L, 0.5))) // (1,3) filtered: J = 0
+  }
+
+  // --------------------------------------------------------- d42 pagerank
+
+  private def pr(pairs: (Long, Long)*): Map[Long, (Long, Long)] =
+    Dedup.pageRank(pairs.toDF("id_a", "id_b"), iters = 5, k = 100)
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> (r.getAs[Long]("rank"), r.getAs[Long]("degree"))).toMap
+
+  test("pageRank: star center outranks its leaves, degrees exact") {
+    // 1 is linked to 2..5; 6-7 are an isolated pair
+    val got = pr((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L))
+    assert(got(1L)._1 == 1L, s"hub must rank first: $got")
+    assert(got(1L)._2 == 4L)
+    val leafRanks = Seq(2L, 3L, 4L, 5L).map(got(_)._1)
+    // structurally identical leaves tie and break on id: consecutive ranks
+    assert(leafRanks.sorted == (leafRanks.min until leafRanks.min + 4).toSeq)
+    assert(got(2L)._1 < got(3L)._1 && got(3L)._1 < got(4L)._1
+      && got(4L)._1 < got(5L)._1)
+  }
+
+  test("pageRank: rank mass is conserved on a symmetric graph") {
+    val ranksDf = Dedup.pageRank(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 6L))
+        .toDF("id_a", "id_b"), iters = 5, k = 100)
+    assert(ranksDf.count() == 6)
+    // no dangling nodes in a symmetric graph → Σr = 1 up to float noise
+    // (not recoverable from the rank-only output; recompute inline)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 6L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1.0 / deg.size).toMap
+    (1 to 5).foreach { _ =>
+      r = deg.keys.map { v =>
+        val in = edges.filter(_._2 == v).map(_._1)
+        v -> (0.15 / deg.size + 0.85 * in.map(u => r(u) / deg(u)).sum)
+      }.toMap
+    }
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: a member bridging two families outranks in-family dups") {
+    // two triangles sharing node 10 — 10 has degree 4, everyone else 2
+    val got = pr((10L, 11L), (10L, 12L), (11L, 12L),
+      (10L, 21L), (10L, 22L), (21L, 22L))
+    assert(got(10L)._1 == 1L && got(10L)._2 == 4L, s"bridge must win: $got")
   }
 }
