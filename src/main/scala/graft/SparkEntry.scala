@@ -3869,6 +3869,57 @@ object SparkEntry {
        |) WHERE rank <= 100""".stripMargin
   }
 
+  /** Bucket-layout migration under the oracle (q94): the q62 merge flow
+    * at 8 buckets, REBUCKETED to 32 mid-life, then merged again at 32 —
+    * the lifecycle the CDC scale probe's sizing rule implies (bucket
+    * volume held constant by growing the bucket count as the table
+    * grows). The final content is stated closed-form; a key routed to
+    * the wrong bucket after migration would be duplicated or lost by
+    * the post-migration merge and break the hash. TableWriterSpec pins
+    * the structural half (every row's __bucket matches the new
+    * derivation; 32 bucket dirs; byte-level content claims).
+    */
+  private def q94Rebucket(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val changes = base.filter(col("k") % 7 === 0)
+      .withColumn("price",
+        (col("price") + lit(1000).cast("decimal(18,2)"))
+          .cast("decimal(18,2)"))
+      .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+    val late = o.filter(col("k") % 3 === 2 && col("k") % 5 === 0)
+    val wh = s"$q40Scratch/rebucket_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val w = new graft.sources.TableWriter(wh)
+    w.mergeByKey(s, "orders_rb", base, "k", numBuckets = 8)
+    w.mergeByKey(s, "orders_rb", changes, "k", numBuckets = 8)
+    w.rebucket(s, "orders_rb", "k", newBuckets = 32)
+    w.mergeByKey(s, "orders_rb", late, "k", numBuckets = 32)
+    w.read(s, "orders_rb")
+      .select(col("k"), col("price").cast("double").as("price"))
+  }
+
+  private def q94OracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), newbies AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+      |), late AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 5 = 0
+      |)
+      |SELECT k, CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+      |  AS DOUBLE) AS price
+      |FROM base
+      |UNION ALL
+      |SELECT k, CAST(price AS DOUBLE) FROM newbies
+      |UNION ALL
+      |SELECT k, CAST(price AS DOUBLE) FROM late""".stripMargin
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4048,6 +4099,7 @@ object SparkEntry {
     "q93_stream_cdc_view" -> (q93StreamCdcView _),
     "d42_centrality_rank" -> (d42CentralityRank _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
+    "q94_rebucket" -> (q94Rebucket _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5294,6 +5346,7 @@ object SparkEntry {
     "q93_stream_cdc_view" -> q91OracleSql,
     "d42_centrality_rank" -> d42OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
+    "q94_rebucket" -> q94OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

@@ -126,4 +126,40 @@ class TableWriterSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(date_period"))
     assert(pruned.count() == 2)
   }
+
+  test("rebucket: content-identical, buckets re-derived, merges still route") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft-rebucket").toString
+    val w = new TableWriter(dir)
+    val rows = (1L to 500L).map(k => (k, k * 2.0)).toDF("k", "v")
+    w.mergeByKey(spark, "t", rows, "k", numBuckets = 4)
+    val before = w.read(spark, "t").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    w.rebucket(spark, "t", "k", newBuckets = 16)
+    // content untouched
+    val after = w.read(spark, "t").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(after == before)
+    // 16 bucket dirs, each one file; every row's stored __bucket matches
+    // the new derivation (a mismatch would break merge/delete pruning)
+    val dirs = new java.io.File(w.path("t")).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    assert(dirs.length == 16, s"got ${dirs.map(_.getName).toList}")
+    dirs.foreach { d =>
+      assert(d.listFiles.count(f => f.getName.endsWith(".parquet")) == 1,
+        s"bucket dir ${d.getName} not single-file")
+    }
+    val mismatch = w.read(spark, "t")
+      .filter(col("__bucket").cast("int")
+        =!= pmod(xxhash64(col("k")), lit(16L)).cast("int"))
+      .count()
+    assert(mismatch == 0L)
+    // a post-migration merge at the new bucket count routes correctly:
+    // update one key, insert one — nothing duplicated, nothing lost
+    w.mergeByKey(spark, "t",
+      Seq((5L, 99.0), (501L, 42.0)).toDF("k", "v"), "k", numBuckets = 16)
+    val end = w.read(spark, "t").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(end.size == 501 && end(5L) == 99.0 && end(501L) == 42.0)
+  }
 }
