@@ -290,6 +290,13 @@ object ScaleProbe {
             numBuckets = buckets)
           feedRows()
         }
+        // the layout migration the sizing rule implies: a deliberate
+        // full rewrite — must stay write-volume-linear (one read, one
+        // clustered write), never worse
+        t(s"cdc_rebucket_$label") {
+          w.rebucket(spark, "t", "k", newBuckets = buckets * 2)
+          spark.read.parquet(s"$whDir/t").count()
+        }
         deleteTree(whDir)
         oN.unpersist()
       }

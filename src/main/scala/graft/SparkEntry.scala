@@ -3920,6 +3920,84 @@ object SparkEntry {
       |UNION ALL
       |SELECT k, CAST(price AS DOUBLE) FROM late""".stripMargin
 
+  private val clfBuckets = 16
+  private val clfIters = 3
+  private val clfLr = 0.5
+  private val clfK = 200
+
+  /** In-engine trained quality classifier (d43): logistic regression
+    * over hashed bag-of-words features, trained by the engine itself
+    * with [[graft.operators.Classifier.logisticQualityTopK]]'s fixed
+    * full-batch gradient descent — the CCNet/GPT-3 quality-filter
+    * pattern with the ENTIRE train→score→select pipeline under one
+    * oracle (the SQL unrolls all three iterations the way the PageRank
+    * and Lloyd oracles do). English is the positive class, matching
+    * d41's target — the two entries are the importance-weighting and
+    * discriminative faces of the same selection problem.
+    */
+  private def d43QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classifier.logisticQualityTopK(
+      t(s, dir, "documents"), col("lang") === "en",
+      buckets = clfBuckets, iters = clfIters, lr = clfLr, k = clfK)
+
+  private def d43OracleSql: String = {
+    val iterCtes = (1 to clfIters).map { i =>
+      s"""|), z$i AS (
+          |  SELECT f.doc_id, f.y,
+          |    CAST(SUM(CAST(w.w * f.x AS DECIMAL(38,18))) AS DOUBLE) AS z
+          |  FROM feat f JOIN w${i - 1} w USING (b) GROUP BY 1, 2
+          |), r$i AS (
+          |  SELECT doc_id,
+          |    1.0 / (1.0 + EXP(-z))
+          |      - CASE WHEN y THEN 1.0 ELSE 0.0 END AS r
+          |  FROM z$i
+          |), g$i AS (
+          |  SELECT f.b,
+          |    CAST(SUM(CAST(r.r * f.x AS DECIMAL(38,18))) AS DOUBLE) AS g
+          |  FROM feat f JOIN r$i r USING (doc_id) GROUP BY 1
+          |), w$i AS (
+          |  SELECT w.b,
+          |    w.w - $clfLr * (COALESCE(g.g, 0.0) / nn.n) AS w
+          |  FROM w${i - 1} w LEFT JOIN g$i g USING (b) CROSS JOIN nn""".stripMargin
+    }.mkString("\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang = 'en' AS y,
+       |    UNNEST(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), perdoc AS (
+       |  SELECT doc_id, y,
+       |    CAST(list_reduce(list_prepend(CAST(741103597153329 AS BIGINT),
+       |      list_transform(range(1, length(term) + 1),
+       |        i -> CAST(ascii(term[i:i]) AS BIGINT))),
+       |      (a, c) -> (a * 131 + c) % 1125899906842597)
+       |      % $clfBuckets AS INTEGER) AS b,
+       |    COUNT(*) AS cnt
+       |  FROM tok GROUP BY 1, 2, 3
+       |), dl AS (
+       |  SELECT doc_id, y, SUM(cnt) AS dl FROM perdoc GROUP BY 1, 2
+       |), feat AS (
+       |  SELECT p.doc_id, p.y, p.b,
+       |    CAST(p.cnt AS DOUBLE) / CAST(d.dl AS DOUBLE) AS x
+       |  FROM perdoc p JOIN dl d USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, y, -1 AS b, 1.0 AS x FROM dl
+       |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dl
+       |), w0 AS (
+       |  SELECT CAST(UNNEST(range(-1, $clfBuckets)) AS INTEGER) AS b,
+       |    0.0 AS w
+       |$iterCtes
+       |), zf AS (
+       |  SELECT f.doc_id, f.y,
+       |    CAST(SUM(CAST(w.w * f.x AS DECIMAL(38,18))) AS DOUBLE) AS z
+       |  FROM feat f JOIN w$clfIters w USING (b) GROUP BY 1, 2
+       |)
+       |SELECT doc_id, rank, is_tgt FROM (
+       |  SELECT doc_id, y AS is_tgt,
+       |    ROW_NUMBER() OVER (ORDER BY z DESC, doc_id) AS rank
+       |  FROM zf
+       |) WHERE rank <= $clfK""".stripMargin
+  }
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4100,6 +4178,7 @@ object SparkEntry {
     "d42_centrality_rank" -> (d42CentralityRank _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
+    "d43_quality_classifier" -> (d43QualityClassifier _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5347,6 +5426,7 @@ object SparkEntry {
     "d42_centrality_rank" -> d42OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
+    "d43_quality_classifier" -> d43OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 
