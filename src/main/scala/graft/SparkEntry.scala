@@ -1585,6 +1585,7 @@ object SparkEntry {
     pqCodebookCache.clear()
     dagRunCache.clear()
     posIndexCache.clear()
+    posIncCache.clear()
     cdcCache.clear()
     compactIdxCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
@@ -3600,6 +3601,35 @@ object SparkEntry {
        |  FROM m
        |) WHERE rank <= $bm25K""".stripMargin
 
+  /** Incrementally-built positional index (v16): the corpus arrives as
+    * base (doc_id % 10 != 0) plus an appended batch; positional
+    * postings are pure per-(term, doc) state — nothing cross-document
+    * to merge — so append == rebuild BIT-exactly and v16 shares v14's
+    * oracle, the strongest instance of the v7/v13 shared-oracle
+    * discipline.
+    */
+  private val posIncCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def v16PhraseAppend(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val writer = posIncCache.getOrElseUpdate((s, dir), {
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/posinc_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Retrieval.appendPositionalIndex(d.filter(col("doc_id") % 10 =!= 0), w, "docs")
+      Retrieval.appendPositionalIndex(d.filter(col("doc_id") % 10 === 0), w, "docs")
+      w
+    })
+    val phrases = d
+      .filter(col("doc_id") % 97 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    Retrieval.phraseQuery(s, writer, "docs", phrases,
+      k = bm25K, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   private val dsirBuckets = 64
   private val dsirK = 200
 
@@ -4179,6 +4209,7 @@ object SparkEntry {
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
+    "v16_phrase_append" -> (v16PhraseAppend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5427,6 +5458,10 @@ object SparkEntry {
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,
+    // v16 = v14 through an incrementally-built index; positional
+    // postings have no cross-document state, so append == rebuild
+    // bit-exactly and the full-corpus replay is the oracle
+    "v16_phrase_append" -> v14OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

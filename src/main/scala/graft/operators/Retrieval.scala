@@ -382,10 +382,9 @@ object Retrieval {
     * count, so no group is corpus-sized). Positions are ints (2^31
     * tokens per document is beyond any real document).
     */
-  def buildPositionalIndex(docs: DataFrame, writer: graft.sources.TableWriter,
-      name: String, buckets: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val posts = docs
+  private def positionalPostings(docs: DataFrame, buckets: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("p0", "term")))
       .groupBy("term", "doc_id")
@@ -393,11 +392,40 @@ object Retrieval {
         .as("positions"))
       .withColumn("term_bucket",
         pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+
+  def buildPositionalIndex(docs: DataFrame, writer: graft.sources.TableWriter,
+      name: String, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
     // same bucket-clustered write as the BM25 postings: one contiguous
     // file per bucket dir instead of tasks × buckets slivers
     writer.materialize(s"${name}_positions",
-      posts.repartition(col("term_bucket")),
+      positionalPostings(docs, buckets, idCol, textCol)
+        .repartition(col("term_bucket")),
       partitionBy = Seq("term_bucket"))
+
+  /** Incremental ingest into a positional index — the phrase-search leg
+    * of the crawl-pattern family (v12 IVF, v13 BM25, this): a batch of
+    * NEW documents is tokenized once and its postings appended into the
+    * bucket-partitioned layout. Positional postings are pure per-(term,
+    * doc) state — no cross-document statistics at all (unlike BM25's
+    * dfs/avgdl) — so append == rebuild BIT-exactly with nothing to
+    * merge: the strongest of the three append contracts. Bootstrap on
+    * first batch, same as appendBm25Index.
+    */
+  def appendPositionalIndex(newDocs: DataFrame,
+      writer: graft.sources.TableWriter, name: String, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val tblP = new org.apache.hadoop.fs.Path(
+      writer.path(s"${name}_positions"))
+    val exists = tblP.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(tblP)
+    writer.materialize(s"${name}_positions",
+      positionalPostings(newDocs, buckets, idCol, textCol)
+        .repartition(col("term_bucket")),
+      partitionBy = Seq("term_bucket"),
+      mode = if (exists) org.apache.spark.sql.SaveMode.Append
+             else org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** Exact phrase query against a [[buildPositionalIndex]] layout.

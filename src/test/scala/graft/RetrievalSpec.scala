@@ -262,6 +262,44 @@ class RetrievalSpec extends SparkSpec {
       s"no partition filter on the positional read:\n$plan")
   }
 
+  test("phrase: incremental append == full rebuild, existing files untouched") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val incDir = java.nio.file.Files.createTempDirectory("posinc").toString
+    val allDir = java.nio.file.Files.createTempDirectory("posall").toString
+    val wInc = new graft.sources.TableWriter(incDir)
+    val wAll = new graft.sources.TableWriter(allDir)
+    Retrieval.appendPositionalIndex(
+      real.filter(col("doc_id") % 10 =!= 0), wInc, "docs")
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$incDir/docs_positions"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    Retrieval.appendPositionalIndex(
+      real.filter(col("doc_id") % 10 === 0), wInc, "docs")
+    val after = files()
+    before.foreach { case (p, ts) =>
+      assert(after.get(p).contains(ts), s"append disturbed $p")
+    }
+    Retrieval.buildPositionalIndex(real, wAll, "docs")
+    val phrases = real
+      .filter(col("doc_id") % 11 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    def rows(w: graft.sources.TableWriter) =
+      Retrieval.phraseQuery(spark, w, "docs", phrases, k = 7,
+          excludeSelf = true)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("n_occ"),
+          r.getAs[Int]("rank"))).toSet
+    val inc = rows(wInc)
+    assert(inc == rows(wAll) && inc.nonEmpty)
+  }
+
   // ------------------------------------------------- vocab heavy hitters
 
   test("d39 top tokens: exact counts, rank by count desc then token") {
