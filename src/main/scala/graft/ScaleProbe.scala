@@ -31,7 +31,7 @@ object ScaleProbe {
       else Set("d3", "d11", "d15", "d18", "d21", "d35", "d36", "d37", "bpe",
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
         "q70", "q71", "q20", "q43", "v8", "v9", "v12", "bm25", "dsir",
-        "phrase", "cdc")
+        "phrase", "cdc", "clf")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -70,7 +70,7 @@ object ScaleProbe {
 
     if (probes.intersect(
         Set("d3", "d11", "d15", "d18", "d21", "d35", "d37", "bpe", "d33",
-          "d34", "bm25", "dsir", "phrase")).nonEmpty) {
+          "d34", "bm25", "dsir", "phrase", "clf")).nonEmpty) {
       val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
       val docsN = replicate(docs1, "doc_id", mult, mutate = true)
         .repartition(cpus.toInt).persist()
@@ -218,6 +218,14 @@ object ScaleProbe {
         // d41: DSIR — one (doc, bin) combine shuffle, a 64-row bag model,
         // TakeOrdered selection. Must scale ~linearly in corpus size
         // (nothing grows with the model: bins are constant).
+        // d43: in-engine classifier training — iters × two broadcast-
+        // join + combine-agg passes over the persisted (doc, bin)
+        // feature frame; the model is 17 driver doubles per step.
+        // Must scale ~linearly in corpus size.
+        if (on("clf")) t(s"d43_classifier_$label") {
+          graft.operators.Classifier.logisticQualityTopK(d,
+            col("lang") === "en", buckets = 16, iters = 3, k = 200).count()
+        }
         if (on("dsir")) t(s"d41_dsir_$label") {
           graft.operators.Sampling.dsirTopK(d, col("lang") === "en",
             buckets = 64, k = 200).count()
