@@ -1580,6 +1580,7 @@ object SparkEntry {
     ivfIndexCache.clear()
     ivfPqIndexCache.clear()
     ivfIncCache.clear()
+    ivfDelCache.clear()
     bm25IndexCache.clear()
     bm25IncCache.clear()
     pqCodebookCache.clear()
@@ -3194,6 +3195,59 @@ object SparkEntry {
   private def v12OracleSql: String =
     ivfQueryOracleSql(" WHERE vec_id % 10 <> 0")
 
+  /** Index deletion lifecycle (v17 — the missing quarter next to
+    * build/v7, append/v12, compact layout/q92: FAISS `remove_ids` on a
+    * disk index). The index is built on the full corpus, then every
+    * vec_id % 9 == 4 vector is deleted: first as TOMBSTONES (one tiny
+    * append carrying each victim's owning list, computed by the same
+    * frozen-quantizer assignment appends use — serving strikes them
+    * from the probed lists by anti-join), then folded in physically by
+    * [[Similarity.vacuumIvfIndex]] (only tombstoned lists are read and
+    * rewritten; untouched lists stay byte-stable — IvfDeleteSpec).
+    * The entry serves the SAME queries in both states and returns both
+    * phases; the oracle is v3's replay with victims excluded from the
+    * candidates, duplicated per phase — so strike == vacuum ==
+    * never-were-there is what the hash checks. Note query 4 is itself
+    * a victim: queries come from the corpus table, so a deleted vector
+    * still queries — it just can no longer be ANYONE's neighbor.
+    */
+  private val ivfDelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def v17AnnDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 8)
+    val writer = ivfDelCache.getOrElseUpdate((s, dir), {
+      val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/ivfdel_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Similarity.buildIvfIndex(e, cents, w, "emb")
+      Similarity.deleteFromIvfIndex(e.filter(col("vec_id") % 9 === 4), w, "emb")
+      // serve under tombstones, persist the answer, THEN vacuum — the
+      // strike-phase result must come from the pre-vacuum index state
+      // on every run (the cache holds post-vacuum state afterwards)
+      w.materialize("strike_result",
+        Similarity.queryIvfIndex(s, w, "emb", qs, k = 5, nprobe = 2))
+      Similarity.vacuumIvfIndex(s, w, "emb")
+      w
+    })
+    val strike = writer.read(s, "strike_result")
+      .withColumn("phase", lit("strike"))
+    val vacuumed = Similarity.queryIvfIndex(s, writer, "emb", qs, k = 5, nprobe = 2)
+      .withColumn("phase", lit("vacuumed"))
+    strike.unionByName(vacuumed)
+      .select(col("phase"), col("query_id"), col("nbr_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private def v17OracleSql: String =
+    s"""WITH res AS (
+       |${ivfQueryOracleSql("", " AND a.nbr_id % 9 <> 4")}
+       |)
+       |SELECT 'strike' AS phase, query_id, nbr_id, rank FROM res
+       |UNION ALL
+       |SELECT 'vacuumed' AS phase, query_id, nbr_id, rank FROM res""".stripMargin
+
   /** Sign-LSH bucketed k-NN. The bucketing is deterministic ARITHMETIC
     * (sign of dot products against fixed Gaussian hyperplanes), not opaque
     * hashing — so the oracle replicates the ACTUAL approximate semantics:
@@ -4194,6 +4248,7 @@ object SparkEntry {
     "v9_ann_ivfpq_index" -> (v9AnnIvfPqIndex _),
     "v10_bm25_topk" -> (v10Bm25TopK _),
     "v12_ann_ivf_append" -> (v12AnnIvfAppend _),
+    "v17_ann_delete" -> (v17AnnDelete _),
     "v13_bm25_append" -> (v13Bm25Append _),
     "v11_hybrid_rrf" -> (v11HybridRrf _),
     "d38_gopher_rules" -> (d38GopherRules _),
@@ -5433,6 +5488,7 @@ object SparkEntry {
     "v9_ann_ivfpq_index" -> v9OracleSql,
     "v10_bm25_topk" -> v10OracleSql,
     "v12_ann_ivf_append" -> v12OracleSql,
+    "v17_ann_delete" -> v17OracleSql,
     // v13 = v10 through an incrementally-built index; bit-identical by
     // integer-addition merge (see v13Bm25Append)
     "v13_bm25_append" -> v10OracleSql,

@@ -628,12 +628,107 @@ object Similarity {
       mode = org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Targeted delete from a persisted IVF index — the missing quarter of
+    * the index lifecycle (build / append / DELETE / vacuum, FAISS's
+    * `remove_ids` on a disk index): victims arrive WITH their vectors
+    * (the corpus table has them — "delete these docs" always can), so
+    * each victim's owning list is computed by the same frozen-quantizer
+    * assignment the append path uses, and the delete is recorded as a
+    * tombstone row (nbr_id, cent_id) appended to `{name}_tombstones`.
+    * Nothing in the lists is touched — a delete costs one tiny append,
+    * and [[queryIvfIndex]] strikes tombstoned ids from the probed lists
+    * at serve time (an anti-join against a broadcast-sized table).
+    * [[vacuumIvfIndex]] later folds tombstones into the lists physically.
+    * Carrying cent_id in the tombstone is what keeps the vacuum
+    * partition-pruned: the rewrite knows exactly which lists hold doomed
+    * codes without scanning the index.
+    */
+  def deleteFromIvfIndex(victims: DataFrame,
+      writer: graft.sources.TableWriter, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = victims.sparkSession
+    import spark.implicits._
+    val centroids = writer.read(spark, s"${name}_centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val assigned = assignToCentroids(victims, centroids, idCol, vecCol)
+      .select(col("nbr_id"), col("cent_id"))
+    writer.materialize(s"${name}_tombstones", assigned.coalesce(1),
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Fold accumulated tombstones into the lists physically: ONLY the
+    * list partitions named by tombstone cent_ids are read, anti-joined,
+    * and dynamic-partition-overwritten (a list whose every entry is
+    * doomed is deleted outright — dynamic overwrite cannot write an
+    * empty partition), then the tombstone table is dropped. Cost tracks
+    * tombstoned-list volume, not index size; untouched lists are never
+    * read or rewritten (spec-asserted byte-stable). Serving is correct
+    * before, during (strike), and after (physical) the vacuum —
+    * IvfDeleteSpec pins strike == vacuum bit-equality.
+    */
+  def vacuumIvfIndex(spark: SparkSession,
+      writer: graft.sources.TableWriter, name: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(writer.path(s"${name}_tombstones"))
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tombPath)) return
+    val tombs = writer.read(spark, s"${name}_tombstones")
+    // bounded collect: ≤ K list ids (K = centroid count)
+    val affected = tombs.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.nonEmpty) {
+      val listsPath = writer.path(s"${name}_lists")
+      val lists = readListsLongCentId(spark, listsPath)
+        .filter(col("cent_id").isin(affected.toIndexedSeq: _*))
+      val survivors = lists
+        .join(tombs.select(col("nbr_id")), Seq("nbr_id"), "left_anti")
+      val stage = writer.path(s"__stage_vacuum_$name")
+      val surviving: Set[Long] = try {
+        survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(stage)
+        val staged = spark.read.parquet(stage)
+        staged.repartition(col("cent_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cent_id")
+          .parquet(listsPath)
+        // bounded collect: ≤ K list ids
+        staged.select("cent_id").distinct().collect()
+          .map(_.getLong(0)).toSet
+      } finally {
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+      }
+      val root = new org.apache.hadoop.fs.Path(listsPath)
+      affected.filterNot(surviving).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"cent_id=$c"), true)
+      }
+    }
+    fs.delete(tombPath, true)
+  }
+
+  /** Read the lists table with `cent_id` re-typed LONG (directory-name
+    * inference types partition columns INT; the probe/join side is LONG,
+    * and a cast around the partition column silently kills pruning —
+    * pinned by DedupSimilaritySpec).
+    */
+  private def readListsLongCentId(spark: SparkSession,
+      listsPath: String): DataFrame = {
+    val inferred = spark.read.parquet(listsPath).schema
+    val longCentId = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cent_id")
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    spark.read.schema(longCentId).parquet(listsPath)
+  }
+
   /** Query a persisted IVF index: centroids are re-read (tiny) to assign
     * each query its nprobe nearest lists, the probed `cent_id`s become a
     * partition-pruning IN filter on the lists table, and only those
     * partitions are scanned, scored, and ranked — identical arithmetic
     * and tie-breaking to [[ivfTopKWithCentroids]], so the persisted and
-    * in-memory forms hash-match.
+    * in-memory forms hash-match. Tombstones left by
+    * [[deleteFromIvfIndex]] are struck from the probed lists before
+    * scoring (deleted ids never serve, vacuumed or not).
     */
   def queryIvfIndex(spark: SparkSession, writer: graft.sources.TableWriter,
       name: String, queries: DataFrame, k: Int, nprobe: Int = 2,
@@ -655,18 +750,22 @@ object Similarity {
     // bounded collect: ≤ |queries| × nprobe list ids → partition pruning
     val probedLists = probes.select("cent_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    // directory-name inference types the cent_id partition column INT;
-    // re-read it as LONG (matching the probe side) so the pruning filter
-    // AND the join key are cast-free — a cast around the partition column
-    // is how pruning regresses silently (pinned by DedupSimilaritySpec)
     val listsPath = writer.path(s"${name}_lists")
-    val inferred = spark.read.parquet(listsPath).schema
-    val longCentId = org.apache.spark.sql.types.StructType(inferred.map(f =>
-      if (f.name == "cent_id")
-        f.copy(dataType = org.apache.spark.sql.types.LongType)
-      else f))
-    val lists0 = spark.read.schema(longCentId).parquet(listsPath)
+    val pruned = readListsLongCentId(spark, listsPath)
       .filter(col("cent_id").isin(probedLists: _*))
+    // tombstone strike: deleted-but-not-yet-vacuumed ids are removed from
+    // the pruned lists before scoring. The tombstone table is delta-sized
+    // (broadcast anti-join); after a vacuum it no longer exists and the
+    // strike disappears with it — both states serve identical results.
+    val tombPath = new org.apache.hadoop.fs.Path(writer.path(s"${name}_tombstones"))
+    val tfs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val lists0 =
+      if (tfs.exists(tombPath))
+        pruned.join(
+          broadcast(writer.read(spark, s"${name}_tombstones")
+            .select(col("nbr_id"))),
+          Seq("nbr_id"), "left_anti")
+      else pruned
     // metadata-filtered ANN (the "similar docs WHERE lang='en'" serving
     // form): the predicate lands as a semi-join on the PRUNED lists, so
     // filtering narrows the candidate set after partition pruning —
