@@ -1462,6 +1462,45 @@ object SparkEntry {
       .select(col("k"), col("price").cast("double").as("price"))
   }
 
+  /** Zero-copy shallow clone + copy-on-write branch (q95 — the
+    * Delta/Iceberg SHALLOW CLONE analogue on the mergeByKey layout,
+    * completing the table lifecycle next to merge/q62, delete/q71,
+    * compact/q69, rebucket/q94, CDC/q90): the source is cloned as a
+    * manifest of its data files (no data copied — clone cost is
+    * O(files) metadata at any table size), then a divergent batch is
+    * merged INTO THE CLONE — copy-on-write materializes only the
+    * touched buckets locally while untouched buckets keep serving the
+    * source's files. The entry returns BOTH tables' contents, so the
+    * oracle (closed-form: source = base, branch = base with the batch
+    * applied) checks branch divergence AND source isolation under one
+    * hash. CloneSpec pins the physical claims: zero data files at clone
+    * time, COW locality, source files byte-stable, clone-of-clone
+    * flattening, COW delete.
+    */
+  private def q95ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val changes = base.filter(col("k") % 7 === 0)
+      .withColumn("price",
+        (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+    val wh = s"$q40Scratch/clonestore"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    writer.mergeByKey(s, "orders_src", base, "k")
+    writer.shallowClone(s, "orders_src", "orders_branch")
+    writer.mergeByKey(s, "orders_branch", changes, "k")
+    val src = writer.readResolved(s, "orders_src")
+      .select(lit("source").as("phase"), col("k"),
+        col("price").cast("double").as("price"))
+    val br = writer.readResolved(s, "orders_branch")
+      .select(lit("branch").as("phase"), col("k"),
+        col("price").cast("double").as("price"))
+    src.unionByName(br)
+  }
+
   private def q59SnapshotMaterialized(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SnapshotStore
     val (v1, v2, t1, t2) = scd2Sources(s, dir)
@@ -4205,6 +4244,7 @@ object SparkEntry {
     "q83_stream_upsert" -> (q83StreamUpsert _),
     "q89_stream_index" -> (q89StreamIndexMaintain _),
     "q62_incremental_merge" -> (q62IncrementalMerge _),
+    "q95_shallow_clone" -> (q95ShallowClone _),
     "q62b_merge_string_key" -> (q62bMergeStringKey _),
     "q63_bucketed_join" -> (q63BucketedJoin _),
     "q67_salted_skew_join" -> (q67SaltedSkewJoin _),
@@ -4946,6 +4986,26 @@ object SparkEntry {
         |FROM base
         |UNION ALL
         |SELECT k, CAST(price AS DOUBLE) FROM newbies""".stripMargin,
+
+    // q95: clone + divergent COW merge — branch = base with the batch
+    // applied, source = base untouched (isolation under the oracle)
+    "q95_shallow_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT 'source' AS phase, k, CAST(price AS DOUBLE) AS price FROM base
+        |UNION ALL
+        |SELECT 'branch' AS phase, k,
+        |  CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END AS DOUBLE)
+        |  AS price
+        |FROM base
+        |UNION ALL
+        |SELECT 'branch' AS phase, k, CAST(price AS DOUBLE) AS price
+        |FROM newbies""".stripMargin,
 
     // q62b: the same closed form with a STRING business key
     "q62b_merge_string_key" ->

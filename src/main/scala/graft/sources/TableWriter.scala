@@ -24,6 +24,147 @@ final class TableWriter(warehouseDir: String) extends Serializable {
   def read(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.read.parquet(path(name))
 
+  // ---- shallow clone (zero-copy branch) on the mergeByKey layout ----
+  //
+  // The Delta/Iceberg SHALLOW CLONE analogue on plain parquet: a clone is
+  // a _clone_manifest file listing, per __bucket, the SOURCE's data files
+  // at clone time — no data is copied (clone cost is O(files) metadata,
+  // independent of data volume). Reads resolve manifest files plus any
+  // locally materialized buckets; a merge/delete into the clone is
+  // copy-on-write at bucket granularity — touched buckets materialize
+  // into the clone's own directory and leave the manifest, untouched
+  // buckets keep serving the source's files. The inherited caveat is
+  // Delta's own: the manifest pins FILES, so rewriting the SOURCE
+  // (merge/delete/compact/rebucket on it) invalidates clones that still
+  // point at the rewritten buckets — production pairs shallow clones
+  // with source retention ≥ clone lifetime, exactly like CLONE + VACUUM.
+
+  private def manifestFile(name: String) =
+    new org.apache.hadoop.fs.Path(path(name), "_clone_manifest")
+
+  /** Per-bucket data files of `name`: locally materialized buckets from
+    * the directory layout, pointed buckets from the manifest (a clone's
+    * local bucket SHADOWS its manifest entry — COW already replaced it).
+    */
+  private def bucketFiles(fs: org.apache.hadoop.fs.FileSystem,
+      name: String): Map[Int, Seq[String]] = {
+    val root = new org.apache.hadoop.fs.Path(path(name))
+    val local: Map[Int, Seq[String]] =
+      if (!fs.exists(root)) Map.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+        .map { st =>
+          val b = st.getPath.getName.stripPrefix("__bucket=").toInt
+          b -> fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .map(_.getPath.toString)
+            .filterNot(p => { val n = p.substring(p.lastIndexOf('/') + 1)
+              n.startsWith("_") || n.startsWith(".") })
+        }.toMap
+    val mf = manifestFile(name)
+    val pointed: Map[Int, Seq[String]] =
+      if (!fs.exists(mf)) Map.empty
+      else {
+        val in = fs.open(mf)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        lines.filter(_.nonEmpty).map { l =>
+          val Array(b, p) = l.split("\t", 2); (b.toInt, p)
+        }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
+      }
+    pointed ++ local // local wins: COW has superseded the pointer
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      name: String, entries: Map[Int, Seq[String]]): Unit = {
+    val mf = manifestFile(name)
+    if (entries.isEmpty) { fs.delete(mf, false); return } // fully materialized
+    val out = fs.create(mf, true)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Zero-copy clone of a [[mergeByKey]]-layout table: writes only the
+    * manifest (and the dst directory). Cloning a clone flattens: dst
+    * points at whatever files src currently serves, local or pointed.
+    */
+  def shallowClone(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path(src))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"shallowClone: no table at ${path(src)}")
+    val dstP = new org.apache.hadoop.fs.Path(path(dst))
+    require(!fs.exists(dstP), s"shallowClone: ${path(dst)} already exists")
+    fs.mkdirs(dstP)
+    writeManifest(fs, dst, bucketFiles(fs, src))
+    path(dst)
+  }
+
+  /** Read `name` resolving a clone manifest if present; `buckets`
+    * restricts to those bucket ids (the pruned read the merge/delete
+    * paths use — only the named buckets' files are listed and read).
+    * Plain tables take the ordinary partition-discovery read. Files are
+    * read grouped by their owning table root with that root as basePath,
+    * so the `__bucket` partition column is reconstructed from the paths;
+    * at cluster scale this resolver is a custom FileIndex, same
+    * semantics.
+    */
+  def readResolved(spark: org.apache.spark.sql.SparkSession, name: String,
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(manifestFile(name))) {
+      val df = spark.read.parquet(path(name))
+        .withColumn("__bucket", col("__bucket").cast("int"))
+      buckets match {
+        case Some(bs) => df.filter(col("__bucket").isin(bs: _*))
+        case None => df
+      }
+    } else {
+      val files = bucketFiles(fs, name)
+      val selected = buckets match {
+        case Some(bs) => files.filter { case (b, _) => bs.contains(b) }
+        case None => files
+      }
+      val byRoot = selected.toSeq.flatMap { case (_, ps) => ps }
+        .groupBy(f => f.substring(0, f.indexOf("/__bucket=")))
+      require(byRoot.nonEmpty || selected.forall(_._2.isEmpty),
+        s"readResolved: manifest entry without /__bucket=/ path in $name")
+      val frames = byRoot.toSeq.sortBy(_._1).map { case (root, fsq) =>
+        spark.read.option("basePath", root).parquet(fsq.sorted: _*)
+          .withColumn("__bucket", col("__bucket").cast("int"))
+      }
+      frames.reduceOption(_ unionByName _).getOrElse {
+        // none of the selected buckets exist — empty frame, table schema
+        val all = files.toSeq.flatMap(_._2)
+        require(all.nonEmpty, s"readResolved: clone $name has no files")
+        spark.read
+          .option("basePath", all.head.substring(0, all.head.indexOf("/__bucket=")))
+          .parquet(all.head).limit(0)
+          .withColumn("__bucket", col("__bucket").cast("int"))
+      }
+    }
+  }
+
+  /** After a COW write into clone `name` replaced `touched` buckets with
+    * local dirs, drop their manifest pointers (no-op for plain tables).
+    */
+  private def dropManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
+      name: String, touched: Set[Int]): Unit = {
+    val mf = manifestFile(name)
+    if (!fs.exists(mf)) return
+    val in = fs.open(mf)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    val kept = lines.filter(_.nonEmpty).map { l =>
+      val Array(b, p) = l.split("\t", 2); (b.toInt, p)
+    }.filterNot { case (b, _) => touched.contains(b) }
+      .groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
+    writeManifest(fs, name, kept)
+  }
+
   /** Incremental materialization (the dbt `incremental` analogue on plain
     * parquet): dynamic partition overwrite replaces ONLY the partitions
     * present in `df`, leaving history untouched — the idempotent daily-load
@@ -85,9 +226,7 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       // bounded collect: ≤ numBuckets ids
       val affected = withBucket.select("__bucket").distinct()
         .collect().map(_.getInt(0))
-      val existing = spark.read.parquet(path(name))
-        .withColumn("__bucket", col("__bucket").cast("int"))
-        .filter(col("__bucket").isin(affected: _*))
+      val existing = readResolved(spark, name, Some(affected.toIndexedSeq))
         .withColumn("__gen", lit(0))
       val w = Window.partitionBy(col(key)).orderBy(
         (if (resolveOrder.nonEmpty) resolveOrder
@@ -121,9 +260,9 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       // sweep trash a previous crashed swap may have left
       fs.listStatus(p).filter(_.getPath.getName.startsWith("_trash_"))
         .foreach(st => fs.delete(st.getPath, true))
-      fs.listStatus(stageP)
+      val swapped = fs.listStatus(stageP)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
-        .foreach { st =>
+        .map { st =>
           val bucketDir = st.getPath.getName
           val dst = new org.apache.hadoop.fs.Path(p, bucketDir)
           val trash = new org.apache.hadoop.fs.Path(p,
@@ -131,7 +270,10 @@ final class TableWriter(warehouseDir: String) extends Serializable {
           if (fs.exists(dst)) fs.rename(dst, trash)
           fs.rename(st.getPath, dst)
           fs.delete(trash, true)
+          bucketDir.stripPrefix("__bucket=").toInt
         }
+      // COW bookkeeping on clones: swapped buckets are local now
+      dropManifestEntries(fs, name, swapped.toSet)
     } finally {
       fs.delete(stageP, true)
     }
@@ -166,9 +308,7 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     // bounded collect: ≤ numBuckets ids
     val affected = doomed.select("__bucket").distinct()
       .collect().map(_.getInt(0))
-    val candidates = spark.read.parquet(path(name))
-      .withColumn("__bucket", col("__bucket").cast("int"))
-      .filter(col("__bucket").isin(affected.toIndexedSeq: _*))
+    val candidates = readResolved(spark, name, Some(affected.toIndexedSeq))
     // rewrite ONLY buckets that actually hold a doomed row — keys absent
     // from the table (and re-runs of the same delete) cost a bucket-pruned
     // semi-join probe, zero writes (bounded collect: ≤ numBuckets ids)
@@ -199,6 +339,8 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       hit.filterNot(surviving).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"__bucket=$b"), true)
       }
+      // COW bookkeeping on clones: every hit bucket is now local (or gone)
+      dropManifestEntries(fs, name, hit.toSet)
     }
     path(name)
   }
@@ -229,7 +371,10 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       path(s"_trash_rebucket_$name"))
     fs.delete(stageP, true)
     fs.delete(trash, true)
-    spark.read.parquet(path(name))
+    // resolve a clone manifest if present: rebucketing a clone is the
+    // natural deep-clone conversion (full rewrite → fully local, and the
+    // manifest is trashed with the old root)
+    readResolved(spark, name)
       .drop("__bucket")
       .withColumn("__bucket",
         pmod(xxhash64(col(key)), lit(newBuckets.toLong)).cast("int"))
@@ -279,9 +424,7 @@ final class TableWriter(warehouseDir: String) extends Serializable {
         // bounded collect: ≤ numBuckets ids
         val affected = withBucket.select("__bucket").distinct()
           .collect().map(_.getInt(0))
-        val existing = spark.read.parquet(path(name))
-          .withColumn("__bucket", col("__bucket").cast("int"))
-          .filter(col("__bucket").isin(affected.toIndexedSeq: _*))
+        val existing = readResolved(spark, name, Some(affected.toIndexedSeq))
           .drop("__bucket")
         val n = incoming.alias("n")
         val o = existing.alias("o")
@@ -332,9 +475,7 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       // bounded collect: ≤ numBuckets ids
       val affected = doomed.select("__bucket").distinct()
         .collect().map(_.getInt(0))
-      val victims = spark.read.parquet(path(name))
-        .withColumn("__bucket", col("__bucket").cast("int"))
-        .filter(col("__bucket").isin(affected.toIndexedSeq: _*))
+      val victims = readResolved(spark, name, Some(affected.toIndexedSeq))
         .drop("__bucket")
         .join(doomed.select(col(key)), Seq(key), "left_semi")
       val valueCols = victims.columns.filterNot(_ == key).toSeq
