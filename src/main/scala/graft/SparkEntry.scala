@@ -286,6 +286,23 @@ object SparkEntry {
     EventsOps.sessionStats(t(s, dir, "events"), "30 minutes")
       .select("user_id", "session_start", "n_events", "sum_value")
 
+  // ---------------------------------------------------------------- q96
+  /** Time-series gap-fill (q96 — the resample/ffill/interpolate operator
+    * every metrics pipeline needs; TimescaleDB's time_bucket_gapfill +
+    * locf + interpolate): sparse per-user purchase values resampled onto
+    * the hourly spine with LOCF and linear interpolation, via
+    * [[graft.operators.GapFill.resampleHourly]] — a union + two per-key
+    * window sweeps, O(obs + spine) per key, no obs×spine range join.
+    * The oracle replays the identical union/window/ratio construction,
+    * and the interpolation arithmetic is a single division of exact
+    * integer microsecond differences — bit-identical cross-engine.
+    */
+  private def q96GapFill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GapFill.resampleHourly(
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 8),
+      "user_id", "ts", "value")
+
   // ---------------------------------------------------------------- q17
   /** SQL entry surface with ordinal GROUP BY/ORDER BY (§2 A2/O3 — the
     * reference's `group by 1`/`order by 1 desc` shape) and SQL ilike.
@@ -4142,6 +4159,7 @@ object SparkEntry {
     "q12_token_explode" -> (q12TokenExplode _),
     "q13_regex_bank" -> (q13RegexBank _),
     "q14_events_hourly" -> (q14EventsHourly _),
+    "q96_gapfill" -> (q96GapFill _),
     "q15_events_props" -> (q15EventsProps _),
     "q16_sessions" -> (q16Sessions _),
     "q17_sql_ordinals" -> (q17SqlOrdinals _),
@@ -4468,6 +4486,48 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q96: union of spine + observations, two IGNORE NULLS window sweeps
+    // (ascending = previous observation, descending = next), LOCF +
+    // linear interpolation with the ratio as one double division of
+    // integer microsecond deltas — the same expression tree Spark builds
+    "q96_gapfill" ->
+      """WITH o AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v, ts
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 8
+        |), b AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |    date_trunc('hour', MAX(ts)) AS h1 FROM o
+        |), spine AS (
+        |  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM b
+        |), u AS (
+        |  SELECT k.k, epoch_us(s.hour_ts) AS t, 1 AS is_spine,
+        |    CAST(NULL AS DOUBLE) AS v, s.hour_ts
+        |  FROM (SELECT DISTINCT k FROM o) k, spine s
+        |  UNION ALL
+        |  SELECT k, t, 0, v, NULL FROM o
+        |), env AS (
+        |  SELECT *,
+        |    LAST_VALUE(v IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY t, is_spine
+        |       ROWS UNBOUNDED PRECEDING) AS pv,
+        |    LAST_VALUE(CASE WHEN is_spine = 0 THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY t, is_spine
+        |       ROWS UNBOUNDED PRECEDING) AS pt,
+        |    LAST_VALUE(v IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY t DESC, is_spine DESC
+        |       ROWS UNBOUNDED PRECEDING) AS nv,
+        |    LAST_VALUE(CASE WHEN is_spine = 0 THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY t DESC, is_spine DESC
+        |       ROWS UNBOUNDED PRECEDING) AS nt
+        |  FROM u
+        |)
+        |SELECT k AS user_id, hour_ts, pv AS locf_value,
+        |  CASE WHEN pt IS NOT NULL AND nt IS NOT NULL
+        |    THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS interp_value
+        |FROM env WHERE is_spine = 1""".stripMargin,
 
     "q15_events_props" ->
       """SELECT event_type,
