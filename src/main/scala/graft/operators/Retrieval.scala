@@ -184,8 +184,11 @@ object Retrieval {
       tf.repartition(col("term_bucket")),
       partitionBy = Seq("term_bucket"))
     val written = writer.read(spark, s"${name}_postings")
+    // vocab is Zipf-small relative to the corpus: one file keeps every
+    // later read/merge from listing shuffle-partition slivers (re-shard
+    // by mergeByKey buckets if a vocabulary ever outgrows single files)
     writer.materialize(s"${name}_vocab",
-      written.groupBy("term").agg(count(lit(1)).as("df")))
+      written.groupBy("term").agg(count(lit(1)).as("df")).coalesce(1))
     writer.materialize(s"${name}_stats",
       docs.select(split(col(textCol), " ").as("toks"))
         .agg(count(lit(1)).as("n_docs"),
@@ -240,7 +243,7 @@ object Retrieval {
         .select(col("term"),
           (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
             .as("df"))
-      writer.materialize(s"${name}_vocab_next", merged)
+      writer.materialize(s"${name}_vocab_next", merged.coalesce(1))
       val conf = spark.sessionState.newHadoopConf()
       val dst = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab"))
       val next = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_next"))
