@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [sfDir] [mult] [probes]
   *   probes: comma-separated subset of
-  *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,v12,q32,d33,
-  *     d34,q59,q62,q63,q69,q70,q71,q20,q43,bm25,stream,restart
+  *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,v12,v17,q32,
+  *     d33,d34,q59,q62,q63,q69,q70,q71,q20,q43,bm25,stream,restart,
+  *     clone,gapfill
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -30,8 +31,8 @@ object ScaleProbe {
       if (args.length > 2) args(2).split(",").toSet
       else Set("d3", "d11", "d15", "d18", "d21", "d35", "d36", "d37", "bpe",
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
-        "q70", "q71", "q20", "q43", "v8", "v9", "v12", "bm25", "dsir",
-        "phrase", "cdc", "clf")
+        "q70", "q71", "q20", "q43", "v8", "v9", "v12", "v17", "bm25",
+        "dsir", "phrase", "cdc", "clf", "clone", "gapfill")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -347,6 +348,34 @@ object ScaleProbe {
       }
     }
 
+    // q96 gap-fill: replicas shift KEYS (user_id), the embarrassingly-
+    // parallel direction — spine hours stay constant, keys and
+    // observations grow mult×, so spine rows, window state, and output
+    // all scale linearly with per-key work constant. Expect ~linear.
+    if (on("gapfill")) {
+      val ev1 = graft.sources.Tables.load(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      for ((label, n) <- Seq("1x" -> 1, s"${mult}x" -> mult)) {
+        val evN = (0 until n).map { r =>
+          ev1.withColumn("user_id", col("user_id") + lit(r * 1000000L))
+        }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
+        evN.count()
+        t(s"q96_gapfill_$label") {
+          // aggregate over the FILLED columns — a bare count() lets
+          // column pruning drop the window expressions entirely (the
+          // d35/d21 probe-honesty rule: force what you claim to measure)
+          val r = graft.operators.GapFill.resampleHourly(
+              evN, "user_id", "ts", "value")
+            .agg(count(col("locf_value")).as("n_locf"),
+              avg(col("interp_value")).as("m"))
+            .collect()(0)
+          r.getLong(0)
+        }
+        evN.unpersist()
+      }
+    }
+
     // Streaming family: state-store scaling. Replicas shift TIME (not
     // keys), so window/state-key count grows linearly while per-window
     // arrival density stays constant — the honest shape for "more history
@@ -462,7 +491,8 @@ object ScaleProbe {
 
     // Materialization family: the WRITE paths (snapshot store, bucket-
     // scoped merge, bucketed tables) measured under replication
-    if (probes.intersect(Set("q59", "q62", "q63", "q69", "q70", "q71")).nonEmpty) {
+    if (probes.intersect(
+        Set("q59", "q62", "q63", "q69", "q70", "q71", "clone")).nonEmpty) {
       val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
       val ordersN = (0 until mult).map { r =>
         orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
@@ -485,6 +515,36 @@ object ScaleProbe {
           val n = w.read(spark, "m").count()
           deleteTree(wh)
           n
+        }
+        // q95: shallow clone must be FLAT under replication (it writes
+        // only the manifest — O(files) metadata at any data volume);
+        // the COW merge targets keys hashing to ONE bucket, so its cost
+        // tracks that bucket's volume (grows with mult at fixed bucket
+        // count — the q94/CDC sizing rule holds bucket volume constant
+        // by growing the count in production).
+        if (on("clone")) {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_clone_").toString
+          val w = new graft.sources.TableWriter(wh)
+          val base = src.filter(col("k") % 3 === 0)
+          t(s"q95_clone_src_build_$label") {
+            w.mergeByKey(spark, "src", base, "k")
+            w.read(spark, "src").count()
+          }
+          t(s"q95_clone_shallow_$label") {
+            w.shallowClone(spark, "src", "branch")
+            1L // metadata only — nothing to count without reading data
+          }
+          t(s"q95_clone_cow_merge_$label") {
+            val batch = base
+              .filter(pmod(xxhash64(col("k")), lit(16L)) === 3)
+              .withColumn("price", (col("price") +
+                lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+            w.mergeByKey(spark, "branch", batch, "k")
+            w.readResolved(spark, "branch",
+              Some(Seq(3))).count()
+          }
+          deleteTree(wh)
         }
         if (on("q59")) t(s"q59_snapshot_$label") {
           val wh = java.nio.file.Files
@@ -595,7 +655,7 @@ object ScaleProbe {
     }
 
     if (probes.intersect(
-        Set("v3", "v5", "v6", "v8", "v9", "v12", "d36")).nonEmpty) {
+        Set("v3", "v5", "v6", "v8", "v9", "v12", "v17", "d36")).nonEmpty) {
       val emb1 = graft.sources.Tables.load(spark, sfDir, "embeddings")
       val embN = (0 until mult).map { r =>
         emb1.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
@@ -688,6 +748,37 @@ object ScaleProbe {
           }
           deleteTree(wh)
           n
+        }
+        // v17: index deletion lifecycle against an index that grows with
+        // mult, deleting a FIXED victim set (the 1× corpus's %9 slice,
+        // present at every mult since replica 0 keeps original ids).
+        // The tombstone delete must stay FLAT (one assignment of the
+        // victims + a tiny append — index never read); vacuum cost
+        // tracks the VOLUME OF THE TOMBSTONED LISTS, which here is most
+        // of the index (≈56 victims spread over K≈16–46 lists touch
+        // nearly all of them — worst case by construction); at real
+        // scale (K ~ √N ≫ |victims|) the untouched-list fraction is
+        // what partition pruning saves.
+        if (on("v17")) {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_ivfdel_").toString
+          val w = new graft.sources.TableWriter(wh)
+          t(s"v17_del_build_$label") {
+            val cents = Similarity.trainIvfCentroids(e,
+              initStride = 97L * m, iters = 3)
+            Similarity.buildIvfIndex(e, cents, w, "emb")
+            spark.read.parquet(s"$wh/emb_lists").count()
+          }
+          t(s"v17_del_tombstone_$label") {
+            Similarity.deleteFromIvfIndex(
+              emb1.filter(col("vec_id") % 9 === 4), w, "emb")
+            spark.read.parquet(s"$wh/emb_tombstones").count()
+          }
+          t(s"v17_del_vacuum_$label") {
+            Similarity.vacuumIvfIndex(spark, w, "emb")
+            spark.read.parquet(s"$wh/emb_lists").count()
+          }
+          deleteTree(wh)
         }
         // d36 SemDeDup: K scales as ~√N (stride = N/K), the regime that
         // balances centroid assignment (O(N·K)) against the within-cluster

@@ -114,6 +114,49 @@ object SparkEntry {
       Seq(dsum2(col("o_totalprice")).as("total_spend"),
         count(lit(1)).as("n_orders")))
 
+  // ---------------------------------------------------------------- q97
+  /** All five spend grains in ONE pass (q97 — the Spark-first collapse
+    * of the reference's five separate grain tables,
+    * models/spend_{daily,weekly,monthly,quarterly,yearly}.sql: five
+    * full-table aggregation jobs become one Expand + one partial-agg
+    * shuffle via GROUPING SETS over the precomputed period columns; at
+    * 100 TB that is one corpus read instead of five). Each output row
+    * belongs to exactly one grain, labeled from grouping() flags — not
+    * from value nullness, so NULL dates could never mislabel. The
+    * oracle is the five grain rollups UNION ALLed with their labels;
+    * SpendLatticeSpec pins the single-exchange plan shape and q5
+    * row-level agreement.
+    */
+  private def q97SpendLattice(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q97")
+    s.sql(
+      """WITH p AS (
+        |  SELECT o_orderstatus AS order_status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(date_trunc('day', o_orderdate) AS DATE) AS day_p,
+        |    CAST(date_trunc('week', o_orderdate) AS DATE) AS week_p,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month_p,
+        |    CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_p,
+        |    CAST(date_trunc('year', o_orderdate) AS DATE) AS year_p
+        |  FROM orders_q97
+        |)
+        |SELECT
+        |  CASE WHEN grouping(day_p) = 0 THEN 'day'
+        |       WHEN grouping(week_p) = 0 THEN 'week'
+        |       WHEN grouping(month_p) = 0 THEN 'month'
+        |       WHEN grouping(quarter_p) = 0 THEN 'quarter'
+        |       ELSE 'year' END AS grain,
+        |  coalesce(day_p, week_p, month_p, quarter_p, year_p) AS date_period,
+        |  order_status,
+        |  CAST(SUM(price) AS DOUBLE) AS total_spend,
+        |  COUNT(*) AS n_orders
+        |FROM p
+        |GROUP BY GROUPING SETS (
+        |  (day_p, order_status), (week_p, order_status),
+        |  (month_p, order_status), (quarter_p, order_status),
+        |  (year_p, order_status))""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- q6
   /** S4/J1: generated date spine left-joined to aggregate blocks. */
   private def q6SpineMetrics(s: SparkSession, dir: String): DataFrame = {
@@ -4160,6 +4203,7 @@ object SparkEntry {
     "q13_regex_bank" -> (q13RegexBank _),
     "q14_events_hourly" -> (q14EventsHourly _),
     "q96_gapfill" -> (q96GapFill _),
+    "q97_spend_lattice" -> (q97SpendLattice _),
     "q15_events_props" -> (q15EventsProps _),
     "q16_sessions" -> (q16Sessions _),
     "q17_sql_ordinals" -> (q17SqlOrdinals _),
@@ -4367,6 +4411,7 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,
 
+    "q97_spend_lattice" -> q97OracleSql,
     "q5_spend_daily" -> spendOracle("day"),
     "q5_spend_weekly" -> spendOracle("week"),
     "q5_spend_monthly" -> spendOracle("month"),
@@ -6727,6 +6772,20 @@ object SparkEntry {
        |FROM documents
        |WHERE doc_id NOT IN (SELECT member_id FROM cc WHERE member_id <> cluster_id)
        |GROUP BY 1""".stripMargin
+
+  /** q97 oracle: the five grain rollups stated separately and unioned
+    * with their labels — the lattice must agree with computing each
+    * grain the reference's way.
+    */
+  private def q97OracleSql: String =
+    Seq("day", "week", "month", "quarter", "year").map { g =>
+      s"""SELECT '$g' AS grain,
+         |  CAST(date_trunc('$g', o_orderdate) AS DATE) AS date_period,
+         |  o_orderstatus AS order_status,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+         |  COUNT(*) AS n_orders
+         |FROM orders GROUP BY 1, 2, 3""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   private def spendOracle(grain: String): String =
     s"""SELECT CAST(date_trunc('$grain', o_orderdate) AS DATE) AS date_period,
