@@ -4022,6 +4022,54 @@ object SparkEntry {
   private def d42CentralityRank(s: SparkSession, dir: String): DataFrame =
     Dedup.pageRank(d2PairsShared(s, dir), iters = 5, damping = 0.85, k = 100)
 
+  /** Triangle census of the near-dup graph (d44 — with components/d11,
+    * PageRank/d42 this completes the graph-statistics triad): per-doc
+    * triangle counts + local clustering coefficient distinguish clique-
+    * like duplicate families (transitive near-dups — high coefficient)
+    * from hub-and-spoke template matches (a boilerplate doc pairing
+    * with many mutually-dissimilar docs — low). Degree-ordered
+    * orientation bounds the wedge join (see
+    * [[graft.operators.Dedup.triangleCounts]]); integers end-to-end
+    * except the final single-division coefficient → FULL hash contract.
+    */
+  private def d44TriangleCount(s: SparkSession, dir: String): DataFrame =
+    Dedup.triangleCounts(d2PairsShared(s, dir))
+
+  private def d44OracleSql: String =
+    s"""WITH pairs AS (
+       |$d2OracleSql
+       |), canon AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM canon
+       |  UNION ALL SELECT b, a FROM canon
+       |), deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1
+       |), wd AS (
+       |  SELECT c.a, c.b, da.deg AS deg_a, db.deg AS deg_b
+       |  FROM canon c JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id
+       |), oriented AS (
+       |  SELECT CASE WHEN deg_a < deg_b OR (deg_a = deg_b AND a < b)
+       |           THEN a ELSE b END AS src,
+       |         CASE WHEN deg_a < deg_b OR (deg_a = deg_b AND a < b)
+       |           THEN b ELSE a END AS dst
+       |  FROM wd
+       |), wedges AS (
+       |  SELECT e1.src AS u, e1.dst AS x, e2.dst AS y
+       |  FROM oriented e1 JOIN oriented e2
+       |    ON e1.src = e2.src AND e1.dst < e2.dst
+       |), tri AS (
+       |  SELECT u, x, y FROM wedges w
+       |  JOIN canon c ON w.x = c.a AND w.y = c.b
+       |), pern AS (
+       |  SELECT id, COUNT(*) AS n_tri FROM (
+       |    SELECT UNNEST([u, x, y]) AS id FROM tri) GROUP BY 1
+       |)
+       |SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       |  CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CASE WHEN d.deg >= 2
+       |    THEN CAST(2 * COALESCE(p.n_tri, 0) AS DOUBLE)
+       |      / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS clustering
+       |FROM deg d LEFT JOIN pern p ON d.id = p.id""".stripMargin
+
   private def d42OracleSql: String = {
     val iter = (1 to 5).map { i =>
       s"""|), r$i AS (
@@ -4363,6 +4411,7 @@ object SparkEntry {
     "q92_index_compaction" -> (q92IndexCompaction _),
     "q93_stream_cdc_view" -> (q93StreamCdcView _),
     "d42_centrality_rank" -> (d42CentralityRank _),
+    "d44_triangle_count" -> (d44TriangleCount _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -5676,6 +5725,7 @@ object SparkEntry {
     // same feed; complete-mode convergence == the batch fold
     "q93_stream_cdc_view" -> q91OracleSql,
     "d42_centrality_rank" -> d42OracleSql,
+    "d44_triangle_count" -> d44OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,
