@@ -1561,6 +1561,34 @@ object SparkEntry {
     src.unionByName(br)
   }
 
+  /** SCD2 point-in-time fact lookup (q98 — the temporal dimension join
+    * that makes type-2 history USABLE: q56 builds the history, this
+    * joins facts to the version valid at each fact's own date). Every
+    * dimension key is probed at three dates — before any version
+    * (nulls), inside the first window (v1 prices; newbies not yet
+    * born), and after the change (bumped prices, newbies live) — so
+    * the closed-form oracle states the whole validity semantics:
+    * inclusive valid_from, exclusive valid_to, null before birth. The
+    * lookup itself is [[graft.operators.Snapshot.pointInTime]]'s
+    * one-pass as-of composition, not a fact×version inequality join.
+    */
+  private def q98Scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (v1, v2, t1, t2) = scd2Sources(s, dir)
+    val snap1 = graft.operators.Snapshot.scd2(None, v1, "k", Seq("price"), t1)
+    val snap = graft.operators.Snapshot.scd2(Some(snap1), v2, "k",
+      Seq("price"), t2)
+    val keys = v1.select("k").unionByName(v2.select("k")).distinct()
+    val dates = Seq("2023-12-15", "2024-01-15", "2024-02-15")
+      .toDF("fact_date").select(to_date(col("fact_date")).as("fact_date"))
+    val facts = keys.join(broadcast(dates))
+    graft.operators.Snapshot.pointInTime(snap, facts, "k", "fact_date",
+        Seq("price"))
+      .select(col("k"), col("fact_date").cast("string").as("fact_date"),
+        col("dim_price").cast("double").as("dim_price"),
+        col("dim_valid_from").cast("string").as("dim_valid_from"))
+  }
+
   private def q59SnapshotMaterialized(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SnapshotStore
     val (v1, v2, t1, t2) = scd2Sources(s, dir)
@@ -4346,6 +4374,7 @@ object SparkEntry {
     "q54_stateful_sessions" -> (q54StatefulSessions _),
     "q55_schema_evolution" -> (q55SchemaEvolution _),
     "q56_scd2_snapshot" -> (q56Scd2Snapshot _),
+    "q98_scd2_lookup" -> (q98Scd2Lookup _),
     "q57_csv_roundtrip" -> (q57CsvRoundtrip _),
     "q58_stream_interval" -> (q58StreamIntervalJoin _),
     "q59_snapshot_store" -> (q59SnapshotMaterialized _),
@@ -5068,6 +5097,32 @@ object SparkEntry {
         |FROM v1 WHERE k % 7 <> 0
         |UNION ALL
         |SELECT k, CAST(price AS DOUBLE), '2024-02-01', NULL
+        |FROM newbies""".stripMargin,
+
+    // q98: the type-2 lookup stated closed-form per probe date —
+    // before birth (nulls), inside window 1, after the change
+    "q98_scd2_lookup" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT k, '2023-12-15' AS fact_date, CAST(NULL AS DOUBLE) AS dim_price,
+        |  CAST(NULL AS VARCHAR) AS dim_valid_from
+        |FROM (SELECT k FROM v1 UNION ALL SELECT k FROM newbies)
+        |UNION ALL
+        |SELECT k, '2024-01-15', CAST(price AS DOUBLE), '2024-01-01' FROM v1
+        |UNION ALL
+        |SELECT k, '2024-01-15', NULL, NULL FROM newbies
+        |UNION ALL
+        |SELECT k, '2024-02-15',
+        |  CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END AS DOUBLE),
+        |  CASE WHEN k % 7 = 0 THEN '2024-02-01' ELSE '2024-01-01' END
+        |FROM v1
+        |UNION ALL
+        |SELECT k, '2024-02-15', CAST(price AS DOUBLE), '2024-02-01'
         |FROM newbies""".stripMargin,
 
     // q63 joins through the bucketed-materialization path; the oracle is

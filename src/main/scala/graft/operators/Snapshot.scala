@@ -73,6 +73,38 @@ object Snapshot {
           .unionByName(openedNow)
     }
   }
+
+  /** Point-in-time dimension lookup (the warehouse's temporal join —
+    * Kimball's "type-2 lookup": join each fact to the dimension VERSION
+    * that was valid at the fact's own date). Composes the as-of
+    * primitive instead of a validity-interval range join:
+    * [[AsOfJoin.backward]] picks, per fact, the latest version with
+    * `valid_from <= fact date` in ONE key-partitioned union+window pass
+    * — no fact × version inequality join — and the `valid_to` guard
+    * nulls the payload when that version had already closed without a
+    * successor covering the date (facts before the key's first version
+    * get nulls the same way). Window semantics: `valid_from` inclusive,
+    * `valid_to` exclusive — a fact dated exactly on a version change
+    * sees the NEW version, matching the SCD2 contract that close and
+    * open happen at the same instant.
+    *
+    * Output: every fact column, plus `dim_<payload>` and
+    * `dim_valid_from` (null when no version covers the date).
+    */
+  def pointInTime(snap: DataFrame, facts: DataFrame, key: String,
+      dateCol: String, payload: Seq[String]): DataFrame = {
+    val dim = snap.select((Seq(key, "valid_from", "valid_to") ++ payload)
+      .map(col): _*)
+    val joined = AsOfJoin.backward(facts, dim, Seq(key), dateCol,
+      "valid_from", payload :+ "valid_to")
+    val covered = col("asof_ts").isNotNull &&
+      (col("asof_valid_to").isNull || col(dateCol) < col("asof_valid_to"))
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"dim_$p", when(covered, col(s"asof_$p")))
+    }
+      .withColumn("dim_valid_from", when(covered, col("asof_ts")))
+      .drop(("asof_ts" +: (payload :+ "valid_to").map("asof_" + _)): _*)
+  }
 }
 
 /** Materialized snapshot store — `dbt snapshot`'s operational shape on a
