@@ -1710,6 +1710,7 @@ object SparkEntry {
     ivfDelCache.clear()
     bm25IndexCache.clear()
     bm25IncCache.clear()
+    bm25DelCache.clear()
     pqCodebookCache.clear()
     dagRunCache.clear()
     posIndexCache.clear()
@@ -3432,9 +3433,16 @@ object SparkEntry {
     * query-document predicate; constants are interpolated from the SAME
     * Scala doubles the Spark plan uses, so literal parsing can't diverge.
     */
-  private def bm25CtesSql(queryPred: String): String =
+  /** `corpusPred` restricts the INDEXED corpus (v18's delete oracle);
+    * queries always come from the full documents table — a deleted doc
+    * can still query, it just can't be retrieved (v17's discipline).
+    */
+  private def bm25CtesSql(queryPred: String,
+      corpusPred: String = "TRUE"): String =
     s"""WITH ws AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), cws AS (
+       |  SELECT * FROM ws WHERE $corpusPred
        |), q AS (
        |  SELECT DISTINCT query_id, term FROM (
        |    SELECT doc_id AS query_id, UNNEST(toks[1:$bm25QTerms]) AS term
@@ -3442,7 +3450,7 @@ object SparkEntry {
        |  )
        |), tf AS (
        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-       |    SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM ws
+       |    SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM cws
        |  ) GROUP BY 1, 2, 3
        |), qt AS (SELECT DISTINCT term FROM q
        |), ctf AS (SELECT tf.* FROM tf JOIN qt USING (term)
@@ -3450,7 +3458,7 @@ object SparkEntry {
        |), stats AS (
        |  SELECT COUNT(*) AS n_docs,
        |    CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-       |  FROM ws
+       |  FROM cws
        |), bmscored AS (
        |  SELECT q.query_id, c.doc_id, c.term,
        |    ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
@@ -3473,6 +3481,41 @@ object SparkEntry {
 
   private def v10OracleSql: String =
     s"""${bm25CtesSql("doc_id % 97 = 0")}
+       |)
+       |SELECT query_id, doc_id, rank, n_hit FROM bm WHERE rank <= $bm25K""".stripMargin
+
+  /** BM25 index deletion (v18 — the lexical twin of v17, and the
+    * stronger contract: postings struck, dfs decremented, zero-df terms
+    * dropped, stats reduced — all integer subtraction, so delete ==
+    * rebuild-without-victims BIT-exactly; Bm25DeleteSpec pins frame-
+    * level equality, no-op absent deletes, and no-op re-deletes). The
+    * entry deletes every doc_id % 11 == 5 (the delete is applied TWICE
+    * — idempotence under the oracle) and serves the standard query set;
+    * query doc 291 is itself a victim at sf0.01 and still queries
+    * (deleted docs query, they just can't be retrieved). Oracle: v10's
+    * replay over the corpus minus the victims.
+    */
+  private val bm25DelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def v18Bm25Delete(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val writer = bm25DelCache.getOrElseUpdate((s, dir), {
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/bm25del_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Retrieval.buildBm25Index(d, w, "docs")
+      Retrieval.deleteFromBm25Index(d.filter(col("doc_id") % 11 === 5), w, "docs")
+      Retrieval.deleteFromBm25Index(d.filter(col("doc_id") % 11 === 5), w, "docs")
+      w
+    })
+    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, writer, "docs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def v18OracleSql: String =
+    s"""${bm25CtesSql("doc_id % 97 = 0", "doc_id % 11 <> 5")}
        |)
        |SELECT query_id, doc_id, rank, n_hit FROM bm WHERE rank <= $bm25K""".stripMargin
 
@@ -4429,6 +4472,7 @@ object SparkEntry {
     "v12_ann_ivf_append" -> (v12AnnIvfAppend _),
     "v17_ann_delete" -> (v17AnnDelete _),
     "v13_bm25_append" -> (v13Bm25Append _),
+    "v18_bm25_delete" -> (v18Bm25Delete _),
     "v11_hybrid_rrf" -> (v11HybridRrf _),
     "d38_gopher_rules" -> (d38GopherRules _),
     "d39_vocab_topk" -> (d39VocabTopK _),
@@ -5761,6 +5805,7 @@ object SparkEntry {
     // v13 = v10 through an incrementally-built index; bit-identical by
     // integer-addition merge (see v13Bm25Append)
     "v13_bm25_append" -> v10OracleSql,
+    "v18_bm25_delete" -> v18OracleSql,
     // q89 = v10 through a STREAMED index build (foreachBatch appends);
     // same bit-identity argument, so the same full-corpus oracle
     "q89_stream_index" -> v10OracleSql,

@@ -267,6 +267,113 @@ object Retrieval {
     } finally tfB.unpersist(blocking = false)
   }
 
+  /** Targeted delete from a persisted BM25 index — the lexical twin of
+    * the ANN deletion lifecycle (v17), and the stronger form: every
+    * update is integer subtraction (postings struck, dfs decremented,
+    * zero-df terms dropped, stats reduced), so delete == rebuild-
+    * without-victims BIT-exactly, not just rank-equal. Victims arrive
+    * WITH their text (the corpus table has it), which is what keeps the
+    * rewrite pruned: a victim's postings live exactly in the buckets
+    * its own terms hash into, so only those partitions are read, and of
+    * those only partitions actually holding victim rows are rewritten.
+    * A presence guard (victim ids ∩ pruned postings) makes absent ids
+    * and re-deletes complete no-ops — without it a re-delete would
+    * silently corrupt the df/stat decrements. Cost tracks the victims'
+    * vocabulary, not the corpus vocabulary (on a real Zipf vocabulary a
+    * small victim set touches few buckets; a tiny synthetic vocabulary
+    * touches them all — the honest worst case).
+    */
+  def deleteFromBm25Index(victims: DataFrame,
+      writer: graft.sources.TableWriter, name: String, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = victims.sparkSession
+    import spark.implicits._
+    val tfV0 = postingsOf(victims, idCol, textCol)
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+    // bounded collect: ≤ buckets ids — the victims' own term buckets
+    val affected = tfV0.select("term_bucket").distinct()
+      .collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    val postPath = writer.path(s"${name}_postings")
+    val pruned = spark.read.parquet(postPath)
+      .withColumn("term_bucket", col("term_bucket").cast("int"))
+      .filter(col("term_bucket").isin(affected.toIndexedSeq: _*))
+    // the presence set is STAGED TO DISK, not persist()ed: its lineage
+    // reads the postings path this delete is about to overwrite, and a
+    // cache-miss recomputation after the overwrite would read deleted
+    // files — the file-backed copy severs the lineage (delta-sized, no
+    // driver collect)
+    val presentStage = writer.path(s"__stage_delids_$name")
+    pruned.select("doc_id").distinct()
+      .join(victims.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(presentStage)
+    val present = spark.read.parquet(presentStage)
+    try {
+      if (present.count() == 0L) return
+      val tfV = tfV0.join(present, Seq("doc_id"), "left_semi").persist()
+      try {
+        // postings: rewrite only buckets that actually hold victim rows
+        // (bounded collect: ≤ buckets ids)
+        val hit = pruned.join(present, Seq("doc_id"), "left_semi")
+          .select("term_bucket").distinct().collect().map(_.getInt(0))
+        val survivors = pruned
+          .filter(col("term_bucket").isin(hit.toIndexedSeq: _*))
+          .join(present, Seq("doc_id"), "left_anti")
+        val stage = writer.path(s"__stage_del_$name")
+        val surviving: Set[Int] = try {
+          survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(stage)
+          val staged = spark.read.parquet(stage)
+          staged.repartition(col("term_bucket")) // one file per bucket
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("term_bucket")
+            .parquet(postPath)
+          staged.select("term_bucket").distinct().collect()
+            .map(_.getInt(0)).toSet
+        } finally {
+          val sp = new org.apache.hadoop.fs.Path(stage)
+          sp.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(sp, true)
+        }
+        val root = new org.apache.hadoop.fs.Path(postPath)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        hit.filterNot(surviving).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"term_bucket=$b"), true)
+        }
+
+        // vocab: dfs decremented by the victims' per-term doc counts;
+        // terms nobody holds anymore disappear (staged swap, like append)
+        val dec = tfV.groupBy("term").agg(count(lit(1)).as("ddf"))
+        val merged = writer.read(spark, s"${name}_vocab")
+          .join(dec, Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+        writer.materialize(s"${name}_vocab_next", merged.coalesce(1))
+        val dst = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab"))
+        val next = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_next"))
+        fs.delete(dst, true)
+        fs.rename(next, dst)
+
+        // stats: two longs down, mirror of append's two longs up
+        val old = writer.read(spark, s"${name}_stats").collect()(0)
+        val b = tfV.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
+          .collect()(0)
+        writer.materialize(s"${name}_stats",
+          Seq((old.getAs[Long]("n_docs") - b.getAs[Long]("n"),
+            old.getAs[Long]("sum_dl") - b.getAs[Long]("s")))
+            .toDF("n_docs", "sum_dl"))
+      } finally tfV.unpersist(blocking = false)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(presentStage)
+      sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    }
+  }
+
   /** Query a persisted BM25 index: stats and the query terms' dfs are
     * tiny lookups; the one corpus-sized read is the postings scan,
     * partition-pruned to the term buckets the query vocabulary hashes
