@@ -3976,6 +3976,65 @@ object SparkEntry {
       |SELECT batch_id, change_op, k, CAST(price AS DOUBLE) AS price
       |FROM feed""".stripMargin
 
+  /** CDC replication (q99 — the Debezium/cross-region-replica apply
+    * pattern, completing the CDC family: q90 emits the feed, q91/q93
+    * fold it into an aggregate, THIS applies it as state): a replica
+    * table maintained purely from the change feed — per batch in
+    * batch_id order, insert/update_post images upsert via mergeByKey
+    * and delete keys remove via deleteByKey; update_pre images are for
+    * view folding, not state apply, and are skipped. At 100 TB this is
+    * how a replica follows a source: delta-sized feed batches instead
+    * of table shipments, each applied at touched-bucket cost. The
+    * entry returns source AND replica contents; the oracle states both
+    * closed-form — replica == source is the replication contract under
+    * the hash.
+    */
+  private def q99CdcReplica(s: SparkSession, dir: String): DataFrame = {
+    val feed = cdcRun(s, dir).read(s, "orders_cdc_changes")
+    val wh = s"$q40Scratch/cdcreplica_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val w = new graft.sources.TableWriter(wh)
+    // bounded collect: one id per feed batch
+    val batches = feed.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    batches.foreach { b =>
+      val delta = feed.filter(col("batch_id") === b)
+      val ups = delta.filter(col("change_op").isin("insert", "update_post"))
+        .select(col("k"), col("price"))
+      if (!ups.isEmpty) w.mergeByKey(s, "orders_replica", ups, "k")
+      val dels = delta.filter(col("change_op") === "delete").select(col("k"))
+      if (!dels.isEmpty) w.deleteByKey(s, "orders_replica", dels, "k")
+    }
+    val src = cdcRun(s, dir).read(s, "orders_cdc")
+      .select(lit("source").as("phase"), col("k"),
+        col("price").cast("double").as("price"))
+    val rep = w.read(s, "orders_replica")
+      .select(lit("replica").as("phase"), col("k"),
+        col("price").cast("double").as("price"))
+    src.unionByName(rep)
+  }
+
+  private def q99OracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), newb AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+      |), finalstate AS (
+      |  SELECT k,
+      |    CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+      |      AS DECIMAL(18,2)) AS price
+      |  FROM base WHERE k % 11 <> 0
+      |  UNION ALL
+      |  SELECT k, price FROM newb
+      |)
+      |SELECT 'source' AS phase, k, CAST(price AS DOUBLE) AS price
+      |FROM finalstate
+      |UNION ALL
+      |SELECT 'replica' AS phase, k, CAST(price AS DOUBLE) AS price
+      |FROM finalstate""".stripMargin
+
   /** Incremental view maintenance off the change feed (q91): a grouped
     * (COUNT, SUM) view maintained purely from CDC deltas —
     * +insert/+update_post, −update_pre/−delete — with NO read of the
@@ -4480,6 +4539,7 @@ object SparkEntry {
     "v14_phrase_topk" -> (v14PhraseTopK _),
     "d41_dsir_select" -> (d41DsirSelect _),
     "q90_cdc_feed" -> (q90CdcFeed _),
+    "q99_cdc_replica" -> (q99CdcReplica _),
     "q91_cdc_incremental_view" -> (q91CdcView _),
     "q92_index_compaction" -> (q92IndexCompaction _),
     "q93_stream_cdc_view" -> (q93StreamCdcView _),
@@ -5816,6 +5876,7 @@ object SparkEntry {
     "v14_phrase_topk" -> v14OracleSql,
     "d41_dsir_select" -> d41OracleSql,
     "q90_cdc_feed" -> q90OracleSql,
+    "q99_cdc_replica" -> q99OracleSql,
     "q91_cdc_incremental_view" -> q91OracleSql,
     // q92 = v10 through an append-built THEN COMPACTED index; compaction
     // is content-invisible (q69's argument) and append==rebuild (v13's),
