@@ -1708,6 +1708,7 @@ object SparkEntry {
     ivfPqIndexCache.clear()
     ivfIncCache.clear()
     ivfDelCache.clear()
+    ivfUpdCache.clear()
     bm25IndexCache.clear()
     bm25IncCache.clear()
     bm25DelCache.clear()
@@ -3323,6 +3324,53 @@ object SparkEntry {
   private def v12OracleSql: String =
     ivfQueryOracleSql(" WHERE vec_id % 10 <> 0")
 
+  /** In-place vector UPDATE (v19 — re-embedding, the last index CRUD
+    * verb after build/v7, append/v12, delete/v17): every vec_id % 13
+    * == 2 vector is re-embedded (x → 2x+1 per element — direction
+    * actually changes) and the index follows by delete → TARGETED
+    * vacuum → append under the frozen quantizer. The vacuum step is
+    * mandatory and cheap (pruned to the victims' own lists):
+    * [[Similarity.appendIvfIndex]] REFUSES a still-tombstoned id,
+    * because with the old rows still physical the tombstone either
+    * strikes both generations or serves both (IvfDeleteSpec pins the
+    * refusal). Oracle: quantizer trained on the ORIGINAL corpus,
+    * assignment and probes over the UPDATED one — exactly what
+    * frozen-quantizer re-ingest computes.
+    */
+  private val ivfUpdCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def v19Updated(e: DataFrame): DataFrame =
+    e.withColumn("embedding",
+      when(col("vec_id") % 13 === 2,
+        transform(graft.functions.VectorFns.toDouble(col("embedding")),
+          x => x * lit(2.0) + lit(1.0)))
+        .otherwise(graft.functions.VectorFns.toDouble(col("embedding"))))
+
+  private def v19AnnUpdate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val upd = v19Updated(e)
+    val writer = ivfUpdCache.getOrElseUpdate((s, dir), {
+      val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/ivfupd_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Similarity.buildIvfIndex(e, cents, w, "emb")
+      Similarity.deleteFromIvfIndex(e.filter(col("vec_id") % 13 === 2), w, "emb")
+      Similarity.vacuumIvfIndex(s, w, "emb")
+      Similarity.appendIvfIndex(upd.filter(col("vec_id") % 13 === 2), w, "emb")
+      w
+    })
+    Similarity.queryIvfIndex(s, writer, "emb",
+        upd.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private val v19UpdateExpr =
+    "CASE WHEN vec_id % 13 = 2 THEN list_transform(v, x -> x * 2.0 + 1.0) ELSE v END"
+
+  private def v19OracleSql: String =
+    ivfQueryOracleSql("", updateExpr = Some(v19UpdateExpr))
+
   /** Index deletion lifecycle (v17 — the missing quarter next to
     * build/v7, append/v12, compact layout/q92: FAISS `remove_ids` on a
     * disk index). The index is built on the full corpus, then every
@@ -4530,6 +4578,7 @@ object SparkEntry {
     "v10_bm25_topk" -> (v10Bm25TopK _),
     "v12_ann_ivf_append" -> (v12AnnIvfAppend _),
     "v17_ann_delete" -> (v17AnnDelete _),
+    "v19_ann_update" -> (v19AnnUpdate _),
     "v13_bm25_append" -> (v13Bm25Append _),
     "v18_bm25_delete" -> (v18Bm25Delete _),
     "v11_hybrid_rrf" -> (v11HybridRrf _),
@@ -5862,6 +5911,7 @@ object SparkEntry {
     "v10_bm25_topk" -> v10OracleSql,
     "v12_ann_ivf_append" -> v12OracleSql,
     "v17_ann_delete" -> v17OracleSql,
+    "v19_ann_update" -> v19OracleSql,
     // v13 = v10 through an incrementally-built index; bit-identical by
     // integer-addition merge (see v13Bm25Append)
     "v13_bm25_append" -> v10OracleSql,
@@ -6224,9 +6274,12 @@ object SparkEntry {
 
   /** Unrolled Lloyd training over `c` restricted by `trainWhere` (empty
     * = whole corpus) — the parameterized form lets v12 replay a
-    * quantizer trained on the pre-append base corpus only.
+    * quantizer trained on the pre-append base corpus only, and v19
+    * (`updateExpr`) replay a quantizer trained on the RAW corpus while
+    * the served corpus `c` carries re-embedded vectors.
     */
-  private def ivfTrainCtesSqlWhere(trainWhere: String): String = {
+  private def ivfTrainCtesSqlWhere(trainWhere: String,
+      updateExpr: Option[String] = None): String = {
     val rounds = (1 to ivfIters).map { i =>
       val prev = s"cent${i - 1}"
       s"""|), asg$i AS (
@@ -6251,10 +6304,21 @@ object SparkEntry {
           |    ) GROUP BY 1
           |  ) n USING (cent_id)""".stripMargin
     }.mkString("\n")
-    s"""WITH c AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |), tr AS (
-       |  SELECT * FROM c$trainWhere
+    val corpusCtes = updateExpr match {
+      case None =>
+        s"""WITH c AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |), tr AS (
+           |  SELECT * FROM c$trainWhere""".stripMargin
+      case Some(expr) =>
+        s"""WITH raw AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |), c AS (
+           |  SELECT vec_id, $expr AS v FROM raw
+           |), tr AS (
+           |  SELECT * FROM raw$trainWhere""".stripMargin
+    }
+    s"""$corpusCtes
        |), cent0 AS (
        |  SELECT vec_id AS cent_id, v AS cv,
        |    SQRT(list_dot_product(v, v)) AS cn
@@ -6271,9 +6335,10 @@ object SparkEntry {
     * what one-pass assignment of the union computes).
     */
   private def ivfQueryOracleSql(trainWhere: String,
-      candWhere: String = ""): String = {
+      candWhere: String = "",
+      updateExpr: Option[String] = None): String = {
     val cf = s"cent$ivfIters"
-    s"""${ivfTrainCtesSqlWhere(trainWhere)}
+    s"""${ivfTrainCtesSqlWhere(trainWhere, updateExpr)}
        |), assigned AS (
        |  SELECT nbr_id, nbr_vec, cent_id FROM (
        |    SELECT c.vec_id AS nbr_id, c.v AS nbr_vec, ct.cent_id,

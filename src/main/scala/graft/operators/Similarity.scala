@@ -620,6 +620,26 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // re-adding a tombstoned id is REFUSED: its old rows are still
+    // physically in the lists (struck only at serve time), so clearing
+    // the tombstone would serve BOTH generations, and keeping it would
+    // strike the fresh rows too. UPDATE is delete → vacuumIvfIndex
+    // (pruned to the tombstoned lists — cheap) → append; the guard
+    // turns the silent-duplicate hazard into a loud error. Check cost:
+    // one join against the delta-sized tombstone table.
+    val tombPath = new org.apache.hadoop.fs.Path(
+      writer.path(s"${name}_tombstones"))
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(tombPath)) {
+      val clash = writer.read(spark, s"${name}_tombstones")
+        .join(batch.select(col(idCol).as("nbr_id")).distinct(),
+          Seq("nbr_id"), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendIvfIndex: batch re-adds tombstoned id ${clash.headOption
+          .map(_.get(0)).getOrElse("")} — run vacuumIvfIndex first " +
+          "(old rows are still physical; serving would see two generations)")
+    }
     val centroids = writer.read(spark, s"${name}_centroids")
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     val assigned = assignToCentroids(batch, centroids, idCol, vecCol)

@@ -97,6 +97,43 @@ class IvfDeleteSpec extends SparkSpec {
       .values.flatten.toSet)
   }
 
+  test("append refuses a still-tombstoned id; update = delete→vacuum→append") {
+    val updDir = java.nio.file.Files.createTempDirectory("ivfupd").toString
+    val refDir = java.nio.file.Files.createTempDirectory("ivfupdref").toString
+    val wUpd = new TableWriter(updDir)
+    val wRef = new TableWriter(refDir)
+    val upd = e.withColumn("embedding",
+      when(col("vec_id") % 13 === 2,
+        org.apache.spark.sql.functions.transform(
+          graft.functions.VectorFns.toDouble(col("embedding")),
+          x => x * lit(2.0) + lit(1.0)))
+        .otherwise(graft.functions.VectorFns.toDouble(col("embedding"))))
+
+    Similarity.buildIvfIndex(e, cents, wUpd, "emb")
+    Similarity.deleteFromIvfIndex(e.filter(col("vec_id") % 13 === 2),
+      wUpd, "emb")
+    // without the vacuum, re-adding the id would serve two generations
+    // (old rows still physical) — the append must refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(upd.filter(col("vec_id") % 13 === 2),
+        wUpd, "emb")
+    }
+    assert(ex.getMessage.contains("vacuumIvfIndex first"))
+
+    Similarity.vacuumIvfIndex(spark, wUpd, "emb")
+    Similarity.appendIvfIndex(upd.filter(col("vec_id") % 13 === 2),
+      wUpd, "emb")
+
+    // == a rebuild over the UPDATED corpus under the SAME frozen quantizer
+    Similarity.buildIvfIndex(upd, cents, wRef, "emb")
+    def lists(w: TableWriter): Set[(Long, Long)] =
+      w.read(spark, "emb_lists")
+        .select(col("nbr_id").cast("long"), col("cent_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lists(wUpd) == lists(wRef))
+    assert(topk(wUpd) == topk(wRef))
+  }
+
   test("partially-doomed list keeps its survivors") {
     val dir = java.nio.file.Files.createTempDirectory("ivfdel3").toString
     val w = new TableWriter(dir)
