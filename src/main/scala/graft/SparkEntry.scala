@@ -2790,6 +2790,43 @@ object SparkEntry {
       "q60_stream_static_sink")
   }
 
+  /** Streaming SCD2 enrichment (q100 — q98's temporal dimension join
+    * composed INTO the streaming runtime: each streamed event joins the
+    * dimension version valid at its own event time). The static side is
+    * a validity-windowed tier dimension (every user bronze from epoch;
+    * even users upgraded to silver at a cutover instant), and the join
+    * is a stateless stream-static join with a NON-EQUI validity
+    * condition — no state store, the dimension broadcasts, which is
+    * exactly why this is the production shape for enriching a stream
+    * against slowly-changing history. Aggregated per (tier, event_type)
+    * to convergence; the oracle states the tier closed-form per event.
+    * An event matches exactly one version by construction (windows
+    * tile), so stream counts equal the batch CASE — a dropped or
+    * double-matched boundary event breaks the hash.
+    */
+  private def q100StreamScd2(s: SparkSession, dir: String): DataFrame = {
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val users = t(s, dir, "events").select(col("user_id")).distinct()
+    val bronze = users.select(col("user_id").as("d_user"),
+      lit("bronze").as("tier"),
+      to_timestamp(lit("1970-01-01 00:00:00")).as("valid_from"),
+      when(col("user_id") % 2 === 0, cut)
+        .otherwise(lit(null).cast("timestamp")).as("valid_to"))
+    val silver = users.filter(col("user_id") % 2 === 0)
+      .select(col("user_id").as("d_user"), lit("silver").as("tier"),
+        cut.as("valid_from"), lit(null).cast("timestamp").as("valid_to"))
+    val dim = bronze.unionByName(silver)
+    val ev = graft.sources.Tables.loadStream(s, dir, "events")
+    graft.streaming.StreamOracle.converge(
+      ev.join(dim,
+          ev("user_id") === dim("d_user") &&
+            ev("ts") >= dim("valid_from") &&
+            (dim("valid_to").isNull || ev("ts") < dim("valid_to")))
+        .groupBy(col("tier"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value")),
+      "q100_stream_scd2_sink")
+  }
+
   /** MULTI-batch incremental streaming under the oracle: q45 and friends
     * converge in one micro-batch (one source file), which exercises the
     * state store but not state EVOLUTION. Here the events table is
@@ -4529,6 +4566,7 @@ object SparkEntry {
     "q58_stream_interval" -> (q58StreamIntervalJoin _),
     "q59_snapshot_store" -> (q59SnapshotMaterialized _),
     "q60_stream_static" -> (q60StreamStaticJoin _),
+    "q100_stream_scd2" -> (q100StreamScd2 _),
     "q61_stream_multibatch" -> (q61StreamMultibatch _),
     "q83_stream_upsert" -> (q83StreamUpsert _),
     "q89_stream_index" -> (q89StreamIndexMaintain _),
@@ -4804,6 +4842,14 @@ object SparkEntry {
         |    THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
         |  END AS interp_value
         |FROM env WHERE is_spine = 1""".stripMargin,
+
+    "q100_stream_scd2" ->
+      """SELECT CASE WHEN user_id % 2 = 0
+        |         AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |       THEN 'silver' ELSE 'bronze' END AS tier,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q15_events_props" ->
       """SELECT event_type,
