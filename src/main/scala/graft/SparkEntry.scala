@@ -3784,6 +3784,39 @@ object SparkEntry {
        |FROM m""".stripMargin
   }
 
+  /** Count-Min sketch term frequencies (d45, Cormode & Muthukrishnan
+    * 2005 — the mergeable frequency sketch joining KMV's cardinality in
+    * q19's family): 4×256 integer cells, term cells from the shared
+    * polynomial hash salted per row, estimate = min over rows. Integer
+    * addition end-to-end → order-independent, EXACTLY mergeable
+    * (cell-wise sums of shard sketches == sketch of the union — the
+    * shape that profiles a 100 TB corpus in a depth×width table), and a
+    * FULL hash contract: the oracle replays the salted fold per cell
+    * and the min, so both the sketch arithmetic and the ε-overcount
+    * behavior (estimate ≥ truth, visible per term) are under the hash.
+    */
+  private def d45CountMin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.countMinEstimates(t(s, dir, "documents"))
+
+  private def d45OracleSql: String =
+    """WITH tf AS (
+      |  SELECT term, COUNT(*) AS true_cnt FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+      |  ) GROUP BY 1
+      |), cells AS (
+      |  SELECT t.term, t.true_cnt, r.r,
+      |    list_reduce(list_prepend(CAST(741103597153329 AS BIGINT),
+      |      list_transform(range(1, length(r.r || ':' || t.term) + 1),
+      |        i -> CAST(ascii((r.r || ':' || t.term)[i:i]) AS BIGINT))),
+      |      (a, c) -> (a * 131 + c) % 1125899906842597) % 256 AS cell
+      |  FROM tf t CROSS JOIN (SELECT UNNEST(['0','1','2','3']) AS r) r
+      |), sketch AS (
+      |  SELECT r, cell, SUM(true_cnt) AS cnt FROM cells GROUP BY 1, 2
+      |)
+      |SELECT c.term, c.true_cnt, CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate
+      |FROM cells c JOIN sketch s ON c.r = s.r AND c.cell = s.cell
+      |GROUP BY 1, 2""".stripMargin
+
   /** Hashed TF-IDF document vectors (d40, Weinberger et al. 2009) — the
     * text→vector bridge over `documents`: terms feature-hashed into 64
     * buckets by the SHARED polynomial hash (the d4 arithmetic, replayed
@@ -4632,6 +4665,7 @@ object SparkEntry {
     "q93_stream_cdc_view" -> (q93StreamCdcView _),
     "d42_centrality_rank" -> (d42CentralityRank _),
     "d44_triangle_count" -> (d44TriangleCount _),
+    "d45_countmin" -> (d45CountMin _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -5983,6 +6017,7 @@ object SparkEntry {
     "q93_stream_cdc_view" -> q91OracleSql,
     "d42_centrality_rank" -> d42OracleSql,
     "d44_triangle_count" -> d44OracleSql,
+    "d45_countmin" -> d45OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -82,4 +82,58 @@ object Sketches {
           .as(name)
       }: _*)
   }
+
+  /** Row-salted term hash for the Count-Min sketch: the shared
+    * polynomial fold ([[graft.functions.TextFns.polyTokenHash]]) over
+    * `"<row>:" || term`, reduced mod `width` — one independent-enough
+    * hash per sketch row, replayable character-for-character in SQL.
+    */
+  private def cmsCell(row: Int, term: Column, width: Int): Column =
+    graft.functions.TextFns.polyTokenHash(
+      concat(lit(s"$row:"), term)) % lit(width.toLong)
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over a token
+    * stream — the mergeable frequency sketch next to [[kmvDistinct]]'s
+    * cardinality and [[histQuantiles]]'s quantiles: depth×width cells,
+    * cell(r) += occurrences for every term, estimate = min over rows.
+    * Everything is integer addition over deterministic cells, so the
+    * sketch is ORDER-INDEPENDENT and EXACTLY mergeable (cell-wise sum
+    * of shard sketches == sketch of the union — the 100 TB shape: each
+    * executor/day/shard sketches locally, a depth×width table merges
+    * them; guarantees ε = e/width overcount at δ = e^-depth). Build is
+    * one map-side-combined (term) count shuffle plus a depth-way
+    * vocabulary-sized expand — corpus size enters only through the
+    * first combine.
+    */
+  def countMinSketch(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    (0 until depth).map { r =>
+      tf.select(lit(r).as("row"), cmsCell(r, col("term"), width).as("cell"),
+        col("cnt"))
+    }.reduce(_ unionByName _)
+      .groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per-term CMS point estimates next to the true counts — the
+    * overcount-only guarantee made visible (estimate ≥ truth always;
+    * equality exactly when the term collides with nothing on some row).
+    */
+  def countMinEstimates(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      textCol: String = "text"): DataFrame = {
+    val sketch = countMinSketch(docs, depth, width, textCol)
+    val tf = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    val probes = (0 until depth).map { r =>
+      tf.select(col("term"), col("true_cnt"), lit(r).as("row"),
+        cmsCell(r, col("term"), width).as("cell"))
+    }.reduce(_ unionByName _)
+    probes.join(sketch, Seq("row", "cell"))
+      .groupBy("term", "true_cnt")
+      .agg(min(col("cnt")).as("cms_estimate"))
+      .select(col("term"), col("true_cnt"), col("cms_estimate"))
+  }
 }
