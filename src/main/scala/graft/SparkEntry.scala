@@ -346,6 +346,56 @@ object SparkEntry {
         .filter(col("event_type") === "purchase" && col("user_id") < 8),
       "user_id", "ts", "value")
 
+  // ---------------------------------------------------------------- q101
+  /** Ordered funnel analysis (q101 — the product-analytics staple the
+    * inventory lacked: how many users did view → click → purchase IN
+    * ORDER): stage k's timestamp is the user's earliest stage-k event
+    * STRICTLY AFTER their stage-(k−1) time, so out-of-order events
+    * never count (a user who purchases before ever clicking completes
+    * stage 1 only). Three user-keyed aggregations chained by joins —
+    * every frame partitions on user_id, one logical shuffle key
+    * end-to-end, no window over the whole corpus. Counts are integers;
+    * full hash contract.
+    */
+  private def q101Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_full_funnel"))
+  }
+
+  // ---------------------------------------------------------------- q102
+  /** Cohort retention (q102 — the second product-analytics staple):
+    * users cohorted by their first-ever event's week, counted once per
+    * (cohort, weeks-since-cohort) they were active in. Two user-keyed
+    * aggregations (first-event, distinct active weeks) and one
+    * broadcast-sized join; offsets are exact integer day-differences
+    * over Monday-truncated weeks divided by 7. Full hash contract.
+    */
+  private def q102Retention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val cohort = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val active = e.distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / lit(7)).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q17
   /** SQL entry surface with ordinal GROUP BY/ORDER BY (§2 A2/O3 — the
     * reference's `group by 1`/`order by 1 desc` shape) and SQL ilike.
@@ -4499,6 +4549,8 @@ object SparkEntry {
     "q13_regex_bank" -> (q13RegexBank _),
     "q14_events_hourly" -> (q14EventsHourly _),
     "q96_gapfill" -> (q96GapFill _),
+    "q101_funnel" -> (q101Funnel _),
+    "q102_retention" -> (q102Retention _),
     "q97_spend_lattice" -> (q97SpendLattice _),
     "q15_events_props" -> (q15EventsProps _),
     "q16_sessions" -> (q16Sessions _),
@@ -4884,6 +4936,42 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q101: stage-k time = earliest stage-k event STRICTLY AFTER the
+    // user's stage-(k-1) time; out-of-order events never convert
+    "q101_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        |)
+        |SELECT COUNT(s1.t1) AS n_view, COUNT(s2.t2) AS n_view_click,
+        |  COUNT(s3.t3) AS n_full_funnel
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // q102: cohort = first-event week; one count per (cohort, offset)
+    // week the user was active in; offsets are day-diffs over Monday
+    // weeks / 7 (exact integers in both engines)
+    "q102_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY 1
+        |), active AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, a.wk) / 7 AS BIGINT)
+        |    AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q15_events_props" ->
       """SELECT event_type,
