@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *   probes: comma-separated subset of
   *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,v12,v17,q32,
   *     d33,d34,q59,q62,q63,q69,q70,q71,q20,q43,bm25,stream,restart,
-  *     clone,gapfill
+  *     clone,gapfill,analytics
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -32,7 +32,7 @@ object ScaleProbe {
       else Set("d3", "d11", "d15", "d18", "d21", "d35", "d36", "d37", "bpe",
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
         "q70", "q71", "q20", "q43", "v8", "v9", "v12", "v17", "bm25",
-        "dsir", "phrase", "cdc", "clf", "clone", "gapfill")
+        "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -345,6 +345,56 @@ object ScaleProbe {
             Seq("user_id"), "ts", "ts", Seq("value")).count()
         }
         evN.unpersist()
+      }
+    }
+
+    // Product-analytics family (q101 funnel, q102 retention) + the
+    // Count-Min sketch (d45): all user-keyed aggregations / vocabulary-
+    // bounded sketches — replicas shift KEYS, per-key work constant.
+    if (on("analytics")) {
+      val ev1 = graft.sources.Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      for ((label, n) <- Seq("1x" -> 1, s"${mult}x" -> mult)) {
+        val evN = (0 until n).map { r =>
+          ev1.withColumn("user_id", col("user_id") + lit(r * 1000000L))
+        }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
+        evN.count()
+        t(s"q101_funnel_$label") {
+          val s1 = evN.filter(col("event_type") === "view")
+            .groupBy("user_id").agg(min(col("ts")).as("t1"))
+          val s2 = evN.filter(col("event_type") === "click")
+            .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+            .groupBy("user_id").agg(min(col("ts")).as("t2"))
+          val s3 = evN.filter(col("event_type") === "purchase")
+            .join(s2, Seq("user_id")).filter(col("ts") > col("t2"))
+            .groupBy("user_id").agg(min(col("ts")).as("t3"))
+          s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+            .agg(count(col("t1")), count(col("t2")), count(col("t3")))
+            .collect()(0).getLong(2)
+        }
+        t(s"q102_retention_$label") {
+          val e = evN.select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          val cohort = e.groupBy("user_id").agg(min(col("wk")).as("cw"))
+          e.distinct().join(cohort, Seq("user_id"))
+            .groupBy(col("cw"),
+              (datediff(col("wk"), col("cw")) / lit(7)).cast("long").as("off"))
+            .agg(countDistinct(col("user_id")).as("n")).count()
+        }
+        evN.unpersist()
+      }
+      val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
+      for ((label, n) <- Seq("1x" -> 1, s"${mult}x" -> mult)) {
+        val docsN = (0 until n).map { r =>
+          val shifted = docs1.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+          if (r > 0) shifted.withColumn("text", concat(col("text"), lit(s" rep$r")))
+          else shifted
+        }.reduce(_ unionByName _).repartition(cpus.toInt).persist()
+        docsN.count()
+        t(s"d45_countmin_$label") {
+          graft.operators.Sketches.countMinEstimates(docsN).count()
+        }
+        docsN.unpersist()
       }
     }
 
