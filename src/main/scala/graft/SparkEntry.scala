@@ -4336,7 +4336,9 @@ object SparkEntry {
   private def d44OracleSql: String =
     s"""WITH pairs AS (
        |$d2OracleSql
-       |), canon AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs
+       |), canon AS (
+       |  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+       |  FROM pairs
        |), edges AS (
        |  SELECT a AS src, b AS dst FROM canon
        |  UNION ALL SELECT b, a FROM canon
@@ -4910,16 +4912,18 @@ object SparkEntry {
         |), env AS (
         |  SELECT *,
         |    LAST_VALUE(v IGNORE NULLS) OVER
-        |      (PARTITION BY k ORDER BY t, is_spine
+        |      (PARTITION BY k ORDER BY t, is_spine, v NULLS LAST
         |       ROWS UNBOUNDED PRECEDING) AS pv,
-        |    LAST_VALUE(CASE WHEN is_spine = 0 THEN t END IGNORE NULLS) OVER
-        |      (PARTITION BY k ORDER BY t, is_spine
+        |    LAST_VALUE(CASE WHEN is_spine = 0 AND v IS NOT NULL THEN t END
+        |        IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY t, is_spine, v NULLS LAST
         |       ROWS UNBOUNDED PRECEDING) AS pt,
         |    LAST_VALUE(v IGNORE NULLS) OVER
-        |      (PARTITION BY k ORDER BY t DESC, is_spine DESC
+        |      (PARTITION BY k ORDER BY t DESC, is_spine DESC, v DESC NULLS LAST
         |       ROWS UNBOUNDED PRECEDING) AS nv,
-        |    LAST_VALUE(CASE WHEN is_spine = 0 THEN t END IGNORE NULLS) OVER
-        |      (PARTITION BY k ORDER BY t DESC, is_spine DESC
+        |    LAST_VALUE(CASE WHEN is_spine = 0 AND v IS NOT NULL THEN t END
+        |        IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY t DESC, is_spine DESC, v DESC NULLS LAST
         |       ROWS UNBOUNDED PRECEDING) AS nt
         |  FROM u
         |)

@@ -660,7 +660,12 @@ object Dedup {
     */
   def triangleCounts(pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val canon = pairs.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+    // canonicalize FIRST: reversed pairs ((3,2) for 2-3) must land on the
+    // same edge before distinct, or wedges probe a half-oriented edge set
+    // (dropped triangles) and mixed-orientation duplicates double degrees
+    val canon = pairs.select(
+      least(col(aCol), col(bCol)).as("a"),
+      greatest(col(aCol), col(bCol)).as("b")).distinct()
     val edges = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))

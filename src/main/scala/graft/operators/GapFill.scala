@@ -52,18 +52,26 @@ object GapFill {
     val events = o.select(col("k"), unix_micros(col("ts")).as("t"),
       lit(0).as("is_spine"), col("v"), lit(null).cast("timestamp").as("hour_ts"))
     val u = spineK.unionByName(events)
+    // v as the final order key makes the order TOTAL: two observations
+    // tied on (key, t) would otherwise resolve engine-dependently and
+    // break the cross-engine hash (spine rows are unique per (k, hour),
+    // so the v tiebreak only ever decides between tied observations —
+    // the max value wins LOCF, deterministically, in both engines)
     val wAsc = Window.partitionBy(col("k"))
-      .orderBy(col("t").asc, col("is_spine").asc)
+      .orderBy(col("t").asc, col("is_spine").asc, col("v").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wDesc = Window.partitionBy(col("k"))
-      .orderBy(col("t").desc, col("is_spine").desc)
+      .orderBy(col("t").desc, col("is_spine").desc, col("v").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pt/nt are conditioned on v IS NOT NULL exactly like pv/nv: a
+    // null-VALUED observation must not anchor the interpolation bracket
+    // (pv would come from an earlier row while pt pointed at the null
+    // row's time — a line through a point that doesn't exist)
+    val obsT = when(col("is_spine") === 0 && col("v").isNotNull, col("t"))
     u.withColumn("pv", last(col("v"), ignoreNulls = true).over(wAsc))
-      .withColumn("pt", last(when(col("is_spine") === 0, col("t")),
-        ignoreNulls = true).over(wAsc))
+      .withColumn("pt", last(obsT, ignoreNulls = true).over(wAsc))
       .withColumn("nv", last(col("v"), ignoreNulls = true).over(wDesc))
-      .withColumn("nt", last(when(col("is_spine") === 0, col("t")),
-        ignoreNulls = true).over(wDesc))
+      .withColumn("nt", last(obsT, ignoreNulls = true).over(wDesc))
       .filter(col("is_spine") === 1)
       .select(col("k").as(keyCol), col("hour_ts"),
         col("pv").as("locf_value"),

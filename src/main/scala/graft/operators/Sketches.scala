@@ -105,30 +105,36 @@ object Sketches {
     * vocabulary-sized expand — corpus size enters only through the
     * first combine.
     */
-  def countMinSketch(docs: DataFrame, depth: Int = 4, width: Int = 256,
-      textCol: String = "text"): DataFrame = {
-    val tf = docs
-      .select(explode(split(col(textCol), " ")).as("term"))
+  private def termCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  private def sketchFromCounts(tf: DataFrame, depth: Int,
+      width: Int): DataFrame =
     (0 until depth).map { r =>
       tf.select(lit(r).as("row"), cmsCell(r, col("term"), width).as("cell"),
         col("cnt"))
     }.reduce(_ unionByName _)
       .groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
-  }
+
+  def countMinSketch(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      textCol: String = "text"): DataFrame =
+    sketchFromCounts(termCounts(docs, textCol), depth, width)
 
   /** Per-term CMS point estimates next to the true counts — the
     * overcount-only guarantee made visible (estimate ≥ truth always;
     * equality exactly when the term collides with nothing on some row).
+    * The corpus is tokenized and combined ONCE: the (term, cnt) frame
+    * feeds both the sketch and the probes, persisted for the two
+    * consumers (vocabulary-sized — Zipf-small relative to the corpus;
+    * LRU-evicted, never corpus-scale).
     */
   def countMinEstimates(docs: DataFrame, depth: Int = 4, width: Int = 256,
       textCol: String = "text"): DataFrame = {
-    val sketch = countMinSketch(docs, depth, width, textCol)
-    val tf = docs
-      .select(explode(split(col(textCol), " ")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    val tf = termCounts(docs, textCol).persist()
+    val sketch = sketchFromCounts(tf, depth, width)
     val probes = (0 until depth).map { r =>
-      tf.select(col("term"), col("true_cnt"), lit(r).as("row"),
+      tf.select(col("term"), col("cnt").as("true_cnt"), lit(r).as("row"),
         cmsCell(r, col("term"), width).as("cell"))
     }.reduce(_ unionByName _)
     probes.join(sketch, Seq("row", "cell"))

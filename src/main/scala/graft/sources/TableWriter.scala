@@ -128,10 +128,14 @@ final class TableWriter(warehouseDir: String) extends Serializable {
         case Some(bs) => files.filter { case (b, _) => bs.contains(b) }
         case None => files
       }
-      val byRoot = selected.toSeq.flatMap { case (_, ps) => ps }
-        .groupBy(f => f.substring(0, f.indexOf("/__bucket=")))
-      require(byRoot.nonEmpty || selected.forall(_._2.isEmpty),
-        s"readResolved: manifest entry without /__bucket=/ path in $name")
+      val allFiles = selected.toSeq.flatMap { case (_, ps) => ps }
+      // validate BEFORE the substring grouping: a corrupted manifest line
+      // must fail with this message, not a string-index crash
+      allFiles.find(!_.contains("/__bucket=")).foreach { bad =>
+        throw new IllegalStateException(
+          s"readResolved: manifest entry without /__bucket=/ path in $name: $bad")
+      }
+      val byRoot = allFiles.groupBy(f => f.substring(0, f.indexOf("/__bucket=")))
       val frames = byRoot.toSeq.sortBy(_._1).map { case (root, fsq) =>
         spark.read.option("basePath", root).parquet(fsq.sorted: _*)
           .withColumn("__bucket", col("__bucket").cast("int"))

@@ -31,13 +31,8 @@ class Bm25DeleteSpec extends SparkSpec {
     (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))
   }
 
-  private def dataFiles(d: String): Map[String, (Long, Long)] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(new java.io.File(d))
-      .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
-  }
+  private def dataFiles(d: String): Map[String, (Long, Long)] =
+    parquetFileSigs(d)
 
   test("delete == rebuild without the victims, frame for frame") {
     val delDir = java.nio.file.Files.createTempDirectory("bm25del").toString

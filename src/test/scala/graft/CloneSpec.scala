@@ -12,16 +12,11 @@ import org.apache.spark.sql.functions._
 class CloneSpec extends SparkSpec {
   import spark.implicits._
 
-  private def parquetFilesUnder(dir: String): Seq[java.io.File] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(new java.io.File(dir))
-  }
+  private def parquetFilesUnder(dir: String): Seq[String] =
+    parquetFileSigs(dir).keys.toSeq
 
   private def fileSigs(dir: String): Map[String, (Long, Long)] =
-    parquetFilesUnder(dir)
-      .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    parquetFileSigs(dir)
 
   private def content(w: TableWriter, name: String): Set[(Long, Long)] =
     w.readResolved(spark, name).select(col("k"), col("v"))

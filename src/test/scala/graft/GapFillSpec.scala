@@ -51,6 +51,36 @@ class GapFillSpec extends SparkSpec {
     assert(k2(2)._3.contains(5.0) && k2(2)._4.isEmpty)
   }
 
+  test("null-valued observations anchor neither LOCF nor interpolation") {
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:10:00"), Some(10.0)),
+      (1L, ts("2024-01-01 00:50:00"), None), // a sample with no value
+      (1L, ts("2024-01-01 02:30:00"), Some(30.0)))
+      .toDF("k", "ts", "v").select(col("k"), col("ts"),
+        col("v").cast("double").as("v"))
+    val out = GapFill.resampleHourly(obs, "k", "ts", "v")
+      .orderBy("hour_ts").collect()
+    // 01:00 interpolates between the NON-NULL brackets (00:10, 10) and
+    // (02:30, 30): 10 + 20 * (50/140); a null row at 00:50 must not
+    // shift the anchor
+    val expect = 10.0 + 20.0 * (50.0 * 60e6) / (140.0 * 60e6)
+    assert(out(1).getDouble(2) == 10.0)
+    assert(out(1).getDouble(3) == expect)
+  }
+
+  test("tied observations resolve deterministically (max value wins LOCF)") {
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 10.0),
+      (1L, ts("2024-01-01 00:30:00"), 99.0), // same instant, two samples
+      (1L, ts("2024-01-01 02:00:00"), 50.0))
+      .toDF("k", "ts", "v")
+    val out = GapFill.resampleHourly(obs, "k", "ts", "v")
+      .orderBy("hour_ts").collect()
+    // LOCF at 01:00 = 99.0 (the total order breaks the (t, is_spine)
+    // tie on value, ascending — last wins)
+    assert(out(1).getDouble(2) == 99.0)
+  }
+
   test("interpolation is exact at observation-bracketing midpoints") {
     val obs = Seq(
       (1L, ts("2024-01-01 00:00:00"), 0.0),

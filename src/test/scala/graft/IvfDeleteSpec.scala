@@ -27,12 +27,8 @@ class IvfDeleteSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("query_id"),
         r.getAs[Long]("nbr_id"), r.getAs[Int]("rank"))).toSet
 
-  private def dataFiles(d: java.io.File): Map[String, (Long, Long)] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(d).map(f => f.getPath -> (f.lastModified(), f.length())).toMap
-  }
+  private def dataFiles(d: java.io.File): Map[String, (Long, Long)] =
+    parquetFileSigs(d.getPath)
 
   test("strike == vacuum == rebuild without the victims; no victim serves") {
     val delDir = java.nio.file.Files.createTempDirectory("ivfdel").toString

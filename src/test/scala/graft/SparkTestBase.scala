@@ -20,4 +20,17 @@ object SparkTestBase {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
+
+  /** Recursive (path → (mtime, length)) signature of every parquet data
+    * file under `dir` — the byte-stability probe several layout specs
+    * share (a missing dir or vanished file yields an empty/partial map,
+    * never an NPE).
+    */
+  def parquetFileSigs(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+      .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+  }
 }

@@ -50,6 +50,13 @@ class TriangleSpec extends SparkSpec {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L))
     val messy = g ++ g // duplicated pairs must not double-count
     assert(run(g) == run(messy))
+    // REVERSED pairs must land on the same canonical edges: a reversed
+    // closure edge used to make the triangle invisible, and a pair
+    // present in both orientations used to double every degree
+    val reversed = Seq((1L, 2L), (1L, 3L), (3L, 2L))
+    assert(run(reversed) == run(g))
+    val bothWays = g ++ g.map { case (a, b) => (b, a) }
+    assert(run(bothWays) == run(g))
   }
 
   test("skewed hub: wedge work is bounded by orientation, result exact") {
