@@ -1766,6 +1766,7 @@ object SparkEntry {
     dagRunCache.clear()
     posIndexCache.clear()
     posIncCache.clear()
+    posDelCache.clear()
     cdcCache.clear()
     compactIdxCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
@@ -3967,13 +3968,19 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
-  private def v14OracleSql: String =
+  private def v14OracleSql: String = phraseOracleSql("TRUE")
+
+  /** v14's closed-form trigram replay with the INDEXED corpus restricted
+    * by `corpusPred` (v20's delete oracle); phrases always come from the
+    * full documents table — deleted docs still query (v17/v18's rule).
+    */
+  private def phraseOracleSql(corpusPred: String): String =
     s"""WITH ws AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |), tg AS (
        |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
-       |  FROM ws WHERE len(toks) >= 3
+       |  FROM ws WHERE len(toks) >= 3 AND ($corpusPred)
        |), cnt AS (
        |  SELECT doc_id, tri, COUNT(*) AS n_occ FROM tg GROUP BY 1, 2
        |), q AS (
@@ -4021,6 +4028,43 @@ object SparkEntry {
       k = bm25K, excludeSelf = true)
       .withColumn("rank", col("rank").cast("long"))
   }
+
+  /** Positional-index deletion (v20 — delete now exists for ALL THREE
+    * serving index families: v17 ANN, v18 BM25, this; and it is the
+    * simplest, because positional postings carry no cross-document
+    * state — the strike IS the delete, bit-exactly equal to a rebuild
+    * without the victims). Same shape as v18: the victims' rows live in
+    * their own terms' buckets, only hit partitions rewrite, deletes are
+    * applied TWICE (idempotence under the oracle), and victim query doc
+    * 291 still queries. Oracle: v14's trigram replay over the surviving
+    * corpus.
+    */
+  private val posDelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def v20PhraseDelete(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val writer = posDelCache.getOrElseUpdate((s, dir), {
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/posdel_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Retrieval.buildPositionalIndex(d, w, "docs")
+      Retrieval.deleteFromPositionalIndex(
+        d.filter(col("doc_id") % 11 === 5), w, "docs")
+      Retrieval.deleteFromPositionalIndex(
+        d.filter(col("doc_id") % 11 === 5), w, "docs")
+      w
+    })
+    val phrases = d
+      .filter(col("doc_id") % 97 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    Retrieval.phraseQuery(s, writer, "docs", phrases,
+      k = bm25K, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def v20OracleSql: String = phraseOracleSql("doc_id % 11 <> 5")
 
   private val dsirBuckets = 64
   private val dsirK = 200
@@ -4724,6 +4768,7 @@ object SparkEntry {
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
     "v16_phrase_append" -> (v16PhraseAppend _),
+    "v20_phrase_delete" -> (v20PhraseDelete _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6117,6 +6162,7 @@ object SparkEntry {
     // postings have no cross-document state, so append == rebuild
     // bit-exactly and the full-corpus replay is the oracle
     "v16_phrase_append" -> v14OracleSql,
+    "v20_phrase_delete" -> v20OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

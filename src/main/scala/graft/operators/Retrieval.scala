@@ -374,6 +374,74 @@ object Retrieval {
     }
   }
 
+  /** Targeted delete from a positional index — the third and SIMPLEST
+    * of the index deletions (v17 ANN, v18 BM25, this): positional
+    * postings are pure per-(term, doc) state with no cross-document
+    * statistics, so striking the victims' rows IS the whole delete and
+    * delete == rebuild-without-victims bit-exactly with nothing to
+    * merge. Same pruning discipline as [[deleteFromBm25Index]]: a
+    * victim's rows live exactly in its own terms' buckets, presence is
+    * disk-staged (severing lineage through the path being overwritten),
+    * absent ids and re-deletes are byte-level no-ops.
+    */
+  def deleteFromPositionalIndex(victims: DataFrame,
+      writer: graft.sources.TableWriter, name: String, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = victims.sparkSession
+    val vb = victims
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
+        .as("term_bucket"))
+    // bounded collect: ≤ buckets ids — the victims' own term buckets
+    val affected = vb.distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    val posPath = writer.path(s"${name}_positions")
+    val pruned = spark.read.parquet(posPath)
+      .withColumn("term_bucket", col("term_bucket").cast("int"))
+      .filter(col("term_bucket").isin(affected.toIndexedSeq: _*))
+    val presentStage = writer.path(s"__stage_delids_$name")
+    pruned.select("doc_id").distinct()
+      .join(victims.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(presentStage)
+    val present = spark.read.parquet(presentStage)
+    try {
+      if (present.count() == 0L) return
+      // bounded collect: ≤ buckets ids actually holding victim rows
+      val hit = pruned.join(present, Seq("doc_id"), "left_semi")
+        .select("term_bucket").distinct().collect().map(_.getInt(0))
+      val survivors = pruned
+        .filter(col("term_bucket").isin(hit.toIndexedSeq: _*))
+        .join(present, Seq("doc_id"), "left_anti")
+      val stage = writer.path(s"__stage_del_$name")
+      val surviving: Set[Int] = try {
+        survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(stage)
+        val staged = spark.read.parquet(stage)
+        staged.repartition(col("term_bucket"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("term_bucket")
+          .parquet(posPath)
+        staged.select("term_bucket").distinct().collect()
+          .map(_.getInt(0)).toSet
+      } finally {
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+      }
+      val root = new org.apache.hadoop.fs.Path(posPath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      hit.filterNot(surviving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"term_bucket=$b"), true)
+      }
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(presentStage)
+      sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    }
+  }
+
   /** Query a persisted BM25 index: stats and the query terms' dfs are
     * tiny lookups; the one corpus-sized read is the postings scan,
     * partition-pruned to the term buckets the query vocabulary hashes

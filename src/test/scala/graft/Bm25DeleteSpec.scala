@@ -76,6 +76,34 @@ class Bm25DeleteSpec extends SparkSpec {
     assert((dataFiles(dir), vocab(w), stats(w)) == sig)
   }
 
+  test("positional delete == rebuild without the victims; no-op re-delete") {
+    val delDir = java.nio.file.Files.createTempDirectory("posdel").toString
+    val refDir = java.nio.file.Files.createTempDirectory("posref").toString
+    val wDel = new TableWriter(delDir)
+    val wRef = new TableWriter(refDir)
+    Retrieval.buildPositionalIndex(docs, wDel, "docs")
+    Retrieval.deleteFromPositionalIndex(
+      docs.filter(col("doc_id") === 3), wDel, "docs")
+    Retrieval.buildPositionalIndex(
+      docs.filter(col("doc_id") =!= 3), wRef, "docs")
+    def pos(w: TableWriter): Set[(String, Long, Seq[Int])] =
+      w.read(spark, "docs_positions")
+        .select(col("term"), col("doc_id").cast("long"), col("positions"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[Int](2))).toSet
+    assert(pos(wDel) == pos(wRef))
+    assert(pos(wDel).nonEmpty)
+    assert(!pos(wDel).exists(_._2 == 3L))
+
+    // re-delete and absent-id delete: byte-level no-ops
+    val sig = dataFiles(s"$delDir/docs_positions")
+    Retrieval.deleteFromPositionalIndex(
+      docs.filter(col("doc_id") === 3), wDel, "docs")
+    Retrieval.deleteFromPositionalIndex(
+      Seq((99L, "a b")).toDF("doc_id", "text"), wDel, "docs")
+    assert(dataFiles(s"$delDir/docs_positions") == sig)
+  }
+
   test("untouched term buckets are never rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("bm25del3").toString
     val w = new TableWriter(dir)
