@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *   probes: comma-separated subset of
   *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,v12,v17,q32,
   *     d33,d34,q59,q62,q63,q69,q70,q71,q20,q43,bm25,stream,restart,
-  *     clone,gapfill,analytics
+  *     clone,gapfill,analytics,triangles
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -32,7 +32,8 @@ object ScaleProbe {
       else Set("d3", "d11", "d15", "d18", "d21", "d35", "d36", "d37", "bpe",
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
         "q70", "q71", "q20", "q43", "v8", "v9", "v12", "v17", "bm25",
-        "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics")
+        "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics",
+        "triangles")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -395,6 +396,49 @@ object ScaleProbe {
           graft.operators.Sketches.countMinEstimates(docsN).count()
         }
         docsN.unpersist()
+      }
+    }
+
+    // d44 triangle counting on a SYNTHETIC hub-heavy graph (the d2 pair
+    // graph is tiny at any corpus SF, so the probe builds the adversary
+    // directly): per 10k-node block, one 200-leaf hub, 500 K4 cliques,
+    // and a 2000-edge ring — heavy-tailed degrees with known triangle
+    // mass (500 × 4 per block). Degree orientation must keep wedge work
+    // near-linear in edges despite the hubs.
+    if (on("triangles")) {
+      for ((label, n) <- Seq("1x" -> 1, s"${mult}x" -> mult)) {
+        val blocks = spark.range(n.toLong).select(col("id").as("blk"))
+        val base = col("blk") * 10000L
+        val hub = blocks.select(base.as("id_a"),
+          explode(sequence(lit(1), lit(200))).as("leaf"))
+          .select(col("id_a"), (col("id_a") + col("leaf") + 500L).as("id_b"))
+        val k4 = blocks
+          .select(base.as("b0"), explode(sequence(lit(0), lit(499))).as("c"))
+          .select((col("b0") + col("c") * 4L + 1000L).as("v"))
+          .select(explode(array(
+            struct(col("v").as("id_a"), (col("v") + 1L).as("id_b")),
+            struct(col("v").as("id_a"), (col("v") + 2L).as("id_b")),
+            struct(col("v").as("id_a"), (col("v") + 3L).as("id_b")),
+            struct((col("v") + 1L).as("id_a"), (col("v") + 2L).as("id_b")),
+            struct((col("v") + 1L).as("id_a"), (col("v") + 3L).as("id_b")),
+            struct((col("v") + 2L).as("id_a"), (col("v") + 3L).as("id_b"))))
+            .as("e"))
+          .select(col("e.id_a"), col("e.id_b"))
+        val ring = blocks
+          .select(base.as("b0"), explode(sequence(lit(0), lit(1999))).as("i"))
+          .select((col("b0") + col("i") + 4000L).as("id_a"),
+            (col("b0") + col("i") + 4001L).as("id_b"))
+        val edges = hub.unionByName(k4).unionByName(ring)
+          .repartition(cpus.toInt).persist()
+        val ne = edges.count()
+        t(s"d44_triangles_$label") {
+          val out = Dedup.triangleCounts(edges)
+            .agg(sum(col("n_tri")), count(lit(1))).collect()(0)
+          require(out.getLong(0) == n.toLong * 500L * 4L * 3L,
+            s"triangle mass off: ${out.getLong(0)} (edges $ne)")
+          out.getLong(1)
+        }
+        edges.unpersist()
       }
     }
 
