@@ -3838,7 +3838,8 @@ object SparkEntry {
   /** Count-Min sketch term frequencies (d45, Cormode & Muthukrishnan
     * 2005 — the mergeable frequency sketch joining KMV's cardinality in
     * q19's family): 4×256 integer cells, term cells from the shared
-    * polynomial hash salted per row, estimate = min over rows. Integer
+    * polynomial hash, additively row-salted and decorrelated by the
+    * shared six-round avalanche chain, estimate = min over rows. Integer
     * addition end-to-end → order-independent, EXACTLY mergeable
     * (cell-wise sums of shard sketches == sketch of the union — the
     * shape that profiles a 100 TB corpus in a depth×width table), and a
@@ -3854,13 +3855,32 @@ object SparkEntry {
       |  SELECT term, COUNT(*) AS true_cnt FROM (
       |    SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
       |  ) GROUP BY 1
-      |), cells AS (
+      |), c0 AS (
+      |  -- poly fold over the term, row-salted additively, H0-seeded,
+      |  -- then the shared six-step multiply-mod-xorshift chain
+      |  -- (Sketches.cmsCell = numHash(polyTokenHash(term) + r·salt),
+      |  -- replayed verbatim — the avalanche is what decorrelates the
+      |  -- sketch rows)
       |  SELECT t.term, t.true_cnt, r.r,
-      |    list_reduce(list_prepend(CAST(741103597153329 AS BIGINT),
-      |      list_transform(range(1, length(r.r || ':' || t.term) + 1),
-      |        i -> CAST(ascii((r.r || ':' || t.term)[i:i]) AS BIGINT))),
-      |      (a, c) -> (a * 131 + c) % 1125899906842597) % 256 AS cell
-      |  FROM tf t CROSS JOIN (SELECT UNNEST(['0','1','2','3']) AS r) r
+      |    ((list_reduce(list_prepend(CAST(741103597153329 AS BIGINT),
+      |        list_transform(range(1, length(t.term) + 1),
+      |          i -> CAST(ascii(t.term[i:i]) AS BIGINT))),
+      |        (a, c) -> (a * 131 + c) % 1125899906842597)
+      |      + r.r * 271828182845904) % 1125899906842597
+      |     + 741103597153329) % 1125899906842597 AS x0
+      |  FROM tf t CROSS JOIN (SELECT UNNEST([CAST(0 AS BIGINT), 1, 2, 3]) AS r) r
+      |), c1 AS (SELECT term, true_cnt, r,
+      |  xor((x0 * 8191) % 1125899906842597, ((x0 * 8191) % 1125899906842597) >> 25) AS x1 FROM c0
+      |), c2 AS (SELECT term, true_cnt, r,
+      |  xor((x1 * 8191) % 1125899906842597, ((x1 * 8191) % 1125899906842597) >> 25) AS x2 FROM c1
+      |), c3 AS (SELECT term, true_cnt, r,
+      |  xor((x2 * 4099) % 1125899906842597, ((x2 * 4099) % 1125899906842597) >> 25) AS x3 FROM c2
+      |), c4 AS (SELECT term, true_cnt, r,
+      |  xor((x3 * 4099) % 1125899906842597, ((x3 * 4099) % 1125899906842597) >> 25) AS x4 FROM c3
+      |), c5 AS (SELECT term, true_cnt, r,
+      |  xor((x4 * 5851) % 1125899906842597, ((x4 * 5851) % 1125899906842597) >> 25) AS x5 FROM c4
+      |), cells AS (SELECT term, true_cnt, r,
+      |  xor((x5 * 5851) % 1125899906842597, ((x5 * 5851) % 1125899906842597) >> 25) % 256 AS cell FROM c5
       |), sketch AS (
       |  SELECT r, cell, SUM(true_cnt) AS cnt FROM cells GROUP BY 1, 2
       |)

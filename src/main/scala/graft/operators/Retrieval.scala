@@ -282,6 +282,18 @@ object Retrieval {
     * vocabulary, not the corpus vocabulary (on a real Zipf vocabulary a
     * small victim set touches few buckets; a tiny synthetic vocabulary
     * touches them all — the honest worst case).
+    *
+    * The df/dl/n_docs decrements are aggregated FROM THE STRUCK INDEX
+    * ROWS (the pruned postings semi-joined with the presence set), not
+    * from re-tokenizing the caller-supplied victim text: if the passed
+    * text drifted from what was indexed, text-derived decrements would
+    * subtract the wrong terms and lengths from vocab/stats while the
+    * postings strike removed different rows — silent index corruption.
+    * Deriving both sides from the same struck rows keeps postings,
+    * vocab, and stats mutually consistent no matter what text the
+    * caller passed; the victim text only PRUNES which buckets are
+    * probed (with drifted text, postings in unpredicted buckets can
+    * survive — but the index stays internally consistent).
     */
   def deleteFromBm25Index(victims: DataFrame,
       writer: graft.sources.TableWriter, name: String, buckets: Int = 64,
@@ -299,77 +311,78 @@ object Retrieval {
     val pruned = spark.read.parquet(postPath)
       .withColumn("term_bucket", col("term_bucket").cast("int"))
       .filter(col("term_bucket").isin(affected.toIndexedSeq: _*))
-    // the presence set is STAGED TO DISK, not persist()ed: its lineage
-    // reads the postings path this delete is about to overwrite, and a
+    // the struck rows — the victims' actual postings in the probed
+    // buckets — are STAGED TO DISK, not persist()ed: their lineage reads
+    // the postings path this delete is about to overwrite, and a
     // cache-miss recomputation after the overwrite would read deleted
     // files — the file-backed copy severs the lineage (delta-sized, no
-    // driver collect)
-    val presentStage = writer.path(s"__stage_delids_$name")
-    pruned.select("doc_id").distinct()
+    // driver collect). Every decrement below aggregates these rows.
+    val struckStage = writer.path(s"__stage_struck_$name")
+    pruned
       .join(victims.select(col(idCol).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(presentStage)
-    val present = spark.read.parquet(presentStage)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(struckStage)
+    val struck = spark.read.parquet(struckStage)
     try {
-      if (present.count() == 0L) return
-      val tfV = tfV0.join(present, Seq("doc_id"), "left_semi").persist()
-      try {
-        // postings: rewrite only buckets that actually hold victim rows
-        // (bounded collect: ≤ buckets ids)
-        val hit = pruned.join(present, Seq("doc_id"), "left_semi")
-          .select("term_bucket").distinct().collect().map(_.getInt(0))
-        val survivors = pruned
-          .filter(col("term_bucket").isin(hit.toIndexedSeq: _*))
-          .join(present, Seq("doc_id"), "left_anti")
-        val stage = writer.path(s"__stage_del_$name")
-        val surviving: Set[Int] = try {
-          survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(stage)
-          val staged = spark.read.parquet(stage)
-          staged.repartition(col("term_bucket")) // one file per bucket
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("term_bucket")
-            .parquet(postPath)
-          staged.select("term_bucket").distinct().collect()
-            .map(_.getInt(0)).toSet
-        } finally {
-          val sp = new org.apache.hadoop.fs.Path(stage)
-          sp.getFileSystem(spark.sessionState.newHadoopConf())
-            .delete(sp, true)
-        }
-        val root = new org.apache.hadoop.fs.Path(postPath)
-        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        hit.filterNot(surviving).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"term_bucket=$b"), true)
-        }
+      if (struck.isEmpty) return
+      // postings: rewrite only buckets that actually hold victim rows
+      // (bounded collect: ≤ buckets ids)
+      val hit = struck.select("term_bucket").distinct()
+        .collect().map(_.getInt(0))
+      val survivors = pruned
+        .filter(col("term_bucket").isin(hit.toIndexedSeq: _*))
+        .join(struck.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      val stage = writer.path(s"__stage_del_$name")
+      val surviving: Set[Int] = try {
+        survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(stage)
+        val staged = spark.read.parquet(stage)
+        staged.repartition(col("term_bucket")) // one file per bucket
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("term_bucket")
+          .parquet(postPath)
+        staged.select("term_bucket").distinct().collect()
+          .map(_.getInt(0)).toSet
+      } finally {
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        sp.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(sp, true)
+      }
+      val root = new org.apache.hadoop.fs.Path(postPath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      hit.filterNot(surviving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"term_bucket=$b"), true)
+      }
 
-        // vocab: dfs decremented by the victims' per-term doc counts;
-        // terms nobody holds anymore disappear (staged swap, like append)
-        val dec = tfV.groupBy("term").agg(count(lit(1)).as("ddf"))
-        val merged = writer.read(spark, s"${name}_vocab")
-          .join(dec, Seq("term"), "left")
-          .select(col("term"),
-            (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
-          .filter(col("df") > 0)
-        writer.materialize(s"${name}_vocab_next", merged.coalesce(1))
-        val dst = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab"))
-        val next = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_next"))
-        fs.delete(dst, true)
-        fs.rename(next, dst)
+      // vocab: dfs decremented by the struck per-term doc counts (struck
+      // rows are one per (term, doc), so count(*) per term IS the df
+      // decrement); terms nobody holds anymore disappear (staged swap)
+      val dec = struck.groupBy("term").agg(count(lit(1)).as("ddf"))
+      val merged = writer.read(spark, s"${name}_vocab")
+        .join(dec, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+      writer.materialize(s"${name}_vocab_next", merged.coalesce(1))
+      val dst = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab"))
+      val next = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_next"))
+      fs.delete(dst, true)
+      fs.rename(next, dst)
 
-        // stats: two longs down, mirror of append's two longs up
-        val old = writer.read(spark, s"${name}_stats").collect()(0)
-        val b = tfV.select(col("doc_id"), col("dl")).distinct()
-          .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
-          .collect()(0)
-        writer.materialize(s"${name}_stats",
-          Seq((old.getAs[Long]("n_docs") - b.getAs[Long]("n"),
-            old.getAs[Long]("sum_dl") - b.getAs[Long]("s")))
-            .toDF("n_docs", "sum_dl"))
-      } finally tfV.unpersist(blocking = false)
+      // stats: two longs down, mirror of append's two longs up — the dl
+      // is the INDEXED document length riding the struck rows, distinct
+      // per (doc_id, dl), consistent with what build/append summed
+      val old = writer.read(spark, s"${name}_stats").collect()(0)
+      val b = struck.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
+        .collect()(0)
+      writer.materialize(s"${name}_stats",
+        Seq((old.getAs[Long]("n_docs") - b.getAs[Long]("n"),
+          old.getAs[Long]("sum_dl") - b.getAs[Long]("s")))
+          .toDF("n_docs", "sum_dl"))
     } finally {
-      val sp = new org.apache.hadoop.fs.Path(presentStage)
+      val sp = new org.apache.hadoop.fs.Path(struckStage)
       sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
     }
   }

@@ -650,18 +650,30 @@ object Similarity {
 
   /** Targeted delete from a persisted IVF index — the missing quarter of
     * the index lifecycle (build / append / DELETE / vacuum, FAISS's
-    * `remove_ids` on a disk index): victims arrive WITH their vectors
-    * (the corpus table has them — "delete these docs" always can), so
-    * each victim's owning list is computed by the same frozen-quantizer
-    * assignment the append path uses, and the delete is recorded as a
+    * `remove_ids` on a disk index): each victim's owning list is found
+    * by PROBING THE INDEX ITSELF, and the delete is recorded as a
     * tombstone row (nbr_id, cent_id) appended to `{name}_tombstones`.
     * Nothing in the lists is touched — a delete costs one tiny append,
     * and [[queryIvfIndex]] strikes tombstoned ids from the probed lists
     * at serve time (an anti-join against a broadcast-sized table).
     * [[vacuumIvfIndex]] later folds tombstones into the lists physically.
-    * Carrying cent_id in the tombstone is what keeps the vacuum
-    * partition-pruned: the rewrite knows exactly which lists hold doomed
-    * codes without scanning the index.
+    *
+    * The tombstoned cent_id comes FROM THE INDEX, not from re-assigning
+    * the caller-supplied vector: if the passed vector drifted from what
+    * was indexed (a re-embedded corpus row, the v19 flow run with the
+    * updated vector), assignment would name the wrong list and a later
+    * vacuum would rewrite the wrong partition while the real rows
+    * silently survived. The frozen-quantizer assignment is still used —
+    * but only to PRUNE the probe to the lists the victims should be in;
+    * victims not found there fall back to a column-pruned (nbr_id,
+    * cent_id) scan of the whole lists table, so a drifted victim is
+    * still struck in its true list. Victims absent from the index (and
+    * re-deletes of already-tombstoned ids) write NOTHING — without this
+    * presence guard a delete-then-insert upsert would strand a tombstone
+    * that makes [[appendIvfIndex]] refuse a legitimate first-time
+    * insert. Common-case cost: one partition-pruned probe plus a
+    * two-column full-lists scan only when some victim id is not where
+    * assignment predicts (absent or drifted).
     */
   def deleteFromIvfIndex(victims: DataFrame,
       writer: graft.sources.TableWriter, name: String,
@@ -672,8 +684,43 @@ object Similarity {
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     val assigned = assignToCentroids(victims, centroids, idCol, vecCol)
       .select(col("nbr_id"), col("cent_id"))
-    writer.materialize(s"${name}_tombstones", assigned.coalesce(1),
-      mode = org.apache.spark.sql.SaveMode.Append)
+    // bounded collect: ≤ K list ids — the victims' predicted lists
+    val guessed = assigned.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val listsPath = writer.path(s"${name}_lists")
+    val vicIds = victims.select(col(idCol).as("nbr_id")).distinct()
+    val slim = readListsLongCentId(spark, listsPath)
+      .select(col("nbr_id"), col("cent_id"))
+    val foundPruned = slim
+      .filter(col("cent_id").isin(guessed.toIndexedSeq: _*))
+      .join(broadcast(vicIds), Seq("nbr_id"), "left_semi")
+    // drift fallback: ids not where assignment predicts get the
+    // column-pruned full probe; ids still absent are a silent no-op
+    val leftover = vicIds
+      .join(foundPruned.select("nbr_id"), Seq("nbr_id"), "left_anti")
+    val found =
+      if (leftover.isEmpty) foundPruned
+      else foundPruned.unionByName(
+        slim.filter(!col("cent_id").isin(guessed.toIndexedSeq: _*))
+          .join(broadcast(leftover), Seq("nbr_id"), "left_semi"))
+    // re-deletes are byte-level no-ops: already-tombstoned ids drop out
+    val tombPath = new org.apache.hadoop.fs.Path(
+      writer.path(s"${name}_tombstones"))
+    val tfs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh =
+      if (!tfs.exists(tombPath)) found
+      else found.join(
+        broadcast(writer.read(spark, s"${name}_tombstones")
+          .select(col("nbr_id"))),
+        Seq("nbr_id"), "left_anti")
+    // sever lineage through the tombstone path the append writes to, and
+    // make the presence guard a single materialization (delta-sized)
+    val rows = fresh.collect()
+    if (rows.nonEmpty)
+      writer.materialize(s"${name}_tombstones",
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), fresh.schema).coalesce(1),
+        mode = org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Fold accumulated tombstones into the lists physically: ONLY the
@@ -685,6 +732,18 @@ object Similarity {
     * read or rewritten (spec-asserted byte-stable). Serving is correct
     * before, during (strike), and after (physical) the vacuum —
     * IvfDeleteSpec pins strike == vacuum bit-equality.
+    *
+    * Before the tombstone table is dropped, the vacuum VERIFIES the
+    * tombstoned ids are actually gone (a column-pruned nbr_id scan of
+    * the lists, semi-joined with the tombstones): a tombstone whose
+    * recorded cent_id did not name the victim's true list (a legacy or
+    * hand-written tombstone — [[deleteFromIvfIndex]] now derives
+    * cent_id from the index, so its own tombstones can't miss) would
+    * otherwise have its rows silently serve again the moment the
+    * tombstone table — and with it the serve-time strike — disappears.
+    * A failed check throws with the tombstones left in place: serving
+    * stays correct (the strike still hides the rows) and the vacuum can
+    * be retried after the bad tombstones are repaired.
     */
   def vacuumIvfIndex(spark: SparkSession,
       writer: graft.sources.TableWriter, name: String): Unit = {
@@ -721,6 +780,23 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(listsPath)
       affected.filterNot(surviving).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"cent_id=$c"), true)
+      }
+      // post-rewrite verification (see Scaladoc): any tombstoned id still
+      // physically present means a tombstone named the wrong list — keep
+      // the tombstones (the serve-time strike) and fail loudly. Skipped
+      // when NO list survived (nothing left to serve from).
+      val anyListLeft = fs.exists(root) && fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("cent_id="))
+      if (anyListLeft) {
+      val stillThere = spark.read.parquet(listsPath).select(col("nbr_id"))
+        .join(broadcast(writer.read(spark, s"${name}_tombstones")
+          .select(col("nbr_id")).distinct()), Seq("nbr_id"), "left_semi")
+        .limit(1).collect()
+      require(stillThere.isEmpty,
+        s"vacuumIvfIndex($name): tombstoned id ${stillThere.headOption
+          .map(_.get(0)).getOrElse("")} survived the pruned rewrite — a " +
+          "tombstone names the wrong cent_id; tombstones kept (serving " +
+          "stays struck), repair them and re-run")
       }
     }
     fs.delete(tombPath, true)

@@ -83,14 +83,53 @@ object Sketches {
       }: _*)
   }
 
-  /** Row-salted term hash for the Count-Min sketch: the shared
-    * polynomial fold ([[graft.functions.TextFns.polyTokenHash]]) over
-    * `"<row>:" || term`, reduced mod `width` — one independent-enough
-    * hash per sketch row, replayable character-for-character in SQL.
+  /** Additive row salt for the Count-Min row hashes (decimal digits of
+    * e; any fixed constant < M works — rows then diverge through the
+    * avalanche chain, not through the salt itself).
     */
-  private def cmsCell(row: Int, term: Column, width: Int): Column =
-    graft.functions.TextFns.polyTokenHash(
-      concat(lit(s"$row:"), term)) % lit(width.toLong)
+  private val cmsRowSalt = 271828182845904L
+
+  /** Row-salted term hash for the Count-Min sketch: the term's
+    * polynomial fold (pre-computed once into column `__h`), additively
+    * salted per row, pushed through the [[numHash]] chain (H0 seeding +
+    * six multiply-mod-xorshift rounds, multipliers 8191²,4099²,5851²),
+    * reduced mod `width` into column `cell` — replayable
+    * character-for-character in SQL. The chain is what decorrelates the
+    * rows: with a salt alone (prefix or additive), row-r and row-0
+    * values of same-length terms differ by a constant (the polynomial
+    * fold is affine), so cell collisions aligned across every row and
+    * the ε = e/width, δ = e^-depth bound did not hold — the min over
+    * rows could not rescue a single collision. The six avalanche
+    * rounds (the same chain the q19 KMV sketch's uniformity already
+    * depends on) make the per-row constants diverge nonlinearly, so
+    * the rows collide independently (CountMinSpec pins it on a
+    * same-length adversary).
+    *
+    * Built as ONE PROJECTION PER ROUND, not a single nested Column: the
+    * xor(x, x >> 25) steps reference their operand twice, so a nested
+    * tree doubles per round (2^6 copies of everything below it) and the
+    * driver pays Catalyst analysis of the blown-up tree on EVERY run —
+    * measured 1.8 s vs 0.7 s steady on a 31-term vocabulary, pure
+    * planning cost. Per-step projections keep each tree two nodes deep
+    * (CollapseProject leaves them alone: the alias is referenced
+    * twice), and the chain costs what the arithmetic costs.
+    */
+  private def cellsOf(tf: DataFrame, depth: Int, width: Int): DataFrame = {
+    val M = SimHashTokenHash.M
+    var out = tf
+      .withColumn("__h", graft.functions.TextFns.polyTokenHash(col("term")))
+      .withColumn("row", explode(array((0 until depth).map(r => lit(r)): _*)))
+      .withColumn("__cms_x",
+        ((col("__h") + col("row").cast("long") * lit(cmsRowSalt)) % lit(M)
+          + lit(SimHashTokenHash.H0)) % lit(M))
+    for (m <- Seq(8191L, 8191L, 4099L, 4099L, 5851L, 5851L)) {
+      out = out.withColumn("__cms_y", (col("__cms_x") * lit(m)) % lit(M))
+        .withColumn("__cms_x", col("__cms_y").bitwiseXOR(
+          call_function("shiftright", col("__cms_y"), lit(25))))
+    }
+    out.withColumn("cell", col("__cms_x") % lit(width.toLong))
+      .drop("__cms_x", "__cms_y", "__h")
+  }
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) over a token
     * stream — the mergeable frequency sketch next to [[kmvDistinct]]'s
@@ -109,17 +148,10 @@ object Sketches {
     docs.select(explode(split(col(textCol), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
 
-  private def sketchFromCounts(tf: DataFrame, depth: Int,
-      width: Int): DataFrame =
-    (0 until depth).map { r =>
-      tf.select(lit(r).as("row"), cmsCell(r, col("term"), width).as("cell"),
-        col("cnt"))
-    }.reduce(_ unionByName _)
-      .groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
-
   def countMinSketch(docs: DataFrame, depth: Int = 4, width: Int = 256,
       textCol: String = "text"): DataFrame =
-    sketchFromCounts(termCounts(docs, textCol), depth, width)
+    cellsOf(termCounts(docs, textCol), depth, width)
+      .groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
 
   /** Per-term CMS point estimates next to the true counts — the
     * overcount-only guarantee made visible (estimate ≥ truth always;
@@ -131,13 +163,15 @@ object Sketches {
     */
   def countMinEstimates(docs: DataFrame, depth: Int = 4, width: Int = 256,
       textCol: String = "text"): DataFrame = {
-    val tf = termCounts(docs, textCol).persist()
-    val sketch = sketchFromCounts(tf, depth, width)
-    val probes = (0 until depth).map { r =>
-      tf.select(col("term"), col("cnt").as("true_cnt"), lit(r).as("row"),
-        cmsCell(r, col("term"), width).as("cell"))
-    }.reduce(_ unionByName _)
-    probes.join(sketch, Seq("row", "cell"))
+    // ONE cells frame (term, cnt, row, cell) feeds both the sketch agg
+    // and the probes — the corpus is tokenized and combined once, the
+    // cell chain is planned and evaluated once (vocabulary×depth rows;
+    // Zipf-small, LRU-evicted, never corpus-scale)
+    val cells = cellsOf(termCounts(docs, textCol), depth, width).persist()
+    val sketch = cells.groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
+    cells.select(col("term"), col("cnt").as("true_cnt"), col("row"),
+        col("cell"))
+      .join(sketch, Seq("row", "cell"))
       .groupBy("term", "true_cnt")
       .agg(min(col("cnt")).as("cms_estimate"))
       .select(col("term"), col("true_cnt"), col("cms_estimate"))

@@ -78,11 +78,20 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       name: String, entries: Map[Int, Seq[String]]): Unit = {
     val mf = manifestFile(name)
     if (entries.isEmpty) { fs.delete(mf, false); return } // fully materialized
-    val out = fs.create(mf, true)
+    // stage-then-rename, matching the bucket-swap atomicity discipline:
+    // truncating the live manifest in place would let a crash mid-write
+    // leave a valid-looking PREFIX manifest that readResolved would
+    // silently serve as a subset of the table's buckets
+    val tmp = new org.apache.hadoop.fs.Path(path(name), "._clone_manifest_tmp")
+    val out = fs.create(tmp, true)
     try out.write(entries.toSeq.sortBy(_._1)
       .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    fs.delete(mf, false)
+    if (!fs.rename(tmp, mf))
+      throw new java.io.IOException(
+        s"writeManifest: rename $tmp -> $mf failed")
   }
 
   /** Zero-copy clone of a [[mergeByKey]]-layout table: writes only the

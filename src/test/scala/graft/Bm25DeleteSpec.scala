@@ -76,6 +76,34 @@ class Bm25DeleteSpec extends SparkSpec {
     assert((dataFiles(dir), vocab(w), stats(w)) == sig)
   }
 
+  test("drifted-text delete keeps postings/vocab/stats mutually consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25del3").toString
+    val w = new TableWriter(dir)
+    Retrieval.buildBm25Index(docs, w, "docs")
+    // the caller deletes doc 3 but passes the WRONG text ("b c" instead
+    // of the indexed "a x"): the decrements must follow what was
+    // actually STRUCK from the postings, never the drifted text —
+    // otherwise vocab/stats would subtract b/c counts while a/x rows
+    // were (partially) removed
+    Retrieval.deleteFromBm25Index(
+      Seq((3L, "b c")).toDF("doc_id", "text"), w, "docs")
+    // invariant: vocab df == df recomputed from the surviving postings,
+    // stats == (distinct docs, Σdl) recomputed from the surviving
+    // postings — the internal-consistency contract that makes every
+    // later append/delete/query arithmetic correct
+    val fromPostings = w.read(spark, "docs_postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab(w) == fromPostings,
+      "vocab df diverged from postings after a drifted-text delete")
+    val st = w.read(spark, "docs_postings")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("long"), sum(col("dl")).cast("long"))
+      .collect()(0)
+    assert(stats(w) == ((st.getLong(0), st.getLong(1))),
+      "stats diverged from postings after a drifted-text delete")
+  }
+
   test("positional delete == rebuild without the victims; no-op re-delete") {
     val delDir = java.nio.file.Files.createTempDirectory("posdel").toString
     val refDir = java.nio.file.Files.createTempDirectory("posref").toString

@@ -49,6 +49,40 @@ class ChecksSpec extends SparkSpec {
       == Left(Seq("q1")))
   }
 
+  test("Bench.recheck: a slow-then-fast entry is load skew, not a regression") {
+    val budgets = Map("slow" -> 1.0, "bad" -> 1.0, "ok" -> 1.0)
+    var measured = List.empty[String]
+    val remeasure: String => Double = { n =>
+      measured ::= n
+      n match {
+        case "slow" => 0.9  // transient spike: re-measure lands in budget
+        case "bad"  => 9.5  // real regression: still far over
+        case other  => fail(s"re-measured $other, which was never flagged")
+      }
+    }
+    val (viol, rem) = Bench.recheck(budgets,
+      Seq("slow" -> 11.0, "bad" -> 10.0, "ok" -> 0.8, "nobudget" -> 99.0),
+      remeasure)
+    // only the flagged entries were re-measured, each exactly once
+    assert(measured.sorted == List("bad", "slow"))
+    assert(rem == Map("slow" -> 0.9, "bad" -> 9.5))
+    // the spike is cleared (best of 11.0/0.9 is in budget); the real
+    // regression stands with its BEST time; no-budget entries never flag
+    assert(viol == Seq(("bad", 9.5, 1.0)))
+  }
+
+  test("Bench.recheck: border arithmetic matches the check rule") {
+    // over requires BOTH >2x and >+0.5s: 1.4s vs 1.0 budget is within
+    assert(!Bench.overBudget(1.4, 1.0))
+    // 0.4s vs 0.1: >2x but inside the 0.5s absolute grace
+    assert(!Bench.overBudget(0.4, 0.1))
+    // 2.6s vs 1.0: both bounds exceeded
+    assert(Bench.overBudget(2.6, 1.0))
+    // re-measure that is WORSE than the first pass: best (first) decides
+    val (viol, _) = Bench.recheck(Map("q" -> 1.0), Seq("q" -> 2.6), _ => 5.0)
+    assert(viol == Seq(("q", 2.6, 1.0)))
+  }
+
   test("aggregate checks report violation counts in one pass") {
     val report = Checks.run(df, Seq(
       Checks.notNull("id"),

@@ -31,6 +31,25 @@ class CountMinSpec extends SparkSpec {
       "width=2 over 8 terms must overcount somewhere")
   }
 
+  test("rows are decorrelated: same-length terms don't collide jointly") {
+    // 338 distinct 2-char same-length terms into width 256: every row
+    // has collisions by pigeonhole. With a prefix-salt-only hash,
+    // same-length terms that collided in row 0 collided in EVERY row
+    // (the fold is affine in the prefix — measured: 56/338 exact), so
+    // the min over rows rescued nothing. With independent rows,
+    // P(term exact) = 1 - (1 - (1-1/256)^337)^4 ≈ 0.713 → ~241 of 338
+    // expected exact; the avalanche chain measures 248. Assert ≥ 200:
+    // far above any correlated regression, tolerant of hash-detail
+    // shifts. Deterministic corpus + hash → a pinned outcome.
+    val terms = for (a <- 'a' to 'z'; b <- 'a' to 'm') yield s"$a$b"
+    val docs = Seq(terms.mkString(" ")).toDF("text")
+    val est = ests(docs, 256)
+    assert(est.size == terms.size)
+    val exact = est.count { case (_, (truth, e)) => e == truth }
+    assert(exact >= 200,
+      s"only $exact/${terms.size} terms exact — rows look correlated")
+  }
+
   test("cell-wise sum of shard sketches equals the union's sketch") {
     val a = Seq("a a b", "c d").toDF("text")
     val b = Seq("b c c", "e").toDF("text")

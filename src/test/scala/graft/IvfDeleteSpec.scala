@@ -130,6 +130,76 @@ class IvfDeleteSpec extends SparkSpec {
     assert(topk(wUpd) == topk(wRef))
   }
 
+  test("absent-id delete is a full no-op; delete-then-insert upsert works") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel4").toString
+    val w = new TableWriter(dir)
+    // the index is built WITHOUT vec_id % 9 == 4
+    Similarity.buildIvfIndex(e.filter(col("vec_id") % 9 =!= 4), cents, w, "emb")
+    // deleting the absent ids writes NOTHING — not even a tombstone table
+    Similarity.deleteFromIvfIndex(victims, w, "emb")
+    assert(!new java.io.File(s"$dir/emb_tombstones").exists,
+      "absent-id delete must not strand a tombstone")
+    // ... so a later first-time insert of those ids is NOT refused
+    Similarity.appendIvfIndex(victims, w, "emb")
+    val ids = w.read(spark, "emb_lists").select("nbr_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(victimIds.subsetOf(ids))
+
+    // re-delete of already-tombstoned ids: byte-level no-op on tombstones
+    Similarity.deleteFromIvfIndex(victims, w, "emb")
+    val sigs = parquetFileSigs(s"$dir/emb_tombstones")
+    Similarity.deleteFromIvfIndex(victims, w, "emb")
+    assert(parquetFileSigs(s"$dir/emb_tombstones") == sigs,
+      "re-delete must not append duplicate tombstones")
+  }
+
+  test("drifted-vector delete still strikes and vacuums the true list") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel5").toString
+    val w = new TableWriter(dir)
+    Similarity.buildIvfIndex(e, cents, w, "emb")
+    // the caller passes a DRIFTED vector (negated — the cosine argmax
+    // flips, so frozen-quantizer assignment names the wrong list); the
+    // delete must still find the victims' TRUE lists by probing the index
+    val drifted = victims.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(
+        graft.functions.VectorFns.toDouble(col("embedding")),
+        x => x * lit(-1.0)))
+    Similarity.deleteFromIvfIndex(drifted, w, "emb")
+    val struck = topk(w)
+    assert(struck.map(_._2).intersect(victimIds).isEmpty,
+      "a drifted-vector victim was served under the strike")
+    // vacuum's post-rewrite verification passes and the rows are GONE
+    Similarity.vacuumIvfIndex(spark, w, "emb")
+    val ids = w.read(spark, "emb_lists").select("nbr_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(victimIds).isEmpty,
+      "drifted-vector victims survived the vacuum physically")
+    assert(topk(w) == struck)
+  }
+
+  test("vacuum refuses to drop tombstones whose rows survived the rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel6").toString
+    val w = new TableWriter(dir)
+    Similarity.buildIvfIndex(e, cents, w, "emb")
+    // a hand-written (legacy) tombstone naming the WRONG list: pick a
+    // real indexed id and record a cent_id it does not live in
+    val row = w.read(spark, "emb_lists")
+      .select(col("nbr_id").cast("long"), col("cent_id").cast("long"))
+      .head()
+    val wrongCent = w.read(spark, "emb_lists")
+      .select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).find(_ != row.getLong(1)).get
+    import spark.implicits._
+    w.materialize("emb_tombstones",
+      Seq((row.getLong(0), wrongCent)).toDF("nbr_id", "cent_id"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.vacuumIvfIndex(spark, w, "emb")
+    }
+    assert(ex.getMessage.contains("survived the pruned rewrite"))
+    assert(new java.io.File(s"$dir/emb_tombstones").exists,
+      "failed vacuum must keep the tombstones (serving stays struck)")
+  }
+
   test("partially-doomed list keeps its survivors") {
     val dir = java.nio.file.Files.createTempDirectory("ivfdel3").toString
     val w = new TableWriter(dir)
