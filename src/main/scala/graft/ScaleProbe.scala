@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *   probes: comma-separated subset of
   *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,v12,v17,q32,
   *     d33,d34,q59,q62,q63,q69,q70,q71,q20,q43,bm25,stream,restart,
-  *     clone,gapfill,analytics,triangles
+  *     clone,gapfill,analytics,triangles,maxscore
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -72,7 +72,7 @@ object ScaleProbe {
 
     if (probes.intersect(
         Set("d3", "d11", "d15", "d18", "d21", "d35", "d37", "bpe", "d33",
-          "d34", "bm25", "dsir", "phrase", "clf")).nonEmpty) {
+          "d34", "bm25", "dsir", "phrase", "clf", "maxscore")).nonEmpty) {
       val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
       val docsN = replicate(docs1, "doc_id", mult, mutate = true)
         .repartition(cpus.toInt).persist()
@@ -216,6 +216,63 @@ object ScaleProbe {
             spark.read.parquet(s"$whDir/docs_vocab").count()
           }
           deleteTree(whDir)
+        }
+        // Max-score serving on the DELIBERATELY high-df adversary the r8
+        // verdict asked for (production queries contain stop words): five
+        // universal terms are appended to EVERY doc (max df), plus one of
+        // 997 rare marker terms per doc (df ≈ N/997). Queries mix the
+        // three stop words with the query doc's rare marker. The naive
+        // plan drags the whole corpus through the fold shuffle (every doc
+        // matches the stop words); max-score proves the stop words
+        // non-essential and bounds candidates by the marker's df — the
+        // candidate FRACTION shrinks as the corpus grows, so pruned query
+        // time must stay near-flat while naive grows corpus-linearly.
+        // Same shape for phrase search: the phrase "za zb u<q>" matches
+        // only the marker's docs, and rarest-term-first candidacy keeps
+        // the intersection shuffle marker-bounded instead of fanning
+        // df(za) = N postings into it.
+        if (on("maxscore")) {
+          val zd = d.withColumn("text",
+            concat(col("text"), lit(" za zb zc zd ze u"),
+              pmod(col("doc_id"), lit(97L)))).persist()
+          val qdocs = docs1.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("query_id"),
+              concat(lit("u"), pmod(col("doc_id"), lit(97L))).as("uterm"))
+          val qs = qdocs.select(col("query_id"),
+            explode(array(lit("za"), lit("zb"), lit("zc"), col("uterm")))
+              .as("term"))
+          val whDir = java.nio.file.Files
+            .createTempDirectory("probe_ms_").toString
+          val w = new graft.sources.TableWriter(whDir)
+          t(s"ms_bm25_build_$label") {
+            Retrieval.buildBm25Index(zd, w, "docs")
+            spark.read.parquet(s"$whDir/docs_postings").count()
+          }
+          t(s"ms_bm25_naive_$label") {
+            Retrieval.queryBm25Index(spark, w, "docs", qs, k = 10,
+              excludeSelf = true).count()
+          }
+          t(s"ms_bm25_maxscore_$label") {
+            Retrieval.queryBm25IndexMaxScore(spark, w, "docs", qs, k = 10,
+              excludeSelf = true).count()
+          }
+          deleteTree(whDir)
+          val pdDir = java.nio.file.Files
+            .createTempDirectory("probe_msp_").toString
+          val wp = new graft.sources.TableWriter(pdDir)
+          t(s"ms_pos_build_$label") {
+            Retrieval.buildPositionalIndex(zd, wp, "docs")
+            spark.read.parquet(s"$pdDir/docs_positions").count()
+          }
+          // "zd ze u<q>" is consecutive in every marked doc's suffix
+          val phrases = qdocs.select(col("query_id"),
+            array(lit("zd"), lit("ze"), col("uterm")).as("terms"))
+          t(s"ms_phrase_rarest_$label") {
+            Retrieval.phraseQuery(spark, wp, "docs", phrases, k = 10,
+              excludeSelf = true).count()
+          }
+          deleteTree(pdDir)
+          zd.unpersist(blocking = false)
         }
         // d41: DSIR — one (doc, bin) combine shuffle, a 64-row bag model,
         // TakeOrdered selection. Must scale ~linearly in corpus size

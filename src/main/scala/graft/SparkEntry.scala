@@ -3565,6 +3565,26 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Max-score BM25 serving (v21 — Turtle & Flood 1995, the high-df
+    * serving fix VERDICT r8 ranked #1): the same index and query
+    * workload as v10 served through
+    * [[Retrieval.queryBm25IndexMaxScore]] — per-term score upper
+    * bounds from the vocab dfs partition each query's terms into
+    * essential/non-essential against a seed-scored threshold, and only
+    * docs holding an essential term enter the fold-and-rank shuffle.
+    * EXACT top-k by construction (pruned docs score strictly below the
+    * k-th best), so the entry shares v10's oracle verbatim: the pruned
+    * plan must hash-match the full replay. The 100× high-df probe
+    * (ScaleProbe) is where the candidate-mass reduction is measured.
+    */
+  private def v21Bm25MaxScore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25IndexMaxScore(s, bm25Index(s, dir), "docs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Shared BM25 CTE chain (through ranked `bm`), parameterized on the
     * query-document predicate; constants are interpolated from the SAME
     * Scala doubles the Spark plan uses, so literal parsing can't diverge.
@@ -4789,6 +4809,7 @@ object SparkEntry {
     "d43_quality_classifier" -> (d43QualityClassifier _),
     "v16_phrase_append" -> (v16PhraseAppend _),
     "v20_phrase_delete" -> (v20PhraseDelete _),
+    "v21_bm25_maxscore" -> (v21Bm25MaxScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6183,6 +6204,7 @@ object SparkEntry {
     // bit-exactly and the full-corpus replay is the oracle
     "v16_phrase_append" -> v14OracleSql,
     "v20_phrase_delete" -> v20OracleSql,
+    "v21_bm25_maxscore" -> v10OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

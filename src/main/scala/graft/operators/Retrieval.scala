@@ -490,6 +490,183 @@ object Retrieval {
     scoreAndRank(cand, qDf, k, k1, b, nDocs, avgdl, excludeSelf)
   }
 
+  /** Rarest-first seed set for max-score serving: the minimal prefix of
+    * terms, rarest first (df asc, term asc for determinism), whose
+    * cumulative df reaches `k` — enough postings to yield k candidate
+    * docs in the cheapest place possible. All terms if the query is too
+    * sparse to promise k docs.
+    */
+  private[graft] def seedTerms(termDfs: Seq[(String, Long)],
+      k: Int): Seq[String] = {
+    val sorted = termDfs.sortBy { case (t, df) => (df, t) }
+    val cum = sorted.scanLeft(0L)(_ + _._2).tail
+    val idx = cum.indexWhere(_ >= k)
+    if (idx < 0) sorted.map(_._1) else sorted.take(idx + 1).map(_._1)
+  }
+
+  /** Max-score essential-term partition (Turtle & Flood 1995): order the
+    * query's terms by ascending score upper bound and drop the longest
+    * prefix whose bounds sum to ≤ τ − slack; a doc containing ONLY
+    * dropped (non-essential) terms scores strictly below every bound in
+    * play — per-term BM25 partials are < maxImpact strictly (the tf
+    * saturation never reaches 1) — so it scores < τ ≤ the true k-th
+    * best and can never enter the top-k, tie-breaks included. The slack
+    * (1e-9 relative) absorbs double-rounding of the bound arithmetic:
+    * over-conservative pruning only costs speed, never exactness. τ =
+    * −∞ (no reliable threshold) keeps every term essential — the plan
+    * degrades to the unpruned one, bit-identically.
+    */
+  private[graft] def essentialTerms(impacts: Seq[(String, Double)],
+      tau: Double): Seq[String] = {
+    if (tau.isNegInfinity || impacts.isEmpty) impacts.map(_._1)
+    else {
+      val sorted = impacts.sortBy { case (t, i) => (i, t) }
+      val slack = 1e-9 * (1.0 + math.abs(tau))
+      var cum = 0.0
+      val ess = Seq.newBuilder[String]
+      var dropping = true
+      for ((t, imp) <- sorted) {
+        if (dropping && cum + imp <= tau - slack) cum += imp
+        else { dropping = false; ess += t }
+      }
+      val out = ess.result()
+      // the top-k docs themselves prove Σ impacts ≥ τ, so an all-pruned
+      // partition can only be a borderline-rounding artifact — keep the
+      // highest-impact term rather than reason about it
+      if (out.isEmpty) Seq(sorted.last._1) else out
+    }
+  }
+
+  /** Max-score BM25 serving over a [[buildBm25Index]] layout — EXACT
+    * top-k, bit-identical ranking to [[queryBm25Index]], with the
+    * candidate mass bounded by the DISCRIMINATIVE terms of each query
+    * instead of the whole matching set. This is the high-df (stop-word)
+    * serving fix: on the naive plan a query containing one stop word
+    * drags every document holding it through the fold-and-rank shuffle;
+    * here stop words are provably non-essential and only docs holding a
+    * rarer, higher-impact term survive into the shuffle.
+    *
+    * Three candidate-bounded phases on top of the same index tables:
+    *   1. SEED: per query, the rarest terms whose dfs promise k docs
+    *      are scored alone (partial scores are a LOWER bound of full
+    *      scores, and the k-th best over a subset lower-bounds the k-th
+    *      best overall) → τ per query, a driver-side |queries|-row
+    *      collect. Queries whose seeds yield fewer than k docs get
+    *      τ = −∞ (no pruning — the safe degenerate).
+    *   2. PARTITION: per-term upper bounds maxImpact = idf·(k1+1) from
+    *      the vocab dfs (driver arithmetic); [[essentialTerms]] drops
+    *      the stop-word prefix whose bounds cannot reach τ.
+    *   3. SERVE: candidates = docs holding ≥1 essential term (a
+    *      partition-pruned scan of the essential terms' buckets — the
+    *      stop-word postings are never shuffled for candidacy); full
+    *      scoring joins ALL query-term postings but semi-joins the
+    *      candidate set BEFORE the fold shuffle, so the shuffle and
+    *      window are candidate-bounded. Scoring arithmetic, decimal
+    *      fold, and tie-breaks are shared with [[queryBm25Index]] —
+    *      RetrievalSpec pins frame equality on randomized workloads and
+    *      v21 pins it under the DuckDB oracle.
+    *
+    * The worst case is honest: a query of ONLY max-df terms on a flat
+    * (non-Zipf) vocabulary has no non-essential prefix and degrades to
+    * the naive plan — exact top-k genuinely requires scoring everything
+    * when every term is a stop word and the corpus has no rarer signal.
+    */
+  def queryBm25IndexMaxScore(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false, buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val (qRows, qTermsAll) = localQueries(queries)
+    val statsRow = writer.read(spark, s"${name}_stats").collect()(0)
+    val nDocs = statsRow.getAs[Long]("n_docs")
+    val avgdl = statsRow.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+    val dfs: Map[String, Long] = writer.read(spark, s"${name}_vocab")
+      .filter(col("term").isin(qTermsAll: _*))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    // vocabulary-absent terms match nothing — they carry no postings and
+    // no df, so dropping them changes no score and no n_hit
+    val qRowsIn = qRows.filter { case (_, t) => dfs.contains(t) }
+    val byQ: Map[Long, Seq[String]] =
+      qRowsIn.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val empty = Seq.empty[(Long, Long, Int, Long)]
+      .toDF("query_id", "doc_id", "rank", "n_hit")
+    if (qRowsIn.isEmpty) return empty
+
+    def impact(t: String): Double =
+      math.log((nDocs.toDouble - dfs(t).toDouble + 0.5)
+        / (dfs(t).toDouble + 0.5) + 1.0) * (k1 + 1.0)
+
+    // pruned postings scan for a term set (bucket ids via the engine's
+    // own xxhash64 — a local-data job, cast-free partition pruning)
+    def prunedPosts(terms: Seq[String]): DataFrame = {
+      val hit = terms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
+          .as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      writer.read(spark, s"${name}_postings")
+        .filter(col("term_bucket").isin(hit.toIndexedSeq: _*)
+          && col("term").isin(terms: _*))
+    }
+
+    val dfDf = broadcast(dfs.toSeq.toDF("term", "df"))
+    def partials(workload: DataFrame, posts: DataFrame): DataFrame = {
+      val scored0 = posts.join(dfDf, Seq("term"))
+        .join(broadcast(workload), Seq("term"))
+      (if (excludeSelf) scored0.filter(col("doc_id") =!= col("query_id"))
+       else scored0)
+        .withColumn("s",
+          log((lit(nDocs.toDouble) - col("df").cast("double")
+              + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+            * (col("tf").cast("double") * lit(k1 + 1.0))
+            / (col("tf").cast("double")
+              + lit(k1) * (lit(1.0 - b)
+                + lit(b) * col("dl").cast("double") / lit(avgdl))))
+    }
+
+    // phase 1: τ per query from seed-term partial scores
+    val seeds: Seq[(Long, String)] = byQ.toSeq.flatMap { case (q, ts) =>
+      seedTerms(ts.map(t => (t, dfs(t))), k).map(q -> _)
+    }
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    // bounded collect: one (n, kth) row per query
+    val tauRows = partials(seeds.toDF("query_id", "term"),
+        prunedPosts(seeds.map(_._2).distinct))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s").cast("decimal(38,18)")).as("score"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .groupBy("query_id")
+      .agg(max(col("rn")).as("n"), min(col("score")).cast("double").as("kth"))
+      .collect()
+      .map(r => r.getAs[Long]("query_id")
+        -> (if (r.getAs[Int]("n") >= k) r.getAs[Double]("kth")
+            else Double.NegativeInfinity)).toMap
+
+    // phase 2: essential terms per query (driver arithmetic on ≤|q·terms|)
+    val ess: Seq[(Long, String)] = byQ.toSeq.flatMap { case (q, ts) =>
+      essentialTerms(ts.map(t => (t, impact(t))),
+        tauRows.getOrElse(q, Double.NegativeInfinity)).map(q -> _)
+    }
+
+    // phase 3: candidate docs hold ≥1 essential term; full scoring is
+    // semi-joined to them BEFORE the fold shuffle
+    val essPosts = prunedPosts(ess.map(_._2).distinct)
+      .join(broadcast(ess.toDF("query_id", "term")), Seq("term"))
+    val cand = (if (excludeSelf)
+        essPosts.filter(col("doc_id") =!= col("query_id")) else essPosts)
+      .select("query_id", "doc_id").distinct()
+    val full = partials(qRowsIn.toDF("query_id", "term"),
+        prunedPosts(qRowsIn.map(_._2).distinct))
+      .join(cand, Seq("query_id", "doc_id"), "left_semi")
+    full.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_hit"),
+        sum(col("s").cast("decimal(38,18)")).as("score"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "n_hit")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two rank frames,
     * each (query_id, <idCol>, rank): rrf = Σ 1/(rrfK + rank) over the
     * systems that returned the id, re-ranked to top-k. The two addends
@@ -638,6 +815,18 @@ object Retrieval {
     * candidate-bounded. Phrases with repeated terms work: each offset
     * is a distinct broadcast row, and the doc must satisfy ALL of them
     * (countDistinct(off) = phrase length).
+    *
+    * Rarest-term-first candidacy (the stop-word fix, twin of
+    * [[queryBm25IndexMaxScore]]): a doc can only match a phrase if it
+    * holds the phrase's RAREST term, so the (query, doc) shuffle is
+    * semi-joined down to those docs before the offset sets aggregate —
+    * candidate mass is bounded by the rarest term's df, not the
+    * commonest's. Per-term dfs come from a count-only aggregate over
+    * the pruned postings scan (map-side combined to ≤|query vocabulary|
+    * rows — the scan of stop-word buckets still happens, but their
+    * postings never enter the intersection shuffle). Exact by
+    * construction (a match needs ALL phrase terms), so v14/v16/v20
+    * hash-match the unpruned plan.
     */
   def phraseQuery(spark: org.apache.spark.sql.SparkSession,
       writer: graft.sources.TableWriter, name: String, phrases: DataFrame,
@@ -660,7 +849,22 @@ object Retrieval {
       .filter(col("term_bucket").isin(hit: _*)
         && col("term").isin(qTerms: _*))
       .select(col("term"), col("doc_id"), col("positions"))
+    // per-term document frequencies: bounded collect (≤ |qTerms| rows),
+    // map-side combined — no positions shuffled, just counts
+    val dfByTerm: Map[String, Long] = posts.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rarest term per phrase (df asc, term asc for determinism); a term
+    // absent from the index has df 0 — the phrase matches nothing and
+    // its rarest-term candidate set is empty, which serves exactly that
+    val rarest: Seq[(Long, String)] = pRows.map { case (q, ts) =>
+      q -> ts.minBy(t => (dfByTerm.getOrElse(t, 0L), t))
+    }
+    val cand = posts.join(broadcast(rarest.toDF("query_id", "term")),
+        Seq("term"))
+      .select("query_id", "doc_id").distinct()
     val shifted = posts.join(broadcast(qDf), Seq("term"))
+      .join(cand, Seq("query_id", "doc_id"), "left_semi")
       .select(col("query_id"), col("doc_id"), col("plen"), col("off"),
         transform(col("positions"), p => p - col("off")).as("starts"))
     val folded = shifted.groupBy("query_id", "doc_id", "plen")

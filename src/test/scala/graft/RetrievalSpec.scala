@@ -128,6 +128,70 @@ class RetrievalSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  // ---------------------------------------------------- max-score serving
+
+  test("max-score: seed terms are rarest-first, minimal to promise k") {
+    val dfs = Seq("the" -> 900L, "cat" -> 3L, "sat" -> 4L, "on" -> 800L)
+    // k=5: cat(3) then sat(4) reaches 7 >= 5
+    assert(Retrieval.seedTerms(dfs, 5) == Seq("cat", "sat"))
+    // k=2: cat alone promises 3 >= 2
+    assert(Retrieval.seedTerms(dfs, 2) == Seq("cat"))
+    // sparse query: everything
+    assert(Retrieval.seedTerms(Seq("x" -> 1L, "y" -> 1L), 9)
+      == Seq("x", "y"))
+    // df tie breaks on term
+    assert(Retrieval.seedTerms(Seq("b" -> 2L, "a" -> 2L), 2) == Seq("a"))
+  }
+
+  test("max-score: essential partition drops only what cannot reach tau") {
+    val imps = Seq("the" -> 0.1, "of" -> 0.2, "cat" -> 5.0, "sat" -> 4.0)
+    // tau 1.0: the+of sum to 0.3 <= tau → non-essential; cat/sat stay
+    assert(Retrieval.essentialTerms(imps, 1.0).toSet == Set("cat", "sat"))
+    // tau 0.25: only 'the' (0.1) fits under; 0.1+0.2 > 0.25
+    assert(Retrieval.essentialTerms(imps, 0.25).toSet
+      == Set("of", "cat", "sat"))
+    // tau -inf: no pruning
+    assert(Retrieval.essentialTerms(imps, Double.NegativeInfinity).toSet
+      == imps.map(_._1).toSet)
+    // tau above everything: the guard keeps the highest-impact term
+    assert(Retrieval.essentialTerms(imps, 100.0) == Seq("cat"))
+  }
+
+  test("max-score serving == naive serving, bit for bit, all k") {
+    // Zipf-ish corpus: every doc carries the stop words, few carry the
+    // content terms — the shape max-score prunes. Deterministic seed.
+    val rnd = new scala.util.Random(42)
+    val stop = Seq("the", "of", "and", "to", "in")
+    val content = (0 until 40).map(i => s"w$i")
+    val corpus = (0L until 300L).map { i =>
+      val words = stop ++ rnd.shuffle(content).take(3) ++
+        Seq.fill(rnd.nextInt(3))(content(rnd.nextInt(content.size)))
+      (i, rnd.shuffle(words).mkString(" "))
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25ms").toString
+    val w = new graft.sources.TableWriter(tmp)
+    Retrieval.buildBm25Index(corpus, w, "docs")
+    // queries mix stop words with rare terms; some queries are all-stop
+    // (the no-pruning degenerate must also match)
+    val qs = Seq(
+      (0L, "the"), (0L, "of"), (0L, "w1"), (0L, "w2"),
+      (1L, "the"), (1L, "and"), (1L, "in"),
+      (2L, "w3"), (2L, "w17"), (2L, "of"),
+      (3L, "nosuchterm"), (3L, "w5"),
+      (4L, "nosuchterm")).toDF("query_id", "term")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("n_hit"))).toSet
+    for (k <- Seq(1, 5, 20); ex <- Seq(false, true)) {
+      val naive = rows(Retrieval.queryBm25Index(
+        spark, w, "docs", qs, k = k, excludeSelf = ex))
+      val pruned = rows(Retrieval.queryBm25IndexMaxScore(
+        spark, w, "docs", qs, k = k, excludeSelf = ex))
+      assert(pruned == naive, s"max-score diverged at k=$k excludeSelf=$ex")
+      assert(naive.nonEmpty)
+    }
+  }
+
   // --------------------------------------------------------------- RRF
 
   test("rrf: a doc ranked by both systems beats same-rank singletons") {
