@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *   probes: comma-separated subset of
   *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,v12,v17,q32,
   *     d33,d34,q59,q62,q63,q69,q70,q71,q20,q43,bm25,stream,restart,
-  *     clone,gapfill,analytics,triangles,maxscore
+  *     clone,gapfill,analytics,triangles,maxscore,vocab
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -967,6 +967,51 @@ object ScaleProbe {
             graft.models.CardFixture.merchantSeed).count()
         }
       }
+    }
+    // 10⁶-term vocabulary probe (r9 verdict ask #3): with the vocab
+    // sharded by term hash, a df merge must cost touched buckets ×
+    // bucket volume — i.e. track the BATCH's vocabulary — instead of a
+    // single-task rewrite of the whole vocabulary. 50k synthetic docs ×
+    // 20 unique terms = 10⁶ vocab rows at 1024 buckets; the appended
+    // batch carries 100 new terms, so ≤100 of 1024 buckets may rewrite.
+    if (on("vocab")) {
+      val vb = 1024
+      val nD = 50000L
+      def vdoc(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 20).map(i =>
+          concat(lit("t"), col("id") * 20 + lit(i))): _*).as("text"))
+      val vdocs = vdoc(spark.range(nD).toDF("id"))
+      val whDir = java.nio.file.Files
+        .createTempDirectory("probe_vocab_").toString
+      val w = new graft.sources.TableWriter(whDir)
+      t("vocab1m_build") {
+        Retrieval.buildBm25Index(vdocs, w, "docs", vocabBuckets = vb)
+        spark.read.parquet(s"$whDir/docs_vocab").count()
+      }
+      def vocabFiles(): Map[String, (Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(new java.io.File(s"$whDir/docs_vocab"))
+          .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+      }
+      val before = vocabFiles()
+      t("vocab1m_append_100terms") {
+        Retrieval.appendBm25Index(vdoc(spark.range(nD, nD + 5).toDF("id")),
+          w, "docs", vocabBuckets = vb)
+        1L
+      }
+      val after = vocabFiles()
+      val untouched = before.count { case (p, sig) =>
+        after.get(p).contains(sig) }
+      val rewrittenBytes = after.collect {
+        case (p, (len, _)) if !before.get(p).contains(after(p)) => len }.sum
+      val totalBytes = after.values.map(_._1).sum
+      println(s"PROBE-INFO vocab1m: ${before.size} bucket files before, " +
+        s"$untouched untouched after append; rewritten " +
+        s"${rewrittenBytes / 1024} KiB of ${totalBytes / 1024} KiB total")
+      deleteTree(whDir)
     }
     spark.stop()
   }

@@ -165,11 +165,19 @@ object Retrieval {
     *     Zipf-heavy terms would skew single-term partitions);
     *   - `{name}_vocab`: (term, df) — document frequencies for ALL
     *     terms, computed once from the written postings (no second
-    *     corpus tokenize);
+    *     corpus tokenize), partitioned by `vocab_bucket =
+    *     pmod(xxhash64(term), vocabBuckets)` so df merges (append /
+    *     delete) rewrite only the buckets the batch's vocabulary hashes
+    *     into, and query-term df lookups partition-prune — a web-scale
+    *     vocabulary (10⁸ terms) no longer funnels through one write
+    *     task. Size `vocabBuckets` by the vocabulary the way mergeByKey
+    *     sizes `__bucket` by the table: bucket volume constant, so
+    *     merge cost tracks the BATCH's vocabulary (ScaleProbe "vocab"
+    *     measures it at 10⁶ terms);
     *   - `{name}_stats`: one row (n_docs, sum_dl).
     */
   def buildBm25Index(docs: DataFrame, writer: graft.sources.TableWriter,
-      name: String, buckets: Int = 64,
+      name: String, buckets: Int = 64, vocabBuckets: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     val tf = postingsOf(docs, idCol, textCol)
@@ -184,42 +192,122 @@ object Retrieval {
       tf.repartition(col("term_bucket")),
       partitionBy = Seq("term_bucket"))
     val written = writer.read(spark, s"${name}_postings")
-    // vocab is Zipf-small relative to the corpus: one file keeps every
-    // later read/merge from listing shuffle-partition slivers (re-shard
-    // by mergeByKey buckets if a vocabulary ever outgrows single files)
     writer.materialize(s"${name}_vocab",
-      written.groupBy("term").agg(count(lit(1)).as("df")).coalesce(1))
+      written.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("vocab_bucket",
+          pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int"))
+        .repartition(col("vocab_bucket")), // one file per bucket dir
+      partitionBy = Seq("vocab_bucket"))
     writer.materialize(s"${name}_stats",
       docs.select(split(col(textCol), " ").as("toks"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("toks"))).cast("long").as("sum_dl")))
   }
 
+  /** Read the vocab pruned to the buckets a term set hashes into (the
+    * df-lookup twin of the postings' bucket pruning). `terms` empty →
+    * the whole vocab (the merge paths prune separately).
+    */
+  private def vocabPruned(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String,
+      terms: Seq[String], vocabBuckets: Int): DataFrame = {
+    import spark.implicits._
+    val base = writer.read(spark, s"${name}_vocab")
+      .withColumn("vocab_bucket", col("vocab_bucket").cast("int"))
+    if (terms.isEmpty) base
+    else {
+      // bucket ids via the engine's own xxhash64 — local-data job,
+      // cast-free partition pruning (the queryBm25Index discipline)
+      val hit = terms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(vocabBuckets.toLong))
+          .cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      base.filter(col("vocab_bucket").isin(hit.toIndexedSeq: _*)
+        && col("term").isin(terms: _*))
+    }
+  }
+
+  /** Merge a (term, df) delta into the bucketed vocab: only the buckets
+    * the delta's terms hash into are read, merged (staged to disk —
+    * the merge plan reads the files being overwritten), and
+    * dynamic-partition-overwritten; buckets left with no surviving
+    * terms are deleted (dynamic overwrite cannot write an empty
+    * partition). Untouched buckets stay byte-stable (spec-asserted).
+    * `combine` receives (df_old nullable, df_delta nullable) and
+    * returns the new df; rows with non-positive df are dropped.
+    */
+  private def mergeVocab(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String, delta: DataFrame,
+      vocabBuckets: Int, combine: (Column, Column) => Column): Unit = {
+    val vocabPath = writer.path(s"${name}_vocab")
+    val withBucket = delta.withColumn("vocab_bucket",
+      pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int"))
+    // bounded collect: ≤ vocabBuckets ids
+    val touched = withBucket.select("vocab_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(vocabPath)
+      .withColumn("vocab_bucket", col("vocab_bucket").cast("int"))
+      .filter(col("vocab_bucket").isin(touched.toIndexedSeq: _*))
+      .select(col("term"), col("df").as("df_old"))
+    val merged = existing
+      .join(withBucket.select(col("term"), col("df_delta")),
+        Seq("term"), "full_outer")
+      .select(col("term"), combine(col("df_old"), col("df_delta")).as("df"))
+      .filter(col("df") > 0)
+      .withColumn("vocab_bucket",
+        pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int"))
+    val stage = writer.path(s"__stage_vocab_$name")
+    val fs = new org.apache.hadoop.fs.Path(vocabPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val surviving: Set[Int] = try {
+      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(stage)
+      val staged = spark.read.parquet(stage)
+      staged.repartition(col("vocab_bucket")) // one file per bucket dir
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("vocab_bucket")
+        .parquet(vocabPath)
+      staged.select("vocab_bucket").distinct().collect()
+        .map(_.getInt(0)).toSet
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stage)
+      sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    }
+    val root = new org.apache.hadoop.fs.Path(vocabPath)
+    touched.filterNot(surviving).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"vocab_bucket=$b"), true)
+    }
+  }
+
   /** Incremental ingest into a persisted BM25 index — the lexical third
     * of the crawl-pattern triad (d37 minhash bands, v12 IVF lists, this):
     * the batch's postings are tokenized ONCE and appended into the
     * bucket-partitioned layout (existing postings files untouched), the
-    * vocabulary's document frequencies are additively merged (staged to
-    * a sibling dir then swapped — writing in place would overwrite the
-    * path the merge plan is reading), and the two corpus scalars are
-    * updated from driver-side longs. Every update is integer addition,
-    * so append == rebuild BIT-EXACTLY, query-for-query (RetrievalSpec
-    * pins it) — unlike the ANN indexes there is no frozen-quantizer
-    * approximation trade-off. Batch docs must be NEW ids (same contract
-    * as the other appends). Cost: linear in the batch for postings, one
-    * vocabulary-sized merge for dfs (vocab ≪ corpus by Zipf; the
-    * mergeByKey bucket layout is the upgrade path if the vocabulary
-    * itself outgrows single-pass rewrites).
+    * vocabulary's document frequencies are additively merged into ONLY
+    * the vocab buckets the batch's terms hash into ([[mergeVocab]] —
+    * untouched vocab buckets byte-stable), and the two corpus scalars
+    * are updated from driver-side longs. Every update is integer
+    * addition, so append == rebuild BIT-EXACTLY, query-for-query
+    * (RetrievalSpec pins it) — unlike the ANN indexes there is no
+    * frozen-quantizer approximation trade-off. Batch docs must be NEW
+    * ids (same contract as the other appends). Cost: linear in the
+    * batch for postings; the df merge tracks the BATCH's vocabulary ×
+    * bucket volume, not the corpus vocabulary (bucket count sized to
+    * the vocabulary, mergeByKey-style — ScaleProbe "vocab" measures a
+    * 10⁶-term vocabulary).
     */
   def appendBm25Index(newDocs: DataFrame, writer: graft.sources.TableWriter,
-      name: String, buckets: Int = 64,
+      name: String, buckets: Int = 64, vocabBuckets: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
     // bootstrap: the first batch CREATES the index, so a streaming
     // ingest needs no out-of-band initial build (q89 relies on this)
     val statsP = new org.apache.hadoop.fs.Path(writer.path(s"${name}_stats"))
     if (!statsP.getFileSystem(spark.sessionState.newHadoopConf()).exists(statsP)) {
-      buildBm25Index(newDocs, writer, name, buckets, idCol, textCol)
+      buildBm25Index(newDocs, writer, name, buckets, vocabBuckets,
+        idCol, textCol)
       return
     }
     // one tokenize pass serves all three updates (postings, dfs, stats):
@@ -236,20 +324,13 @@ object Retrieval {
         partitionBy = Seq("term_bucket"),
         mode = org.apache.spark.sql.SaveMode.Append)
 
-      val merged = writer.read(spark, s"${name}_vocab")
-        .select(col("term"), col("df").as("df_old"))
-        .join(tfB.groupBy("term").agg(count(lit(1)).as("df_new")),
-          Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
-            .as("df"))
-      writer.materialize(s"${name}_vocab_next", merged.coalesce(1))
-      val conf = spark.sessionState.newHadoopConf()
-      val dst = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab"))
-      val next = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_next"))
-      val fs = dst.getFileSystem(conf)
-      fs.delete(dst, true)
-      fs.rename(next, dst)
+      // dfs merge rewrites only the buckets the BATCH's vocabulary
+      // hashes into — integer addition, so append == rebuild holds
+      // bucket for bucket
+      mergeVocab(spark, writer, name,
+        tfB.groupBy("term").agg(count(lit(1)).as("df_delta")),
+        vocabBuckets,
+        (old, delta) => coalesce(old, lit(0L)) + coalesce(delta, lit(0L)))
 
       // stats: two longs via the driver — derived from the pinned
       // postings ((doc_id, dl) is distinct per doc there; every doc has
@@ -297,6 +378,7 @@ object Retrieval {
     */
   def deleteFromBm25Index(victims: DataFrame,
       writer: graft.sources.TableWriter, name: String, buckets: Int = 64,
+      vocabBuckets: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = victims.sparkSession
     import spark.implicits._
@@ -357,18 +439,14 @@ object Retrieval {
 
       // vocab: dfs decremented by the struck per-term doc counts (struck
       // rows are one per (term, doc), so count(*) per term IS the df
-      // decrement); terms nobody holds anymore disappear (staged swap)
-      val dec = struck.groupBy("term").agg(count(lit(1)).as("ddf"))
-      val merged = writer.read(spark, s"${name}_vocab")
-        .join(dec, Seq("term"), "left")
-        .select(col("term"),
-          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
-        .filter(col("df") > 0)
-      writer.materialize(s"${name}_vocab_next", merged.coalesce(1))
-      val dst = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab"))
-      val next = new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_next"))
-      fs.delete(dst, true)
-      fs.rename(next, dst)
+      // decrement); terms nobody holds anymore disappear, and only the
+      // struck terms' vocab buckets rewrite
+      mergeVocab(spark, writer, name,
+        struck.groupBy("term").agg(count(lit(1)).as("df_delta")),
+        vocabBuckets,
+        // a delta term absent from the vocab would be an inconsistency
+        // upstream; coalesce keeps the arithmetic total regardless
+        (old, delta) => coalesce(old, lit(0L)) - coalesce(delta, lit(0L)))
 
       // stats: two longs down, mirror of append's two longs up — the dl
       // is the INDEXED document length riding the struck rows, distinct
@@ -465,7 +543,8 @@ object Retrieval {
   def queryBm25Index(spark: org.apache.spark.sql.SparkSession,
       writer: graft.sources.TableWriter, name: String, queries: DataFrame,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = false, buckets: Int = 64): DataFrame = {
+      excludeSelf: Boolean = false, buckets: Int = 64,
+      vocabBuckets: Int = 16): DataFrame = {
     import spark.implicits._
     val (qRows, qTerms) = localQueries(queries)
     val qDf = qRows.toDF("query_id", "term")
@@ -473,8 +552,7 @@ object Retrieval {
     val statsRow = writer.read(spark, s"${name}_stats").collect()(0)
     val nDocs = statsRow.getAs[Long]("n_docs")
     val avgdl = statsRow.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
-    val dfs = writer.read(spark, s"${name}_vocab")
-      .filter(col("term").isin(qTerms: _*))
+    val dfs = vocabPruned(spark, writer, name, qTerms, vocabBuckets)
       .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"))).toSeq
 
     // bucket list via the engine's own xxhash64 (one local-data job, no
@@ -574,15 +652,17 @@ object Retrieval {
   def queryBm25IndexMaxScore(spark: org.apache.spark.sql.SparkSession,
       writer: graft.sources.TableWriter, name: String, queries: DataFrame,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = false, buckets: Int = 64): DataFrame = {
+      excludeSelf: Boolean = false, buckets: Int = 64,
+      vocabBuckets: Int = 16): DataFrame = {
     import spark.implicits._
     val (qRows, qTermsAll) = localQueries(queries)
     val statsRow = writer.read(spark, s"${name}_stats").collect()(0)
     val nDocs = statsRow.getAs[Long]("n_docs")
     val avgdl = statsRow.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
-    val dfs: Map[String, Long] = writer.read(spark, s"${name}_vocab")
-      .filter(col("term").isin(qTermsAll: _*))
-      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    val dfs: Map[String, Long] =
+      vocabPruned(spark, writer, name, qTermsAll, vocabBuckets)
+        .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
+        .toMap
     // vocabulary-absent terms match nothing — they carry no postings and
     // no df, so dropping them changes no score and no n_hit
     val qRowsIn = qRows.filter { case (_, t) => dfs.contains(t) }

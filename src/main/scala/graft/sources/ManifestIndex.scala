@@ -31,19 +31,66 @@ object ManifestIndex {
 
   private def manifestPath(tablePath: String) = s"$tablePath/_manifest"
 
-  /** Build (or rebuild) the manifest for `cols`, one pass over the table. */
+  private def statAggs(cols: Seq[String]) = cols.flatMap { c =>
+    Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      count(col(c)).as(s"nn_$c")) // non-null count, for metadata-only aggs
+  }
+
+  /** Build (or rebuild) the manifest for `cols`, one pass over the
+    * table. The manifest is partitioned by `mf_bucket =
+    * pmod(xxhash64(file), buckets)` — sharded the way mergeByKey shards
+    * its tables, so a 10⁷-file manifest neither funnels through one
+    * write task at build time nor rewrites wholesale when [[append]]
+    * folds a new batch of files in (only the new files' buckets are
+    * touched). Readers scan the whole (tiny relative to the data)
+    * manifest regardless of bucketing. Size `buckets` to the file
+    * count like mergeByKey sizes `__bucket` to the table.
+    */
   def build(spark: SparkSession, tablePath: String,
-      cols: Seq[String]): String = {
+      cols: Seq[String], buckets: Int = 16): String = {
     require(cols.nonEmpty, "manifest needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        count(col(c)).as(s"nn_$c")) // non-null count, for metadata-only aggs
-    }
     spark.read.parquet(tablePath)
       .groupBy(col("_metadata.file_path").as("file"))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(manifestPath(tablePath))
+      .agg(count(lit(1)).as("n_rows"), statAggs(cols): _*)
+      .withColumn("mf_bucket",
+        pmod(xxhash64(col("file")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("mf_bucket")) // one file per bucket dir
+      .write.mode("overwrite").partitionBy("mf_bucket")
+      .parquet(manifestPath(tablePath))
+    manifestPath(tablePath)
+  }
+
+  /** Incrementally fold NEW data files into an existing manifest: stats
+    * are computed over just those files and appended into the bucketed
+    * layout — cost tracks the batch, untouched manifest buckets stay
+    * byte-stable (ManifestSkipSpec). `cols` and `buckets` must match
+    * the build. Files already present are refused (appending them would
+    * double their contribution to metadata-only counts).
+    */
+  def append(spark: SparkSession, tablePath: String, cols: Seq[String],
+      newFiles: Seq[String], buckets: Int = 16): String = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    require(newFiles.nonEmpty, "append needs at least one file")
+    val stats = spark.read.parquet(newFiles: _*)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("n_rows"), statAggs(cols): _*)
+      .withColumn("mf_bucket",
+        pmod(xxhash64(col("file")), lit(buckets.toLong)).cast("int"))
+    // presence guard, pruned to the batch's buckets (bounded collect:
+    // ≤ buckets ids, then a semi-join probe on the pruned manifest)
+    val touched = stats.select("mf_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val clash = spark.read.parquet(manifestPath(tablePath))
+      .withColumn("mf_bucket", col("mf_bucket").cast("int"))
+      .filter(col("mf_bucket").isin(touched.toIndexedSeq: _*))
+      .join(stats.select("file"), Seq("file"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"manifest append: file already present: ${clash.headOption
+        .map(_.get(0)).getOrElse("")}")
+    stats.repartition(col("mf_bucket"))
+      .write.mode("append").partitionBy("mf_bucket")
+      .parquet(manifestPath(tablePath))
     manifestPath(tablePath)
   }
 

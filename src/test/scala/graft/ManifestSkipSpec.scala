@@ -94,6 +94,56 @@ class ManifestSkipSpec extends SparkSpec {
       ((0L, 0, 0)))
   }
 
+  test("manifest append folds new files in; untouched buckets byte-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-a").toString
+    val w = new TableWriter(dir)
+    (0 until 8).foreach { i =>
+      Seq((i.toLong, i * 10)).toDF("k", "a")
+        .coalesce(1).write.mode("append").parquet(w.path("t"))
+    }
+    ManifestIndex.build(spark, w.path("t"), Seq("a"))
+    val sigsBefore = parquetFileSigs(s"${w.path("t")}/_manifest")
+    // two new data files arrive
+    val before = new java.io.File(w.path("t")).listFiles
+      .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    Seq((100L, 1000), (101L, 1010)).toDF("k", "a")
+      .repartition(2).write.mode("append").parquet(w.path("t"))
+    val newFiles = new java.io.File(w.path("t")).listFiles
+      .map(_.getPath).filter(_.endsWith(".parquet")).toSet -- before
+    assert(newFiles.size == 2)
+    ManifestIndex.append(spark, w.path("t"), Seq("a"), newFiles.toSeq.sorted)
+    // untouched manifest buckets were not rewritten by the append (the
+    // manifest stores URI-form paths — derive touched buckets from the
+    // manifest's own rows for the new files)
+    val sigsAfter = parquetFileSigs(s"${w.path("t")}/_manifest")
+    val names = newFiles.map(f => f.substring(f.lastIndexOf('/') + 1))
+    val touched = spark.read.parquet(s"${w.path("t")}/_manifest")
+      .filter(names.map(n => col("file").endsWith(n)).reduce(_ || _))
+      .select(col("mf_bucket").cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    assert(touched.nonEmpty)
+    sigsBefore.foreach { case (p, sig) =>
+      val b = p.split('/').find(_.startsWith("mf_bucket="))
+        .get.stripPrefix("mf_bucket=").toInt
+      if (!touched.contains(b))
+        assert(sigsAfter.get(p).contains(sig),
+          s"append rewrote untouched manifest bucket $p")
+    }
+    // incremental == rebuild, file for file
+    val inc = spark.read.parquet(s"${w.path("t")}/_manifest")
+      .select("file", "n_rows", "min_a", "max_a", "nn_a")
+      .collect().map(_.toSeq).toSet
+    // re-appending the same files is refused (double counting)
+    intercept[IllegalArgumentException] {
+      ManifestIndex.append(spark, w.path("t"), Seq("a"), newFiles.toSeq)
+    }
+    ManifestIndex.build(spark, w.path("t"), Seq("a"))
+    val full = spark.read.parquet(s"${w.path("t")}/_manifest")
+      .select("file", "n_rows", "min_a", "max_a", "nn_a")
+      .collect().map(_.toSeq).toSet
+    assert(inc == full)
+  }
+
   test("a file with all-null bounds is dropped — sound for null-rejecting predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest-n").toString
     val w = new TableWriter(dir)

@@ -128,6 +128,68 @@ class RetrievalSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("vocab merges rewrite only the batch's buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25vb").toString
+    val w = new graft.sources.TableWriter(tmp)
+    val base = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta zeta",
+      3L -> "gamma eta theta iota")
+    Retrieval.buildBm25Index(base, w, "docs")
+    val sigsBefore = parquetFileSigs(s"$tmp/docs_vocab")
+    assert(sigsBefore.nonEmpty)
+    def bucketOf(p: String): String =
+      p.split('/').find(_.startsWith("vocab_bucket=")).get
+    // append a single-term doc: only that term's vocab bucket may change
+    val newTerm = "gamma" // existing term — pure df increment
+    Retrieval.appendBm25Index(docs(9L -> s"$newTerm $newTerm"), w, "docs")
+    val touched = {
+      val b = spark.range(1).select(
+        pmod(xxhash64(lit(newTerm)), lit(16L)).cast("int")).head().getInt(0)
+      s"vocab_bucket=$b"
+    }
+    val sigsAfter = parquetFileSigs(s"$tmp/docs_vocab")
+    sigsBefore.foreach { case (p, sig) =>
+      if (bucketOf(p) != touched)
+        assert(sigsAfter.get(p).contains(sig),
+          s"append rewrote untouched vocab bucket file $p")
+    }
+    // df actually incremented, everything else identical
+    def vocab(): Map[String, Long] = w.read(spark, "docs_vocab")
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab()("gamma") == 3L)
+
+    // delete the appended doc: same bucket discipline, df back down
+    val sigsMid = parquetFileSigs(s"$tmp/docs_vocab")
+    Retrieval.deleteFromBm25Index(docs(9L -> s"$newTerm $newTerm"), w, "docs")
+    val sigsEnd = parquetFileSigs(s"$tmp/docs_vocab")
+    sigsMid.foreach { case (p, sig) =>
+      if (bucketOf(p) != touched)
+        assert(sigsEnd.get(p).contains(sig),
+          s"delete rewrote untouched vocab bucket file $p")
+    }
+    assert(vocab()("gamma") == 2L)
+  }
+
+  test("vocab bucket with no surviving terms disappears") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25vb2").toString
+    val w = new graft.sources.TableWriter(tmp)
+    // one doc whose only term is unique to it
+    Retrieval.buildBm25Index(
+      docs(1L -> "solo", 2L -> "alpha beta"), w, "docs")
+    val soloBucket = spark.range(1).select(
+      pmod(xxhash64(lit("solo")), lit(16L)).cast("int")).head().getInt(0)
+    Retrieval.deleteFromBm25Index(docs(1L -> "solo"), w, "docs")
+    val vocabTerms = w.read(spark, "docs_vocab").select("term")
+      .collect().map(_.getString(0)).toSet
+    assert(!vocabTerms.contains("solo"))
+    val soloAlone = !Seq("alpha", "beta").exists(t =>
+      spark.range(1).select(pmod(xxhash64(lit(t)), lit(16L)).cast("int"))
+        .head().getInt(0) == soloBucket)
+    if (soloAlone)
+      assert(!new java.io.File(s"$tmp/docs_vocab/vocab_bucket=$soloBucket")
+        .exists, "emptied vocab bucket dir should be deleted")
+  }
+
   // ---------------------------------------------------- max-score serving
 
   test("max-score: seed terms are rarest-first, minimal to promise k") {
