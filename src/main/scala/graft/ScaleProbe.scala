@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *   probes: comma-separated subset of
   *     d3,d11,d15,d18,d21,d35,d36,d37,bpe,v3,v5,v6,v8,v9,v12,v17,q32,
   *     d33,d34,q59,q62,q63,q69,q70,q71,q20,q43,bm25,stream,restart,
-  *     clone,gapfill,analytics,triangles,maxscore,vocab
+  *     clone,gapfill,analytics,triangles,maxscore,vocab,d36h
   *   (default: all except stream)
   *   — selectable because the probes scale very differently on purpose:
   *   d18's exact all-pairs twin is EXPECTED to stop being runnable as the
@@ -937,13 +937,27 @@ object ScaleProbe {
         // fixed-cluster-size regime (K ∝ N) needs approximate assignment
         // (assign through an IVF probe, not exact argmax over all K) to
         // beat it; this probe measures the exact-assignment form.
-        if (on("d36")) t(s"d36_semdedup_$label") {
+        if (on("d36")) {
           val stride = math.max(1L,
             (44 * math.sqrt(m.toDouble)).round)
           val cents = Similarity.trainIvfCentroids(e, initStride = stride,
             iters = 2)
-          Similarity.semDedup(e, cents, minCosine = 0.45)
-            .filter(!col("kept")).count()
+          // exact argmax assignment (O(N·K)) vs IVF-assisted (bound-
+          // pruned through √K coarse cells, still EXACT — the probe
+          // asserts identical drop counts at both scales)
+          var exactDrops = -1L
+          t(s"d36_semdedup_$label") {
+            exactDrops = Similarity.semDedup(e, cents, minCosine = 0.45)
+              .filter(!col("kept")).count()
+            exactDrops
+          }
+          t(s"d36_semdedup_ivf_$label") {
+            val d = Similarity.semDedupIvf(e, cents, minCosine = 0.45)
+              .filter(!col("kept")).count()
+            require(d == exactDrops,
+              s"ivf-assisted semdedup diverged: $d vs $exactDrops")
+            d
+          }
         }
       }
       embN.unpersist()
@@ -968,6 +982,75 @@ object ScaleProbe {
         }
       }
     }
+    // IVF-assisted SemDeDup assignment probe (r9 verdict ask #4) on a
+    // HIERARCHICAL embedding space — SemDeDup's own premise (topic →
+    // subtopic): 22 near-orthogonal super-centers × 21 sub-centers,
+    // vectors = sub-center + small deterministic noise, quantizer = the
+    // sub-centers. The coarse cells recover the super-centers with
+    // small radii, so the per-centroid bounds prune ~(K − K/√K) of the
+    // fine dots. (On the unclustered testdata embeddings the geometry
+    // check falls back to the exact plan — see the d36 probe, which
+    // asserts ivf == exact there too.)
+    if (on("d36h")) {
+      val dim = 64; val nSuper = 22
+      val rnd = new scala.util.Random(11)
+      def unitv(v: Seq[Double]) = {
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      val supers = Seq.fill(nSuper)(unitv(Seq.fill(dim)(rnd.nextGaussian())))
+      // K grows with the corpus (the paper's constant-cluster-size rule:
+      // K ∝ N), so assignment — not the within-cluster pair stage — is
+      // what the probe exercises at scale
+      val scales = Seq(1, math.max(2, mult / 10), mult).distinct
+      for (m2 <- scales) {
+        val label = s"${m2}x"
+        val n = 2000L * m2
+        val nSub = 21 * math.max(1, math.sqrt(m2.toDouble).round.toInt)
+        val subs = for (s <- supers; _ <- 0 until nSub)
+          yield unitv(s.map(_ + rnd.nextGaussian() * 0.02))
+        val hk = subs.size
+        val cents = subs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val e = spark.range(n).select(col("id").as("vec_id"),
+            transform(
+              element_at(typedLit(subs),
+                (pmod(col("id"), lit(hk.toLong)) + 1).cast("int")),
+              (x, i) => x + sin(col("id") * lit(131) + i) * lit(0.02))
+              .cast("array<float>").as("embedding"))
+          .persist()
+        e.count()
+        println(s"d36h $label: N=$n K=$hk")
+        // the ASSIGNMENT stages timed head-to-head (the within-cluster
+        // pair stage is shared by both paths and dominates end-to-end
+        // timings, masking the argmax work the probe is about); the
+        // end-to-end drop counts are asserted equal below.
+        // sum(cent_id), not count(): a bare count lets column pruning
+        // drop the max_by argmax (and with it every dot) — the same
+        // probe-honesty trap d35 documented
+        t(s"d36h_assign_exact_$label") {
+          Similarity.assignExact(e, cents, "vec_id", "embedding")
+            .agg(sum(col("cent_id"))).head().getLong(0)
+        }
+        t(s"d36h_assign_pruned_$label") {
+          Similarity.assignPruned(e, cents, "vec_id", "embedding")
+            .agg(sum(col("cent_id"))).head().getLong(0)
+        }
+        var exactDrops = -1L
+        t(s"d36h_exact_$label") {
+          exactDrops = Similarity.semDedup(e, cents, minCosine = 0.9)
+            .filter(!col("kept")).count()
+          exactDrops
+        }
+        t(s"d36h_ivf_$label") {
+          val d = Similarity.semDedupIvf(e, cents, minCosine = 0.9)
+            .filter(!col("kept")).count()
+          require(d == exactDrops,
+            s"ivf-assisted semdedup diverged: $d vs $exactDrops")
+          d
+        }
+        e.unpersist(blocking = false)
+      }
+    }
+
     // 10⁶-term vocabulary probe (r9 verdict ask #3): with the vocab
     // sharded by term hash, a df merge must cost touched buckets ×
     // bucket volume — i.e. track the BATCH's vocabulary — instead of a

@@ -1912,7 +1912,10 @@ object SparkEntry {
   private def d36SemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = ivfIters)
-    Similarity.semDedup(e, cents, minCosine = d36MinCosine)
+    // IVF-assisted assignment (r9): bound-pruned through √K coarse
+    // cells but EXACT — the oracle below still replays the full
+    // argmax, which is what pins the pruning's exactness every round
+    Similarity.semDedupIvf(e, cents, minCosine = d36MinCosine)
   }
 
   private def d36OracleSql: String = {

@@ -20,6 +20,15 @@ object VectorFns {
     column(DotProduct(expression(a), expression(b)))
   }
 
+  /** Codegen'd matrix–vector dots: `flat` is a row-major flattened k×d
+    * matrix (usually a literal bank); returns the length-k array of row
+    * dots. See [[MatVecDots]] for why k separate dot columns don't work.
+    */
+  def matVecDots(v: Column, flat: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(MatVecDots(expression(v), expression(flat)))
+  }
+
   /** Interpreted HOF formulation, kept as the reference/property check. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

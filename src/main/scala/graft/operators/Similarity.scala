@@ -1123,7 +1123,18 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, centroids: Seq[(Long, Seq[Double])],
       minCosine: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    semDedupPairs(assignExact(emb, centroids, idCol, vecCol),
+      minCosine, idCol)
+
+  /** Exact argmax-cosine assignment: broadcast join against all K
+    * centroids, codegen'd dots, map-side-combined [[argmaxAssign]] —
+    * zero heavy shuffles, O(N·K) dot work. Probe-visible
+    * (ScaleProbe d36h times it against [[assignPruned]]).
+    */
+  private[graft] def assignExact(emb: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], idCol: String,
+      vecCol: String): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cand = emb.select(col(idCol).as("vid"),
@@ -1131,14 +1142,35 @@ object Similarity {
       .withColumn("nrm", VectorFns.norm(col("v")))
     val cents = broadcast(centroids.toDF("cent_id", "cent_vec")
       .withColumn("cent_norm", VectorFns.norm(col("cent_vec"))))
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("cent_sim").desc, col("cent_id").asc)
-    val assigned = cand.join(cents)
+    val scored = cand.join(cents)
       .withColumn("cent_sim", VectorFns.cosinePre(
         VectorFns.dot(col("v"), col("cent_vec")), col("nrm"), col("cent_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("v"), col("nrm"), col("cent_id"))
+    argmaxAssign(scored)
+  }
+
+  /** Argmax over scored (vid, v, nrm, cent_id, cent_sim) rows as a
+    * declarative max_by AGGREGATE, not a window: the N×K scored rows
+    * combine map-side to one best-so-far row per vector per task, so
+    * the shuffle carries N rows — a row_number window would shuffle
+    * all N×K rows WITH the vector column duplicated onto each (the
+    * formulation that OOM'd the d36h probe at N×K ≈ 9×10⁸). Tie-break
+    * identical to the window form: max of (cent_sim, −cent_id) is
+    * highest similarity, then lowest cent_id.
+    */
+  private def argmaxAssign(scored: DataFrame): DataFrame =
+    scored.groupBy("vid")
+      .agg(max_by(struct(col("cent_id"), col("v"), col("nrm")),
+        struct(col("cent_sim"), (-col("cent_id")).as("nid"))).as("best"))
+      .select(col("vid"), col("best.v").as("v"), col("best.nrm").as("nrm"),
+        col("best.cent_id").as("cent_id"))
+
+  /** The within-cluster pair stage shared by [[semDedup]] (exact
+    * assignment) and [[semDedupIvf]] (bound-pruned assignment): one
+    * equi-shuffle on cent_id, pairwise cosine inside each cluster,
+    * lowest id kept as the exemplar.
+    */
+  private def semDedupPairs(assigned: DataFrame, minCosine: Double,
+      idCol: String): DataFrame = {
     val a = assigned.select(col("cent_id"), col("vid").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("cent_id"), col("vid").as("id_b"),
@@ -1153,5 +1185,163 @@ object Similarity {
       .join(dropped, Seq("vid"), "left")
       .select(col("vid").as(idCol), col("cent_id"),
         col("is_dropped").isNull.as("kept"))
+  }
+
+  /** Deterministic driver-side grouping of the (unit-normalized) fine
+    * centroids into `kCoarse` coarse cells — the quantizer-of-the-
+    * quantizer that [[semDedupIvf]] prunes assignment through. Plain
+    * Lloyd on the K centroid points (K is driver-sized by
+    * construction — it IS the broadcast quantizer), stride init, fixed
+    * iterations, ties to the lowest group: bit-deterministic. Returns
+    * (groupId, unitMeanVec, radius) with radius = max ‖ĉ_f − ĝ‖ over
+    * members, plus each fine centroid's group. Empty groups are
+    * dropped (their bound would be vacuous).
+    */
+  private[graft] def coarseCentroidGroups(
+      centroids: Seq[(Long, Seq[Double])], kCoarse: Int, iters: Int = 5)
+      : (Seq[(Int, Seq[Double], Double)], Map[Long, Int]) = {
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    def dotL(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val fine = centroids.sortBy(_._1).map { case (id, v) => (id, unit(v)) }
+    val k = math.min(kCoarse, fine.size).max(1)
+    val step = math.max(1, fine.size / k)
+    var means: Vector[Seq[Double]] =
+      fine.indices.by(step).take(k).map(i => fine(i)._2).toVector
+    var groups: Map[Long, Int] = Map.empty
+    for (_ <- 0 until iters) {
+      groups = fine.map { case (id, v) =>
+        id -> means.indices.maxBy(i => (dotL(v, means(i)), -i))
+      }.toMap
+      means = means.indices.map { i =>
+        val members = fine.filter { case (id, _) => groups(id) == i }
+        if (members.isEmpty) means(i)
+        else unit(members.map(_._2).transpose.map(_.sum))
+      }.toVector
+    }
+    val nonEmpty = means.indices.filter(i => groups.values.exists(_ == i))
+    val remap = nonEmpty.zipWithIndex.toMap
+    val out = nonEmpty.map { i =>
+      val members = fine.filter { case (id, _) => groups(id) == i }
+      val radius = members.map { case (_, v) =>
+        math.sqrt(v.iterator.zip(means(i).iterator)
+          .map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      (remap(i), means(i), radius)
+    }
+    (out, groups.map { case (id, g) => id -> remap(g) })
+  }
+
+  /** SemDeDup with IVF-ASSISTED assignment (the r8 verdict's ask #4):
+    * identical output to [[semDedup]] — same pair stage, same keep
+    * rule, and the assignment itself is EXACT, not approximate — but
+    * the argmax no longer scores every vector against all K fine
+    * centroids when the quantizer has cluster-of-clusters structure.
+    * The K centroids are grouped into √K coarse cells driver-side
+    * ([[coarseCentroidGroups]]); per vector, cosines to the √K cell
+    * means give a lower bound lb = max_g(sim_g − r_g) on the
+    * achievable best fine cosine (on the unit sphere |v̂·(ĉ_f − ĝ)| ≤
+    * ‖ĉ_f − ĝ‖, so every member of cell g scores within ±r_g of
+    * sim_g), and a fine centroid is scored ONLY when sim_g + d_f ≥
+    * lb − ε, where d_f = ‖ĉ_f − ĝ‖ is ITS OWN distance to its cell
+    * mean — a per-centroid bound, tighter than the cell radius. Every
+    * centroid achieving the max survives (its bound ≥ its cosine ≥
+    * lb), ties included, so the final window breaks ties exactly like
+    * the exact path; ε = 1e-9 absorbs double rounding — over-wide
+    * survival costs speed, never changes the winner. Assignment work
+    * drops from O(N·K) toward O(N·√K) when cells are compact relative
+    * to their separation.
+    *
+    * GEOMETRY-DRIVEN PLAN CHOICE: the bounds only pay when the fine
+    * centroids actually group (topic→subtopic structure — SemDeDup's
+    * own premise). On a quantizer whose centroids are mutually
+    * near-orthogonal (high-dim uniform data), every cell radius
+    * approaches √2, the bounds are vacuous, and the pruning machinery
+    * is pure overhead — measured 4× SLOWER than exact at 100×. The
+    * operator inspects the cell geometry driver-side (max radius vs
+    * half the minimum inter-cell-mean separation — the classic
+    * well-separated-clusters test) and falls back to the exact
+    * broadcast argmax when pruning cannot fire; both plans produce
+    * identical frames, so the choice is invisible to the oracle
+    * (d36's exact-argmax SQL replay pins either plan unchanged).
+    */
+  def semDedupIvf(emb: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    semDedupPairs(assignPruned(emb, centroids, idCol, vecCol),
+      minCosine, idCol)
+
+  /** Bound-pruned assignment (see [[semDedupIvf]]); falls back to
+    * [[assignExact]] when the cell geometry cannot pay. Probe-visible.
+    */
+  private[graft] def assignPruned(emb: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val kCoarse = math.ceil(math.sqrt(centroids.size.toDouble)).toInt
+    val (cells, fineGroup) = coarseCentroidGroups(centroids, kCoarse)
+    val nCells = cells.size
+    // pruning-power estimate, driver-side (K'² cell dots): for a vector
+    // sitting AT cell mean g (csim_g ≈ 1, so lb ≥ 1 − rad_g), cell h is
+    // provably prunable iff dot(ĝ, ĥ) + rad_h < 1 − rad_g. The mean
+    // prunable fraction over ordered cell pairs predicts what the
+    // per-row bounds will deliver; below half, the machinery cannot pay
+    // for itself (measured 4× overhead on mutually-near-orthogonal
+    // centroids, whose radii approach √2 and prune nothing) and the
+    // exact broadcast argmax is the better plan. NOTE pairwise cell
+    // SEPARATION is deliberately not the test: cells subdividing one
+    // tight super-cluster sit on top of each other, which harms
+    // nothing — a vector near them keeps them all and prunes the rest.
+    val prunedFrac =
+      if (nCells < 2) 0.0
+      else {
+        val pairs = for (a <- cells; b <- cells if a._1 != b._1) yield {
+          val d = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+          if (d + b._3 < 1.0 - a._3 - 1e-9) 1.0 else 0.0
+        }
+        pairs.sum / pairs.size
+      }
+    if (prunedFrac < 0.5)
+      return assignExact(emb, centroids, idCol, vecCol)
+
+    // one codegen'd expression per row decides the whole assignment
+    // ([[graft.functions.IvfAssignExpr]] — the relational formulations
+    // of the survivor logic all fell off the fast path: HOF lambdas
+    // interpret, per-cell literal dot columns blow codegen limits, and
+    // explode+join shuffles the vector per candidate); bit-identical to
+    // assignExact by the bound argument in the expression's Scaladoc
+    def unitv(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val sorted = centroids.sortBy(_._1)
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim),
+      "assignPruned: centroid dimensions differ")
+    val cellsSorted = cells.sortBy(_._1)
+    val cellMean = cellsSorted.map(_._2).toIndexedSeq
+    val expr = graft.functions.IvfAssignExpr(
+      org.apache.spark.sql.GraftExpressionBridge.expression(col("v")),
+      flatFine = sorted.flatMap(_._2).toArray,
+      fineIds = sorted.map(_._1).toArray,
+      fineNorms = sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)).toArray,
+      fineCell = sorted.map(c => fineGroup(c._1)).toArray,
+      fineD = sorted.map { case (id, v) =>
+        val u = unitv(v); val m = cellMean(fineGroup(id))
+        math.sqrt(u.zip(m).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.toArray,
+      flatCells = cellsSorted.flatMap(_._2).toArray,
+      rads = cellsSorted.map(_._3).toArray,
+      dim = dim)
+    emb.select(col(idCol).as("vid"),
+        VectorFns.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .withColumn("cent_id",
+        org.apache.spark.sql.GraftExpressionBridge.column(expr))
+      .select(col("vid"), col("v"), col("nrm"), col("cent_id"))
   }
 }

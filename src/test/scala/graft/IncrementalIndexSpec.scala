@@ -30,6 +30,53 @@ class IncrementalIndexSpec extends SparkSpec {
       (4L, 1L, true), (5L, 1L, false)))
   }
 
+  test("semDedupIvf == semDedup, frame for frame (assignment pruning is exact)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(e, initStride = 13L, iters = 2)
+    assert(cents.size >= 4) // enough fine centroids for >1 coarse cell
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect().toSet
+    val exact = rows(Similarity.semDedup(e, cents, minCosine = 0.45))
+    val pruned = rows(Similarity.semDedupIvf(e, cents, minCosine = 0.45))
+    assert(pruned == exact)
+    assert(exact.nonEmpty)
+
+    // adversarial geometry: many near-identical centroids (ties and
+    // near-ties are where a wrong bound would flip an argmax)
+    val rnd = new scala.util.Random(7)
+    val tightCents = (0L until 24L).map { i =>
+      val base = Seq(1.0, 0.5, -0.25, 0.125)
+      (i, base.map(_ + rnd.nextGaussian() * 1e-3))
+    }
+    val vecs = (0L until 400L).map { i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val e2 = rows(Similarity.semDedup(vecs, tightCents, minCosine = 0.9))
+    val p2 = rows(Similarity.semDedupIvf(vecs, tightCents, minCosine = 0.9))
+    assert(p2 == e2)
+  }
+
+  test("coarseCentroidGroups: members lie within their cell radius") {
+    val rnd = new scala.util.Random(3)
+    val cents = (0L until 30L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian())))
+    val (cells, groupOf) = Similarity.coarseCentroidGroups(cents, 6)
+    assert(cells.nonEmpty && cells.size <= 6)
+    def unit(v: Seq[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val byId = cells.map(c => c._1 -> c).toMap
+    cents.foreach { case (id, v) =>
+      val (_, mean, radius) = byId(groupOf(id))
+      val d = math.sqrt(unit(v).zip(mean).map { case (a, b) =>
+        (a - b) * (a - b) }.sum)
+      assert(d <= radius + 1e-12, s"centroid $id outside its cell radius")
+    }
+    // every fine centroid got a (remapped, existing) group
+    assert(groupOf.keySet == cents.map(_._1).toSet)
+    assert(groupOf.values.toSet.subsetOf(cells.map(_._1).toSet))
+  }
+
   test("semDedup: dropped set equals brute-force within-cluster check on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
