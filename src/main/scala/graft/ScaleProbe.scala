@@ -130,23 +130,34 @@ object ScaleProbe {
         // the per-batch incremental cost (one broadcast-join scan of the
         // index, no signature recompute for indexed docs).
         if (on("d37")) {
-          val newBatch = docs1.filter(col("doc_id") % 10 === 0)
+          // batch = a small crawl increment (0.1% of the base corpus, a
+          // FIXED workload) against an index that grows with mult; the
+          // bucket count follows the index (the sizing rule), so the
+          // pruned probe's read fraction shrinks as the index grows
+          val newBatch = docs1.filter(col("doc_id") % 100 === 0)
           val oldDocs = d.filter(col("doc_id") % 10 =!= 0)
+          val bCount = if (label == "1x") 64 else 64 * mult
           val idxDir = java.nio.file.Files
             .createTempDirectory("probe_lshidx_").toString
+          val w = new graft.sources.TableWriter(idxDir)
           t(s"d37_index_build_$label") {
-            Dedup.minhashBandRows(
-              Dedup.minhashSignatures(oldDocs, "doc_id", "text",
-                n = 3, numHashes = 64), numHashes = 64, bands = 32)
-              .write.mode("overwrite").parquet(idxDir)
-            spark.read.parquet(idxDir).count()
+            Dedup.buildLshBandIndex(
+              Dedup.minhashBandRows(
+                Dedup.minhashSignatures(oldDocs, "doc_id", "text",
+                  n = 3, numHashes = 64), numHashes = 64, bands = 32),
+              w, "lsh_bands", buckets = bCount)
+            spark.read.parquet(s"$idxDir/lsh_bands").count()
           }
-          val index = spark.read.parquet(idxDir)
           t(s"d37_incremental_$label") {
             val nb = Dedup.minhashBandRows(
               Dedup.minhashSignatures(newBatch, "doc_id", "text",
                 n = 3, numHashes = 64), numHashes = 64, bands = 32)
-            val cands = Dedup.incrementalLshCandidates(index, nb)
+            val hit = nb.select(pmod(col("band_hash"), lit(bCount.toLong))
+              .cast("int")).distinct().count()
+            println(s"PROBE-INFO d37_$label: batch hits $hit of $bCount " +
+              s"index buckets (${100L * hit / bCount}% read)")
+            val cands = Dedup.incrementalLshCandidatesIndexed(
+                spark, w, "lsh_bands", nb, buckets = bCount)
               .select(col("id_old").as("id_a"), col("id_new").as("id_b"))
             val candIds = cands.select(col("id_a").as("doc_id"))
               .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()

@@ -998,6 +998,52 @@ object SparkEntry {
   private def q32Classified(s: SparkSession, dir: String): DataFrame =
     cardClassified(s, dir).withColumn("amount", col("amount").cast("double"))
 
+  /** INCREMENTAL materialization of the flagship reference model (q105 —
+    * dbt's `incremental` strategy, the one dbt concept the engine had
+    * not yet mirrored): transactions arrive in three batches, each
+    * batch is classified ALONE (the model is row-wise — regex bank,
+    * name fallback, and dim joins are all per-row against broadcast
+    * dims, so batch-wise classification equals full classification row
+    * for row), and batches fold into the table through
+    * [[graft.sources.TableWriter.mergeByKey]]. The reference model ends
+    * in UNION DISTINCT over all 14 columns and carries NO unique key,
+    * so the merge key IS the full row identity — to_json(struct(*)),
+    * deterministic field order — which makes merge-dedup reproduce
+    * DISTINCT semantics exactly: duplicates within a batch collapse in
+    * the model's own distinct, duplicates across batches collapse in
+    * the key merge, exactly as the full rebuild collapses them. Oracle:
+    * q32's full-rebuild SQL, verbatim — incremental == rebuild is the
+    * hash contract, and only the touched key-hash buckets rewrite per
+    * batch (the mergeByKey cost model).
+    */
+  private val incClassifiedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def q105IncrementalClassify(s: SparkSession, dir: String): DataFrame =
+    incClassifiedCache.getOrElseUpdate((s, dir), {
+      t(s, dir, "orders").createOrReplaceTempView("orders_cardfix")
+      val tx = graft.operators.Parallelism.fanOut(
+        s.sql(graft.models.CardFixture.txSql("orders_cardfix")))
+      val wh = s"$q40Scratch/clsinc_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      (0 to 2).foreach { c =>
+        val batch = tx.filter(pmod(col("key").cast("long"), lit(3)) === c)
+        val cls = graft.models.CardModels.classifiedCardTransactions(
+          batch, graft.models.CardFixture.rules,
+          graft.models.CardFixture.merchantsDf(s),
+          graft.models.CardFixture.mapDf(s),
+          graft.models.CardFixture.leafDf(s),
+          graft.models.CardFixture.merchantSeed)
+        w.mergeByKey(s, "classified_inc",
+          cls.withColumn("__k", to_json(struct(cls.columns.map(col): _*))),
+          key = "__k")
+      }
+      w.readResolved(s, "classified_inc")
+        .drop("__bucket", "__k")
+        .withColumn("amount", col("amount").cast("double"))
+    })
+
   /** Reference card_transactions_model (card_transactions_model.sql:1-24)
     * standalone (q85) — the legacy clean_type projection previously
     * hash-checked only through its q32/q41 consumers; its own oracle row
@@ -1951,27 +1997,34 @@ object SparkEntry {
     * (IncrementalIndexSpec asserts it, plus append == full rebuild), so
     * the oracle is the EXACT new-vs-old pair set.
     */
-  private val d37IndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val d37IndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
 
   private def d37IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val index = d37IndexCache.getOrElseUpdate((s, dir), {
-      val path = s"$q40Scratch/lshindex_${java.lang.Integer.toHexString(dir.hashCode)}"
-      Dedup.minhashBandRows(
+    // r9: the band index is PERSISTED bucketed by pmod(band_hash, B)
+    // (Dedup.buildLshBandIndex) and the batch probe partition-prunes to
+    // its own bands' buckets — batch cost tracks batch bands, not index
+    // size, once B is sized to the index (the r8 verdict's ask #9)
+    val writer = d37IndexCache.getOrElseUpdate((s, dir), {
+      val w = new graft.sources.TableWriter(
+        s"$q40Scratch/lshindex_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Dedup.buildLshBandIndex(
+        Dedup.minhashBandRows(
           Dedup.minhashSignatures(
             d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
             n = 3, numHashes = 64),
-          numHashes = 64, bands = 32)
-        .write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
+          numHashes = 64, bands = 32),
+        w, "lsh_bands")
+      w
     })
     val newBands = Dedup.minhashBandRows(
       Dedup.minhashSignatures(
         d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
         n = 3, numHashes = 64),
       numHashes = 64, bands = 32)
-    val cands = Dedup.incrementalLshCandidates(index, newBands)
+    val cands = Dedup.incrementalLshCandidatesIndexed(s, writer, "lsh_bands",
+        newBands)
       .select(col("id_old").as("id_a"), col("id_new").as("id_b"))
     // exact verify only re-reads TEXT for docs that appear in a candidate
     // pair (semi-join first) — the corpus is never re-shingled wholesale
@@ -4366,6 +4419,72 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Positional-index compaction (q103 — the q92 cycle for the SECOND
+    * index family): four incremental appends leave batch×bucket small
+    * files in the positions layout; `compact()` bin-packs each
+    * term_bucket directory and phrase serving must stay BIT-identical —
+    * v14's oracle. With q92 (BM25) and q104 (IVF lists) this closes
+    * ingest → compact → serve for all three serving-index families.
+    */
+  private val compactPosCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q103PosCompaction(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val writer = compactPosCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/compactpos_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      (0 to 3).foreach { c =>
+        Retrieval.appendPositionalIndex(
+          d.filter(pmod(col("doc_id"), lit(4)) === c), w, "docs")
+      }
+      w.compact(s, "docs_positions", targetBytes = 256L * 1024 * 1024)
+      w
+    })
+    val phrases = d
+      .filter(col("doc_id") % 97 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    Retrieval.phraseQuery(s, writer, "docs", phrases,
+      k = bm25K, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** IVF-list compaction (q104 — the q92 cycle for the THIRD index
+    * family): the v12 build-then-append lifecycle (base-trained frozen
+    * quantizer, three appended batches) leaves batch-sized small files
+    * in the cent_id list partitions; `compact()` bin-packs each list
+    * directory and the probed serving must stay rank-identical — v12's
+    * oracle (base training + union assignment replayed in SQL).
+    */
+  private val compactIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q104IvfCompaction(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val writer = compactIvfCache.getOrElseUpdate((s, dir), {
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val cents = Similarity.trainIvfCentroids(base, initStride = 97L,
+        iters = ivfIters)
+      val wh = s"$q40Scratch/compactivf_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      Similarity.buildIvfIndex(base, cents, w, "emb")
+      (0 to 2).foreach { c =>
+        Similarity.appendIvfIndex(
+          e.filter(col("vec_id") % 10 === 0
+            && pmod(col("vec_id") / 10, lit(3)) === c), w, "emb")
+      }
+      w.compact(s, "emb_lists", targetBytes = 256L * 1024 * 1024)
+      w
+    })
+    Similarity.queryIvfIndex(s, writer, "emb",
+        e.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Streaming CDC apply (q93): the change feed q90 persists, consumed
     * through the REAL readStream path one feed file per microbatch, and
     * folded into the grouped view as a streaming aggregation over
@@ -4813,6 +4932,9 @@ object SparkEntry {
     "v16_phrase_append" -> (v16PhraseAppend _),
     "v20_phrase_delete" -> (v20PhraseDelete _),
     "v21_bm25_maxscore" -> (v21Bm25MaxScore _),
+    "q103_pos_compaction" -> (q103PosCompaction _),
+    "q104_ivf_compaction" -> (q104IvfCompaction _),
+    "q105_incremental_classify" -> (q105IncrementalClassify _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6208,6 +6330,10 @@ object SparkEntry {
     "v16_phrase_append" -> v14OracleSql,
     "v20_phrase_delete" -> v20OracleSql,
     "v21_bm25_maxscore" -> v10OracleSql,
+    "q103_pos_compaction" -> v14OracleSql,
+    "q104_ivf_compaction" -> v12OracleSql,
+    "q105_incremental_classify" ->
+      graft.models.CardFixture.classifiedOracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

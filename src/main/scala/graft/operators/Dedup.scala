@@ -418,6 +418,55 @@ object Dedup {
         Seq("band", "band_hash"))
       .select("id_old", "id_new").distinct()
 
+  /** Persist the MinHash band index PARTITIONED by `bh_bucket =
+    * pmod(band_hash, buckets)` — the serving layout that keeps a batch
+    * lookup from scanning the whole index (the r8 d37 probe's named
+    * gap: batch cost was linear in INDEX size because the broadcast
+    * probe read every band row). A batch's candidate matches can only
+    * live in the buckets its own band hashes map to, so the probe
+    * partition-prunes to those; with `buckets` sized to the index (the
+    * mergeByKey/vocab sizing rule — bucket volume constant as the index
+    * grows), batch cost tracks the BATCH's bands. Appends are the d37
+    * crawl pattern: new bands land in their own buckets, nothing
+    * indexed is re-read or re-written.
+    */
+  def buildLshBandIndex(bands: DataFrame, writer: graft.sources.TableWriter,
+      name: String, buckets: Int = 64): Unit =
+    writer.materialize(name,
+      bands.withColumn("bh_bucket",
+        pmod(col("band_hash"), lit(buckets.toLong)).cast("int"))
+        .repartition(col("bh_bucket")), // one file per bucket dir
+      partitionBy = Seq("bh_bucket"))
+
+  def appendLshBandIndex(newBands: DataFrame,
+      writer: graft.sources.TableWriter, name: String,
+      buckets: Int = 64): Unit =
+    writer.materialize(name,
+      newBands.withColumn("bh_bucket",
+        pmod(col("band_hash"), lit(buckets.toLong)).cast("int"))
+        .repartition(col("bh_bucket")),
+      partitionBy = Seq("bh_bucket"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+
+  /** [[incrementalLshCandidates]] against a [[buildLshBandIndex]]
+    * layout: the batch's distinct bucket ids (bounded collect ≤
+    * `buckets`) prune the index read before the broadcast band join —
+    * same candidate set, index-size-independent scan when buckets are
+    * sized to the index (ScaleProbe d37 measures the read fraction).
+    */
+  def incrementalLshCandidatesIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String,
+      newBands: DataFrame, buckets: Int = 64): DataFrame = {
+    val hit = newBands
+      .select(pmod(col("band_hash"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val pruned = writer.read(spark, name)
+      .withColumn("bh_bucket", col("bh_bucket").cast("int"))
+      .filter(col("bh_bucket").isin(hit.toIndexedSeq: _*))
+    incrementalLshCandidates(pruned, newBands)
+  }
+
   /** Connected components over a near-dup pair list → dedup clusters: every
     * member maps to the minimum id reachable through any chain of pairs (the
     * canonical representative). Iterative min-label propagation — each round

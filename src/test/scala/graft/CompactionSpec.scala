@@ -103,6 +103,70 @@ class CompactionSpec extends SparkSpec {
       (0L until 20L))
   }
 
+  test("compact: positional and IVF list layouts shrink to one file per dir, serving bit-identical") {
+    import graft.operators.{Retrieval, Similarity}
+    def filesPerDir(path: String, prefix: String): Map[String, Int] = {
+      val root = java.nio.file.Paths.get(path)
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(prefix))
+          .map(p => p.getFileName.toString -> listing(p.toString).size)
+          .toMap
+      } finally s.close()
+    }
+    // positional family
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pdir = java.nio.file.Files.createTempDirectory("graft-compact-pos").toString
+    val wp = new TableWriter(pdir)
+    (0 to 3).foreach { c =>
+      Retrieval.appendPositionalIndex(
+        real.filter(pmod(col("doc_id"), lit(4)) === c), wp, "docs")
+    }
+    val phrases = real.filter(col("doc_id") % 11 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    def servePos() = Retrieval.phraseQuery(spark, wp, "docs", phrases,
+        k = 7, excludeSelf = true)
+      .collect().map(_.toSeq).toSet
+    val posBefore = filesPerDir(wp.path("docs_positions"), "term_bucket=")
+    assert(posBefore.values.exists(_ > 1),
+      s"appends should have fragmented the positions layout: $posBefore")
+    val posPre = servePos()
+    wp.compact(spark, "docs_positions", targetBytes = 256L << 20)
+    val posAfter = filesPerDir(wp.path("docs_positions"), "term_bucket=")
+    assert(posAfter.values.forall(_ == 1), s"uncompacted: $posAfter")
+    assert(servePos() == posPre)
+    assert(posPre.nonEmpty)
+
+    // IVF list family
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val cents = Similarity.trainIvfCentroids(base, initStride = 13L, iters = 2)
+    val idir = java.nio.file.Files.createTempDirectory("graft-compact-ivf").toString
+    val wi = new TableWriter(idir)
+    Similarity.buildIvfIndex(base, cents, wi, "emb")
+    (0 to 2).foreach { c =>
+      Similarity.appendIvfIndex(
+        emb.filter(col("vec_id") % 10 === 0
+          && pmod(col("vec_id") / 10, lit(3)) === c), wi, "emb")
+    }
+    def serveIvf() = Similarity.queryIvfIndex(spark, wi, "emb",
+        emb.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val ivfBefore = filesPerDir(wi.path("emb_lists"), "cent_id=")
+    assert(ivfBefore.values.exists(_ > 1),
+      s"appends should have fragmented the lists layout: $ivfBefore")
+    val ivfPre = serveIvf()
+    wi.compact(spark, "emb_lists", targetBytes = 256L << 20)
+    val ivfAfter = filesPerDir(wi.path("emb_lists"), "cent_id=")
+    assert(ivfAfter.values.forall(_ == 1), s"uncompacted: $ivfAfter")
+    assert(serveIvf() == ivfPre)
+    assert(ivfPre.nonEmpty)
+  }
+
   test("compact: index bucket dirs shrink to one file, query bit-identical") {
     // the q92 composition: incremental appends fragment the BM25 postings
     // layout (one file per batch × touched bucket); compaction must

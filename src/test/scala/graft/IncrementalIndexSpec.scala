@@ -148,6 +148,42 @@ class IncrementalIndexSpec extends SparkSpec {
       !physical.contains("ShuffledHashJoin"), physical.take(2000))
   }
 
+  test("bucketed band index: pruned probe == full probe; append leaves existing buckets byte-stable") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBandRows(
+        Dedup.minhashSignatures(df, "doc_id", "text", n = 3, numHashes = 64),
+        numHashes = 64, bands = 32)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_bidx_").toString
+    val w = new graft.sources.TableWriter(dir)
+    val idxBands = bands(d.filter(col("doc_id") % 10 =!= 0))
+    Dedup.buildLshBandIndex(idxBands, w, "lsh_bands", buckets = 16)
+    val nb = bands(d.filter(col("doc_id") % 10 === 0))
+    val pruned = Dedup.incrementalLshCandidatesIndexed(
+        spark, w, "lsh_bands", nb, buckets = 16)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.incrementalLshCandidates(idxBands, nb)
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == full)
+    assert(pruned.nonEmpty)
+    // crawl append: new bands land in their own buckets, existing files
+    // untouched; the merged index answers like a rebuilt one
+    val sigs = parquetFileSigs(s"$dir/lsh_bands")
+    val nb2 = bands(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+    Dedup.appendLshBandIndex(nb2, w, "lsh_bands", buckets = 16)
+    sigs.foreach { case (p, sig) =>
+      assert(parquetFileSigs(s"$dir/lsh_bands").get(p).contains(sig),
+        s"append disturbed $p")
+    }
+    val merged = w.read(spark, "lsh_bands")
+      .select(col("id"), col("band"), col("band_hash"))
+      .as[(Long, Int, Long)].collect().toSet
+    val rebuilt = idxBands.unionByName(nb2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(merged == rebuilt)
+  }
+
   test("index append equals full rebuild (parquet round-trip)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def bands(df: org.apache.spark.sql.DataFrame) =
