@@ -348,6 +348,122 @@ object Retrieval {
     } finally tfB.unpersist(blocking = false)
   }
 
+  /** EXACTLY-ONCE batch append into a persisted BM25 index — the
+    * streaming-ingest form of [[appendBm25Index]] (q89/q106): Spark's
+    * foreachBatch is at-least-once (a batch whose append completed but
+    * whose checkpoint commit didn't is REDELIVERED after a restart),
+    * and a plain append double-applies it. This variant is idempotent
+    * per `batchId` under a write-ahead protocol:
+    *
+    *   1. `{name}_commits/batch_<id>` marker present → the batch is
+    *      fully applied, return (the exactly-once fast path).
+    *   2. POSTINGS REDO: any `b<id>-*` files from a crashed attempt
+    *      are deleted from the bucket dirs, then the batch's postings
+    *      are staged and moved in under deterministic `b<id>-…` names —
+    *      re-running writes byte-identical content, so redo after any
+    *      crash point converges.
+    *   3. VOCAB/STATS: the incremental df merge is NOT idempotent
+    *      (integer addition), so it runs under a `{name}_vocab_dirty`
+    *      flag written first; if a previous attempt died inside it (or
+    *      the index doesn't exist yet — bootstrap), vocab and stats are
+    *      REBUILT from the postings (always exact for whatever the
+    *      postings now hold, which step 2 made correct).
+    *   4. marker, then the dirty flag clears. A crash between them
+    *      costs one needless rebuild on the next batch, never
+    *      correctness.
+    *
+    * Every recovery path lands on the same final index bytes as an
+    * uninterrupted run (IndexRestartSpec kills mid-protocol and
+    * diffs; q106 runs the real readStream kill/restart under v10's
+    * oracle). Batch ids must be the streaming engine's epoch ids —
+    * monotone, replayed verbatim on restart.
+    */
+  def appendBm25IndexBatch(newDocs: DataFrame,
+      writer: graft.sources.TableWriter, name: String, batchId: Long,
+      buckets: Int = 64, vocabBuckets: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val fs = path(s"${name}_commits").getFileSystem(conf)
+    val marker = path(s"${name}_commits/batch_$batchId")
+    if (fs.exists(marker)) return
+    val dirty = path(s"${name}_vocab_dirty")
+    val postRoot = path(s"${name}_postings")
+
+    // ---- step 2: postings redo (idempotent) ----
+    val prefix = s"b$batchId-"
+    if (fs.exists(postRoot))
+      fs.listStatus(postRoot).filter(_.isDirectory).foreach { d =>
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .filter(_.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    val tfB = postingsOf(newDocs, idCol, textCol)
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      .persist()
+    try {
+      val stage = path(s"__stage_b${batchId}_$name")
+      tfB.repartition(col("term_bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("term_bucket").parquet(stage.toString)
+      fs.listStatus(stage).filter(st => st.isDirectory
+          && st.getPath.getName.startsWith("term_bucket=")).foreach { d =>
+        val dst = new org.apache.hadoop.fs.Path(postRoot, d.getPath.getName)
+        fs.mkdirs(dst)
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"$prefix$i.parquet"))
+          }
+      }
+      fs.delete(stage, true)
+
+      // ---- step 3: vocab + stats ----
+      val statsP = path(s"${name}_stats")
+      if (fs.exists(dirty) || !fs.exists(statsP)) {
+        // recovery / bootstrap: exact rebuild from the postings
+        val written = writer.read(spark, s"${name}_postings")
+        writer.materialize(s"${name}_vocab_next",
+          written.groupBy("term").agg(count(lit(1)).as("df"))
+            .withColumn("vocab_bucket",
+              pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int"))
+            .repartition(col("vocab_bucket")),
+          partitionBy = Seq("vocab_bucket"))
+        val vDst = path(s"${name}_vocab")
+        fs.delete(vDst, true)
+        fs.rename(path(s"${name}_vocab_next"), vDst)
+        val st = written.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
+          .collect()(0)
+        writer.materialize(s"${name}_stats",
+          Seq((st.getAs[Long]("n"), st.getAs[Long]("s")))
+            .toDF("n_docs", "sum_dl"))
+      } else {
+        fs.create(dirty, true).close()
+        mergeVocab(spark, writer, name,
+          tfB.groupBy("term").agg(count(lit(1)).as("df_delta")),
+          vocabBuckets,
+          (old, delta) => coalesce(old, lit(0L)) + coalesce(delta, lit(0L)))
+        val old = writer.read(spark, s"${name}_stats").collect()(0)
+        val b = tfB.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
+          .collect()(0)
+        writer.materialize(s"${name}_stats",
+          Seq((old.getAs[Long]("n_docs") + b.getAs[Long]("n"),
+            old.getAs[Long]("sum_dl") + b.getAs[Long]("s")))
+            .toDF("n_docs", "sum_dl"))
+      }
+      // ---- step 4: commit, then clear the dirty flag ----
+      fs.mkdirs(path(s"${name}_commits"))
+      fs.create(marker, true).close()
+      fs.delete(dirty, false)
+    } finally tfB.unpersist(blocking = false)
+  }
+
   /** Targeted delete from a persisted BM25 index — the lexical twin of
     * the ANN deletion lifecycle (v17), and the stronger form: every
     * update is integer subtraction (postings struck, dfs decremented,
