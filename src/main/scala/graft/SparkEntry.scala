@@ -3090,60 +3090,122 @@ object SparkEntry {
     val d = t(s, dir, "documents")
     val stage = java.nio.file.Files
       .createTempDirectory("graft_q106_").toString
-    val in = s"$stage/in"
+    val wh = s"$q40Scratch/streambm25r"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    runStreamRestartIngest(s, stage,
+      (0 to 3).map(c => d.filter(pmod(col("doc_id"), lit(4)) === c)),
+      d.schema,
+      (b, id) => Retrieval.appendBm25IndexBatch(b, writer, "docs", id))
+    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
+    val out = Retrieval.queryBm25Index(s, writer, "docs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+    deleteTree(java.nio.file.Paths.get(stage))
+    out
+  }
+
+  /** Shared kill/redeliver/restart streaming-ingest harness for the
+    * q106/q107/q108 family: chunks land as files, phase 1 processes
+    * two of them, the newest checkpoint COMMIT is deleted (forcing the
+    * engine to redeliver that epoch on restart), two more chunks land,
+    * phase 2 restarts and finishes. `apply(batch, id)` is the
+    * exactly-once batch-append under test.
+    */
+  private def runStreamRestartIngest(s: SparkSession, stageDir: String,
+      chunks: Seq[DataFrame], schema: org.apache.spark.sql.types.StructType,
+      apply: (DataFrame, Long) => Unit): Unit = {
+    val in = s"$stageDir/in"
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(in))
-    (0 to 3).foreach { c =>
-      d.filter(pmod(col("doc_id"), lit(4)) === c).coalesce(1)
-        .write.parquet(s"$stage/c$c")
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.coalesce(1).write.parquet(s"$stageDir/c$i")
     }
     def land(c: Int): Unit = {
-      val src = new java.io.File(s"$stage/c$c").listFiles
+      val src = new java.io.File(s"$stageDir/c$c").listFiles
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(src.toPath,
         java.nio.file.Paths.get(s"$in/c$c.parquet"))
     }
-    val wh = s"$q40Scratch/streambm25r"
-    deleteTree(java.nio.file.Paths.get(wh))
-    val writer = new graft.sources.TableWriter(wh)
-    val ckpt = s"$stage/_ckpt"
+    val ckpt = s"$stageDir/_ckpt"
     def runOnce(): Unit = {
-      val q = s.readStream.schema(d.schema)
+      val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$in/*")
         .writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          Retrieval.appendBm25IndexBatch(batch, writer, "docs", id)
-          ()
-        }
+        .foreachBatch { (batch: DataFrame, id: Long) => apply(batch, id) }
         .start()
       try q.processAllAvailable() finally q.stop()
-      // the restart reuses the SAME checkpoint: wait until the stopped
-      // query fully deregisters or the engine refuses the second start
-      // as a concurrent user of the checkpoint
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (s.streams.active.exists(_.runId == q.runId)
           && System.nanoTime() < deadline)
         Thread.sleep(50)
     }
-    // phase 1: two chunks, then STOP and delete the newest checkpoint
-    // commit — the engine will re-run that epoch on restart
     land(0); land(1)
     runOnce()
     val commits = new java.io.File(s"$ckpt/commits").listFiles
       .filter(f => f.getName.forall(_.isDigit))
     commits.sortBy(_.getName.toLong).lastOption.foreach { f =>
       f.delete()
-      // the checksum sidecar must go with it — a stale .crc makes the
-      // re-written commit unreadable on the local ChecksumFileSystem
       new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
     }
-    // phase 2: two more chunks land while the query is down; RESTART
     land(2); land(3)
     runOnce()
-    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
-    val out = Retrieval.queryBm25Index(s, writer, "docs", qs,
-        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+  }
+
+  /** Streamed positional-index ingest with kill/redeliver/restart (q107
+    * — q106's protocol on the SECOND index family, and the simplest
+    * batch-commit contract: no derived tables, so the marker + the
+    * deterministic postings redo are the whole protocol). Oracle:
+    * v14's trigram replay — the restarted, redelivered ingest must
+    * serve phrase queries bit-identically to a one-shot build.
+    */
+  private def q107StreamPosRestart(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q107_").toString
+    val wh = s"$q40Scratch/streamposr"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    runStreamRestartIngest(s, stage,
+      (0 to 3).map(c => d.filter(pmod(col("doc_id"), lit(4)) === c)),
+      d.schema,
+      (b, id) => Retrieval.appendPositionalIndexBatch(b, writer, "docs", id))
+    val phrases = d
+      .filter(col("doc_id") % 97 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    val out = Retrieval.phraseQuery(s, writer, "docs", phrases,
+      k = bm25K, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+    deleteTree(java.nio.file.Paths.get(stage))
+    out
+  }
+
+  /** Streamed IVF ingest with kill/redeliver/restart (q108 — the THIRD
+    * index family under the q106 protocol): the FIRST batch bootstraps
+    * the index (quantizer trained on it — stride-97 Lloyd, the v3
+    * discipline), later batches assign against the frozen quantizer
+    * under per-batch commit names. Oracle: train on chunk 0
+    * (vec_id % 4 = 0), assign the whole corpus, probe — the
+    * redelivered epoch must leave the index exactly as an
+    * uninterrupted ingest would.
+    */
+  private def q108StreamIvfRestart(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q108_").toString
+    val wh = s"$q40Scratch/streamivfr"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val writer = new graft.sources.TableWriter(wh)
+    runStreamRestartIngest(s, stage,
+      (0 to 3).map(c => e.filter(pmod(col("vec_id"), lit(4)) === c)),
+      e.schema,
+      (b, id) => Similarity.appendIvfIndexBatch(b, writer, "emb", id,
+        trainIters = ivfIters))
+    val out = Similarity.queryIvfIndex(s, writer, "emb",
+        e.filter(col("vec_id") < 8), k = 5, nprobe = 2)
       .withColumn("rank", col("rank").cast("long"))
     deleteTree(java.nio.file.Paths.get(stage))
     out
@@ -5016,6 +5078,8 @@ object SparkEntry {
     "q104_ivf_compaction" -> (q104IvfCompaction _),
     "q105_incremental_classify" -> (q105IncrementalClassify _),
     "q106_stream_index_restart" -> (q106StreamIndexRestart _),
+    "q107_stream_pos_restart" -> (q107StreamPosRestart _),
+    "q108_stream_ivf_restart" -> (q108StreamIvfRestart _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6416,6 +6480,8 @@ object SparkEntry {
     "q105_incremental_classify" ->
       graft.models.CardFixture.classifiedOracleSql,
     "q106_stream_index_restart" -> v10OracleSql,
+    "q107_stream_pos_restart" -> v14OracleSql,
+    "q108_stream_ivf_restart" -> ivfQueryOracleSql(" WHERE vec_id % 4 = 0"),
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

@@ -992,6 +992,53 @@ object Retrieval {
              else org.apache.spark.sql.SaveMode.Overwrite)
   }
 
+  /** EXACTLY-ONCE batch append into a positional index — the streaming
+    * form of [[appendPositionalIndex]] (q107), and the SIMPLEST of the
+    * three batch-commit protocols: positional postings are pure
+    * per-(term, doc) state with nothing derived (no vocab, no stats),
+    * so the whole protocol is the commit marker plus the deterministic
+    * `b<id>-…` postings redo — any crash point replays to identical
+    * bytes, a redelivered batch is a marker check.
+    */
+  def appendPositionalIndexBatch(newDocs: DataFrame,
+      writer: graft.sources.TableWriter, name: String, batchId: Long,
+      buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val fs = path(s"${name}_pos_commits").getFileSystem(conf)
+    val marker = path(s"${name}_pos_commits/batch_$batchId")
+    if (fs.exists(marker)) return
+    val posRoot = path(s"${name}_positions")
+    val prefix = s"b$batchId-"
+    if (fs.exists(posRoot))
+      fs.listStatus(posRoot).filter(_.isDirectory).foreach { d =>
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .filter(_.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    val stage = path(s"__stage_pb${batchId}_$name")
+    positionalPostings(newDocs, buckets, idCol, textCol)
+      .repartition(col("term_bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("term_bucket").parquet(stage.toString)
+    fs.listStatus(stage).filter(st => st.isDirectory
+        && st.getPath.getName.startsWith("term_bucket=")).foreach { d =>
+      val dst = new org.apache.hadoop.fs.Path(posRoot, d.getPath.getName)
+      fs.mkdirs(dst)
+      fs.listStatus(d.getPath).filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dst, s"$prefix$i.parquet"))
+        }
+    }
+    fs.delete(stage, true)
+    fs.mkdirs(path(s"${name}_pos_commits"))
+    fs.create(marker, true).close()
+  }
+
   /** Exact phrase query against a [[buildPositionalIndex]] layout.
     * `phrases`: (query_id LONG, terms ARRAY<STRING>) — a bounded
     * serving-side workload, collected like [[localQueries]]. A document

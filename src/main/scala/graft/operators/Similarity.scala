@@ -648,6 +648,79 @@ object Similarity {
       mode = org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** EXACTLY-ONCE batch append into a persisted IVF index — the
+    * streaming form of [[appendIvfIndex]] (q108): per-batch commit
+    * markers plus deterministic `b<id>-…` list-file naming make crash
+    * replays byte-identical and redeliveries no-ops. The FIRST batch
+    * BOOTSTRAPS the index — quantizer trained on that batch (stride-97
+    * init, the v3 Lloyd discipline) and the lists built from it — so a
+    * streamed ingest needs no out-of-band build; bootstrap is Overwrite
+    * all the way down and therefore redo-idempotent. Later batches
+    * assign against the frozen quantizer (the appendIvfIndex contract)
+    * and land under their own batch names. No derived tables exist in
+    * this family (centroids are written once at bootstrap), so there is
+    * no dirty-flag leg.
+    */
+  def appendIvfIndexBatch(batch: DataFrame,
+      writer: graft.sources.TableWriter, name: String, batchId: Long,
+      trainIters: Int = 3, initStride: Long = 97L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val fs = path(s"${name}_ivf_commits").getFileSystem(conf)
+    val marker = path(s"${name}_ivf_commits/batch_$batchId")
+    if (fs.exists(marker)) return
+    if (!fs.exists(path(s"${name}_centroids"))) {
+      val cents = trainIvfCentroids(batch, initStride, trainIters,
+        idCol, vecCol)
+      buildIvfIndex(batch, cents, writer, name, idCol, vecCol)
+    } else {
+      // same re-add guard as appendIvfIndex: a still-tombstoned id must
+      // be vacuumed before it may re-enter (two-generations hazard)
+      val tombPath = path(s"${name}_tombstones")
+      if (fs.exists(tombPath)) {
+        val clash = writer.read(spark, s"${name}_tombstones")
+          .join(batch.select(col(idCol).as("nbr_id")).distinct(),
+            Seq("nbr_id"), "left_semi")
+          .limit(1).collect()
+        require(clash.isEmpty,
+          s"appendIvfIndexBatch: batch re-adds tombstoned id ${clash.headOption
+            .map(_.get(0)).getOrElse("")} — run vacuumIvfIndex first")
+      }
+      val listsRoot = path(s"${name}_lists")
+      val prefix = s"b$batchId-"
+      if (fs.exists(listsRoot))
+        fs.listStatus(listsRoot).filter(_.isDirectory).foreach { d =>
+          fs.listStatus(d.getPath).filter(_.isFile)
+            .filter(_.getPath.getName.startsWith(prefix))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+      val centroids = writer.read(spark, s"${name}_centroids")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      val stage = path(s"__stage_ib${batchId}_$name")
+      assignToCentroids(batch, centroids, idCol, vecCol)
+        .repartition(col("cent_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cent_id").parquet(stage.toString)
+      fs.listStatus(stage).filter(st => st.isDirectory
+          && st.getPath.getName.startsWith("cent_id=")).foreach { d =>
+        val dst = new org.apache.hadoop.fs.Path(listsRoot, d.getPath.getName)
+        fs.mkdirs(dst)
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"$prefix$i.parquet"))
+          }
+      }
+      fs.delete(stage, true)
+    }
+    fs.mkdirs(path(s"${name}_ivf_commits"))
+    fs.create(marker, true).close()
+  }
+
   /** Targeted delete from a persisted IVF index — the missing quarter of
     * the index lifecycle (build / append / DELETE / vacuum, FAISS's
     * `remove_ids` on a disk index): each victim's owning list is found

@@ -98,6 +98,68 @@ class IndexRestartSpec extends SparkSpec {
       "recovery must clear the dirty flag")
   }
 
+  test("positional batch appends: redelivery no-op, stray-file redo converges") {
+    val dir = java.nio.file.Files.createTempDirectory("idxr6").toString
+    val w = new TableWriter(dir)
+    (0 to 3).foreach(c =>
+      Retrieval.appendPositionalIndexBatch(batch(c), w, "docs", c))
+    val sigs = parquetFileSigs(dir)
+    // redelivery: byte-level no-op
+    (0 to 3).foreach(c =>
+      Retrieval.appendPositionalIndexBatch(batch(c), w, "docs", c))
+    assert(parquetFileSigs(dir) == sigs)
+    // crashed attempt of a NEW batch left a stray file; redo sweeps it
+    val bucketDir = new java.io.File(s"$dir/docs_positions").listFiles
+      .filter(_.isDirectory).head
+    java.nio.file.Files.write(
+      new java.io.File(bucketDir, "b9-0.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    Retrieval.appendPositionalIndexBatch(
+      batch(0).withColumn("doc_id", col("doc_id") + 1000000L), w, "docs", 9)
+    // one-shot rebuild over the same corpus serves identically
+    val refDir = java.nio.file.Files.createTempDirectory("idxr6r").toString
+    val wr = new TableWriter(refDir)
+    Retrieval.buildPositionalIndex(
+      docs.unionByName(batch(0).withColumn("doc_id", col("doc_id") + 1000000L)),
+      wr, "docs")
+    val phrases = docs.filter(col("doc_id") % 11 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    def rows(wx: TableWriter) = Retrieval.phraseQuery(spark, wx, "docs",
+        phrases, k = 7, excludeSelf = true)
+      .collect().map(_.toSeq).toSet
+    val got = rows(w)
+    assert(got == rows(wr))
+    assert(got.nonEmpty)
+  }
+
+  test("IVF batch appends: bootstrap on batch 0, redelivery no-op, == one-shot") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def ebatch(c: Int) = emb.filter(pmod(col("vec_id"), lit(4)) === c)
+    val dir = java.nio.file.Files.createTempDirectory("idxr7").toString
+    val w = new TableWriter(dir)
+    (0 to 3).foreach(c =>
+      Similarity.appendIvfIndexBatch(ebatch(c), w, "emb", c, trainIters = 2))
+    val sigs = parquetFileSigs(dir)
+    (0 to 3).foreach(c =>
+      Similarity.appendIvfIndexBatch(ebatch(c), w, "emb", c, trainIters = 2))
+    assert(parquetFileSigs(dir) == sigs,
+      "redelivered IVF batches must touch nothing")
+    // one-shot build under the SAME quantizer (trained on chunk 0)
+    val refDir = java.nio.file.Files.createTempDirectory("idxr7r").toString
+    val wr = new TableWriter(refDir)
+    val cents = Similarity.trainIvfCentroids(ebatch(0), 97L, 2)
+    Similarity.buildIvfIndex(emb, cents, wr, "emb")
+    def rows(wx: TableWriter) = Similarity.queryIvfIndex(spark, wx, "emb",
+        emb.filter(col("vec_id") < 6), k = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val got = rows(w)
+    assert(got == rows(wr))
+    assert(got.nonEmpty)
+  }
+
   test("served rankings from the batch build match the one-shot path") {
     val dir = java.nio.file.Files.createTempDirectory("idxr5").toString
     val w = buildClean(dir)
