@@ -33,7 +33,7 @@ object ScaleProbe {
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
         "q70", "q71", "q20", "q43", "v8", "v9", "v12", "v17", "bm25",
         "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics",
-        "triangles")
+        "triangles", "ranktopk")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -72,7 +72,8 @@ object ScaleProbe {
 
     if (probes.intersect(
         Set("d3", "d11", "d15", "d18", "d21", "d35", "d37", "bpe", "d33",
-          "d34", "bm25", "dsir", "phrase", "clf", "maxscore")).nonEmpty) {
+          "d34", "bm25", "dsir", "phrase", "clf", "maxscore",
+          "ranktopk")).nonEmpty) {
       val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
       val docsN = replicate(docs1, "doc_id", mult, mutate = true)
         .repartition(cpus.toInt).persist()
@@ -231,7 +232,7 @@ object ScaleProbe {
         // Max-score serving on the DELIBERATELY high-df adversary the r8
         // verdict asked for (production queries contain stop words): five
         // universal terms are appended to EVERY doc (max df), plus one of
-        // 997 rare marker terms per doc (df ≈ N/997). Queries mix the
+        // 97 rare marker terms per doc (df ≈ N/97). Queries mix the
         // three stop words with the query doc's rare marker. The naive
         // plan drags the whole corpus through the fold shuffle (every doc
         // matches the stop words); max-score proves the stop words
@@ -284,6 +285,67 @@ object ScaleProbe {
           }
           deleteTree(pdDir)
           zd.unpersist(blocking = false)
+        }
+        // ranktopk: the r9 verdict's weak, isolated — per-query rank must
+        // not sort one query's candidate mass in a single task. A scored
+        // candidate frame where ONE query owns the ENTIRE corpus (the
+        // stop-word-query worst case: every doc holds the query's term)
+        // is ranked both ways: the old `row_number over partitionBy
+        // (query_id)` window (single-task sort — cost grows with the
+        // candidate count) vs the bounded-heap TopKRankAggregator the
+        // serving paths now use (map-side ≤k rows per partition — cost
+        // tracks partitions×k, near-flat in candidates). Also times the
+        // REAL serving path with one 1%-df marker query against the
+        // index, where the rank stage is no longer the scaling term.
+        if (on("ranktopk")) {
+          // candidate mass = corpus × 100 (each doc fans into 100 scored
+          // candidate rows): at 100× this is a 50M-row candidate set for
+          // ONE query — the 10⁸-rows-at-100TB shape, scaled to the box
+          val cand = d
+            .select(explode(sequence(lit(0L), lit(99L))).as("f"),
+              col("doc_id"))
+            .select(lit(0L).as("query_id"),
+              (col("doc_id") * 100L + col("f")).as("doc_id"),
+              lit(1L).as("n_hit"),
+              (pmod(xxhash64(col("doc_id"), col("f")), lit(1000000L))
+                .cast("double")
+                / lit(1000000.0)).cast("decimal(38,18)").as("score"))
+            .persist()
+          println(s"  ranktopk candidate mass: ${cand.count()} rows, 1 query")
+          t(s"rank_window_$label") {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("score").desc, col("doc_id").asc)
+            cand.withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= 10)
+              .agg(sum(col("doc_id"))).head(); 10L
+          }
+          t(s"rank_heap_$label") {
+            val topk = udaf(new graft.functions.TopKRankAggregator(10),
+              org.apache.spark.sql.Encoders.product[graft.functions.RankedDoc])
+            cand.groupBy("query_id")
+              .agg(topk(col("score"), col("doc_id"), col("n_hit")).as("top"))
+              .select(posexplode(col("top")).as(Seq("pos", "r")))
+              .agg(sum(col("r.docId"))).head(); 10L
+          }
+          cand.unpersist(blocking = false)
+          // the real serving path with the same 1%-candidate shape: one
+          // query holding a df≈N/100 marker term
+          val md = d.withColumn("text",
+            concat(col("text"), lit(" mk"), pmod(col("doc_id"), lit(100L))))
+          val whDir = java.nio.file.Files
+            .createTempDirectory("probe_rtk_").toString
+          val w = new graft.sources.TableWriter(whDir)
+          t(s"rank_serving_build_$label") {
+            Retrieval.buildBm25Index(md, w, "docs")
+            spark.read.parquet(s"$whDir/docs_stats").count()
+          }
+          val oneQ = spark.range(1)
+            .select(lit(0L).as("query_id"), lit("mk7").as("term"))
+          t(s"rank_serving_query_$label") {
+            Retrieval.queryBm25Index(spark, w, "docs", oneQ, k = 10).count()
+          }
+          deleteTree(whDir)
         }
         // d41: DSIR — one (doc, bin) combine shuffle, a 64-row bag model,
         // TakeOrdered selection. Must scale ~linearly in corpus size

@@ -4396,7 +4396,7 @@ object SparkEntry {
     * Exact decimals → full hash contract.
     */
   private def q90CdcFeed(s: SparkSession, dir: String): DataFrame =
-    cdcRun(s, dir).read(s, "orders_cdc_changes")
+    cdcRun(s, dir).readChangeFeed(s, "orders_cdc")
       .select(col("batch_id"), col("change_op"), col("k"),
         col("price").cast("double").as("price"))
 
@@ -4440,7 +4440,7 @@ object SparkEntry {
     * the hash.
     */
   private def q99CdcReplica(s: SparkSession, dir: String): DataFrame = {
-    val feed = cdcRun(s, dir).read(s, "orders_cdc_changes")
+    val feed = cdcRun(s, dir).readChangeFeed(s, "orders_cdc")
     val wh = s"$q40Scratch/cdcreplica_${java.lang.Integer.toHexString(dir.hashCode)}"
     deleteTree(java.nio.file.Paths.get(wh))
     val w = new graft.sources.TableWriter(wh)
@@ -4493,7 +4493,7 @@ object SparkEntry {
     * the materialized-view-maintenance contract. Exact decimal sums.
     */
   private def q91CdcView(s: SparkSession, dir: String): DataFrame = {
-    val feed = cdcRun(s, dir).read(s, "orders_cdc_changes")
+    val feed = cdcRun(s, dir).readChangeFeed(s, "orders_cdc")
     val signed = feed.withColumn("sign",
       when(col("change_op").isin("insert", "update_post"), lit(1L))
         .otherwise(lit(-1L)))
@@ -4639,11 +4639,14 @@ object SparkEntry {
     */
   private def q93StreamCdcView(s: SparkSession, dir: String): DataFrame = {
     val w = cdcRun(s, dir)
-    val feedPath = w.path("orders_cdc_changes")
-    val schema = s.read.parquet(feedPath).schema
+    // the feed is one directory per batch (batch=<id>/, possibly several
+    // files each); the stream globs the batch dirs — each matched dir is
+    // its own read root, so the schema is the written change rows
+    val feedGlob = w.path("orders_cdc_changes") + "/batch=*"
+    val schema = w.readChangeFeed(s, "orders_cdc").schema
     val feed = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(feedPath)
+      .parquet(feedGlob)
     val signed = feed.withColumn("sign",
       when(col("change_op").isin("insert", "update_post"), lit(1L))
         .otherwise(lit(-1L)))

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Shared pieces of the three index families' exactly-once batch-commit
+  * protocols (BM25 [[Retrieval.appendBm25IndexBatch]], positional
+  * [[Retrieval.appendPositionalIndexBatch]], IVF
+  * [[Similarity.appendIvfIndexBatch]]):
+  *
+  *   - atomic small-file writes (stage to a dot-tmp name, rename in) for
+  *     protocol state the recovery path must never observe half-written:
+  *     the dirty flag's stats snapshot, the per-batch staged-file
+  *     manifest;
+  *   - the per-batch STAGED-FILE MANIFEST: written BEFORE any staged
+  *     postings/list file is renamed into the live layout, listing every
+  *     destination path the attempt will create. Redo after a crash
+  *     deletes exactly the manifest's paths — O(batch's files) — instead
+  *     of listing every bucket directory (buckets × batches namenode
+  *     calls on the hot streaming path: invisible at 64 buckets, a
+  *     metadata hot loop at 4096);
+  *   - the WRITER LEASE: the batch protocols assume ONE writer —
+  *     interleaved marker/dirty-flag writes from a second concurrent
+  *     stream would corrupt derived state silently. The lease file pins
+  *     the index to a writer identity (the stream's checkpoint location
+  *     is the natural id); a second writer with a different id fails
+  *     loudly instead. The SAME id re-acquires freely — a restarted
+  *     incarnation of the owning stream is the expected redelivery case,
+  *     indistinguishable from and safe under the idempotent protocol.
+  *     Decommissioning a stream hands the index over via
+  *     [[releaseLease]]. On filesystems with atomic rename-no-replace
+  *     (HDFS, local) the acquisition race between two new writers is
+  *     decided by the rename; object stores would use a conditional put.
+  */
+private[graft] object IndexProtocol {
+
+  def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Write `lines` to `p` atomically: dot-tmp in the same directory,
+    * then rename over. Readers see the old content or the new, never a
+    * prefix. (Local/HDFS rename does not replace an existing target, so
+    * the old file is removed first — the callers' recovery paths treat
+    * ABSENCE of each protocol file conservatively: a missing dirty flag
+    * at this point is unreachable because the flag is only rewritten
+    * while it does not yet exist, and a missing staged manifest means
+    * no renames have happened.)
+    */
+  def writeLinesAtomic(fs: FileSystem, p: Path, lines: Seq[String]): Unit = {
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"writeLinesAtomic: rename $tmp -> $p failed")
+  }
+
+  /** Acquire (or re-acquire) the single-writer lease under `commitsDir`.
+    * Same `writerId` → success (restart/redelivery of the owning
+    * writer). Different id → IllegalStateException, loudly. First
+    * acquisition races are decided by rename-no-replace.
+    */
+  def acquireLease(fs: FileSystem, commitsDir: Path, writerId: String,
+      what: String): Unit = {
+    val lease = new Path(commitsDir, "writer")
+    def ownerOf(p: Path): String = readLines(fs, p).headOption.getOrElse("")
+    if (fs.exists(lease)) {
+      val owner = ownerOf(lease)
+      if (owner != writerId)
+        throw new IllegalStateException(
+          s"$what: index is leased to writer '$owner'; this writer is " +
+            s"'$writerId'. A second concurrent stream on one index would " +
+            "corrupt derived state — decommission the owner and call " +
+            "releaseLease first.")
+      return
+    }
+    fs.mkdirs(commitsDir)
+    val tmp = new Path(commitsDir, s".writer.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((writerId + "\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, lease)) {
+      // lost the race — someone renamed first; defer to them
+      fs.delete(tmp, false)
+      val owner = ownerOf(lease)
+      if (owner != writerId)
+        throw new IllegalStateException(
+          s"$what: lost the lease race to writer '$owner' (this writer is " +
+            s"'$writerId')")
+    }
+  }
+
+  /** Hand the index over: removes the writer lease so a NEW writer id
+    * may acquire it. Only safe once the owning stream is stopped.
+    */
+  def releaseLease(fs: FileSystem, commitsDir: Path): Unit =
+    fs.delete(new Path(commitsDir, "writer"), false)
+
+  /** Redo a crashed attempt's file moves: delete exactly the destination
+    * paths the attempt's staged-file manifest planned (renames only ever
+    * happen after the manifest is written, so the manifest covers every
+    * file a crashed attempt can have moved in). O(batch), not
+    * O(buckets): no bucket directory is listed.
+    */
+  def redoFromManifest(fs: FileSystem, manifest: Path): Unit =
+    if (fs.exists(manifest))
+      readLines(fs, manifest).filter(_.nonEmpty)
+        .foreach(f => fs.delete(new Path(f), false))
+
+  /** Move a staged partitioned write into the live layout under
+    * deterministic `b<batchId>-<i>` names, guarded by the staged-file
+    * manifest: plan the (src, dst) moves, write the manifest atomically,
+    * then rename. A crash at any point replays convergently — before
+    * the manifest nothing has moved; after it, [[redoFromManifest]]
+    * removes whatever subset landed. Returns the destination paths.
+    */
+  def moveStagedIn(fs: FileSystem, stage: Path, liveRoot: Path,
+      partitionPrefix: String, batchPrefix: String,
+      manifest: Path): Seq[Path] = {
+    val moves: Seq[(Path, Path)] =
+      fs.listStatus(stage).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(partitionPrefix))
+        .flatMap { d =>
+          val dst = new Path(liveRoot, d.getPath.getName)
+          fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.map { case (f, i) =>
+              (f.getPath, new Path(dst, s"$batchPrefix$i.parquet"))
+            }
+        }
+    writeLinesAtomic(fs, manifest, moves.map(_._2.toString))
+    moves.foreach { case (src, dst) =>
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"moveStagedIn: rename $src -> $dst failed (a file at the " +
+            "destination can only be a crashed attempt's — the manifest " +
+            "redo should have removed it)")
+    }
+    fs.delete(stage, true)
+    moves.map(_._2)
+  }
+}

@@ -93,11 +93,36 @@ object Retrieval {
       .agg(count(lit(1)).cast("long").as("n_hit"),
         sum(col("s").cast("decimal(38,18)")).as("score"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    perDoc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "doc_id", "rank", "n_hit")
+    rankTopK(perDoc, k, col("score"), col("n_hit"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("payload").as("n_hit"))
+  }
+
+  /** Distributed per-query top-k rank — the serving-side replacement for
+    * `row_number() over (partitionBy(query_id) orderBy score desc,
+    * doc_id asc)`, whose single-task-per-query sort is the one plan
+    * shape that does not survive a 100× corpus (one mid-df query term =
+    * one task sorting millions of candidates). The bounded-heap
+    * [[graft.functions.TopKRankAggregator]] aggregates with map-side
+    * partials, so each partition ships ≤k rows per query and the final
+    * merge sees ≤ partitions×k rows; the emitted list is totally ordered
+    * by (score desc, doc_id asc), so list position + 1 IS row_number —
+    * rankings are bit-identical to the window formulation (RetrievalSpec
+    * pins frame equality; the serving oracles hash unchanged).
+    * Output: (query_id, doc_id, rank, payload, score); callers project.
+    */
+  private def rankTopK(cand: DataFrame, k: Int, score: Column,
+      payload: Column): DataFrame = {
+    val topk = udaf(new graft.functions.TopKRankAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.RankedDoc])
+    cand
+      .groupBy("query_id")
+      .agg(topk(score.cast("decimal(38,18)"), col("doc_id"),
+        payload.cast("long")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("query_id"), col("r.docId").as("doc_id"),
+        (col("pos") + 1).as("rank"), col("r.payload").as("payload"),
+        col("r.score").as("score"))
   }
 
   /** Collect the (bounded, serving-side) query workload to the driver:
@@ -355,22 +380,44 @@ object Retrieval {
     * and a plain append double-applies it. This variant is idempotent
     * per `batchId` under a write-ahead protocol:
     *
+    *   0. WRITER FENCE: the protocol assumes ONE writer; a second
+    *      concurrent stream's interleaved flag/marker writes would
+    *      corrupt vocab silently. [[IndexProtocol.acquireLease]] pins
+    *      the index to `writerId` (pass the stream's checkpoint
+    *      location); a different id fails loudly, the same id
+    *      re-acquires freely (the restart case).
     *   1. `{name}_commits/batch_<id>` marker present → the batch is
-    *      fully applied, return (the exactly-once fast path).
-    *   2. POSTINGS REDO: any `b<id>-*` files from a crashed attempt
-    *      are deleted from the bucket dirs, then the batch's postings
-    *      are staged and moved in under deterministic `b<id>-…` names —
-    *      re-running writes byte-identical content, so redo after any
-    *      crash point converges.
-    *   3. VOCAB/STATS: the incremental df merge is NOT idempotent
-    *      (integer addition), so it runs under a `{name}_vocab_dirty`
-    *      flag written first; if a previous attempt died inside it (or
-    *      the index doesn't exist yet — bootstrap), vocab and stats are
-    *      REBUILT from the postings (always exact for whatever the
-    *      postings now hold, which step 2 made correct).
-    *   4. marker, then the dirty flag clears. A crash between them
-    *      costs one needless rebuild on the next batch, never
-    *      correctness.
+    *      fully applied; stale protocol litter (a crash between the
+    *      marker and the flag clears) is swept, and return.
+    *   2. POSTINGS REDO, O(batch): a crashed attempt's moved-in files
+    *      are deleted by replaying the attempt's own staged-file
+    *      manifest (`{name}_commits/staged_<id>`, written BEFORE any
+    *      rename — so it covers every file a crash can have landed).
+    *      No bucket directory is listed — redo cost tracks the batch's
+    *      buckets, not buckets × batches namenode calls. Then the
+    *      batch's postings are staged and moved in under deterministic
+    *      `b<id>-…` names behind a fresh manifest.
+    *   3. VOCAB/STATS under the `{name}_vocab_dirty` write-ahead flag,
+    *      which records `(batchId, pre-merge n_docs, pre-merge
+    *      sum_dl)` — or `bootstrap` — BEFORE any derived write in
+    *      EITHER branch (bootstrap too: without the flag, a crash
+    *      after the bootstrap's vocab/stats materialize but before the
+    *      marker would leave stats present + dirty absent, and
+    *      redelivery would take the incremental branch and double-add
+    *      the batch — an unrepairable count). Recovery is
+    *      BUCKET-SCOPED: a crashed incremental merge can only have
+    *      damaged the vocab buckets the batch's vocabulary hashes into
+    *      (mergeVocab overwrites nothing else) plus the stats row, so
+    *      redelivery recomputes ONLY those buckets' dfs from the
+    *      postings (the ground truth step 2 just made correct) and
+    *      patches stats from the flag's snapshot plus the batch's own
+    *      deterministic contribution — recovery cost tracks the
+    *      BATCH's vocabulary, not the index (`ScaleProbe recovery`
+    *      measures it). A crashed bootstrap rebuilds vocab+stats from
+    *      the postings, which at bootstrap are batch-sized.
+    *   4. marker, then the flags clear. A crash between them leaves
+    *      litter that the next call's fast path (step 1) or the stale-
+    *      flag check sweeps — never incorrect state.
     *
     * Every recovery path lands on the same final index bytes as an
     * uninterrupted run (IndexRestartSpec kills mid-protocol and
@@ -381,25 +428,28 @@ object Retrieval {
   def appendBm25IndexBatch(newDocs: DataFrame,
       writer: graft.sources.TableWriter, name: String, batchId: Long,
       buckets: Int = 64, vocabBuckets: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      writerId: String = "default"): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
-    val fs = path(s"${name}_commits").getFileSystem(conf)
+    val commitsDir = path(s"${name}_commits")
+    val fs = commitsDir.getFileSystem(conf)
+    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+      s"appendBm25IndexBatch($name)")
     val marker = path(s"${name}_commits/batch_$batchId")
-    if (fs.exists(marker)) return
+    val stagedMf = path(s"${name}_commits/staged_$batchId")
     val dirty = path(s"${name}_vocab_dirty")
+    if (fs.exists(marker)) {
+      // committed: sweep litter a crash between marker and clears left
+      fs.delete(dirty, false); fs.delete(stagedMf, false)
+      return
+    }
     val postRoot = path(s"${name}_postings")
 
-    // ---- step 2: postings redo (idempotent) ----
-    val prefix = s"b$batchId-"
-    if (fs.exists(postRoot))
-      fs.listStatus(postRoot).filter(_.isDirectory).foreach { d =>
-        fs.listStatus(d.getPath).filter(_.isFile)
-          .filter(_.getPath.getName.startsWith(prefix))
-          .foreach(f => fs.delete(f.getPath, false))
-      }
+    // ---- step 2: postings redo (O(batch), manifest-driven) ----
+    IndexProtocol.redoFromManifest(fs, stagedMf)
     val tfB = postingsOf(newDocs, idCol, textCol)
       .withColumn("term_bucket",
         pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
@@ -409,23 +459,24 @@ object Retrieval {
       tfB.repartition(col("term_bucket"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("term_bucket").parquet(stage.toString)
-      fs.listStatus(stage).filter(st => st.isDirectory
-          && st.getPath.getName.startsWith("term_bucket=")).foreach { d =>
-        val dst = new org.apache.hadoop.fs.Path(postRoot, d.getPath.getName)
-        fs.mkdirs(dst)
-        fs.listStatus(d.getPath).filter(_.isFile)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(dst, s"$prefix$i.parquet"))
-          }
-      }
-      fs.delete(stage, true)
+      IndexProtocol.moveStagedIn(fs, stage, postRoot,
+        partitionPrefix = "term_bucket=", batchPrefix = s"b$batchId-",
+        manifest = stagedMf)
 
-      // ---- step 3: vocab + stats ----
-      val statsP = path(s"${name}_stats")
-      if (fs.exists(dirty) || !fs.exists(statsP)) {
-        // recovery / bootstrap: exact rebuild from the postings
+      // batch contribution to stats — deterministic from the (pinned)
+      // batch postings; used by both the incremental and recovery paths
+      lazy val bStat = {
+        val b = tfB.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
+          .collect()(0)
+        (b.getAs[Long]("n"), b.getAs[Long]("s"))
+      }
+      def writeStats(n: Long, s: Long): Unit =
+        writer.materialize(s"${name}_stats",
+          Seq((n, s)).toDF("n_docs", "sum_dl"))
+      // exact rebuild of vocab+stats from the postings (bootstrap /
+      // bootstrap-crash recovery; batch-sized at bootstrap)
+      def rebuildAllFromPostings(): Unit = {
         val written = writer.read(spark, s"${name}_postings")
         writer.materialize(s"${name}_vocab_next",
           written.groupBy("term").agg(count(lit(1)).as("df"))
@@ -439,28 +490,90 @@ object Retrieval {
         val st = written.select(col("doc_id"), col("dl")).distinct()
           .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
           .collect()(0)
-        writer.materialize(s"${name}_stats",
-          Seq((st.getAs[Long]("n"), st.getAs[Long]("s")))
-            .toDF("n_docs", "sum_dl"))
-      } else {
-        fs.create(dirty, true).close()
-        mergeVocab(spark, writer, name,
-          tfB.groupBy("term").agg(count(lit(1)).as("df_delta")),
-          vocabBuckets,
-          (old, delta) => coalesce(old, lit(0L)) + coalesce(delta, lit(0L)))
-        val old = writer.read(spark, s"${name}_stats").collect()(0)
-        val b = tfB.select(col("doc_id"), col("dl")).distinct()
-          .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
-          .collect()(0)
-        writer.materialize(s"${name}_stats",
-          Seq((old.getAs[Long]("n_docs") + b.getAs[Long]("n"),
-            old.getAs[Long]("sum_dl") + b.getAs[Long]("s")))
-            .toDF("n_docs", "sum_dl"))
+        writeStats(st.getAs[Long]("n"), st.getAs[Long]("s"))
       }
-      // ---- step 4: commit, then clear the dirty flag ----
-      fs.mkdirs(path(s"${name}_commits"))
+      // bucket-scoped vocab repair: recompute dfs from the postings for
+      // ONLY the vocab buckets the batch's vocabulary hashes into. When
+      // buckets % vocabBuckets == 0, postings bucket b holds exactly the
+      // terms whose vocab bucket is b % vocabBuckets, so the recompute
+      // reads buckets/vocabBuckets of the postings per touched vocab
+      // bucket and is complete for them by construction.
+      def recoverTouchedVocabBuckets(): Boolean = {
+        if (buckets % vocabBuckets != 0) return false
+        // bounded collect: ≤ vocabBuckets ids — the batch's own buckets
+        val touched = tfB
+          .select(pmod(xxhash64(col("term")), lit(vocabBuckets.toLong))
+            .cast("int").as("vb"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        if (touched.isEmpty) return true
+        val pb = (0 until buckets).filter(b => touched.contains(b % vocabBuckets))
+        writer.read(spark, s"${name}_postings")
+          .filter(col("term_bucket").cast("int").isin(pb: _*))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("vocab_bucket",
+            pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int"))
+          .repartition(col("vocab_bucket")) // one file per bucket dir
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("vocab_bucket")
+          .parquet(writer.path(s"${name}_vocab"))
+        true
+        // (no bucket-delete sweep: append deltas are positive, so the
+        // crashed merge can never have emptied a bucket)
+      }
+
+      // ---- step 3: vocab + stats under the write-ahead dirty flag ----
+      val statsP = path(s"${name}_stats")
+      val dirtyState: Option[Seq[String]] =
+        if (fs.exists(dirty)) Some(IndexProtocol.readLines(fs, dirty))
+        else None
+      // stale flag from a crash between a PREVIOUS batch's marker and
+      // its clear: that batch's merge completed (marker is written
+      // after vocab/stats), so the flag is litter, not damage
+      val live = dirtyState.filter { st =>
+        val ok = st.headOption.exists(_.toLong == batchId)
+        if (!ok) {
+          val prev = st.headOption.map(_.toLong).getOrElse(-1L)
+          require(fs.exists(path(s"${name}_commits/batch_$prev")),
+            s"appendBm25IndexBatch($name): dirty flag names batch $prev " +
+              s"with no commit marker while batch $batchId is applying — " +
+              "two writers on one index?")
+          fs.delete(dirty, false)
+        }
+        ok
+      }
+      live match {
+        case None if !fs.exists(statsP) =>
+          // BOOTSTRAP, first attempt: declare dirty BEFORE deriving
+          IndexProtocol.writeLinesAtomic(fs, dirty,
+            Seq(batchId.toString, "bootstrap"))
+          rebuildAllFromPostings()
+        case Some(st) if st.lift(1).contains("bootstrap") =>
+          // crashed bootstrap: exact rebuild (batch-sized postings)
+          rebuildAllFromPostings()
+        case Some(st) =>
+          // crashed incremental merge: bucket-scoped repair + stats
+          // from the flag's pre-merge snapshot + the batch contribution
+          val Array(n0, s0) = st(1).split("\t").map(_.toLong)
+          if (recoverTouchedVocabBuckets()) writeStats(n0 + bStat._1, s0 + bStat._2)
+          else rebuildAllFromPostings() // non-divisible bucket layout
+        case None =>
+          // incremental: snapshot pre-merge stats INTO the flag first
+          val old = writer.read(spark, s"${name}_stats").collect()(0)
+          val (n0, s0) =
+            (old.getAs[Long]("n_docs"), old.getAs[Long]("sum_dl"))
+          IndexProtocol.writeLinesAtomic(fs, dirty,
+            Seq(batchId.toString, s"$n0\t$s0"))
+          mergeVocab(spark, writer, name,
+            tfB.groupBy("term").agg(count(lit(1)).as("df_delta")),
+            vocabBuckets,
+            (o, delta) => coalesce(o, lit(0L)) + coalesce(delta, lit(0L)))
+          writeStats(n0 + bStat._1, s0 + bStat._2)
+      }
+      // ---- step 4: commit, then clear the flags ----
       fs.create(marker, true).close()
       fs.delete(dirty, false)
+      fs.delete(stagedMf, false)
     } finally tfB.unpersist(blocking = false)
   }
 
@@ -823,17 +936,18 @@ object Retrieval {
     val seeds: Seq[(Long, String)] = byQ.toSeq.flatMap { case (q, ts) =>
       seedTerms(ts.map(t => (t, dfs(t))), k).map(q -> _)
     }
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    // bounded collect: one (n, kth) row per query
-    val tauRows = partials(seeds.toDF("query_id", "term"),
-        prunedPosts(seeds.map(_._2).distinct))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("s").cast("decimal(38,18)")).as("score"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= k)
+    // bounded collect: one (n, kth) row per query; the seed candidates
+    // rank through the bounded-heap aggregate (rankTopK), not a
+    // per-query window — seed terms are the rarest but their dfs can
+    // still be corpus-scaled
+    val tauRows = rankTopK(
+        partials(seeds.toDF("query_id", "term"),
+            prunedPosts(seeds.map(_._2).distinct))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("s").cast("decimal(38,18)")).as("score")),
+        k, col("score"), lit(0L))
       .groupBy("query_id")
-      .agg(max(col("rn")).as("n"), min(col("score")).cast("double").as("kth"))
+      .agg(max(col("rank")).as("n"), min(col("score")).cast("double").as("kth"))
       .collect()
       .map(r => r.getAs[Long]("query_id")
         -> (if (r.getAs[Int]("n") >= k) r.getAs[Double]("kth")
@@ -855,12 +969,13 @@ object Retrieval {
     val full = partials(qRowsIn.toDF("query_id", "term"),
         prunedPosts(qRowsIn.map(_._2).distinct))
       .join(cand, Seq("query_id", "doc_id"), "left_semi")
-    full.groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).cast("long").as("n_hit"),
-        sum(col("s").cast("decimal(38,18)")).as("score"))
-      .withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= k)
-      .select("query_id", "doc_id", "rank", "n_hit")
+    rankTopK(
+        full.groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).cast("long").as("n_hit"),
+            sum(col("s").cast("decimal(38,18)")).as("score")),
+        k, col("score"), col("n_hit"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("payload").as("n_hit"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two rank frames,
@@ -996,47 +1111,40 @@ object Retrieval {
     * form of [[appendPositionalIndex]] (q107), and the SIMPLEST of the
     * three batch-commit protocols: positional postings are pure
     * per-(term, doc) state with nothing derived (no vocab, no stats),
-    * so the whole protocol is the commit marker plus the deterministic
-    * `b<id>-…` postings redo — any crash point replays to identical
-    * bytes, a redelivered batch is a marker check.
+    * so the whole protocol is the writer fence, the commit marker, and
+    * the manifest-driven `b<id>-…` postings redo — any crash point
+    * replays to identical bytes, a redelivered batch is a marker check.
+    * Redo is O(batch): the staged-file manifest (written before any
+    * rename) lists exactly the files a crashed attempt can have moved
+    * in, so no bucket directory is ever listed.
     */
   def appendPositionalIndexBatch(newDocs: DataFrame,
       writer: graft.sources.TableWriter, name: String, batchId: Long,
       buckets: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      writerId: String = "default"): Unit = {
     val spark = newDocs.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
-    val fs = path(s"${name}_pos_commits").getFileSystem(conf)
+    val commitsDir = path(s"${name}_pos_commits")
+    val fs = commitsDir.getFileSystem(conf)
+    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+      s"appendPositionalIndexBatch($name)")
     val marker = path(s"${name}_pos_commits/batch_$batchId")
-    if (fs.exists(marker)) return
+    val stagedMf = path(s"${name}_pos_commits/staged_$batchId")
+    if (fs.exists(marker)) { fs.delete(stagedMf, false); return }
     val posRoot = path(s"${name}_positions")
-    val prefix = s"b$batchId-"
-    if (fs.exists(posRoot))
-      fs.listStatus(posRoot).filter(_.isDirectory).foreach { d =>
-        fs.listStatus(d.getPath).filter(_.isFile)
-          .filter(_.getPath.getName.startsWith(prefix))
-          .foreach(f => fs.delete(f.getPath, false))
-      }
+    IndexProtocol.redoFromManifest(fs, stagedMf)
     val stage = path(s"__stage_pb${batchId}_$name")
     positionalPostings(newDocs, buckets, idCol, textCol)
       .repartition(col("term_bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("term_bucket").parquet(stage.toString)
-    fs.listStatus(stage).filter(st => st.isDirectory
-        && st.getPath.getName.startsWith("term_bucket=")).foreach { d =>
-      val dst = new org.apache.hadoop.fs.Path(posRoot, d.getPath.getName)
-      fs.mkdirs(dst)
-      fs.listStatus(d.getPath).filter(_.isFile)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(dst, s"$prefix$i.parquet"))
-        }
-    }
-    fs.delete(stage, true)
-    fs.mkdirs(path(s"${name}_pos_commits"))
+    IndexProtocol.moveStagedIn(fs, stage, posRoot,
+      partitionPrefix = "term_bucket=", batchPrefix = s"b$batchId-",
+      manifest = stagedMf)
     fs.create(marker, true).close()
+    fs.delete(stagedMf, false)
   }
 
   /** Exact phrase query against a [[buildPositionalIndex]] layout.
@@ -1123,11 +1231,9 @@ object Retrieval {
     val scoped =
       if (excludeSelf) folded.filter(col("doc_id") =!= col("query_id"))
       else folded
-    scoped
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("n_occ").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("n_occ"), col("rank"))
+    rankTopK(scoped, k, col("n_occ").cast("decimal(38,18)"), col("n_occ"))
+      .select(col("query_id"), col("doc_id"),
+        col("payload").as("n_occ"), col("rank"))
   }
 
   /** Exact top-k tokens per group by frequency (count desc, token asc).

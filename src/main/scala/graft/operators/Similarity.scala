@@ -649,30 +649,53 @@ object Similarity {
   }
 
   /** EXACTLY-ONCE batch append into a persisted IVF index — the
-    * streaming form of [[appendIvfIndex]] (q108): per-batch commit
-    * markers plus deterministic `b<id>-…` list-file naming make crash
-    * replays byte-identical and redeliveries no-ops. The FIRST batch
-    * BOOTSTRAPS the index — quantizer trained on that batch (stride-97
-    * init, the v3 Lloyd discipline) and the lists built from it — so a
-    * streamed ingest needs no out-of-band build; bootstrap is Overwrite
-    * all the way down and therefore redo-idempotent. Later batches
-    * assign against the frozen quantizer (the appendIvfIndex contract)
-    * and land under their own batch names. No derived tables exist in
-    * this family (centroids are written once at bootstrap), so there is
-    * no dirty-flag leg.
+    * streaming form of [[appendIvfIndex]] (q108): a writer fence, per-
+    * batch commit markers, and deterministic `b<id>-…` list-file naming
+    * behind a staged-file manifest make crash replays byte-identical
+    * and redeliveries no-ops. The FIRST batch BOOTSTRAPS the index —
+    * quantizer trained on that batch (stride-97 init, the v3 Lloyd
+    * discipline) and the lists built from it — so a streamed ingest
+    * needs no out-of-band build; bootstrap is Overwrite all the way
+    * down and therefore redo-idempotent. Later batches assign against
+    * the frozen quantizer (the appendIvfIndex contract) and land under
+    * their own batch names. No derived tables exist in this family
+    * (centroids are written once at bootstrap), so there is no
+    * dirty-flag leg.
+    *
+    * Bootstrap is detected by COMMIT HISTORY — no `batch_*` marker has
+    * ever been written — not by centroids existence: a crash after the
+    * bootstrap's build completed but before its marker leaves centroids
+    * present, and centroid-based detection would send the redelivered
+    * first batch down the append branch, renaming its vectors in AGAIN
+    * next to the bootstrap's files — permanent duplicate list rows.
+    * Under history-based detection every pre-marker crash replays the
+    * (idempotent, Overwrite-everything) bootstrap. The corollary: this
+    * family OWNS its index from birth; to stream appends into an index
+    * built out-of-band by [[buildIvfIndex]], declare the adoption first
+    * with [[adoptIvfIndexForStreaming]] — otherwise the first streamed
+    * batch would re-bootstrap over the prebuilt lists.
     */
   def appendIvfIndexBatch(batch: DataFrame,
       writer: graft.sources.TableWriter, name: String, batchId: Long,
       trainIters: Int = 3, initStride: Long = 97L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      writerId: String = "default"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
-    val fs = path(s"${name}_ivf_commits").getFileSystem(conf)
+    val commitsDir = path(s"${name}_ivf_commits")
+    val fs = commitsDir.getFileSystem(conf)
+    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+      s"appendIvfIndexBatch($name)")
     val marker = path(s"${name}_ivf_commits/batch_$batchId")
-    if (fs.exists(marker)) return
-    if (!fs.exists(path(s"${name}_centroids"))) {
+    val stagedMf = path(s"${name}_ivf_commits/staged_$batchId")
+    if (fs.exists(marker)) { fs.delete(stagedMf, false); return }
+    val everCommitted = fs.listStatus(commitsDir).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_") || n == "adopted"
+    }
+    if (!everCommitted) {
       val cents = trainIvfCentroids(batch, initStride, trainIters,
         idCol, vecCol)
       buildIvfIndex(batch, cents, writer, name, idCol, vecCol)
@@ -690,13 +713,9 @@ object Similarity {
             .map(_.get(0)).getOrElse("")} — run vacuumIvfIndex first")
       }
       val listsRoot = path(s"${name}_lists")
-      val prefix = s"b$batchId-"
-      if (fs.exists(listsRoot))
-        fs.listStatus(listsRoot).filter(_.isDirectory).foreach { d =>
-          fs.listStatus(d.getPath).filter(_.isFile)
-            .filter(_.getPath.getName.startsWith(prefix))
-            .foreach(f => fs.delete(f.getPath, false))
-        }
+      // redo a crashed attempt's moves from its own staged-file manifest
+      // (O(batch): no list directory is listed)
+      IndexProtocol.redoFromManifest(fs, stagedMf)
       val centroids = writer.read(spark, s"${name}_centroids")
         .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
       val stage = path(s"__stage_ib${batchId}_$name")
@@ -704,21 +723,31 @@ object Similarity {
         .repartition(col("cent_id"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cent_id").parquet(stage.toString)
-      fs.listStatus(stage).filter(st => st.isDirectory
-          && st.getPath.getName.startsWith("cent_id=")).foreach { d =>
-        val dst = new org.apache.hadoop.fs.Path(listsRoot, d.getPath.getName)
-        fs.mkdirs(dst)
-        fs.listStatus(d.getPath).filter(_.isFile)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(dst, s"$prefix$i.parquet"))
-          }
-      }
-      fs.delete(stage, true)
+      IndexProtocol.moveStagedIn(fs, stage, listsRoot,
+        partitionPrefix = "cent_id=", batchPrefix = s"b$batchId-",
+        manifest = stagedMf)
     }
-    fs.mkdirs(path(s"${name}_ivf_commits"))
     fs.create(marker, true).close()
+    fs.delete(stagedMf, false)
+  }
+
+  /** Declare that a [[buildIvfIndex]]-built index is being handed to the
+    * streaming append family: writes the `adopted` sentinel into the
+    * commits dir so [[appendIvfIndexBatch]]'s history-based bootstrap
+    * detection treats the prebuilt lists as committed state instead of
+    * re-bootstrapping over them. Call ONCE, before the stream starts.
+    */
+  def adoptIvfIndexForStreaming(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String): Unit = {
+    val commitsDir = new org.apache.hadoop.fs.Path(
+      writer.path(s"${name}_ivf_commits"))
+    val fs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        writer.path(s"${name}_centroids"))),
+      s"adoptIvfIndexForStreaming: no prebuilt index at ${writer.path(name)}")
+    fs.mkdirs(commitsDir)
+    fs.create(new org.apache.hadoop.fs.Path(commitsDir, "adopted"), true)
+      .close()
   }
 
   /** Targeted delete from a persisted IVF index — the missing quarter of

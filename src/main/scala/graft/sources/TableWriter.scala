@@ -419,7 +419,7 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     */
   def mergeByKeyCdc(spark: org.apache.spark.sql.SparkSession, name: String,
       incoming: DataFrame, key: String, batchId: Long,
-      numBuckets: Int = 16): String = {
+      numBuckets: Int = 16, feedMaxRowsPerFile: Long = 4000000L): String = {
     import org.apache.spark.sql.functions._
     val valueCols = incoming.columns.filterNot(_ == key).toSeq
     val p = new org.apache.hadoop.fs.Path(path(name))
@@ -456,14 +456,44 @@ final class TableWriter(warehouseDir: String) extends Serializable {
           .unionByName(updated.select(img("o", "update_pre"): _*))
           .unionByName(updated.select(img("n", "update_post"): _*))
       }
-    // one file per feed batch: the feed is delta-sized, and a consumer
-    // (q93 streams it file-per-microbatch) should see batches, not the
-    // writer's shuffle-partition fan-out; a deployment whose single
-    // batch outgrows one file would repartition by a size estimate here
-    materialize(s"${name}_changes", changes.coalesce(1),
-      mode = SaveMode.Append)
+    writeFeedBatch(s"${name}_changes", batchId, changes, feedMaxRowsPerFile)
     mergeByKey(spark, name, incoming, key, numBuckets)
   }
+
+  /** Write one change-feed batch into its OWN directory
+    * (`{feed}/batch=<id>/`) as `ceil(rows / feedMaxRowsPerFile)` files:
+    * a bulk backfill's feed no longer funnels through a single write
+    * task (the old `coalesce(1)`), while consumers still see BATCHES —
+    * read the batch directories in order, or glob them all via
+    * [[readChangeFeed]]. Size estimation is row-count-based (the
+    * changes frame is pinned for the count, so the plan — which reads
+    * the pre-merge table — runs once); `feedMaxRowsPerFile` is the
+    * deployment's row-width knob. Re-writes of a batch id overwrite
+    * that batch's directory idempotently.
+    */
+  private def writeFeedBatch(feedName: String, batchId: Long,
+      changes: DataFrame, feedMaxRowsPerFile: Long): Unit = {
+    changes.persist()
+    try {
+      val n = changes.count()
+      val nFiles = math.max(1L,
+        (n + feedMaxRowsPerFile - 1) / feedMaxRowsPerFile).toInt
+      changes.repartition(nFiles)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(path(s"$feedName/batch=$batchId"))
+    } finally changes.unpersist(blocking = false)
+  }
+
+  /** Read a change feed written by [[mergeByKeyCdc]]/[[deleteByKeyCdc]]:
+    * globs the per-batch directories, so each batch dir is its own read
+    * root and no `batch` partition column is invented — the frame's
+    * schema is exactly the written change rows (batch_id rides in the
+    * data). Batch order, where a consumer needs it, is the batch_id
+    * column, not file listing order.
+    */
+  def readChangeFeed(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame =
+    spark.read.parquet(path(s"${name}_changes") + "/batch=*")
 
   /** [[deleteByKey]] with a change-data feed: the CURRENT values of the
     * doomed keys actually present in the table are appended to
@@ -477,7 +507,7 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     */
   def deleteByKeyCdc(spark: org.apache.spark.sql.SparkSession, name: String,
       doomedKeys: DataFrame, key: String, batchId: Long,
-      numBuckets: Int = 16): String = {
+      numBuckets: Int = 16, feedMaxRowsPerFile: Long = 4000000L): String = {
     import org.apache.spark.sql.functions._
     val p = new org.apache.hadoop.fs.Path(path(name))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -492,11 +522,11 @@ final class TableWriter(warehouseDir: String) extends Serializable {
         .drop("__bucket")
         .join(doomed.select(col(key)), Seq(key), "left_semi")
       val valueCols = victims.columns.filterNot(_ == key).toSeq
-      materialize(s"${name}_changes",
+      writeFeedBatch(s"${name}_changes", batchId,
         victims.select((Seq(lit(batchId).as("batch_id"),
           lit("delete").as("change_op"), col(key))
-          ++ valueCols.map(col)): _*).coalesce(1),
-        mode = SaveMode.Append)
+          ++ valueCols.map(col)): _*),
+        feedMaxRowsPerFile)
     }
     deleteByKey(spark, name, doomedKeys, key, numBuckets)
   }
