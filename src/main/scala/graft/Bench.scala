@@ -193,10 +193,23 @@ object Bench {
         recheck(checkBudgets, results.map(t => (t._1, t._2)), { name =>
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => () }
-          val sec = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] re-measured $name: $sec%.3f s")
+          // a THROWING re-measure must not report its time-to-failure as
+          // the re-measured timing — restart/streaming entries can have
+          // consumed their scratch state in the first pass, and a fast
+          // throw would silently mask a real budget regression (r10
+          // advisor). Infinity keeps the first-pass time as best and the
+          // error is surfaced.
+          val sec =
+            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] re-measure of $name THREW " +
+                  s"(${Option(e.getMessage).getOrElse(e.getClass.getName)})" +
+                  " - keeping the first-pass time")
+                Double.PositiveInfinity
+            }
+          if (!sec.isInfinity)
+            System.err.println(f"[bench] re-measured $name: $sec%.3f s")
           sec
         })
       else (Seq.empty[(String, Double, Double)], Map.empty[String, Double])
@@ -210,7 +223,9 @@ object Bench {
     val totalCold = results.map(_._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val remJson = remeasured.toSeq.sortBy(_._1)
-      .map { case (n, s) => "\"" + n + "\":" + s }.mkString("{", ",", "}")
+      .map { case (n, s) => "\"" + n + "\":" +
+        (if (java.lang.Double.isFinite(s)) s.toString else "null") }
+      .mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"total_cold":$totalCold,"remeasured":$remJson,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
     println(fullJson)
     // the durable per-round artifact: stdout capture gets truncated by

@@ -6813,11 +6813,45 @@ object SparkEntry {
     */
   private def ivfTrainCtesSql: String = ivfTrainCtesSqlWhere("")
 
+  /** The Sampling-family id-hash (Sketches.numHash) replayed as a CTE
+    * chain over (vec_id, v) rows — the d17 oracle's unrolled mix rounds,
+    * packaged for the IVF training sample: `from` must expose (vec_id,
+    * v); the final CTE `outName` adds column `h`.
+    */
+  private def numHashCtes(from: String, outName: String): String = {
+    val M = "1125899906842597"
+    val rounds = Seq(8191L, 8191L, 4099L, 4099L, 5851L, 5851L)
+    val steps = rounds.zipWithIndex.map { case (m, i) =>
+      val out = if (i == rounds.size - 1) "h" else s"x${i + 1}"
+      val name = if (i == rounds.size - 1) outName else s"${outName}_$i"
+      val prev = if (i == 0) s"${outName}_seed" else s"${outName}_${i - 1}"
+      s"""|), $name AS (
+          |  SELECT vec_id, v,
+          |    xor((x$i * $m) % $M, ((x$i * $m) % $M) >> 25) AS $out
+          |  FROM $prev""".stripMargin
+    }.mkString("\n")
+    s"""|), ${outName}_seed AS (
+        |  SELECT vec_id, v,
+        |    ((((vec_id % $M) + $M) % $M) + 741103597153329) % $M AS x0
+        |  FROM $from
+        |$steps""".stripMargin
+  }
+
+  /** The trainIvfCentroids sampling constant — mirrored into the oracle
+    * SQL, so keep in sync with the entries' trainIvfCentroids default.
+    */
+  private val ivfSampleFactor = 32
+
   /** Unrolled Lloyd training over `c` restricted by `trainWhere` (empty
     * = whole corpus) — the parameterized form lets v12 replay a
     * quantizer trained on the pre-append base corpus only, and v19
     * (`updateExpr`) replay a quantizer trained on the RAW corpus while
-    * the served corpus `c` carries re-embedded vectors.
+    * the served corpus `c` carries re-embedded vectors. Training runs
+    * on the SAMPLED frame `tr` — min(N, factor·K) vectors by the
+    * deterministic id-hash, stride-init rows always in — replaying
+    * trainIvfCentroids' FAISS-style train-on-a-sample rule; the
+    * threshold arithmetic (FLOOR of left-associated double ops) is
+    * digit-for-digit the Scala side's.
     */
   private def ivfTrainCtesSqlWhere(trainWhere: String,
       updateExpr: Option[String] = None): String = {
@@ -6849,17 +6883,27 @@ object SparkEntry {
       case None =>
         s"""WITH c AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           |), tr AS (
+           |), tr0 AS (
            |  SELECT * FROM c$trainWhere""".stripMargin
       case Some(expr) =>
         s"""WITH raw AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            |), c AS (
            |  SELECT vec_id, $expr AS v FROM raw
-           |), tr AS (
+           |), tr0 AS (
            |  SELECT * FROM raw$trainWhere""".stripMargin
     }
+    val M = "1125899906842597"
     s"""$corpusCtes
+       |), trthr AS (
+       |  SELECT CASE WHEN n.n <= $ivfSampleFactor * k.k THEN $M
+       |    ELSE CAST(FLOOR($M * $ivfSampleFactor.0 * k.k / n.n) AS BIGINT) END AS t
+       |  FROM (SELECT COUNT(*) AS k FROM tr0 WHERE vec_id % 97 = 0) k,
+       |       (SELECT COUNT(*) AS n FROM tr0) n
+       |${numHashCtes("tr0", "trh")}
+       |), tr AS (
+       |  SELECT vec_id, v FROM trh, trthr
+       |  WHERE vec_id % 97 = 0 OR h < trthr.t
        |), cent0 AS (
        |  SELECT vec_id AS cent_id, v AS cv,
        |    SQRT(list_dot_product(v, v)) AS cn

@@ -131,16 +131,32 @@ object Similarity {
     * CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) — the
     * decimal sum is EXACT and therefore summation-order-independent (a
     * plain double mean would depend on partitioning and could never
-    * hash-match). An iteration is one broadcast join + one narrow
-    * aggregate over (cluster, dim) — at 100 TB each round is a single
-    * pass, and `iters` is a small constant. Clusters that lose every
-    * point keep their previous centroid.
+    * hash-match). An iteration is one bound-pruned assignment pass
+    * ([[assignPruned]] — the d36 codegen argmax, bit-identical to the
+    * broadcast-join row_number formulation) + one narrow aggregate over
+    * (cluster, dim) — at 100 TB each round is a single pass, and `iters`
+    * is a small constant. Clusters that lose every point keep their
+    * previous centroid.
+    *
+    * TRAINING SAMPLE (standard FAISS practice — `train` on a sample,
+    * `add` everything): Lloyd sees min(N, sampleFactor·K) vectors, the
+    * members chosen by the engine's deterministic id-hash
+    * ([[Sketches.numHash]] < a threshold derived from N and K — the
+    * Sampling-family membership rule, so the sample is reproducible
+    * across runs, engines, and repartitioning; the SQL oracles replay
+    * the same predicate). The stride-init rows are always included, so
+    * init is unchanged. Training cost then tracks K, not the corpus:
+    * web-scale K = 10⁵ trains on c·K vectors instead of N (`ScaleProbe
+    * ivftrain` measures K = 10⁴), and the per-iteration driver traffic
+    * stays the K×dim means either way. `sampleFactor <= 0` disables
+    * sampling (train on everything).
     *
     * Returns (cent_id, vector) sorted by cent_id — tiny (K×dim), collected
     * to the driver and folded into literals exactly like v2's planes.
     */
   def trainIvfCentroids(candidates: DataFrame, initStride: Long, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleFactor: Int = 32): Seq[(Long, Seq[Double])] = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cand = candidates.select(
@@ -156,31 +172,37 @@ object Similarity {
       s"initStride=$initStride selected no initial centroids from the " +
         "training frame - pick a stride that intersects its id set")
 
-    for (_ <- 0 until iters) {
-      val centDf = broadcast(cents.toDF("cent_id", "cent_vec")
-        .withColumn("cent_norm", VectorFns.norm(col("cent_vec"))))
-      val w = Window.partitionBy(col("nbr_id"))
-        .orderBy(col("cent_sim").desc, col("cent_id").asc)
-      val assigned = cand.join(centDf)
-        .withColumn("cent_sim", VectorFns.cosinePre(
-          VectorFns.dot(col("nbr_vec"), col("cent_vec")),
-          VectorFns.norm(col("nbr_vec")), col("cent_norm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cent_id"), col("nbr_vec"))
-      val means = assigned
-        .select(col("cent_id"), posexplode(col("nbr_vec")).as(Seq("d", "x")))
-        .groupBy(col("cent_id"), col("d"))
-        .agg((sum(col("x").cast("decimal(27,18)")).cast("double") /
-          count(lit(1))).as("m"))
-        .as[(Long, Int, Double)].collect()
-      val byCent = means.groupBy(_._1).map { case (cid, rows) =>
-        cid -> rows.sortBy(_._2).map(_._3).toSeq
+    val train = {
+      val k = cents.size.toLong
+      val n = if (sampleFactor <= 0) 0L else cand.count()
+      if (sampleFactor <= 0 || n <= sampleFactor * k) cand
+      else {
+        // threshold arithmetic mirrors the oracle SQL exactly:
+        // FLOOR(M * factor.0 * k / n) with left-associated double ops
+        val t = (graft.functions.SimHashTokenHash.M
+          * sampleFactor.toDouble * k.toDouble / n.toDouble).toLong
+        cand.filter(Sketches.numHash(col("nbr_id")) < lit(t)
+          || col("nbr_id") % initStride === 0)
       }
-      // a cluster that captured no points keeps its previous centroid
-      cents = cents.map { case (cid, prev) => (cid, byCent.getOrElse(cid, prev)) }
-    }
-    cents
+    }.persist()
+    try {
+      for (_ <- 0 until iters) {
+        val assigned = assignPruned(train, cents, "nbr_id", "nbr_vec")
+          .select(col("cent_id"), col("v").as("nbr_vec"))
+        val means = assigned
+          .select(col("cent_id"), posexplode(col("nbr_vec")).as(Seq("d", "x")))
+          .groupBy(col("cent_id"), col("d"))
+          .agg((sum(col("x").cast("decimal(27,18)")).cast("double") /
+            count(lit(1))).as("m"))
+          .as[(Long, Int, Double)].collect()
+        val byCent = means.groupBy(_._1).map { case (cid, rows) =>
+          cid -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+        // a cluster that captured no points keeps its previous centroid
+        cents = cents.map { case (cid, prev) => (cid, byCent.getOrElse(cid, prev)) }
+      }
+      cents
+    } finally train.unpersist(blocking = false)
   }
 
   /** IVF top-k against an EXPLICIT centroid set (the trained-quantizer

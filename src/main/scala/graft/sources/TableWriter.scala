@@ -88,10 +88,17 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(mf, false)
-    if (!fs.rename(tmp, mf))
-      throw new java.io.IOException(
-        s"writeManifest: rename $tmp -> $mf failed")
+    // ATOMIC replacing rename (FileContext + Options.Rename.OVERWRITE):
+    // a delete-then-rename pair would open a crash window with NO
+    // manifest at all, and manifest ABSENCE means "fully materialized"
+    // to readResolved — the clone would silently serve only its local
+    // buckets and drop every still-borrowed source bucket (r10 advisor).
+    // Supported on local/HDFS; an object-store deployment would use a
+    // conditional put here.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(mf),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Zero-copy clone of a [[mergeByKey]]-layout table: writes only the

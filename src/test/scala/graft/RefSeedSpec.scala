@@ -42,6 +42,67 @@ class RefSeedSpec extends SparkSpec {
     assert(bank.bestKeyAny(Seq("AMAZON PRIME VIDEO RENTAL")) == null)
   }
 
+  test("each lookahead rule: a firing description, a blocked one, full-bank classification") {
+    // RE2 cannot run these 5 rules, so they ride engine-only with no
+    // oracle cover — this differential table is the refactor guard (r9
+    // verdict ask #8): per rule, one description the LOOKAHEAD ACCEPTS
+    // and one it BLOCKS, asserted (a) on the single rule and (b) as the
+    // hand-computed classification through the FULL 795-rule bank, so a
+    // bank refactor that mis-translates or drops a lookahead fails here.
+    val full = new RegexBank.CompiledBank(RefSeeds.rules,
+      caseInsensitive = true)
+    def one(key: String, pattern: String) =
+      new RegexBank.CompiledBank(
+        Seq(RegexBank.Rule(key, pattern, 1)), caseInsensitive = true)
+    val byPattern = RefSeeds.lookaheadRules
+      .map(r => (r.key, r.pattern, r.priority))
+    // the five rules, verbatim from merchant_regex.csv (74/75/124/304/479)
+    assert(byPattern.toSet == Set(
+      ("liberty_london", "^LIBERTY(?! MUTUAL)\\y", 199),
+      ("liberty_london", "^LIBERTY(?! (MUTUAL|TAX))\\y", 199),
+      ("art_institute_of_chicago", "^ART INST(?!ITUTE).*CHGO", 198),
+      ("amazon_prime", "^AMAZON PRIME(?!.*VIDEO)", 123),
+      ("liberty_london", "^LIBERTY(?! MUTUAL)\\y", 114)))
+
+    // rx_174 / rx_115 (^LIBERTY(?! MUTUAL)\y): blocks only MUTUAL —
+    // 'LIBERTY TAX' FIRES it (the reference's own quirk: the narrower
+    // rx_202 blocks TAX, but 174 at equal priority does not, so the
+    // full bank still classifies LIBERTY TAX as liberty_london)
+    val lib174 = one("liberty_london", "^LIBERTY(?! MUTUAL)\\y")
+    assert(lib174.bestKeyAny(Seq("LIBERTY TAX SERVICE")) == "liberty_london")
+    assert(lib174.bestKeyAny(Seq("LIBERTY MUTUAL INSURANCE")) == null)
+    assert(full.bestKeyAny(Seq("LIBERTY TAX SERVICE")) == "liberty_london")
+    assert(full.bestKeyAny(Seq("LIBERTY MUTUAL INSURANCE")) == null)
+
+    // rx_202 (^LIBERTY(?! (MUTUAL|TAX))\y): blocks both alternatives
+    val lib202 = one("liberty_london", "^LIBERTY(?! (MUTUAL|TAX))\\y")
+    assert(lib202.bestKeyAny(Seq("LIBERTY OF LONDON")) == "liberty_london")
+    assert(lib202.bestKeyAny(Seq("LIBERTY TAX SERVICE")) == null)
+    assert(lib202.bestKeyAny(Seq("LIBERTY MUTUAL HOME")) == null)
+    assert(full.bestKeyAny(Seq("LIBERTY OF LONDON")) == "liberty_london")
+
+    // rx_041 (^ART INST(?!ITUTE).*CHGO): fires on the abbreviated form
+    // only; the full bank classifies BOTH forms identically because
+    // ^ART INST (rx_084, priority 200) outranks it — the lookahead rule
+    // is the reference's redundant shield, pinned as exactly that
+    val art = one("art_institute_of_chicago", "^ART INST(?!ITUTE).*CHGO")
+    assert(art.bestKeyAny(Seq("ART INST CHGO-ONLINE"))
+      == "art_institute_of_chicago")
+    assert(art.bestKeyAny(Seq("ART INSTITUTE CHGO")) == null)
+    assert(full.bestKeyAny(Seq("ART INST CHGO-ONLINE"))
+      == "art_institute_of_chicago")
+    assert(full.bestKeyAny(Seq("ART INSTITUTE CHGO"))
+      == "art_institute_of_chicago")
+
+    // rx_8444 (^AMAZON PRIME(?!.*VIDEO)): VIDEO anywhere after blocks;
+    // nothing else in the bank matches the blocked form
+    val prime = one("amazon_prime", "^AMAZON PRIME(?!.*VIDEO)")
+    assert(prime.bestKeyAny(Seq("AMAZON PRIME MEMBERSHIP")) == "amazon_prime")
+    assert(prime.bestKeyAny(Seq("AMAZON PRIME VIDEO RENTAL")) == null)
+    assert(full.bestKeyAny(Seq("AMAZON PRIME MEMBERSHIP")) == "amazon_prime")
+    assert(full.bestKeyAny(Seq("AMAZON PRIME VIDEO RENTAL")) == null)
+  }
+
   test("real-bank bestKeyAny equals the naive rule walk on mutated probes") {
     // the synthetic-rule equivalence lives in AhoCorasickSpec; this runs
     // the same property over the REAL 795 patterns (the gnarliest
