@@ -286,81 +286,6 @@ object ScaleProbe {
           deleteTree(pdDir)
           zd.unpersist(blocking = false)
         }
-        // recovery: the streamed-ingest crash paths at a 4096-bucket
-        // index (r9 verdict asks #2/#3). (a) bucket-scoped dirty
-        // recovery: a crashed merge of a NARROW-vocabulary batch is
-        // redelivered — recovery recomputes only the batch's vocab
-        // buckets (vocabBuckets=64 here, so ≤5 of 64 buckets → ≤7.8% of
-        // postings) vs the old index-sized rebuild (the bootstrap-dirty
-        // path, timed as the honest baseline on the same index).
-        // (b) O(batch) redo: deleting a crashed attempt's files from its
-        // staged manifest vs the old shape — listStatus over every one
-        // of the 4096 bucket dirs.
-        if (on("recovery")) {
-          val whDir = java.nio.file.Files
-            .createTempDirectory("probe_rec_").toString
-          val w = new graft.sources.TableWriter(whDir)
-          t(s"rec_build4096_$label") {
-            Retrieval.buildBm25Index(d, w, "docs",
-              buckets = 4096, vocabBuckets = 64)
-            spark.read.parquet(s"$whDir/docs_stats").count()
-          }
-          def smallBatch(off: Long) = docs1.limit(50)
-            .select((col("doc_id") + off).as("doc_id"),
-              lit("zqa zqb zqc zqd zqe").as("text"))
-          val st = spark.read.parquet(s"$whDir/docs_stats").collect()(0)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$whDir/docs_vocab_dirty"),
-            (s"7\n${st.getAs[Long]("n_docs")}\t${st.getAs[Long]("sum_dl")}\n")
-              .getBytes("UTF-8"))
-          t(s"rec_bucket_scoped_$label") {
-            Retrieval.appendBm25IndexBatch(smallBatch(990000000L), w, "docs",
-              7, buckets = 4096, vocabBuckets = 64)
-            1L
-          }
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$whDir/docs_vocab_dirty"),
-            "8\nbootstrap\n".getBytes("UTF-8"))
-          t(s"rec_full_rebuild_$label") {
-            Retrieval.appendBm25IndexBatch(smallBatch(995000000L), w, "docs",
-              8, buckets = 4096, vocabBuckets = 64)
-            1L
-          }
-          // (b) redo cost: manifest-driven vs all-bucket listStatus
-          val conf = spark.sessionState.newHadoopConf()
-          val postRoot = new org.apache.hadoop.fs.Path(s"$whDir/docs_postings")
-          val fs = postRoot.getFileSystem(conf)
-          val strays = (0 until 3).map { i =>
-            val p = new org.apache.hadoop.fs.Path(postRoot,
-              s"term_bucket=$i/b9-$i.parquet")
-            val o = fs.create(p, true); o.write(1); o.close(); p.toString
-          }
-          val mf = new org.apache.hadoop.fs.Path(s"$whDir/docs_commits/staged_9")
-          graft.operators.IndexProtocol.writeLinesAtomic(fs, mf, strays)
-          t(s"redo_manifest_$label") {
-            graft.operators.IndexProtocol.redoFromManifest(fs, mf)
-            strays.size.toLong
-          }
-          var dirsListed = 0L
-          t(s"redo_listall_4096_$label") {
-            // the pre-r10 shape, for comparison: every bucket dir listed
-            var n = 0L
-            fs.listStatus(postRoot).filter(_.isDirectory).foreach { dd =>
-              dirsListed += 1
-              n += fs.listStatus(dd.getPath)
-                .count(_.getPath.getName.startsWith("b9-"))
-            }
-            n
-          }
-          // the structural claim, counted: redo FS ops scale with the
-          // BATCH's files under the manifest protocol, with the INDEX's
-          // bucket count under the old sweep
-          println(s"PROBE-INFO redo ops: manifest = 1 read + " +
-            s"${strays.size} targeted deletes; pre-r10 sweep = " +
-            s"${dirsListed + 1} listStatus calls (every bucket dir), " +
-            "per batch, per redelivery")
-          deleteTree(whDir)
-        }
         // ranktopk: the r9 verdict's weak, isolated — per-query rank must
         // not sort one query's candidate mass in a single task. A scored
         // candidate frame where ONE query owns the ENTIRE corpus (the
@@ -1269,6 +1194,86 @@ object ScaleProbe {
       println(s"PROBE-INFO vocab1m: ${before.size} bucket files before, " +
         s"$untouched untouched after append; rewritten " +
         s"${rewrittenBytes / 1024} KiB of ${totalBytes / 1024} KiB total")
+      deleteTree(whDir)
+    }
+
+    // recovery: the streamed-ingest crash paths on a REAL-vocabulary-
+    // scale index (r9 verdict asks #2/#3): 50k synthetic docs × 20
+    // unique terms = a 10⁶-term vocabulary over 4096 postings buckets /
+    // 64 vocab buckets (every bucket dir materializes).
+    // (a) bucket-scoped dirty recovery: a crashed merge of a 5-term
+    // batch is redelivered — recovery recomputes ONLY the batch's ≤5
+    // vocab buckets (reading the ≡-mod postings buckets, ≤7.8% of the
+    // index) and patches stats from the flag's snapshot, vs the old
+    // index-sized vocab rebuild (the bootstrap-dirty path, timed on the
+    // same index as the honest baseline).
+    // (b) O(batch) redo: a crashed attempt's files are deleted from its
+    // staged manifest — counted ops vs the old every-bucket-dir sweep.
+    if (on("recovery")) {
+      val nD = 50000L
+      def rdoc(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 20).map(i =>
+          concat(lit("t"), col("id") * 20 + lit(i))): _*).as("text"))
+      val whDir = java.nio.file.Files
+        .createTempDirectory("probe_rec_").toString
+      val w = new graft.sources.TableWriter(whDir)
+      t("rec_build_1mvocab_4096b") {
+        Retrieval.buildBm25Index(rdoc(spark.range(nD).toDF("id")), w, "docs",
+          buckets = 4096, vocabBuckets = 64)
+        spark.read.parquet(s"$whDir/docs_stats").count()
+      }
+      def smallBatch(off: Long) = spark.range(5).select(
+        (col("id") + off).as("doc_id"),
+        lit("zqa zqb zqc zqd zqe").as("text"))
+      val st = spark.read.parquet(s"$whDir/docs_stats").collect()(0)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$whDir/docs_vocab_dirty"),
+        (s"7\n${st.getAs[Long]("n_docs")}\t${st.getAs[Long]("sum_dl")}\n")
+          .getBytes("UTF-8"))
+      t("rec_bucket_scoped") {
+        Retrieval.appendBm25IndexBatch(smallBatch(990000000L), w, "docs",
+          7, buckets = 4096, vocabBuckets = 64)
+        1L
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$whDir/docs_vocab_dirty"),
+        "8\nbootstrap\n".getBytes("UTF-8"))
+      t("rec_full_rebuild") {
+        Retrieval.appendBm25IndexBatch(smallBatch(995000000L), w, "docs",
+          8, buckets = 4096, vocabBuckets = 64)
+        1L
+      }
+      // (b) redo cost, counted: manifest-driven vs all-bucket listStatus
+      val conf = spark.sessionState.newHadoopConf()
+      val postRoot = new org.apache.hadoop.fs.Path(s"$whDir/docs_postings")
+      val fs = postRoot.getFileSystem(conf)
+      val strays = (0 until 3).map { i =>
+        val p = new org.apache.hadoop.fs.Path(postRoot,
+          s"term_bucket=$i/b9-$i.parquet")
+        val o = fs.create(p, true); o.write(1); o.close(); p.toString
+      }
+      val mf = new org.apache.hadoop.fs.Path(s"$whDir/docs_commits/staged_9")
+      graft.operators.IndexProtocol.writeLinesAtomic(fs, mf, strays)
+      t("redo_manifest") {
+        graft.operators.IndexProtocol.redoFromManifest(fs, mf)
+        strays.size.toLong
+      }
+      var dirsListed = 0L
+      t("redo_listall_4096") {
+        // the pre-r10 shape, for comparison: every bucket dir listed
+        var n = 0L
+        fs.listStatus(postRoot).filter(_.isDirectory).foreach { dd =>
+          dirsListed += 1
+          n += fs.listStatus(dd.getPath)
+            .count(_.getPath.getName.startsWith("b9-"))
+        }
+        n
+      }
+      println(s"PROBE-INFO redo ops: manifest = 1 read + " +
+        s"${strays.size} targeted deletes; pre-r10 sweep = " +
+        s"${dirsListed + 1} listStatus calls (every bucket dir), " +
+        "per batch, per redelivery")
       deleteTree(whDir)
     }
 
