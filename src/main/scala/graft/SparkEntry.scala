@@ -3792,9 +3792,12 @@ object SparkEntry {
     * can still query, it just can't be retrieved (v17's discipline).
     */
   private def bm25CtesSql(queryPred: String,
-      corpusPred: String = "TRUE"): String =
-    s"""WITH ws AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      corpusPred: String = "TRUE",
+      docsSql: String = "SELECT doc_id, text FROM documents"): String =
+    s"""WITH docs_src AS (
+       |  $docsSql
+       |), ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM docs_src
        |), cws AS (
        |  SELECT * FROM ws WHERE $corpusPred
        |), q AS (
@@ -3870,6 +3873,64 @@ object SparkEntry {
 
   private def v18OracleSql: String =
     s"""${bm25CtesSql("doc_id % 97 = 0", "doc_id % 11 <> 5")}
+       |)
+       |SELECT query_id, doc_id, rank, n_hit FROM bm WHERE rank <= $bm25K""".stripMargin
+
+  /** CDC-driven index maintenance (q109 — the DB→search-index
+    * replication pattern, closing the CDC → retrieval loop): the
+    * documents table lives as a [[graft.sources.TableWriter.mergeByKeyCdc]]
+    * merge table; three CDC batches flow through it (full insert, a
+    * text UPDATE of every doc_id % 7 == 0, a DELETE of every
+    * doc_id % 11 == 5), and the BM25 index is maintained PURELY from
+    * the change feed by [[Retrieval.syncBm25IndexFromFeed]] — per feed
+    * batch, pre-images struck through the exactly-once
+    * deleteFromBm25IndexBatch (write-ahead struck set + stats
+    * snapshot; vocab buckets recomputed, never decremented) and
+    * post-images appended through appendBm25IndexBatch. The sync is
+    * run TWICE (idempotence under the oracle — every batch's second
+    * pass is a marker fast-path). Serving must equal an index built
+    * from the final table state: the oracle replays BM25 over that
+    * state in SQL (updated texts, deletions applied). Queries come
+    * from the surviving corpus (doc 291's %11==5 twin is gone —
+    * deleted docs neither query nor serve here, unlike v18's
+    * full-table query workload, because the query side reads the
+    * MERGED table).
+    */
+  private val cdcIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q109CdcIndexSync(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val writer = cdcIdxCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/cdcidx_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      w.mergeByKeyCdc(s, "docs_tbl", d, "doc_id", 1L)
+      w.mergeByKeyCdc(s, "docs_tbl",
+        d.filter(col("doc_id") % 7 === 0)
+          .withColumn("text", concat(col("text"), lit(" upd7"))),
+        "doc_id", 2L)
+      w.deleteByKeyCdc(s, "docs_tbl",
+        d.filter(col("doc_id") % 11 === 5).select(col("doc_id")),
+        "doc_id", 3L)
+      Retrieval.syncBm25IndexFromFeed(s, w, "docs_tbl", "docsidx")
+      // idempotence: the whole sync re-runs; every leg must fast-path
+      Retrieval.syncBm25IndexFromFeed(s, w, "docs_tbl", "docsidx")
+      w
+    })
+    val fin = writer.readResolved(s, "docs_tbl")
+      .select(col("doc_id"), col("text"))
+    val qs = Retrieval.queryTerms(fin, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, writer, "docsidx", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def q109OracleSql: String =
+    s"""${bm25CtesSql("doc_id % 97 = 0", "TRUE",
+        """SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' upd7' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 11 <> 5""".stripMargin)}
        |)
        |SELECT query_id, doc_id, rank, n_hit FROM bm WHERE rank <= $bm25K""".stripMargin
 
@@ -5083,6 +5144,7 @@ object SparkEntry {
     "q106_stream_index_restart" -> (q106StreamIndexRestart _),
     "q107_stream_pos_restart" -> (q107StreamPosRestart _),
     "q108_stream_ivf_restart" -> (q108StreamIvfRestart _),
+    "q109_cdc_index_sync" -> (q109CdcIndexSync _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6485,6 +6547,9 @@ object SparkEntry {
     "q106_stream_index_restart" -> v10OracleSql,
     "q107_stream_pos_restart" -> v14OracleSql,
     "q108_stream_ivf_restart" -> ivfQueryOracleSql(" WHERE vec_id % 4 = 0"),
+    // q109: BM25 replayed over the post-CDC table state — the synced
+    // index must serve exactly what a fresh build over that state would
+    "q109_cdc_index_sync" -> q109OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

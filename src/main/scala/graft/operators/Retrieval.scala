@@ -577,6 +577,26 @@ object Retrieval {
     } finally tfB.unpersist(blocking = false)
   }
 
+  /** Hand over a BM25 index's single-writer lease (see
+    * [[IndexProtocol.acquireLease]]): only safe once the owning stream
+    * is stopped; the next [[appendBm25IndexBatch]] caller of ANY
+    * writerId may then acquire. The positional twin is
+    * [[releasePositionalWriterLease]].
+    */
+  def releaseBm25WriterLease(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(writer.path(s"${name}_commits"))
+    IndexProtocol.releaseLease(
+      d.getFileSystem(spark.sessionState.newHadoopConf()), d)
+  }
+
+  def releasePositionalWriterLease(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(writer.path(s"${name}_pos_commits"))
+    IndexProtocol.releaseLease(
+      d.getFileSystem(spark.sessionState.newHadoopConf()), d)
+  }
+
   /** Targeted delete from a persisted BM25 index — the lexical twin of
     * the ANN deletion lifecycle (v17), and the stronger form: every
     * update is integer subtraction (postings struck, dfs decremented,
@@ -691,6 +711,230 @@ object Retrieval {
     } finally {
       val sp = new org.apache.hadoop.fs.Path(struckStage)
       sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    }
+  }
+
+  /** EXACTLY-ONCE batch delete from a persisted BM25 index — the delete
+    * leg of the streamed-maintenance protocol ([[appendBm25IndexBatch]]
+    * is the append leg; together they let a CDC feed drive the index,
+    * [[syncBm25IndexFromFeed]]). A plain [[deleteFromBm25Index]] is NOT
+    * crash-safe: its df/stats decrements derive from the struck rows,
+    * and a crash after the postings strike but before the decrements
+    * leaves rows gone with vocab/stats never repaired — the redelivery
+    * finds no victims and no-ops, permanently inconsistent. This
+    * variant write-aheads everything the replay needs:
+    *
+    *   1. `{name}_commits/del_<id>` marker present → done (fast path).
+    *   2. STRUCK-SET WRITE-AHEAD: the victims' actual index rows are
+    *      computed from the (pre-strike) postings and persisted to
+    *      `{name}_commits/struck_<id>` via stage+dir-rename — the one
+    *      computation that must see pre-state exactly once. Replays
+    *      REUSE the persisted set, never recompute.
+    *   3. STATS SNAPSHOT WRITE-AHEAD (`delstate_<id>`): pre-delete
+    *      (n_docs, sum_dl), written before any mutation.
+    *   4. strike postings — idempotent given the persisted struck set
+    *      (anti-join converges from any partial state);
+    *   5. vocab: the struck terms' buckets are RECOMPUTED from the
+    *      post-strike postings (exact and idempotent — no decrement
+    *      arithmetic to double-apply; buckets % vocabBuckets == 0
+    *      prunes the recompute to the ≡-mod postings buckets, else the
+    *      whole vocab rebuilds), emptied buckets deleted;
+    *   6. stats = snapshot − the struck set's own (n, Σdl);
+    *   7. marker, then the write-ahead files clear.
+    *
+    * Same single-writer lease and in-order-replay contract as the
+    * append leg: a crashed delete is redelivered BEFORE any later
+    * append touches the index (the streaming engine replays the failed
+    * epoch first), so the append never merges into a half-deleted
+    * vocab. IndexRestartSpec crashes each step and diffs.
+    */
+  def deleteFromBm25IndexBatch(victims: DataFrame,
+      writer: graft.sources.TableWriter, name: String, batchId: Long,
+      buckets: Int = 64, vocabBuckets: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text",
+      writerId: String = "default"): Unit = {
+    val spark = victims.sparkSession
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val commitsDir = path(s"${name}_commits")
+    val fs = commitsDir.getFileSystem(conf)
+    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+      s"deleteFromBm25IndexBatch($name)")
+    val marker = path(s"${name}_commits/del_$batchId")
+    val state = path(s"${name}_commits/delstate_$batchId")
+    val struckDir = path(s"${name}_commits/struck_$batchId")
+    def cleanup(): Unit = {
+      fs.delete(state, false); fs.delete(struckDir, true)
+    }
+    if (fs.exists(marker)) { cleanup(); return }
+    val postRoot = path(s"${name}_postings")
+    if (!fs.exists(postRoot)) { // empty index: deleting nothing is done
+      fs.create(marker, true).close(); return
+    }
+
+    // ---- step 2: struck-set write-ahead (pre-strike truth, once) ----
+    if (!fs.exists(struckDir)) {
+      val tfV = postingsOf(victims, idCol, textCol)
+        .withColumn("term_bucket",
+          pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      // bounded collect: ≤ buckets ids — the victims' own term buckets
+      val affected = tfV.select("term_bucket").distinct()
+        .collect().map(_.getInt(0))
+      val stage = path(s"__stage_struck_b${batchId}_$name")
+      val struck0 =
+        if (affected.isEmpty)
+          spark.read.parquet(postRoot.toString).limit(0)
+        else spark.read.parquet(postRoot.toString)
+          .withColumn("term_bucket", col("term_bucket").cast("int"))
+          .filter(col("term_bucket").isin(affected.toIndexedSeq: _*))
+          .join(victims.select(col(idCol).as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi")
+      struck0.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(stage.toString)
+      if (!fs.rename(stage, struckDir))
+        throw new java.io.IOException(
+          s"deleteFromBm25IndexBatch: rename $stage -> $struckDir failed")
+    }
+    val struck = spark.read.parquet(struckDir.toString)
+    if (struck.isEmpty) { // absent ids / re-deletes: byte-level no-op
+      fs.create(marker, true).close(); cleanup(); return
+    }
+
+    // ---- step 3: stats snapshot write-ahead (pre-delete, once) ----
+    if (!fs.exists(state)) {
+      val old = writer.read(spark, s"${name}_stats").collect()(0)
+      IndexProtocol.writeLinesAtomic(fs, state,
+        Seq(s"${old.getAs[Long]("n_docs")}\t${old.getAs[Long]("sum_dl")}"))
+    }
+    val Array(n0, s0) =
+      IndexProtocol.readLines(fs, state).head.split("\t").map(_.toLong)
+
+    // ---- step 4: strike postings (idempotent vs the persisted set) ----
+    // bounded collect: ≤ buckets ids actually holding victim rows
+    val hit = struck.select("term_bucket").distinct()
+      .collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(postRoot.toString)
+      .withColumn("term_bucket", col("term_bucket").cast("int"))
+      .filter(col("term_bucket").isin(hit.toIndexedSeq: _*))
+    val survivors = pruned
+      .join(struck.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val stage = path(s"__stage_delb${batchId}_$name")
+    val surviving: Set[Int] = try {
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(stage.toString)
+      val staged = spark.read.parquet(stage.toString)
+      staged.repartition(col("term_bucket")) // one file per bucket
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket")
+        .parquet(postRoot.toString)
+      staged.select("term_bucket").distinct().collect()
+        .map(_.getInt(0)).toSet
+    } finally fs.delete(stage, true)
+    hit.filterNot(surviving).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(postRoot, s"term_bucket=$b"),
+        true)
+    }
+
+    // ---- step 5: recompute the struck terms' vocab buckets (exact,
+    // idempotent — replaces decrement arithmetic entirely) ----
+    // bounded collect: ≤ vocabBuckets ids
+    val touchedVb = struck
+      .select(pmod(xxhash64(col("term")), lit(vocabBuckets.toLong))
+        .cast("int").as("vb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val vocabPath = writer.path(s"${name}_vocab")
+    if (buckets % vocabBuckets == 0) {
+      val pb = (0 until buckets).filter(b => touchedVb.contains(b % vocabBuckets))
+      val recomputed = spark.read.parquet(postRoot.toString)
+        .withColumn("term_bucket", col("term_bucket").cast("int"))
+        .filter(col("term_bucket").isin(pb: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("vocab_bucket",
+          pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int"))
+        .persist()
+      try {
+        // bounded collect: ≤ vocabBuckets ids with surviving terms
+        val survivingVb = recomputed.select("vocab_bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (survivingVb.nonEmpty)
+          recomputed.repartition(col("vocab_bucket"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("vocab_bucket")
+            .parquet(vocabPath)
+        // a touched bucket with NO surviving terms: dynamic overwrite
+        // cannot write an empty partition — drop the stale dir
+        val vroot = new org.apache.hadoop.fs.Path(vocabPath)
+        touchedVb.filterNot(survivingVb).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(vroot, s"vocab_bucket=$b"),
+            true)
+        }
+      } finally recomputed.unpersist(blocking = false)
+    } else {
+      // non-divisible layout: exact full rebuild from the postings
+      writer.materialize(s"${name}_vocab_next",
+        spark.read.parquet(postRoot.toString)
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("vocab_bucket",
+            pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int"))
+          .repartition(col("vocab_bucket")),
+        partitionBy = Seq("vocab_bucket"))
+      val vDst = path(s"${name}_vocab")
+      fs.delete(vDst, true)
+      fs.rename(path(s"${name}_vocab_next"), vDst)
+    }
+
+    // ---- step 6: stats from the snapshot + the struck set ----
+    val b = struck.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
+      .collect()(0)
+    writer.materialize(s"${name}_stats",
+      Seq((n0 - b.getAs[Long]("n"), s0 - b.getAs[Long]("s")))
+        .toDF("n_docs", "sum_dl"))
+
+    // ---- step 7: commit, clear the write-ahead files ----
+    fs.create(marker, true).close()
+    cleanup()
+  }
+
+  /** Drive a BM25 serving index from a table's CDC change feed
+    * ([[graft.sources.TableWriter.mergeByKeyCdc]] /
+    * `deleteByKeyCdc` write it) — the DB→search-index replication
+    * pattern: per feed batch, in batch_id order, the PRE-images
+    * (update_pre, delete) are struck via [[deleteFromBm25IndexBatch]]
+    * and the POST-images (insert, update_post) appended via
+    * [[appendBm25IndexBatch]], each leg exactly-once under its own
+    * marker, so a re-run (or a crash anywhere inside any batch) resumes
+    * and converges — the synced index serves bit-identically to one
+    * built from the final table state (q109's oracle; CdcIndexSyncSpec
+    * diffs against a fresh build). The feed carries pre-image TEXT, so
+    * the delete prunes to the victims' true term buckets without
+    * touching the table. Cost per batch tracks the batch (both legs are
+    * bucket-pruned); the feed read is the batch's own directory.
+    */
+  def syncBm25IndexFromFeed(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, tableName: String,
+      indexName: String, buckets: Int = 64, vocabBuckets: Int = 16,
+      keyCol: String = "doc_id", textCol: String = "text",
+      writerId: String = "default"): Unit = {
+    // bounded collect: one id per feed batch
+    val batchIds = writer.readChangeFeed(spark, tableName)
+      .select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+    for (bid <- batchIds) {
+      val batch = spark.read.parquet(
+        writer.path(s"${tableName}_changes") + s"/batch=$bid")
+      deleteFromBm25IndexBatch(
+        batch.filter(col("change_op").isin("update_pre", "delete"))
+          .select(col(keyCol), col(textCol)),
+        writer, indexName, bid, buckets, vocabBuckets, keyCol, textCol,
+        writerId)
+      appendBm25IndexBatch(
+        batch.filter(col("change_op").isin("insert", "update_post"))
+          .select(col(keyCol), col(textCol)),
+        writer, indexName, bid, buckets, vocabBuckets, keyCol, textCol,
+        writerId)
     }
   }
 

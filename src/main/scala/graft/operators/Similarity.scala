@@ -753,6 +753,17 @@ object Similarity {
     fs.delete(stagedMf, false)
   }
 
+  /** Hand over an IVF index's single-writer lease (see
+    * [[IndexProtocol.acquireLease]]): only safe once the owning stream
+    * is stopped.
+    */
+  def releaseIvfWriterLease(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(writer.path(s"${name}_ivf_commits"))
+    IndexProtocol.releaseLease(
+      d.getFileSystem(spark.sessionState.newHadoopConf()), d)
+  }
+
   /** Declare that a [[buildIvfIndex]]-built index is being handed to the
     * streaming append family: writes the `adopted` sentinel into the
     * commits dir so [[appendIvfIndexBatch]]'s history-based bootstrap

@@ -499,8 +499,17 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     * column, not file listing order.
     */
   def readChangeFeed(spark: org.apache.spark.sql.SparkSession,
-      name: String): DataFrame =
-    spark.read.parquet(path(s"${name}_changes") + "/batch=*")
+      name: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path(s"${name}_changes"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // resolve the batch dirs ourselves (one listing) instead of handing
+    // Spark a glob: each dir becomes its own read root
+    val dirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString).sorted
+    require(dirs.nonEmpty, s"readChangeFeed: no feed batches under $root")
+    spark.read.parquet(dirs: _*)
+  }
 
   /** [[deleteByKey]] with a change-data feed: the CURRENT values of the
     * doomed keys actually present in the table are appended to

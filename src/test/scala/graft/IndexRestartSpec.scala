@@ -317,9 +317,7 @@ class IndexRestartSpec extends SparkSpec {
     assert(parquetFileSigs(dir) == sigs,
       "a refused writer must not have modified the index")
     // explicit handover lets the new writer in
-    val commits = new org.apache.hadoop.fs.Path(s"$dir/docs_commits")
-    graft.operators.IndexProtocol.releaseLease(
-      commits.getFileSystem(spark.sessionState.newHadoopConf()), commits)
+    Retrieval.releaseBm25WriterLease(spark, w, "docs")
     Retrieval.appendBm25IndexBatch(batch(2), w, "docs", 2,
       writerId = "stream-B")
     Retrieval.appendBm25IndexBatch(batch(3), w, "docs", 3,
