@@ -3899,9 +3899,15 @@ object SparkEntry {
   private val cdcIdxCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.sources.TableWriter]
 
-  private def q109CdcIndexSync(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val writer = cdcIdxCache.getOrElseUpdate((s, dir), {
+  /** The shared q109/q110 CDC flow + both index syncs, built once per
+    * (session, sfdir): the feed drives the BM25 AND positional indexes,
+    * and each whole sync runs TWICE (idempotence — every second-pass
+    * leg must be a marker fast-path).
+    */
+  private def cdcIdxWriter(s: SparkSession, dir: String)
+      : graft.sources.TableWriter =
+    cdcIdxCache.getOrElseUpdate((s, dir), {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val wh = s"$q40Scratch/cdcidx_${java.lang.Integer.toHexString(dir.hashCode)}"
       deleteTree(java.nio.file.Paths.get(wh))
       val w = new graft.sources.TableWriter(wh)
@@ -3914,10 +3920,14 @@ object SparkEntry {
         d.filter(col("doc_id") % 11 === 5).select(col("doc_id")),
         "doc_id", 3L)
       Retrieval.syncBm25IndexFromFeed(s, w, "docs_tbl", "docsidx")
-      // idempotence: the whole sync re-runs; every leg must fast-path
       Retrieval.syncBm25IndexFromFeed(s, w, "docs_tbl", "docsidx")
+      Retrieval.syncPositionalIndexFromFeed(s, w, "docs_tbl", "phridx")
+      Retrieval.syncPositionalIndexFromFeed(s, w, "docs_tbl", "phridx")
       w
     })
+
+  private def q109CdcIndexSync(s: SparkSession, dir: String): DataFrame = {
+    val writer = cdcIdxWriter(s, dir)
     val fin = writer.readResolved(s, "docs_tbl")
       .select(col("doc_id"), col("text"))
     val qs = Retrieval.queryTerms(fin, col("doc_id") % 97 === 0, bm25QTerms)
@@ -3925,6 +3935,37 @@ object SparkEntry {
         k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
       .withColumn("rank", col("rank").cast("long"))
   }
+
+  /** CDC-driven PHRASE index maintenance (q110 — q109's positional
+    * twin): the same feed drives the positional index through
+    * [[Retrieval.syncPositionalIndexFromFeed]] (pure per-(term, doc)
+    * state: the delete leg needs no write-ahead, only the marker), and
+    * phrase serving over the synced index must equal a fresh build over
+    * the final table state — the oracle replays the trigram count over
+    * that state. Phrases come from the surviving corpus's final text
+    * (the %7 update appends a token at the END, so leading trigrams are
+    * unchanged but trigram COUNTS inside updated docs shift — the
+    * oracle sees both effects).
+    */
+  private def q110CdcPhraseSync(s: SparkSession, dir: String): DataFrame = {
+    val writer = cdcIdxWriter(s, dir)
+    val fin = writer.readResolved(s, "docs_tbl")
+      .select(col("doc_id"), col("text"))
+    val phrases = fin
+      .filter(col("doc_id") % 97 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    Retrieval.phraseQuery(s, writer, "phridx", phrases,
+      k = bm25K, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def q110OracleSql: String =
+    phraseOracleSql("TRUE",
+      """SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' upd7' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 5""".stripMargin)
 
   private def q109OracleSql: String =
     s"""${bm25CtesSql("doc_id % 97 = 0", "TRUE",
@@ -4273,9 +4314,12 @@ object SparkEntry {
     * by `corpusPred` (v20's delete oracle); phrases always come from the
     * full documents table — deleted docs still query (v17/v18's rule).
     */
-  private def phraseOracleSql(corpusPred: String): String =
-    s"""WITH ws AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  private def phraseOracleSql(corpusPred: String,
+      docsSql: String = "SELECT doc_id, text FROM documents"): String =
+    s"""WITH docs_src AS (
+       |  $docsSql
+       |), ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM docs_src
        |), tg AS (
        |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
@@ -5145,6 +5189,7 @@ object SparkEntry {
     "q107_stream_pos_restart" -> (q107StreamPosRestart _),
     "q108_stream_ivf_restart" -> (q108StreamIvfRestart _),
     "q109_cdc_index_sync" -> (q109CdcIndexSync _),
+    "q110_cdc_phrase_sync" -> (q110CdcPhraseSync _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6550,6 +6595,8 @@ object SparkEntry {
     // q109: BM25 replayed over the post-CDC table state — the synced
     // index must serve exactly what a fresh build over that state would
     "q109_cdc_index_sync" -> q109OracleSql,
+    // q110: the trigram replay over the post-CDC state (phrase twin)
+    "q110_cdc_phrase_sync" -> q110OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

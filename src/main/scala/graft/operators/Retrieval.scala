@@ -446,6 +446,13 @@ object Retrieval {
       fs.delete(dirty, false); fs.delete(stagedMf, false)
       return
     }
+    // an empty batch on an UNBORN index (a delete-only first feed batch
+    // routed through the append leg): nothing to bootstrap from — commit
+    // the marker and wait for a batch with rows. Checked only while
+    // stats are absent, so the isEmpty job never runs in steady state.
+    if (!fs.exists(path(s"${name}_stats")) && newDocs.isEmpty) {
+      fs.create(marker, true).close(); return
+    }
     val postRoot = path(s"${name}_postings")
 
     // ---- step 2: postings redo (O(batch), manifest-driven) ----
@@ -1389,6 +1396,65 @@ object Retrieval {
       manifest = stagedMf)
     fs.create(marker, true).close()
     fs.delete(stagedMf, false)
+  }
+
+  /** EXACTLY-ONCE batch delete from a positional index — the delete leg
+    * of the streamed phrase-index maintenance ([[appendPositionalIndexBatch]]
+    * is the append leg; [[syncPositionalIndexFromFeed]] drives both from
+    * a CDC feed). Positional postings are pure per-(term, doc) state, so
+    * unlike the BM25 leg there is NOTHING derived to write-ahead: the
+    * underlying [[deleteFromPositionalIndex]] converges from any partial
+    * state (each run strikes whatever victim rows remain), and the
+    * protocol is just the writer fence and the commit marker that makes
+    * a redelivered batch a no-op.
+    */
+  def deleteFromPositionalIndexBatch(victims: DataFrame,
+      writer: graft.sources.TableWriter, name: String, batchId: Long,
+      buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text",
+      writerId: String = "default"): Unit = {
+    val spark = victims.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val commitsDir = path(s"${name}_pos_commits")
+    val fs = commitsDir.getFileSystem(conf)
+    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+      s"deleteFromPositionalIndexBatch($name)")
+    val marker = path(s"${name}_pos_commits/del_$batchId")
+    if (fs.exists(marker)) return
+    if (fs.exists(path(s"${name}_positions")))
+      deleteFromPositionalIndex(victims, writer, name, buckets,
+        idCol, textCol)
+    fs.create(marker, true).close()
+  }
+
+  /** Drive a positional (phrase-search) index from a table's CDC change
+    * feed — the phrase twin of [[syncBm25IndexFromFeed]]: per feed
+    * batch in batch_id order, pre-images struck, post-images appended,
+    * each leg exactly-once under its marker; re-runs fast-path and the
+    * synced index matches a fresh build over the final table state
+    * (q110's oracle).
+    */
+  def syncPositionalIndexFromFeed(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, tableName: String,
+      indexName: String, buckets: Int = 64,
+      keyCol: String = "doc_id", textCol: String = "text",
+      writerId: String = "default"): Unit = {
+    // bounded collect: one id per feed batch
+    val batchIds = writer.readChangeFeed(spark, tableName)
+      .select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+    for (bid <- batchIds) {
+      val batch = spark.read.parquet(
+        writer.path(s"${tableName}_changes") + s"/batch=$bid")
+      deleteFromPositionalIndexBatch(
+        batch.filter(col("change_op").isin("update_pre", "delete"))
+          .select(col(keyCol), col(textCol)),
+        writer, indexName, bid, buckets, keyCol, textCol, writerId)
+      appendPositionalIndexBatch(
+        batch.filter(col("change_op").isin("insert", "update_post"))
+          .select(col(keyCol), col(textCol)),
+        writer, indexName, bid, buckets, keyCol, textCol, writerId)
+    }
   }
 
   /** Exact phrase query against a [[buildPositionalIndex]] layout.

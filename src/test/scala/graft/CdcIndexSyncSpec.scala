@@ -64,6 +64,24 @@ class CdcIndexSyncSpec extends SparkSpec {
       parquetFileSigs(s"$dir/idx_stats") == sigs)
   }
 
+  test("feed-synced POSITIONAL index == fresh build over the final state") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcsyncp").toString
+    val w = new TableWriter(dir)
+    runCdcFlow(w)
+    Retrieval.syncPositionalIndexFromFeed(spark, w, "tbl", "phr")
+    val refDir = java.nio.file.Files.createTempDirectory("cdcsyncpr").toString
+    val wr = new TableWriter(refDir)
+    Retrieval.buildPositionalIndex(finalState, wr, "phr")
+    def pos(wx: TableWriter) = wx.read(spark, "phr_positions")
+      .select("doc_id", "term", "positions").collect().map(_.toSeq).toSet
+    assert(pos(w) == pos(wr))
+    assert(pos(w).nonEmpty)
+    // re-sync: byte-level no-op
+    val sigs = parquetFileSigs(s"$dir/phr_positions")
+    Retrieval.syncPositionalIndexFromFeed(spark, w, "tbl", "phr")
+    assert(parquetFileSigs(s"$dir/phr_positions") == sigs)
+  }
+
   test("delete batch: absent victims and committed markers are byte-level no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("cdcsync2").toString
     val w = new TableWriter(dir)

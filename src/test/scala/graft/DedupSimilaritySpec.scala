@@ -178,9 +178,9 @@ class DedupSimilaritySpec extends SparkSpec {
       df.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
     val exact = key(Similarity.bruteForceTopK(e, queries, k = 5))
     val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3)
-    // training is fully deterministic (decimal means, tie-broken argmax):
-    // byte-identical centroids on a re-run — the property the oracle
-    // replay depends on
+    // training is fully deterministic (decimal means, tie-broken argmax,
+    // id-hash sample membership): byte-identical centroids on a re-run —
+    // the property the oracle replay depends on
     assert(cents == Similarity.trainIvfCentroids(e, initStride = 97L, iters = 3))
     val trained = key(Similarity.ivfTopKWithCentroids(e, queries, k = 5,
       centroids = cents, nprobe = 2))
@@ -188,10 +188,22 @@ class DedupSimilaritySpec extends SparkSpec {
       centroidStride = 97L, nprobe = 2))
     val rTrained = (exact intersect trained).size.toDouble / exact.size
     val rStride = (exact intersect stride).size.toDouble / exact.size
-    // Lloyd rounds should not DEGRADE the quantizer it was seeded with
-    assert(rTrained >= rStride - 1e-9,
-      s"trained recall $rTrained < stride recall $rStride")
-    assert(rTrained >= 0.5, s"trained recall@5 = $rTrained")
+    // the DEFAULT (r10: FAISS-style min(N, 32K) id-hash sample) trains
+    // on 198 of this corpus's 500 vectors — on a toy frame that can land
+    // below the full-data seed, so the recall pin here is sanity, not
+    // seed-dominance (measured 0.45 on this corpus/quantizer)
+    assert(rTrained >= 0.4, s"trained recall@5 = $rTrained")
+    // seed-dominance — Lloyd must not DEGRADE the quantizer it was
+    // seeded with — holds for FULL-data training (sampleFactor ≤ 0),
+    // where every round only reduces quantization error on the same
+    // frame the seed came from
+    val centsFull = Similarity.trainIvfCentroids(e, initStride = 97L,
+      iters = 3, sampleFactor = 0)
+    val trainedFull = key(Similarity.ivfTopKWithCentroids(e, queries, k = 5,
+      centroids = centsFull, nprobe = 2))
+    val rFull = (exact intersect trainedFull).size.toDouble / exact.size
+    assert(rFull >= rStride - 1e-9,
+      s"full-data trained recall $rFull < stride recall $rStride")
   }
 
   test("ivfSq8TopK: composed prune+compress recall vs exact, IVF-recall ceiling") {
@@ -212,7 +224,10 @@ class DedupSimilaritySpec extends SparkSpec {
     // recall ceiling (and both are deterministic on this corpus)
     assert(rComposed >= rIvf - 0.1,
       s"composed recall $rComposed far below IVF-only $rIvf")
-    assert(rComposed >= 0.5, s"composed recall@5 = $rComposed")
+    // floor re-pinned for the r10 sampled quantizer (trains on 198 of
+    // 500 toy vectors; measured 0.45 here) — the relative IVF-ceiling
+    // guard above is the corruption detector, the floor is sanity
+    assert(rComposed >= 0.4, s"composed recall@5 = $rComposed")
     assert(composed == key(Similarity.ivfSq8TopK(e, queries, k = 5,
       centroids = cents, nprobe = 2, rerankFactor = 4)))
   }
@@ -390,7 +405,10 @@ class DedupSimilaritySpec extends SparkSpec {
       // probed lists may cost a few shortlist misses on this tiny corpus
       // but must stay near it — far below means corrupted codes, not
       // quantization noise
-      assert(recall >= rIvf - 0.15 && recall >= 0.4,
+      // absolute floor re-pinned for the r10 sampled quantizer
+      // (measured 0.375 on this toy corpus); the relative ceiling
+      // guard is what detects corrupted codes
+      assert(recall >= rIvf - 0.15 && recall >= 0.3,
         s"IVF+PQ recall@5 = $recall vs IVF-only $rIvf")
     } finally {
       val walk = java.nio.file.Files.walk(wh)
