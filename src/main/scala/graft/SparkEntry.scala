@@ -3967,6 +3967,59 @@ object SparkEntry {
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' upd7' ELSE text END AS text
         |  FROM documents WHERE doc_id % 11 <> 5""".stripMargin)
 
+  /** CDC-driven VECTOR index maintenance (q111 — the third family,
+    * completing the CDC → index triad): the embeddings table lives as a
+    * merge table (vectors stored as doubles — the served form); three
+    * CDC batches flow (full insert, a re-embedding UPDATE of every
+    * vec_id % 13 == 2 — the v19 transform x·2+1, a DELETE of every
+    * vec_id % 11 == 5), and the IVF index is maintained purely from the
+    * feed by [[Similarity.syncIvfIndexFromFeed]]: batch 1 bootstraps
+    * the quantizer from its own vectors, updates are tombstone → vacuum
+    * → frozen re-assign, deletes tombstone → vacuum. Sync runs twice
+    * (idempotence). Oracle: quantizer trained on the ORIGINAL corpus
+    * (= batch 1), final-state vectors assigned frozen, deleted ids out
+    * of both candidates and queries — the ivfQueryOracleSql replay with
+    * v19's updateExpr.
+    */
+  private val cdcIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q111CdcVectorSync(s: SparkSession, dir: String): DataFrame = {
+    val writer = cdcIvfCache.getOrElseUpdate((s, dir), {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        graft.functions.VectorFns.toDouble(col("embedding")).as("embedding"))
+      val wh = s"$q40Scratch/cdcivf_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      w.mergeByKeyCdc(s, "emb_tbl", e, "vec_id", 1L)
+      w.mergeByKeyCdc(s, "emb_tbl",
+        e.filter(col("vec_id") % 13 === 2)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x * lit(2.0) + lit(1.0))),
+        "vec_id", 2L)
+      w.deleteByKeyCdc(s, "emb_tbl",
+        e.filter(col("vec_id") % 11 === 5).select(col("vec_id")),
+        "vec_id", 3L)
+      Similarity.syncIvfIndexFromFeed(s, w, "emb_tbl", "embidx",
+        trainIters = ivfIters)
+      Similarity.syncIvfIndexFromFeed(s, w, "emb_tbl", "embidx",
+        trainIters = ivfIters)
+      w
+    })
+    val fin = writer.readResolved(s, "emb_tbl")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.queryIvfIndex(s, writer, "embidx",
+        fin.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def q111OracleSql: String =
+    ivfQueryOracleSql("",
+      candWhere = " AND a.nbr_id % 11 <> 5",
+      updateExpr = Some(
+        "CASE WHEN vec_id % 13 = 2 THEN list_transform(v, x -> x * 2.0 + 1.0) ELSE v END"),
+      queryWhere = " AND c.vec_id % 11 <> 5")
+
   private def q109OracleSql: String =
     s"""${bm25CtesSql("doc_id % 97 = 0", "TRUE",
         """SELECT doc_id,
@@ -5190,6 +5243,7 @@ object SparkEntry {
     "q108_stream_ivf_restart" -> (q108StreamIvfRestart _),
     "q109_cdc_index_sync" -> (q109CdcIndexSync _),
     "q110_cdc_phrase_sync" -> (q110CdcPhraseSync _),
+    "q111_cdc_vector_sync" -> (q111CdcVectorSync _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6597,6 +6651,9 @@ object SparkEntry {
     "q109_cdc_index_sync" -> q109OracleSql,
     // q110: the trigram replay over the post-CDC state (phrase twin)
     "q110_cdc_phrase_sync" -> q110OracleSql,
+    // q111: batch-1 quantizer + frozen assignment of the post-CDC
+    // vectors, deleted ids out of candidates AND queries (vector twin)
+    "q111_cdc_vector_sync" -> q111OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 
@@ -7033,7 +7090,8 @@ object SparkEntry {
     */
   private def ivfQueryOracleSql(trainWhere: String,
       candWhere: String = "",
-      updateExpr: Option[String] = None): String = {
+      updateExpr: Option[String] = None,
+      queryWhere: String = ""): String = {
     val cf = s"cent$ivfIters"
     s"""${ivfTrainCtesSqlWhere(trainWhere, updateExpr)}
        |), assigned AS (
@@ -7050,7 +7108,7 @@ object SparkEntry {
        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
        |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
        |        ct.cent_id ASC) AS rn
-       |    FROM c CROSS JOIN $cf ct WHERE c.vec_id < 8
+       |    FROM c CROSS JOIN $cf ct WHERE c.vec_id < 8$queryWhere
        |  ) WHERE rn <= 2
        |), scored AS (
        |  SELECT p.query_id, a.nbr_id,

@@ -120,13 +120,17 @@ private[graft] object IndexProtocol {
   def moveStagedIn(fs: FileSystem, stage: Path, liveRoot: Path,
       partitionPrefix: String, batchPrefix: String,
       manifest: Path): Seq[Path] = {
+    // name-sorted listings: listStatus order is filesystem-dependent,
+    // and the b<id>-<i> names should not permute across replay attempts
     val moves: Seq[(Path, Path)] =
       fs.listStatus(stage).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(partitionPrefix))
+        .sortBy(_.getPath.getName)
         .flatMap { d =>
           val dst = new Path(liveRoot, d.getPath.getName)
           fs.listStatus(d.getPath).toSeq.filter(_.isFile)
             .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
             .zipWithIndex.map { case (f, i) =>
               (f.getPath, new Path(dst, s"$batchPrefix$i.parquet"))
             }

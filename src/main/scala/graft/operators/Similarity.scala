@@ -717,6 +717,13 @@ object Similarity {
       val n = st.getPath.getName
       n.startsWith("batch_") || n == "adopted"
     }
+    if (!everCommitted && batch.isEmpty) {
+      // an empty batch on an unborn index (a delete-only first feed
+      // batch routed through the append leg): nothing to train on —
+      // commit the marker and wait for a batch with vectors
+      fs.create(marker, true).close()
+      return
+    }
     if (!everCommitted) {
       val cents = trainIvfCentroids(batch, initStride, trainIters,
         idCol, vecCol)
@@ -751,6 +758,77 @@ object Similarity {
     }
     fs.create(marker, true).close()
     fs.delete(stagedMf, false)
+  }
+
+  /** EXACTLY-ONCE batch delete (+vacuum) from the IVF index — the
+    * delete leg of the vector CDC sync ([[syncIvfIndexFromFeed]]).
+    * Unlike the BM25 leg there is no decrement arithmetic to
+    * write-ahead: the tombstone append is replay-convergent (the
+    * fresh-tombstone filter drops already-tombstoned ids, so a crashed
+    * attempt's remainder lands on redelivery) and the pruned vacuum is
+    * replay-convergent (already-vacuumed victims are simply absent), so
+    * the protocol is the writer fence plus the `del_<id>` marker. The
+    * vacuum runs INSIDE the leg so the following append leg may re-add
+    * updated ids — [[appendIvfIndexBatch]]'s re-add guard demands the
+    * old generation be physically gone first.
+    */
+  def deleteFromIvfIndexBatch(victims: DataFrame,
+      writer: graft.sources.TableWriter, name: String, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      writerId: String = "default"): Unit = {
+    val spark = victims.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val commitsDir = path(s"${name}_ivf_commits")
+    val fs = commitsDir.getFileSystem(conf)
+    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+      s"deleteFromIvfIndexBatch($name)")
+    val marker = path(s"${name}_ivf_commits/del_$batchId")
+    if (fs.exists(marker)) return
+    // unborn index (a delete-only leg before the first append): no-op
+    if (fs.exists(path(s"${name}_centroids"))) {
+      deleteFromIvfIndex(victims, writer, name, idCol, vecCol)
+      vacuumIvfIndex(spark, writer, name)
+    }
+    fs.create(marker, true).close()
+  }
+
+  /** Drive the IVF index from a table's CDC change feed — the vector
+    * third of the CDC → index family (BM25
+    * [[Retrieval.syncBm25IndexFromFeed]], positional
+    * [[Retrieval.syncPositionalIndexFromFeed]], this): per feed batch
+    * in batch_id order, pre-images (update_pre, delete) are tombstoned
+    * and vacuumed via [[deleteFromIvfIndexBatch]], then post-images
+    * (insert, update_post) appended via [[appendIvfIndexBatch]] — the
+    * first batch bootstraps the quantizer from its own vectors, later
+    * batches assign frozen (an UPDATE is therefore delete → vacuum →
+    * frozen re-assign, exactly the v19 re-embedding flow). Each leg is
+    * exactly-once under its marker; re-runs fast-path, crashes resume
+    * in order (q111's oracle replays bootstrap training + final-state
+    * assignment in SQL).
+    */
+  def syncIvfIndexFromFeed(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, tableName: String,
+      indexName: String, trainIters: Int = 3, initStride: Long = 97L,
+      keyCol: String = "vec_id", vecCol: String = "embedding",
+      writerId: String = "default"): Unit = {
+    import org.apache.spark.sql.functions.col
+    // bounded collect: one id per feed batch
+    val batchIds = writer.readChangeFeed(spark, tableName)
+      .select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+    for (bid <- batchIds) {
+      val batch = spark.read.parquet(
+        writer.path(s"${tableName}_changes") + s"/batch=$bid")
+      deleteFromIvfIndexBatch(
+        batch.filter(col("change_op").isin("update_pre", "delete"))
+          .select(col(keyCol), col(vecCol)),
+        writer, indexName, bid, keyCol, vecCol, writerId)
+      appendIvfIndexBatch(
+        batch.filter(col("change_op").isin("insert", "update_post"))
+          .select(col(keyCol), col(vecCol)),
+        writer, indexName, bid, trainIters, initStride, keyCol, vecCol,
+        writerId)
+    }
   }
 
   /** Hand over an IVF index's single-writer lease (see

@@ -82,6 +82,47 @@ class CdcIndexSyncSpec extends SparkSpec {
     assert(parquetFileSigs(s"$dir/phr_positions") == sigs)
   }
 
+  test("feed-synced IVF index == the explicit delete→vacuum→append flow") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorFns.toDouble(col("embedding")).as("embedding"))
+    def upd(e: org.apache.spark.sql.DataFrame) = e.withColumn("embedding",
+      when(col("vec_id") % 13 === 2,
+        transform(col("embedding"), x => x * lit(2.0) + lit(1.0)))
+        .otherwise(col("embedding")))
+    val dir = java.nio.file.Files.createTempDirectory("cdcsyncv").toString
+    val w = new TableWriter(dir)
+    w.mergeByKeyCdc(spark, "etbl", emb, "vec_id", 1L)
+    w.mergeByKeyCdc(spark, "etbl",
+      upd(emb).filter(col("vec_id") % 13 === 2), "vec_id", 2L)
+    w.deleteByKeyCdc(spark, "etbl",
+      emb.filter(col("vec_id") % 11 === 5).select("vec_id"), "vec_id", 3L)
+    Similarity.syncIvfIndexFromFeed(spark, w, "etbl", "eidx", trainIters = 2)
+    // reference: the v19 flow written out by hand with the SAME
+    // batch-1-trained quantizer
+    val refDir = java.nio.file.Files.createTempDirectory("cdcsyncvr").toString
+    val wr = new TableWriter(refDir)
+    val cents = Similarity.trainIvfCentroids(emb, 97L, 2)
+    Similarity.buildIvfIndex(emb, cents, wr, "eidx")
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 13 === 2 || col("vec_id") % 11 === 5),
+      wr, "eidx")
+    Similarity.vacuumIvfIndex(spark, wr, "eidx")
+    Similarity.appendIvfIndex(
+      upd(emb).filter(col("vec_id") % 13 === 2 && col("vec_id") % 11 =!= 5),
+      wr, "eidx")
+    def lists(wx: TableWriter) = wx.read(spark, "eidx_lists")
+      .select("nbr_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cent_id").longValue)).toSet
+    assert(lists(w) == lists(wr))
+    assert(lists(w).nonEmpty)
+    // re-sync: every leg fast-paths on its marker (lists byte-stable)
+    val sigs = parquetFileSigs(s"$dir/eidx_lists")
+    Similarity.syncIvfIndexFromFeed(spark, w, "etbl", "eidx", trainIters = 2)
+    assert(parquetFileSigs(s"$dir/eidx_lists") == sigs)
+  }
+
   test("delete batch: absent victims and committed markers are byte-level no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("cdcsync2").toString
     val w = new TableWriter(dir)
