@@ -1815,6 +1815,13 @@ object SparkEntry {
     posDelCache.clear()
     cdcCache.clear()
     compactIdxCache.clear()
+    compactPosCache.clear()
+    compactIvfCache.clear()
+    cdcIdxCache.clear()
+    cdcIvfCache.clear()
+    snapIdxCache.clear()
+    snapPosCache.clear()
+    snapIvfCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
   }
 
@@ -4028,6 +4035,117 @@ object SparkEntry {
        |)
        |SELECT query_id, doc_id, rank, n_hit FROM bm WHERE rank <= $bm25K""".stripMargin
 
+  /** Snapshot-isolated serving under a mid-protocol append crash (q112
+    * — the READER side of the exactly-once story, closing the one
+    * window the writer protocols left open: what a query racing a
+    * crashed-or-in-flight batch sees): batches 0–2 commit, then batch 3
+    * crashes INSIDE the vocab merge
+    * ([[graft.operators.Retrieval.injectCrashedBm25Append]] — postings
+    * moved in behind their staged manifest, the dirty flag holding the
+    * pre-merge stats snapshot, every vocab bucket the batch touches
+    * destroyed, the stats table garbage). Serving straight off that
+    * wreckage must equal the last COMMITTED state bit-exactly:
+    * [[graft.operators.Retrieval]]'s bm25ServingView excludes the
+    * unmarked batch's `b3-` postings by name, takes stats from the
+    * dirty flag's write-ahead snapshot, and recomputes the dfs of terms
+    * in damaged vocab buckets from the committed postings. Oracle:
+    * v10's replay over batches 0–2 only. SnapshotReadSpec additionally
+    * pins max-score equality, the delete-leg refusal, healing via real
+    * redelivery, and the untouched quiescent plan.
+    */
+  private val snapIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q112SnapshotRead(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val writer = snapIdxCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/snapread_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      (0 to 2).foreach(c => Retrieval.appendBm25IndexBatch(
+        d.filter(pmod(col("doc_id"), lit(4)) === c), w, "docs", c))
+      Retrieval.injectCrashedBm25Append(
+        d.filter(pmod(col("doc_id"), lit(4)) === 3), w, "docs", 3L)
+      w
+    })
+    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, writer, "docs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def q112OracleSql: String =
+    s"""${bm25CtesSql("doc_id % 97 = 0", "doc_id % 4 <> 3")}
+       |)
+       |SELECT query_id, doc_id, rank, n_hit FROM bm WHERE rank <= $bm25K""".stripMargin
+
+  /** q112's positional twin (q113): batch 3's position postings moved
+    * in behind their staged manifest, no marker — the family has no
+    * derived tables, so exclusion of the unmarked `b3-` files IS the
+    * whole snapshot; phrase serving must replay the committed corpus
+    * (batches 0–2) exactly. Queries still come from the full table —
+    * an unindexed doc may query, it just can't be retrieved.
+    */
+  private val snapPosCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q113SnapshotPhrase(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val writer = snapPosCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/snappos_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      (0 to 2).foreach(c => Retrieval.appendPositionalIndexBatch(
+        d.filter(pmod(col("doc_id"), lit(4)) === c), w, "docs", c))
+      Retrieval.injectCrashedPositionalAppend(
+        d.filter(pmod(col("doc_id"), lit(4)) === 3), w, "docs", 3L)
+      w
+    })
+    val phrases = d
+      .filter(col("doc_id") % 97 === 0
+        && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms"))
+    Retrieval.phraseQuery(s, writer, "docs", phrases,
+      k = bm25K, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def q113OracleSql: String = phraseOracleSql("doc_id % 4 <> 3")
+
+  /** q112's vector twin (q114, completing the snapshot-read triad):
+    * the IVF stream bootstraps on batch 0 (quantizer trained there,
+    * the q108 discipline), batches 1–2 commit, and batch 3's assigned
+    * vectors are moved in behind their staged manifest with no marker.
+    * Probing must serve the committed lists only — the unmarked `b3-`
+    * list files are excluded by name after the cent_id partition prune.
+    * Oracle: train on chunk 0, assign the COMMITTED corpus (vec_id %
+    * 4 <> 3), probe with the standard query set.
+    */
+  private val snapIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q114SnapshotIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val writer = snapIvfCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/snapivf_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      (0 to 2).foreach(c => Similarity.appendIvfIndexBatch(
+        e.filter(pmod(col("vec_id"), lit(4)) === c), w, "emb", c,
+        trainIters = ivfIters))
+      Similarity.injectCrashedIvfAppend(
+        e.filter(pmod(col("vec_id"), lit(4)) === 3), w, "emb", 3L)
+      w
+    })
+    Similarity.queryIvfIndex(s, writer, "emb",
+        e.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def q114OracleSql: String =
+    ivfQueryOracleSql(" WHERE vec_id % 4 = 0", " AND a.nbr_id % 4 <> 3")
+
   /** Incremental BM25 index ingest (v13): the index is built from the
     * base corpus (doc_id % 10 != 0) and the rest arrives as an appended
     * batch — postings appended, dfs additively merged, stats summed
@@ -5244,6 +5362,9 @@ object SparkEntry {
     "q109_cdc_index_sync" -> (q109CdcIndexSync _),
     "q110_cdc_phrase_sync" -> (q110CdcPhraseSync _),
     "q111_cdc_vector_sync" -> (q111CdcVectorSync _),
+    "q112_snapshot_read" -> (q112SnapshotRead _),
+    "q113_snapshot_phrase" -> (q113SnapshotPhrase _),
+    "q114_snapshot_ivf" -> (q114SnapshotIvf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6654,6 +6775,11 @@ object SparkEntry {
     // q111: batch-1 quantizer + frozen assignment of the post-CDC
     // vectors, deleted ids out of candidates AND queries (vector twin)
     "q111_cdc_vector_sync" -> q111OracleSql,
+    // q112–q114: snapshot-isolated serving under a crashed mid-protocol
+    // append — each replays the COMMITTED corpus only (batches 0–2)
+    "q112_snapshot_read" -> q112OracleSql,
+    "q113_snapshot_phrase" -> q113OracleSql,
+    "q114_snapshot_ivf" -> q114OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

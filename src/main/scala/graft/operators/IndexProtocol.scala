@@ -33,6 +33,120 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[graft] object IndexProtocol {
 
+  /** One metadata read of a commits directory, interpreted for SNAPSHOT
+    * READERS (the serving-side complement of the writer protocols):
+    *
+    *   - `committedAppends`: batches whose `batch_<id>` marker exists —
+    *     the visibility frontier; everything a reader serves must come
+    *     from these (or from pre-protocol `part-*`/`compact-*` files,
+    *     which only a completed build/compaction creates).
+    *   - `uncommittedAppends`: `staged_<id>` manifests with no marker —
+    *     an append in flight or crashed mid-protocol. The manifest is
+    *     written BEFORE any rename, so every data file such a batch can
+    *     have landed carries its `b<id>-` prefix and is excludable by
+    *     name.
+    *   - `inflightDeletes`: delete-leg write-ahead state (`delstate_`,
+    *     `struck_`, `delflag_`) with no `del_<id>` marker. Delete legs
+    *     rewrite bucket files IN PLACE — there is no pre-image to
+    *     reconstruct — so snapshot readers refuse loudly rather than
+    *     serve a half-deleted index.
+    *
+    * `fingerprint` is the sorted name listing: two listings taken around
+    * a scan's file-index pin compare equal iff no protocol transition
+    * happened in between (markers, manifests, and flags are only ever
+    * created/removed, never modified in place — except the dirty flag,
+    * which its owner tracks separately).
+    */
+  final case class CommitsState(
+      committedAppends: Set[Long],
+      stagedAppends: Set[Long],
+      inflightDeletes: Set[Long],
+      fingerprint: Seq[String]) {
+    def uncommittedAppends: Set[Long] = stagedAppends -- committedAppends
+  }
+
+  def commitsState(fs: FileSystem, commitsDir: Path): CommitsState = {
+    if (!fs.exists(commitsDir))
+      return CommitsState(Set.empty, Set.empty, Set.empty, Nil)
+    val names = fs.listStatus(commitsDir).map(_.getPath.getName).toSeq.sorted
+    def ids(prefix: String): Set[Long] = names.iterator
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+      .toSet
+    // "del_" does not prefix-collide with "delstate_"/"delflag_": the
+    // char after "del" differs, and non-numeric suffixes parse to None
+    val delMarkers = ids("del_")
+    CommitsState(
+      committedAppends = ids("batch_"),
+      stagedAppends = ids("staged_"),
+      inflightDeletes =
+        (ids("delstate_") ++ ids("struck_") ++ ids("delflag_")) -- delMarkers,
+      fingerprint = names)
+  }
+
+  /** Pin a serving scan against a STABLE commits state — the snapshot
+    * readers' race-closing dance. The scan's file set is fixed when the
+    * DataFrame is constructed (`pin()` builds the FileIndex eagerly);
+    * listing the commits dir before AND after that pin proves no
+    * protocol transition straddled it, because every transition creates
+    * or removes a name in the dir (staged manifest before any rename,
+    * marker at commit, write-ahead files around deletes). On a
+    * fingerprint mismatch the whole dance retries — re-pinning is
+    * mandatory, not just re-listing: a batch that COMMITTED between the
+    * two listings may have only half its files in the stale pin.
+    * Bounded retries: a writer takes seconds per transition, the dance
+    * takes milliseconds, so a second attempt virtually always lands in
+    * a stable window.
+    *
+    * Returns the pinned frame plus the stable state; throws loudly when
+    * a delete leg is in flight (in-place rewrites have no pre-image to
+    * serve — see [[CommitsState]]).
+    */
+  def pinnedSnapshot(fs: FileSystem, commitsDir: Path,
+      extraState: () => Seq[String],
+      pin: () => org.apache.spark.sql.DataFrame,
+      what: String): (org.apache.spark.sql.DataFrame, CommitsState, Seq[String]) = {
+    var attempts = 0
+    while (attempts < 6) {
+      val pre = commitsState(fs, commitsDir)
+      val preX = extraState()
+      val df = pin()
+      val post = commitsState(fs, commitsDir)
+      val postX = extraState()
+      if (pre.fingerprint == post.fingerprint && preX == postX) {
+        if (post.inflightDeletes.nonEmpty)
+          throw new IllegalStateException(
+            s"$what: index delete leg in flight (batch " +
+              s"${post.inflightDeletes.min}) — deletes rewrite bucket files " +
+              "in place with no pre-image to serve; retry after the leg's " +
+              "del_ marker commits")
+        return (df, post, postX)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"$what: commits state kept changing across $attempts pin attempts — " +
+        "is a writer thrashing protocol transitions?")
+  }
+
+  /** Exclude an uncommitted batch's data files from a pinned scan by
+    * their deterministic `b<id>-<i>.parquet` names ([[moveStagedIn]]'s
+    * naming). Files from completed builds/compactions (`part-*`,
+    * `compact-*`) don't match the pattern and always serve. Apply AFTER
+    * the deterministic partition-pruning filters: `input_file_name` is
+    * nondeterministic, and a filter below it would not push down to the
+    * scan. The quiescent path never calls this (uncommitted is empty),
+    * so steady-state plans are unchanged.
+    */
+  def excludeUncommitted(df: org.apache.spark.sql.DataFrame,
+      uncommitted: Set[Long]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (uncommitted.isEmpty) df
+    else df.filter(!regexp_extract(input_file_name(),
+        "/b(\\d+)-\\d+\\.parquet$", 1)
+      .isin(uncommitted.toSeq.sorted.map(_.toString): _*))
+  }
+
   def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList

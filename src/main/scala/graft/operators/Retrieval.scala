@@ -584,6 +584,84 @@ object Retrieval {
     } finally tfB.unpersist(blocking = false)
   }
 
+  /** Reproduce — deterministically and protocol-faithfully — a crash of
+    * [[appendBm25IndexBatch]] INSIDE the vocab merge: the batch's
+    * postings are moved in behind their staged manifest (step 2,
+    * verbatim), the dirty flag records the pre-merge stats snapshot
+    * (step 3's write-ahead), and then the merge "dies" having damaged
+    * exactly what a real crash can damage — the batch's own vocab
+    * buckets and the stats table. No commit marker is written. This is
+    * the adversarial state [[bm25ServingView]] must serve THROUGH
+    * (snapshot readers see the pre-batch index bit-exactly) and
+    * redelivery's bucket-scoped recovery must repair; it exists so the
+    * q112 oracle entry and SnapshotReadSpec can pin both against a real
+    * mid-protocol state. Nothing in the write path calls it.
+    */
+  private[graft] def injectCrashedBm25Append(newDocs: DataFrame,
+      writer: graft.sources.TableWriter, name: String, batchId: Long,
+      buckets: Int = 64, vocabBuckets: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val fs = path(s"${name}_commits").getFileSystem(conf)
+    val old = writer.read(spark, s"${name}_stats").collect()(0)
+    val (n0, s0) = (old.getAs[Long]("n_docs"), old.getAs[Long]("sum_dl"))
+    // step 2: postings staged and moved in behind the staged manifest
+    val tfB = postingsOf(newDocs, idCol, textCol)
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      .persist()
+    try {
+      val stage = path(s"__stage_b${batchId}_$name")
+      tfB.repartition(col("term_bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("term_bucket").parquet(stage.toString)
+      IndexProtocol.moveStagedIn(fs, stage, path(s"${name}_postings"),
+        partitionPrefix = "term_bucket=", batchPrefix = s"b$batchId-",
+        manifest = path(s"${name}_commits/staged_$batchId"))
+      // step 3's write-ahead, then the merge "crashes": every vocab
+      // bucket the batch touches is damaged, stats are garbage
+      IndexProtocol.writeLinesAtomic(fs, path(s"${name}_vocab_dirty"),
+        Seq(batchId.toString, s"$n0\t$s0"))
+      val touched = tfB
+        .select(pmod(xxhash64(col("term")), lit(vocabBuckets.toLong))
+          .cast("int").as("vb"))
+        .distinct().collect().map(_.getInt(0))
+      val vroot = path(s"${name}_vocab")
+      touched.foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(vroot, s"vocab_bucket=$b"),
+          true))
+      writer.materialize(s"${name}_stats",
+        Seq((-1L, -1L)).toDF("n_docs", "sum_dl"))
+    } finally tfB.unpersist(blocking = false)
+  }
+
+  /** Positional twin of [[injectCrashedBm25Append]]: the batch's
+    * position postings moved in behind their staged manifest, no commit
+    * marker — the family has no derived tables, so this IS every
+    * pre-marker crash state with data on disk. Fixture for q113 and
+    * SnapshotReadSpec; nothing in the write path calls it.
+    */
+  private[graft] def injectCrashedPositionalAppend(newDocs: DataFrame,
+      writer: graft.sources.TableWriter, name: String, batchId: Long,
+      buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val fs = path(s"${name}_pos_commits").getFileSystem(conf)
+    val stage = path(s"__stage_pb${batchId}_$name")
+    positionalPostings(newDocs, buckets, idCol, textCol)
+      .repartition(col("term_bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("term_bucket").parquet(stage.toString)
+    IndexProtocol.moveStagedIn(fs, stage, path(s"${name}_positions"),
+      partitionPrefix = "term_bucket=", batchPrefix = s"b$batchId-",
+      manifest = path(s"${name}_pos_commits/staged_$batchId"))
+  }
+
   /** Hand over a BM25 index's single-writer lease (see
     * [[IndexProtocol.acquireLease]]): only safe once the owning stream
     * is stopped; the next [[appendBm25IndexBatch]] caller of ANY
@@ -631,6 +709,14 @@ object Retrieval {
     * caller passed; the victim text only PRUNES which buckets are
     * probed (with drifted text, postings in unpredicted buckets can
     * survive — but the index stays internally consistent).
+    *
+    * This plain form is a single-writer MAINTENANCE operation with no
+    * protocol files, so snapshot readers ([[bm25ServingView]]) cannot
+    * detect it mid-flight — schedule it in a reader-quiet window. The
+    * CDC/streaming path uses [[deleteFromBm25IndexBatch]], whose
+    * write-ahead state both makes crashes replayable and fences
+    * concurrent snapshot readers (loud refusal, never a half-deleted
+    * read).
     */
   def deleteFromBm25Index(victims: DataFrame,
       writer: graft.sources.TableWriter, name: String, buckets: Int = 64,
@@ -920,6 +1006,16 @@ object Retrieval {
     * the delete prunes to the victims' true term buckets without
     * touching the table. Cost per batch tracks the batch (both legs are
     * bucket-pruned); the feed read is the batch's own directory.
+    *
+    * WHY batch order is load-bearing (and why there is deliberately no
+    * readStream variant over the feed files): an UPDATE's pre-image
+    * must strike BEFORE its post-image appends — applied reversed, the
+    * strike removes the freshly-appended new rows and the document is
+    * lost. Spark's file stream source orders by file, not by feed
+    * batch, and a multi-file batch can split across microbatches (half
+    * a delete leg would commit its marker and skip the rest). Feed
+    * batch ids are the ordering contract; a streaming deployment gets
+    * it from an offset-ordered log (Kafka), not directory listings.
     */
   def syncBm25IndexFromFeed(spark: org.apache.spark.sql.SparkSession,
       writer: graft.sources.TableWriter, tableName: String,
@@ -1013,12 +1109,153 @@ object Retrieval {
     }
   }
 
+  private def emptyServing(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Int, Long)].toDF("query_id", "doc_id", "rank", "n_hit")
+  }
+
+  private val StagedTermBucketRe = "/term_bucket=(\\d+)/".r.unanchored
+
+  /** SNAPSHOT-RESOLVED serving view of a BM25 index — readers see
+    * exactly the state of the last batch whose commit marker exists,
+    * whatever the writer is doing or wherever it crashed. Without this,
+    * a reader racing [[appendBm25IndexBatch]] (or serving between a
+    * crash and its redelivery) would dirty-read the batch's already-
+    * renamed `b<id>-` postings against pre-merge vocab/stats — scores
+    * from a state no commit ever defined.
+    *
+    * Resolution rules, all driven by the protocol's own write-ahead
+    * state (one commits-dir listing + one flag read; the quiescent path
+    * adds NO per-row work and leaves the plan untouched):
+    *   - postings: the scan is pinned under the
+    *     [[IndexProtocol.pinnedSnapshot]] race-closing dance, and files
+    *     of staged-but-unmarked batches are excluded by their `b<id>-`
+    *     names (the staged manifest is written before any rename, so
+    *     every file such a batch can have landed is excludable);
+    *   - stats: a LIVE dirty flag (its batch unmarked) carries the
+    *     pre-merge (n_docs, sum_dl) snapshot — the committed values —
+    *     so the possibly-mid-overwrite stats table is not read at all;
+    *   - dfs: a crashed merge can only have damaged the vocab buckets
+    *     the batch's vocabulary hashes into (derived from the staged
+    *     manifest's `term_bucket=` paths); query terms in those buckets
+    *     get their dfs RECOMPUTED from the committed postings (the same
+    *     pruned scan shape the query itself runs), terms elsewhere read
+    *     the untouched vocab buckets normally;
+    *   - a live BOOTSTRAP dirty flag means no batch has ever committed:
+    *     the committed state is an empty index, and the reader serves
+    *     exactly that (None → empty result);
+    *   - in-flight DELETE legs refuse loudly (in-place rewrites have no
+    *     pre-image) — the delete protocols' write-ahead files make them
+    *     detectable; plain [[deleteFromBm25Index]]/compaction are
+    *     operator-scheduled maintenance outside this guarantee.
+    *
+    * Returns (pruned-committed-postings-for-terms, nDocs, avgdl, dfs);
+    * None when the committed state is an unborn index.
+    */
+  private def bm25ServingView(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String, qTerms: Seq[String],
+      buckets: Int, vocabBuckets: Int):
+      Option[(Seq[String] => DataFrame, Long, Double, Map[String, Long])] = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val commitsDir = path(s"${name}_commits")
+    val fs = commitsDir.getFileSystem(conf)
+    val dirtyP = path(s"${name}_vocab_dirty")
+    def dirtyLines(): Seq[String] =
+      if (fs.exists(dirtyP)) IndexProtocol.readLines(fs, dirtyP) else Nil
+
+    val (base, state, dirty) = IndexProtocol.pinnedSnapshot(fs, commitsDir,
+      () => dirtyLines(),
+      () => writer.read(spark, s"${name}_postings"),
+      s"queryBm25Index($name)")
+
+    // bucket list via the engine's own xxhash64 (one local-data job, no
+    // corpus scan) — keeps the pruning predicate in the partition
+    // column's written type (int), so pruning stays cast-free; the
+    // uncommitted-file exclusion wraps the PRUNED scan (input_file_name
+    // is nondeterministic — below it, the prune would not push down)
+    val posts: Seq[String] => DataFrame = terms =>
+      if (terms.isEmpty) base.limit(0)
+      else {
+        val hit = terms.toDF("term")
+          .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
+            .as("b"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        IndexProtocol.excludeUncommitted(
+          base.filter(col("term_bucket").isin(hit.toIndexedSeq: _*)
+            && col("term").isin(terms: _*)),
+          state.uncommittedAppends)
+      }
+
+    val liveDirty = dirty.nonEmpty &&
+      dirty.headOption.exists(h => !state.committedAppends.contains(h.toLong))
+    if (liveDirty && dirty.lift(1).contains("bootstrap"))
+      return None // no batch ever committed: the snapshot is an empty index
+
+    val (nDocs, avgdl) =
+      if (liveDirty) {
+        val Array(n0, s0) = dirty(1).split("\t").map(_.toLong)
+        if (n0 <= 0L) return None
+        (n0, s0.toDouble / n0.toDouble)
+      } else {
+        val r = writer.read(spark, s"${name}_stats").collect()(0)
+        val n = r.getAs[Long]("n_docs")
+        (n, r.getAs[Long]("sum_dl").toDouble / n.toDouble)
+      }
+
+    val dfs: Map[String, Long] =
+      if (!liveDirty)
+        vocabPruned(spark, writer, name, qTerms, vocabBuckets)
+          .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
+          .toMap
+      else {
+        // the crashed merge can only have touched the batch's own vocab
+        // buckets — derivable from its staged manifest (postings bucket b
+        // holds terms of vocab bucket b % vocabBuckets when the layouts
+        // divide); conservative all-buckets fallback otherwise
+        val touchedVb: Set[Int] = {
+          val mf = path(s"${name}_commits/staged_${dirty.head}")
+          if (buckets % vocabBuckets == 0 && fs.exists(mf)) {
+            IndexProtocol.readLines(fs, mf).filter(_.nonEmpty).flatMap { p =>
+              StagedTermBucketRe.findFirstMatchIn(p)
+                .map(_.group(1).toInt % vocabBuckets)
+            }.toSet
+          } else (0 until vocabBuckets).toSet
+        }
+        val vbOf: Map[String, Int] =
+          if (qTerms.isEmpty) Map.empty
+          else qTerms.toDF("term")
+            .select(col("term"),
+              pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int")
+                .as("vb"))
+            .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        val (touchedTerms, cleanTerms) =
+          qTerms.partition(t => touchedVb.contains(vbOf(t)))
+        val cleanDfs: Map[String, Long] =
+          if (cleanTerms.isEmpty) Map.empty
+          else vocabPruned(spark, writer, name, cleanTerms, vocabBuckets)
+            .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
+            .toMap
+        val touchedDfs: Map[String, Long] =
+          if (touchedTerms.isEmpty) Map.empty
+          else posts(touchedTerms).groupBy("term")
+            .agg(count(lit(1)).as("df"))
+            .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
+            .toMap
+        cleanDfs ++ touchedDfs
+      }
+    Some((posts, nDocs, avgdl, dfs))
+  }
+
   /** Query a persisted BM25 index: stats and the query terms' dfs are
     * tiny lookups; the one corpus-sized read is the postings scan,
     * partition-pruned to the term buckets the query vocabulary hashes
     * into and term-filtered inside them. Bit-identical ranking to
     * [[bm25TopK]] over the same corpus (postings are integers, parquet
     * round-trips them exactly, and the score arithmetic is shared).
+    * Reads are SNAPSHOT-ISOLATED against the streamed-append protocol —
+    * see [[bm25ServingView]].
     */
   def queryBm25Index(spark: org.apache.spark.sql.SparkSession,
       writer: graft.sources.TableWriter, name: String, queries: DataFrame,
@@ -1028,24 +1265,14 @@ object Retrieval {
     import spark.implicits._
     val (qRows, qTerms) = localQueries(queries)
     val qDf = qRows.toDF("query_id", "term")
-
-    val statsRow = writer.read(spark, s"${name}_stats").collect()(0)
-    val nDocs = statsRow.getAs[Long]("n_docs")
-    val avgdl = statsRow.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
-    val dfs = vocabPruned(spark, writer, name, qTerms, vocabBuckets)
-      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"))).toSeq
-
-    // bucket list via the engine's own xxhash64 (one local-data job, no
-    // corpus scan) — keeps the pruning predicate in the partition
-    // column's written type (int), so pruning stays cast-free
-    val hit = qTerms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val cand = writer.read(spark, s"${name}_postings")
-      .filter(col("term_bucket").isin(hit: _*)
-        && col("term").isin(qTerms: _*))
-      .join(broadcast(dfs.toDF("term", "df")), Seq("term"))
-    scoreAndRank(cand, qDf, k, k1, b, nDocs, avgdl, excludeSelf)
+    bm25ServingView(spark, writer, name, qTerms, buckets, vocabBuckets) match {
+      case None => emptyServing(spark)
+      case Some((posts, nDocs, avgdl, dfsMap)) =>
+        val dfs = dfsMap.toSeq.sortBy(_._1)
+        val cand = posts(qTerms)
+          .join(broadcast(dfs.toDF("term", "df")), Seq("term"))
+        scoreAndRank(cand, qDf, k, k1, b, nDocs, avgdl, excludeSelf)
+    }
   }
 
   /** Rarest-first seed set for max-score serving: the minimal prefix of
@@ -1136,39 +1363,25 @@ object Retrieval {
       vocabBuckets: Int = 16): DataFrame = {
     import spark.implicits._
     val (qRows, qTermsAll) = localQueries(queries)
-    val statsRow = writer.read(spark, s"${name}_stats").collect()(0)
-    val nDocs = statsRow.getAs[Long]("n_docs")
-    val avgdl = statsRow.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
-    val dfs: Map[String, Long] =
-      vocabPruned(spark, writer, name, qTermsAll, vocabBuckets)
-        .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
-        .toMap
+    // snapshot-resolved index state — same contract as [[queryBm25Index]]
+    val view = bm25ServingView(spark, writer, name, qTermsAll,
+      buckets, vocabBuckets)
+    if (view.isEmpty) return emptyServing(spark)
+    val (prunedPosts, nDocs, avgdl, dfs) = view.get
     // vocabulary-absent terms match nothing — they carry no postings and
     // no df, so dropping them changes no score and no n_hit
     val qRowsIn = qRows.filter { case (_, t) => dfs.contains(t) }
     val byQ: Map[Long, Seq[String]] =
       qRowsIn.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val empty = Seq.empty[(Long, Long, Int, Long)]
-      .toDF("query_id", "doc_id", "rank", "n_hit")
-    if (qRowsIn.isEmpty) return empty
+    if (qRowsIn.isEmpty) return emptyServing(spark)
 
     def impact(t: String): Double =
       math.log((nDocs.toDouble - dfs(t).toDouble + 0.5)
         / (dfs(t).toDouble + 0.5) + 1.0) * (k1 + 1.0)
 
-    // pruned postings scan for a term set (bucket ids via the engine's
-    // own xxhash64 — a local-data job, cast-free partition pruning)
-    def prunedPosts(terms: Seq[String]): DataFrame = {
-      val hit = terms.toDF("term")
-        .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
-          .as("b"))
-        .distinct().collect().map(_.getInt(0)).sorted
-      writer.read(spark, s"${name}_postings")
-        .filter(col("term_bucket").isin(hit.toIndexedSeq: _*)
-          && col("term").isin(terms: _*))
-    }
-
-    val dfDf = broadcast(dfs.toSeq.toDF("term", "df"))
+    // pruned postings scans come from the snapshot view (bucket-pruned,
+    // term-filtered, uncommitted-batch files excluded)
+    val dfDf = broadcast(dfs.toSeq.sortBy(_._1).toDF("term", "df"))
     def partials(workload: DataFrame, posts: DataFrame): DataFrame = {
       val scored0 = posts.join(dfDf, Seq("term"))
         .join(broadcast(workload), Seq("term"))
@@ -1421,11 +1634,25 @@ object Retrieval {
     IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"deleteFromPositionalIndexBatch($name)")
     val marker = path(s"${name}_pos_commits/del_$batchId")
-    if (fs.exists(marker)) return
-    if (fs.exists(path(s"${name}_positions")))
+    if (fs.exists(marker)) {
+      // sweep a crash-between-marker-and-clear's stale reader fence
+      fs.delete(path(s"${name}_pos_commits/delflag_$batchId"), false)
+      return
+    }
+    if (fs.exists(path(s"${name}_positions"))) {
+      // write-ahead in-progress flag: the strike rewrites bucket files in
+      // place, so snapshot readers have no pre-image to fall back to —
+      // the flag makes the window DETECTABLE and readers refuse loudly
+      // instead of serving a half-deleted index. Cleared only after the
+      // marker, so a crash anywhere inside keeps readers fenced until
+      // the leg is redelivered.
+      val flag = path(s"${name}_pos_commits/delflag_$batchId")
+      fs.create(flag, true).close()
       deleteFromPositionalIndex(victims, writer, name, buckets,
         idCol, textCol)
-    fs.create(marker, true).close()
+      fs.create(marker, true).close()
+      fs.delete(flag, false)
+    } else fs.create(marker, true).close()
   }
 
   /** Drive a positional (phrase-search) index from a table's CDC change
@@ -1506,9 +1733,22 @@ object Retrieval {
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
         .as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val posts = writer.read(spark, s"${name}_positions")
-      .filter(col("term_bucket").isin(hit: _*)
-        && col("term").isin(qTerms: _*))
+    // snapshot-resolved positions scan — the positional family has no
+    // derived vocab/stats, so the whole guarantee is the pinned scan +
+    // uncommitted-batch file exclusion + delete-leg refusal (see
+    // [[bm25ServingView]] for the full rules on the BM25 family); the
+    // per-term dfs below derive from this same committed view
+    val posCommits = new org.apache.hadoop.fs.Path(
+      writer.path(s"${name}_pos_commits"))
+    val posFs = posCommits.getFileSystem(spark.sessionState.newHadoopConf())
+    val (posBase, posState, _) = IndexProtocol.pinnedSnapshot(posFs,
+      posCommits, () => Nil,
+      () => writer.read(spark, s"${name}_positions"),
+      s"phraseQuery($name)")
+    val posts = IndexProtocol.excludeUncommitted(
+        posBase.filter(col("term_bucket").isin(hit: _*)
+          && col("term").isin(qTerms: _*)),
+        posState.uncommittedAppends)
       .select(col("term"), col("doc_id"), col("positions"))
     // per-term document frequencies: bounded collect (≤ |qTerms| rows),
     // map-side combined — no positions shuffled, just counts

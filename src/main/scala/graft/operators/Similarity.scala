@@ -760,6 +760,33 @@ object Similarity {
     fs.delete(stagedMf, false)
   }
 
+  /** IVF twin of [[Retrieval.injectCrashedBm25Append]]: the batch's
+    * assigned vectors moved into the lists behind their staged manifest,
+    * no commit marker — on this family (frozen quantizer, no derived
+    * tables past bootstrap) that IS every pre-marker crash state of a
+    * non-bootstrap append. Fixture for q114 and SnapshotReadSpec;
+    * nothing in the write path calls it.
+    */
+  private[graft] def injectCrashedIvfAppend(batch: DataFrame,
+      writer: graft.sources.TableWriter, name: String, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
+    val fs = path(s"${name}_ivf_commits").getFileSystem(conf)
+    val centroids = writer.read(spark, s"${name}_centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val stage = path(s"__stage_ib${batchId}_$name")
+    assignToCentroids(batch, centroids, idCol, vecCol)
+      .repartition(col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(stage.toString)
+    IndexProtocol.moveStagedIn(fs, stage, path(s"${name}_lists"),
+      partitionPrefix = "cent_id=", batchPrefix = s"b$batchId-",
+      manifest = path(s"${name}_ivf_commits/staged_$batchId"))
+  }
+
   /** EXACTLY-ONCE batch delete (+vacuum) from the IVF index — the
     * delete leg of the vector CDC sync ([[syncIvfIndexFromFeed]]).
     * Unlike the BM25 leg there is no decrement arithmetic to
@@ -784,13 +811,24 @@ object Similarity {
     IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"deleteFromIvfIndexBatch($name)")
     val marker = path(s"${name}_ivf_commits/del_$batchId")
-    if (fs.exists(marker)) return
+    if (fs.exists(marker)) {
+      // sweep a crash-between-marker-and-clear's stale reader fence
+      fs.delete(path(s"${name}_ivf_commits/delflag_$batchId"), false)
+      return
+    }
     // unborn index (a delete-only leg before the first append): no-op
     if (fs.exists(path(s"${name}_centroids"))) {
+      // write-ahead in-progress flag: the vacuum inside this leg rewrites
+      // list files in place, so snapshot readers have no pre-image — the
+      // flag fences them (loud refusal) until the marker commits; a crash
+      // keeps the fence up through redelivery
+      val flag = path(s"${name}_ivf_commits/delflag_$batchId")
+      fs.create(flag, true).close()
       deleteFromIvfIndex(victims, writer, name, idCol, vecCol)
       vacuumIvfIndex(spark, writer, name)
-    }
-    fs.create(marker, true).close()
+      fs.create(marker, true).close()
+      fs.delete(flag, false)
+    } else fs.create(marker, true).close()
   }
 
   /** Drive the IVF index from a table's CDC change feed — the vector
@@ -1043,6 +1081,21 @@ object Similarity {
       name: String, queries: DataFrame, k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       allowed: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    // snapshot-resolved serving (the IVF third of the family — see
+    // Retrieval.bm25ServingView for the full rules): a streamed index
+    // whose commits dir shows NO committed batch and no adoption is
+    // unborn — a crashed bootstrap may have left half-written centroids/
+    // lists, and the committed state is an empty index, so serve that
+    val ivfCommits = new org.apache.hadoop.fs.Path(
+      writer.path(s"${name}_ivf_commits"))
+    val ivfFs = ivfCommits.getFileSystem(spark.sessionState.newHadoopConf())
+    val streamed = ivfFs.exists(ivfCommits)
+    val adopted = streamed && ivfFs.exists(
+      new org.apache.hadoop.fs.Path(ivfCommits, "adopted"))
+    val state0 = IndexProtocol.commitsState(ivfFs, ivfCommits)
+    if (streamed && !adopted && state0.committedAppends.isEmpty)
+      return Seq.empty[(Long, Long, Int)].toDF("query_id", "nbr_id", "rank")
     val cents = writer.read(spark, s"${name}_centroids")
       .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
     val qs = queries.select(
@@ -1060,8 +1113,16 @@ object Similarity {
     val probedLists = probes.select("cent_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val listsPath = writer.path(s"${name}_lists")
-    val pruned = readListsLongCentId(spark, listsPath)
-      .filter(col("cent_id").isin(probedLists: _*))
+    // pin the lists scan against a stable commits state; exclude files of
+    // staged-but-unmarked batches (b<id>- names) AFTER the cent_id prune
+    // so partition pruning still pushes down; refuse during delete legs
+    val (listsBase, listsState, _) = IndexProtocol.pinnedSnapshot(ivfFs,
+      ivfCommits, () => Nil,
+      () => readListsLongCentId(spark, listsPath),
+      s"queryIvfIndex($name)")
+    val pruned = IndexProtocol.excludeUncommitted(
+      listsBase.filter(col("cent_id").isin(probedLists: _*)),
+      listsState.uncommittedAppends)
     // tombstone strike: deleted-but-not-yet-vacuumed ids are removed from
     // the pruned lists before scoring. The tombstone table is delta-sized
     // (broadcast anti-join); after a vacuum it no longer exists and the
