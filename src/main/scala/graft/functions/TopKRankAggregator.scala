@@ -65,3 +65,61 @@ class TopKRankAggregator(k: Int)
   override def bufferEncoder: Encoder[List[RankedDoc]] = ExpressionEncoder()
   override def outputEncoder: Encoder[List[RankedDoc]] = ExpressionEncoder()
 }
+
+/** One ranked ANN candidate: DOUBLE cosine score (the vector family's
+  * native score type — unlike the lexical fold there is no decimal
+  * summation stage, and a decimal cast would RE-ROUND the score the
+  * window used to order by), id as the total tie-break.
+  */
+final case class RankedDocD(score: Double, docId: Long)
+
+/** [[TopKRankAggregator]]'s double-score twin for the ANN serving paths
+  * (queryIvfIndex's probed-list rank, queryIvfPqIndex's quantized
+  * shortlist): same bounded-heap distribution argument — map-side ≤k
+  * rows per (partition, query), final merge ≤ partitions×k — with the
+  * comparison EXACTLY matching Spark's DoubleType sort order
+  * (SQLOrderingUtil.compareDoubles: `a == b` first, so -0.0 == 0.0;
+  * java.lang.Double.compare otherwise, so NaN ranks greatest), which is
+  * what makes the emitted list position bit-identical to the
+  * `row_number over (orderBy sim desc, id asc)` it replaces — pinned by
+  * DedupSimilaritySpec's persisted-vs-in-memory equality.
+  */
+class TopKRankAggregatorD(k: Int)
+    extends Aggregator[RankedDocD, List[RankedDocD], List[RankedDocD]] {
+
+  private def cmpD(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  private def better(a: RankedDocD, b: RankedDocD): Boolean = {
+    val c = cmpD(a.score, b.score)
+    c > 0 || (c == 0 && a.docId < b.docId)
+  }
+
+  override def zero: List[RankedDocD] = Nil
+
+  override def reduce(buf: List[RankedDocD], in: RankedDocD): List[RankedDocD] =
+    if (buf.lengthCompare(k) >= 0 && better(buf.last, in)) buf
+    else insert(buf, in)
+
+  private def insert(buf: List[RankedDocD], in: RankedDocD): List[RankedDocD] = {
+    val (pre, post) = buf.span(better(_, in))
+    (pre ::: in :: post).take(k)
+  }
+
+  override def merge(a: List[RankedDocD], b: List[RankedDocD]): List[RankedDocD] = {
+    val out = List.newBuilder[RankedDocD]
+    var (x, y, n) = (a, b, 0)
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(r: List[RankedDocD]): List[RankedDocD] = r
+
+  override def bufferEncoder: Encoder[List[RankedDocD]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[List[RankedDocD]] = ExpressionEncoder()
+}

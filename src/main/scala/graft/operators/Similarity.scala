@@ -1154,11 +1154,32 @@ object Similarity {
       .withColumn("sim", VectorFns.cosinePre(
         VectorFns.dot(col("q_vec"), col("nbr_vec")),
         col("q_norm"), col("nbr_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // distributed per-query top-k (the lexical serving fix applied to the
+    // ANN family): a `row_number over partitionBy(query_id)` here sorts
+    // one query's ENTIRE probed-list candidate mass (~nprobe·N/K rows at
+    // scale) in a single task; the bounded heap ships ≤k per partition
+    rankTopKD(scored, k, col("sim"), "nbr_id")
       .select("query_id", "nbr_id", "rank")
+  }
+
+  /** Distributed per-query top-k over DOUBLE scores — the ANN serving
+    * twin of Retrieval's lexical rankTopK: bounded-heap
+    * [[graft.functions.TopKRankAggregatorD]] with map-side partials
+    * (≤k rows per partition per query), emitted list position + 1 ==
+    * the row_number of `orderBy(score desc, <id> asc)` bit-exactly
+    * (the aggregator's comparator replicates Spark's DoubleType sort
+    * order). Output: (query_id, <outId>, rank).
+    */
+  private def rankTopKD(cand: DataFrame, k: Int,
+      score: org.apache.spark.sql.Column, outId: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKRankAggregatorD(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.RankedDocD])
+    cand
+      .groupBy("query_id")
+      .agg(topk(score.cast("double"), col(outId).cast("long")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("query_id"), col("r.docId").as(outId),
+        (col("pos") + 1).as("rank"))
   }
 
   /** Composed IVF+SQ8 — the production ANN form: IVF pruning (each query
@@ -1359,10 +1380,12 @@ object Similarity {
       .withColumn("asim", VectorFns.cosinePre(
         VectorFns.dot(col("q_vec"), col("approx_vec")),
         col("q_norm"), col("approx_norm")))
-    val w1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("asim").desc, col("nbr_id").asc)
-    val shortlist = approx.withColumn("arank", row_number().over(w1))
-      .filter(col("arank") <= k * rerankFactor)
+    // quantized shortlist through the bounded heap — the probed-list
+    // candidate mass never sorts in one task (see queryIvfIndex); the
+    // query vector re-attaches by a broadcast join on the (bounded)
+    // query workload
+    val shortlist = rankTopKD(approx, k * rerankFactor, col("asim"), "nbr_id")
+      .join(broadcast(qs), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"), col("q_vec"), col("q_norm"))
     // exact rerank: the shortlist (small) broadcasts against the corpus
     val orig = corpus.select(

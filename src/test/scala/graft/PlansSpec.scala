@@ -135,4 +135,30 @@ class PlansSpec extends SparkSpec {
           physical.take(2000))
     }
   }
+
+  test("ANN serving ranks through the bounded heap; windows only on K-bounded probe frames") {
+    // the IVF serving twin of the lexical pin: a query's probed-list
+    // candidate mass (~nprobe·N/K rows at scale) must never sort in a
+    // single task. The centroid-probe crank windows REMAIN — their
+    // per-query partition is K rows, an index design parameter, not
+    // corpus-scaled — so the pin is: the heap aggregate is present, and
+    // no row_number orders by the candidate score (sim#/asim#; the
+    // probe windows order by cent_sim#)
+    import graft.operators.Similarity
+    import graft.sources.TableWriter
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(e, initStride = 97L, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("planivfk").toString
+    val w = new TableWriter(dir)
+    Similarity.buildIvfIndex(e, cents, w, "emb")
+    val df = Similarity.queryIvfIndex(spark, w, "emb",
+      e.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+    assert(df.collect().nonEmpty)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("topkrankaggregatord"),
+      "bounded-heap double-score rank aggregate missing\n" + physical.take(2000))
+    assert(!physical.linesIterator.exists(l =>
+        l.contains("row_number") && l.contains(" sim#")),
+      "a per-query window over the candidate sims is back\n" + physical.take(2000))
+  }
 }
