@@ -33,7 +33,8 @@ object ScaleProbe {
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
         "q70", "q71", "q20", "q43", "v8", "v9", "v12", "v17", "bm25",
         "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics",
-        "triangles", "ranktopk", "ivftrain", "recovery")
+        "triangles", "ranktopk", "ivftrain", "recovery", "annrank",
+        "snapshot")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -73,7 +74,7 @@ object ScaleProbe {
     if (probes.intersect(
         Set("d3", "d11", "d15", "d18", "d21", "d35", "d37", "bpe", "d33",
           "d34", "bm25", "dsir", "phrase", "clf", "maxscore", "recovery",
-          "ranktopk")).nonEmpty) {
+          "ranktopk", "annrank", "snapshot")).nonEmpty) {
       val docs1 = graft.sources.Tables.load(spark, sfDir, "documents")
       val docsN = replicate(docs1, "doc_id", mult, mutate = true)
         .repartition(cpus.toInt).persist()
@@ -344,6 +345,67 @@ object ScaleProbe {
             .select(lit(0L).as("query_id"), lit("mk7").as("term"))
           t(s"rank_serving_query_$label") {
             Retrieval.queryBm25Index(spark, w, "docs", oneQ, k = 10).count()
+          }
+          deleteTree(whDir)
+        }
+        if (on("annrank")) {
+          // the ANN twin of ranktopk: same 100-fanout candidate mass for
+          // ONE query, DOUBLE-scored (the vector family's native type),
+          // ranked by the window vs TopKRankAggregatorD — the shape
+          // queryIvfIndex/queryIvfPqIndex now serve through
+          val cand = d
+            .select(explode(sequence(lit(0L), lit(99L))).as("f"),
+              col("doc_id"))
+            .select(lit(0L).as("query_id"),
+              (col("doc_id") * 100L + col("f")).as("nbr_id"),
+              (pmod(xxhash64(col("doc_id"), col("f")), lit(1000000L))
+                .cast("double") / lit(1000000.0)).as("sim"))
+            .persist()
+          println(s"  annrank candidate mass: ${cand.count()} rows, 1 query")
+          t(s"annrank_window_$label") {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("sim").desc, col("nbr_id").asc)
+            cand.withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= 10)
+              .agg(sum(col("nbr_id"))).head(); 10L
+          }
+          t(s"annrank_heap_$label") {
+            val topk = udaf(new graft.functions.TopKRankAggregatorD(10),
+              org.apache.spark.sql.Encoders.product[graft.functions.RankedDocD])
+            cand.groupBy("query_id")
+              .agg(topk(col("sim"), col("nbr_id")).as("top"))
+              .select(posexplode(col("top")).as(Seq("pos", "r")))
+              .agg(sum(col("r.docId"))).head(); 10L
+          }
+          cand.unpersist(blocking = false)
+        }
+        if (on("snapshot")) {
+          // snapshot-read cost at scale, both states: QUIESCENT serving
+          // must match the unguarded plan (the guard is 3 metadata calls),
+          // and the CRASHED state (uncommitted batch + dirty flag + damaged
+          // vocab buckets) must cost ~one extra pruned scan — stats from
+          // the flag, damaged-bucket dfs recomputed from committed postings
+          val whDir = java.nio.file.Files
+            .createTempDirectory("probe_snap_").toString
+          val w = new graft.sources.TableWriter(whDir)
+          t(s"snapshot_build3_$label") {
+            (0 to 2).foreach(c => Retrieval.appendBm25IndexBatch(
+              d.filter(pmod(col("doc_id"), lit(4)) === c), w, "docs", c))
+            spark.read.parquet(s"$whDir/docs_stats").count()
+          }
+          val qs = Retrieval.queryTerms(d.filter(pmod(col("doc_id"), lit(4)) < 3),
+            col("doc_id") % 997 === 0, 8)
+          t(s"snapshot_quiescent_$label") {
+            Retrieval.queryBm25Index(spark, w, "docs", qs, k = 10).count()
+          }
+          t(s"snapshot_inject_$label") {
+            Retrieval.injectCrashedBm25Append(
+              d.filter(pmod(col("doc_id"), lit(4)) === 3), w, "docs", 3L)
+            1L
+          }
+          t(s"snapshot_crashed_$label") {
+            Retrieval.queryBm25Index(spark, w, "docs", qs, k = 10).count()
           }
           deleteTree(whDir)
         }

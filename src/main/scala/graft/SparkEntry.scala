@@ -1822,6 +1822,7 @@ object SparkEntry {
     snapIdxCache.clear()
     snapPosCache.clear()
     snapIvfCache.clear()
+    feedRetCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
   }
 
@@ -4146,6 +4147,46 @@ object SparkEntry {
   private def q114OracleSql: String =
     ivfQueryOracleSql(" WHERE vec_id % 4 = 0", " AND a.nbr_id % 4 <> 3")
 
+  /** Change-feed retention under live index sync (q115): the q109 flow,
+    * but [[graft.sources.TableWriter.truncateChangeFeed]] drops the two
+    * APPLIED feed batches between the first and second sync pass — the
+    * re-run sees only the frontier batch, fast-paths it on its markers,
+    * and serving still equals an index built from the final table state
+    * (q109's oracle verbatim). The 100 TB point: the feed's footprint
+    * tracks the retention window, not table history, and exactly-once
+    * application survives truncation because the dedup state lives in
+    * the index's commit markers, not in feed presence.
+    */
+  private val feedRetCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q115FeedRetention(s: SparkSession, dir: String): DataFrame = {
+    val writer = feedRetCache.getOrElseUpdate((s, dir), {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val wh = s"$q40Scratch/feedret_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      w.mergeByKeyCdc(s, "docs_tbl", d, "doc_id", 1L)
+      w.mergeByKeyCdc(s, "docs_tbl",
+        d.filter(col("doc_id") % 7 === 0)
+          .withColumn("text", concat(col("text"), lit(" upd7"))),
+        "doc_id", 2L)
+      w.deleteByKeyCdc(s, "docs_tbl",
+        d.filter(col("doc_id") % 11 === 5).select(col("doc_id")),
+        "doc_id", 3L)
+      Retrieval.syncBm25IndexFromFeed(s, w, "docs_tbl", "docsidx")
+      w.truncateChangeFeed(s, "docs_tbl", beforeBatchId = 3L)
+      Retrieval.syncBm25IndexFromFeed(s, w, "docs_tbl", "docsidx")
+      w
+    })
+    val fin = writer.readResolved(s, "docs_tbl")
+      .select(col("doc_id"), col("text"))
+    val qs = Retrieval.queryTerms(fin, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, writer, "docsidx", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Incremental BM25 index ingest (v13): the index is built from the
     * base corpus (doc_id % 10 != 0) and the rest arrives as an appended
     * batch — postings appended, dfs additively merged, stats summed
@@ -5365,6 +5406,7 @@ object SparkEntry {
     "q112_snapshot_read" -> (q112SnapshotRead _),
     "q113_snapshot_phrase" -> (q113SnapshotPhrase _),
     "q114_snapshot_ivf" -> (q114SnapshotIvf _),
+    "q115_feed_retention" -> (q115FeedRetention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6780,6 +6822,9 @@ object SparkEntry {
     "q112_snapshot_read" -> q112OracleSql,
     "q113_snapshot_phrase" -> q113OracleSql,
     "q114_snapshot_ivf" -> q114OracleSql,
+    // q115: retention drops applied feed batches; serving still replays
+    // the final table state — q109's oracle verbatim
+    "q115_feed_retention" -> q109OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

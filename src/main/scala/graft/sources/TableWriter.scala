@@ -511,6 +511,42 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Change-feed RETENTION (the Kafka-retention / Delta-VACUUM analogue
+    * for the CDF): drop feed batch directories with batch id <
+    * `beforeBatchId`, in ascending id order so a crash mid-truncate
+    * leaves a gapless suffix. The newest batch always survives
+    * (`beforeBatchId` must not exceed the max present id) — it is the
+    * feed's frontier witness, which keeps [[readChangeFeed]]'s
+    * non-empty contract and lets a late consumer see where the feed
+    * ends. WHOSE batches are safe to drop is the caller's low-water
+    * mark across ALL consumers (the index syncs make theirs derivable:
+    * a feed batch is applied to an index once both its del_<id> and
+    * batch_<id> markers exist in the index's commits dir) — exactly the
+    * retention-vs-consumer-lifetime contract shallow clones already
+    * document against source vacuums. Idempotent: re-runs and
+    * already-gone ids are no-ops. Returns the number of batch dirs
+    * removed.
+    */
+  def truncateChangeFeed(spark: org.apache.spark.sql.SparkSession,
+      name: String, beforeBatchId: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(path(s"${name}_changes"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val ids = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    if (ids.isEmpty) return 0
+    require(beforeBatchId <= ids.max,
+      s"truncateChangeFeed($name): beforeBatchId=$beforeBatchId would drop " +
+        s"the newest batch ${ids.max} — the frontier witness must survive " +
+        "(retain at least the last batch)")
+    val doomed = ids.filter(_ < beforeBatchId)
+    doomed.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true)
+    }
+    doomed.size
+  }
+
   /** [[deleteByKey]] with a change-data feed: the CURRENT values of the
     * doomed keys actually present in the table are appended to
     * `{name}_changes` as change_op = delete rows (absent keys and

@@ -125,4 +125,52 @@ class CdcSpec extends SparkSpec {
     assert(!w.readChangeFeed(spark, "t").columns.contains("batch"),
       "glob read must not invent a batch partition column")
   }
+
+  test("cdc: feed retention drops applied batches, keeps the frontier, idempotent") {
+    val w = freshWriter()
+    w.mergeByKeyCdc(spark, "t", rows(1L -> 10.0, 2L -> 20.0), "k", 1L)
+    w.mergeByKeyCdc(spark, "t", rows(1L -> 11.0), "k", 2L)
+    w.deleteByKeyCdc(spark, "t", Seq(2L).toDF("k"), "k", 3L)
+    assert(w.truncateChangeFeed(spark, "t", beforeBatchId = 3L) == 2)
+    // the surviving feed is exactly batch 3; the reader contract holds
+    assert(feed(w).forall(_._1 == 3L) && feed(w).nonEmpty)
+    // idempotent re-run: nothing left to drop
+    assert(w.truncateChangeFeed(spark, "t", beforeBatchId = 3L) == 0)
+    // the frontier witness is protected
+    val e = intercept[IllegalArgumentException] {
+      w.truncateChangeFeed(spark, "t", beforeBatchId = 99L)
+    }
+    assert(e.getMessage.contains("frontier witness"))
+    // a feed that never existed is a no-op, not an error
+    assert(w.truncateChangeFeed(spark, "nope", 5L) == 0)
+  }
+
+  test("cdc: index sync after retention is a no-op and serving is unchanged") {
+    import graft.operators.Retrieval
+    val w = freshWriter()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    w.mergeByKeyCdc(spark, "t", docs, "doc_id", 1L)
+    w.mergeByKeyCdc(spark, "t",
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" u"))), "doc_id", 2L)
+    w.deleteByKeyCdc(spark, "t",
+      docs.filter(col("doc_id") % 11 === 5).select("doc_id"), "doc_id", 3L)
+    Retrieval.syncBm25IndexFromFeed(spark, w, "t", "idx")
+    val qs = Retrieval.queryTerms(w.readResolved(spark, "t"),
+      col("doc_id") % 97 === 0, 8)
+    val before = Retrieval.queryBm25Index(spark, w, "idx", qs, k = 10,
+      excludeSelf = true).collect().map(_.toSeq).toSet
+    val sigs = parquetFileSigs(w.path("idx_postings"))
+    // batches 1–2 are applied (both legs' markers exist) — retention may
+    // drop them; the re-run sync sees only batch 3, fast-paths it, and
+    // must touch NOTHING
+    assert(w.truncateChangeFeed(spark, "t", beforeBatchId = 3L) == 2)
+    Retrieval.syncBm25IndexFromFeed(spark, w, "t", "idx")
+    assert(parquetFileSigs(w.path("idx_postings")) == sigs,
+      "post-retention sync re-run must be a byte-level no-op")
+    val after = Retrieval.queryBm25Index(spark, w, "idx", qs, k = 10,
+      excludeSelf = true).collect().map(_.toSeq).toSet
+    assert(after == before && after.nonEmpty)
+  }
 }
