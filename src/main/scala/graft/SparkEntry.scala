@@ -3992,8 +3992,9 @@ object SparkEntry {
   private val cdcIvfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.sources.TableWriter]
 
-  private def q111CdcVectorSync(s: SparkSession, dir: String): DataFrame = {
-    val writer = cdcIvfCache.getOrElseUpdate((s, dir), {
+  private def cdcIvfWriter(s: SparkSession, dir: String)
+      : graft.sources.TableWriter =
+    cdcIvfCache.getOrElseUpdate((s, dir), {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         graft.functions.VectorFns.toDouble(col("embedding")).as("embedding"))
       val wh = s"$q40Scratch/cdcivf_${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -4014,11 +4015,93 @@ object SparkEntry {
         trainIters = ivfIters)
       w
     })
+
+  private def q111CdcVectorSync(s: SparkSession, dir: String): DataFrame = {
+    val writer = cdcIvfWriter(s, dir)
     val fin = writer.readResolved(s, "emb_tbl")
       .select(col("vec_id"), col("embedding"))
     Similarity.queryIvfIndex(s, writer, "embidx",
         fin.filter(col("vec_id") < 8), k = 5, nprobe = 2)
       .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** CDC-fresh HYBRID serving (q116 — the fusion of the CDC → index
+    * triad into the v11 serving form): both the BM25 index (q109's
+    * docs_tbl sync) and the IVF index (q111's emb_tbl sync) are
+    * maintained purely from their change feeds, then one query batch is
+    * served lexically + vectorially and RRF-fused. Deletions are the
+    * same %11 rule on both tables, so a deleted id is gone from BOTH
+    * arms; the %7 text updates move BM25 ranks, the %13 re-embeddings
+    * move ANN ranks, and the fused ordering reflects the final state of
+    * both tables — the oracle replays each arm over its post-CDC state
+    * (nested WITHs) and fuses with v11's fixed-addend RRF arithmetic.
+    * Query set: ids % 97 == 0 surviving in the docs table and present
+    * in the embeddings table (the v11 asymmetry: the ANN arm also
+    * ranks for %97 vectors with no document).
+    */
+  private def q116CdcHybrid(s: SparkSession, dir: String): DataFrame = {
+    val dw = cdcIdxWriter(s, dir)
+    val ew = cdcIvfWriter(s, dir)
+    val fd = dw.readResolved(s, "docs_tbl").select(col("doc_id"), col("text"))
+    val fe = ew.readResolved(s, "emb_tbl")
+      .select(col("vec_id"), col("embedding"))
+    val qdocs = fd.join(fe.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val qterms = Retrieval.queryTerms(qdocs, col("doc_id") % 97 === 0, bm25QTerms)
+    val bm = Retrieval.queryBm25Index(s, dw, "docsidx", qterms,
+      k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+    val ann = Similarity.queryIvfIndex(s, ew, "embidx",
+        fe.filter(col("vec_id") % 97 === 0), k = bm25K, nprobe = 2)
+      .select(col("query_id"), col("nbr_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(bm, ann, k = bm25K)
+      .select(col("query_id"), col("doc_id"),
+        col("fused_rank").cast("long").as("fused_rank"),
+        col("rrf"),
+        col("rank_a").cast("long").as("bm25_rank"),
+        col("rank_b").cast("long").as("ann_rank"))
+  }
+
+  private def q116OracleSql: String = {
+    val postDocs =
+      """SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' upd7' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 5""".stripMargin
+    // each arm is its own complete replay (nested WITH inside the CTE):
+    // the BM25 arm over the post-CDC docs state with queries restricted
+    // to ids surviving in the embeddings table; the ANN arm is q111's
+    // replay with the %97 query workload and k = bm25K
+    val bmArm =
+      s"""${bm25CtesSql(
+            "doc_id % 97 = 0 AND doc_id IN " +
+              "(SELECT vec_id FROM embeddings WHERE vec_id % 11 <> 5)",
+            "TRUE", postDocs)}
+         |)
+         |SELECT query_id, doc_id, rank FROM bm WHERE rank <= $bm25K""".stripMargin
+    val annArm = ivfQueryOracleSql("",
+      candWhere = " AND a.nbr_id % 11 <> 5",
+      updateExpr = Some(
+        "CASE WHEN vec_id % 13 = 2 THEN list_transform(v, x -> x * 2.0 + 1.0) ELSE v END"),
+      queryPred = "c.vec_id % 97 = 0 AND c.vec_id % 11 <> 5",
+      k = bm25K)
+    s"""WITH bmk AS (
+       |$bmArm
+       |), ann AS (
+       |$annArm
+       |), fusedq AS (
+       |  SELECT query_id, doc_id, a.rank AS rank_a, b.rank AS rank_b,
+       |    COALESCE(1.0 / (60.0 + CAST(a.rank AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(b.rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM bmk a FULL JOIN (SELECT query_id, nbr_id AS doc_id, rank
+       |    FROM ann) b USING (query_id, doc_id)
+       |)
+       |SELECT query_id, doc_id, fused_rank, rrf, bm25_rank, ann_rank FROM (
+       |  SELECT query_id, doc_id,
+       |    CAST(rank_a AS BIGINT) AS bm25_rank,
+       |    CAST(rank_b AS BIGINT) AS ann_rank, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS fused_rank
+       |  FROM fusedq
+       |) WHERE fused_rank <= $bm25K""".stripMargin
   }
 
   private def q111OracleSql: String =
@@ -5407,6 +5490,7 @@ object SparkEntry {
     "q113_snapshot_phrase" -> (q113SnapshotPhrase _),
     "q114_snapshot_ivf" -> (q114SnapshotIvf _),
     "q115_feed_retention" -> (q115FeedRetention _),
+    "q116_cdc_hybrid" -> (q116CdcHybrid _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6825,6 +6909,9 @@ object SparkEntry {
     // q115: retention drops applied feed batches; serving still replays
     // the final table state — q109's oracle verbatim
     "q115_feed_retention" -> q109OracleSql,
+    // q116: CDC-fresh hybrid — nested replays of both post-CDC arms,
+    // RRF-fused with v11's arithmetic
+    "q116_cdc_hybrid" -> q116OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 
@@ -7262,7 +7349,9 @@ object SparkEntry {
   private def ivfQueryOracleSql(trainWhere: String,
       candWhere: String = "",
       updateExpr: Option[String] = None,
-      queryWhere: String = ""): String = {
+      queryWhere: String = "",
+      queryPred: String = "c.vec_id < 8",
+      k: Int = 5): String = {
     val cf = s"cent$ivfIters"
     s"""${ivfTrainCtesSqlWhere(trainWhere, updateExpr)}
        |), assigned AS (
@@ -7279,7 +7368,7 @@ object SparkEntry {
        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
        |        list_dot_product(c.v, ct.cv) / (SQRT(list_dot_product(c.v, c.v)) * ct.cn) DESC,
        |        ct.cent_id ASC) AS rn
-       |    FROM c CROSS JOIN $cf ct WHERE c.vec_id < 8$queryWhere
+       |    FROM c CROSS JOIN $cf ct WHERE $queryPred$queryWhere
        |  ) WHERE rn <= 2
        |), scored AS (
        |  SELECT p.query_id, a.nbr_id,
@@ -7292,7 +7381,7 @@ object SparkEntry {
        |  SELECT query_id, nbr_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
        |  FROM scored
-       |) WHERE rank <= 5""".stripMargin
+       |) WHERE rank <= $k""".stripMargin
   }
 
   /** v15 = v3's replay with the metadata predicate added before ranking
