@@ -1823,6 +1823,7 @@ object SparkEntry {
     snapPosCache.clear()
     snapIvfCache.clear()
     feedRetCache.clear()
+    commitCompactCache.clear()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
   }
 
@@ -4270,6 +4271,41 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Commit-marker compaction under redelivery (q117 — the metadata-
+    * growth answer for long-lived streamed indexes): four exactly-once
+    * batch appends build the index, then
+    * [[graft.operators.Retrieval.compactBm25IndexCommits]] folds the
+    * per-batch markers into the frontier file (commits dir drops to
+    * O(1) names — at 10⁶ streamed batches the per-serve listStatus and
+    * per-redelivery marker checks would otherwise walk 10⁶ entries),
+    * then EVERY batch is redelivered — each must fast-path on `id ≤
+    * frontier` exactly as its deleted marker would have — and serving
+    * must still match v10's replay of the full corpus.
+    */
+  private val commitCompactCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q117CommitCompaction(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val writer = commitCompactCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/cmtcmp_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val w = new graft.sources.TableWriter(wh)
+      (0 to 3).foreach(c => Retrieval.appendBm25IndexBatch(
+        d.filter(pmod(col("doc_id"), lit(4)) === c), w, "docs", c))
+      Retrieval.compactBm25IndexCommits(s, w, "docs")
+      // redeliver every folded batch: all must fast-path under the
+      // frontier (CommitCompactionSpec additionally pins byte-stability)
+      (0 to 3).foreach(c => Retrieval.appendBm25IndexBatch(
+        d.filter(pmod(col("doc_id"), lit(4)) === c), w, "docs", c))
+      w
+    })
+    val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, writer, "docs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Incremental BM25 index ingest (v13): the index is built from the
     * base corpus (doc_id % 10 != 0) and the rest arrives as an appended
     * batch — postings appended, dfs additively merged, stats summed
@@ -5491,6 +5527,7 @@ object SparkEntry {
     "q114_snapshot_ivf" -> (q114SnapshotIvf _),
     "q115_feed_retention" -> (q115FeedRetention _),
     "q116_cdc_hybrid" -> (q116CdcHybrid _),
+    "q117_commit_compaction" -> (q117CommitCompaction _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6912,6 +6949,9 @@ object SparkEntry {
     // q116: CDC-fresh hybrid — nested replays of both post-CDC arms,
     // RRF-fused with v11's arithmetic
     "q116_cdc_hybrid" -> q116OracleSql,
+    // q117: marker compaction + full redelivery — the folded frontier
+    // must serve exactly the uninterrupted build (v10's replay)
+    "q117_commit_compaction" -> v10OracleSql,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

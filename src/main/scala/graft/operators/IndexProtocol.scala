@@ -60,14 +60,34 @@ private[graft] object IndexProtocol {
   final case class CommitsState(
       committedAppends: Set[Long],
       stagedAppends: Set[Long],
-      inflightDeletes: Set[Long],
+      delMarkers: Set[Long],
+      writeAheadDeletes: Set[Long],
+      frontierBatch: Long,
+      frontierDel: Long,
       fingerprint: Seq[String]) {
-    def uncommittedAppends: Set[Long] = stagedAppends -- committedAppends
+    /** Batch `id` is committed: an explicit marker, or folded into the
+      * frontier by [[compactCommitMarkers]] (ids are monotone per the
+      * protocols' replay contract, so `≤ frontier` is exact).
+      */
+    def isCommitted(id: Long): Boolean =
+      id <= frontierBatch || committedAppends.contains(id)
+    def isDelDone(id: Long): Boolean =
+      id <= frontierDel || delMarkers.contains(id)
+    def uncommittedAppends: Set[Long] = stagedAppends.filterNot(isCommitted)
+    def inflightDeletes: Set[Long] = writeAheadDeletes.filterNot(isDelDone)
+  }
+
+  private def readFrontier(fs: FileSystem, commitsDir: Path,
+      name: String): Long = {
+    val p = new Path(commitsDir, name)
+    if (!fs.exists(p)) Long.MinValue
+    else readLines(fs, p).headOption.map(_.toLong).getOrElse(Long.MinValue)
   }
 
   def commitsState(fs: FileSystem, commitsDir: Path): CommitsState = {
     if (!fs.exists(commitsDir))
-      return CommitsState(Set.empty, Set.empty, Set.empty, Nil)
+      return CommitsState(Set.empty, Set.empty, Set.empty, Set.empty,
+        Long.MinValue, Long.MinValue, Nil)
     val names = fs.listStatus(commitsDir).map(_.getPath.getName).toSeq.sorted
     def ids(prefix: String): Set[Long] = names.iterator
       .filter(_.startsWith(prefix))
@@ -75,13 +95,82 @@ private[graft] object IndexProtocol {
       .toSet
     // "del_" does not prefix-collide with "delstate_"/"delflag_": the
     // char after "del" differs, and non-numeric suffixes parse to None
-    val delMarkers = ids("del_")
     CommitsState(
       committedAppends = ids("batch_"),
       stagedAppends = ids("staged_"),
-      inflightDeletes =
-        (ids("delstate_") ++ ids("struck_") ++ ids("delflag_")) -- delMarkers,
+      delMarkers = ids("del_"),
+      writeAheadDeletes = ids("delstate_") ++ ids("struck_") ++ ids("delflag_"),
+      frontierBatch =
+        if (names.contains("frontier_batch"))
+          readFrontier(fs, commitsDir, "frontier_batch") else Long.MinValue,
+      frontierDel =
+        if (names.contains("frontier_del"))
+          readFrontier(fs, commitsDir, "frontier_del") else Long.MinValue,
       fingerprint = names)
+  }
+
+  /** Writer-side committed check: marker present, or folded under the
+    * frontier. One exists + (at most) one tiny read — called once per
+    * batch, not per row.
+    */
+  def isMarked(fs: FileSystem, commitsDir: Path, markerName: String,
+      frontierName: String, id: Long): Boolean =
+    fs.exists(new Path(commitsDir, markerName)) ||
+      readFrontier(fs, commitsDir, frontierName) >= id
+
+  /** Fold a QUIESCENT index's per-batch commit markers into the two
+    * frontier files — the metadata-growth answer for long-lived streamed
+    * indexes: without this, every snapshot read's commits listing and
+    * every redelivery check walks one marker per batch ever ingested
+    * (10⁶ streamed batches = 10⁶ names per listStatus on the serving
+    * path). After compaction the dir holds O(1) names; `id ≤ frontier`
+    * answers exactly what the deleted markers did, because the append
+    * protocols require monotone batch ids (replay order) — a future
+    * batch id is always above the frontier, a redelivered one at or
+    * below it fast-paths exactly as if its marker were present.
+    *
+    * Crash-safe: the frontier file is written atomically FIRST, then the
+    * superseded markers are deleted — any prefix of the deletes is
+    * consistent (marker-or-frontier), and a re-run completes the sweep.
+    * Refuses unless quiescent (no staged-without-marker, no in-flight
+    * delete leg, and — via `dirtyPath` — no live dirty flag): folding an
+    * uncommitted id under the frontier would declare a half-applied
+    * batch committed forever.
+    */
+  def compactCommitMarkers(fs: FileSystem, commitsDir: Path,
+      dirtyPath: Option[Path] = None): (Long, Long) = {
+    val st = commitsState(fs, commitsDir)
+    require(st.uncommittedAppends.isEmpty,
+      s"compactCommitMarkers: append(s) ${st.uncommittedAppends} are " +
+        "staged but uncommitted — compact only a quiescent index")
+    require(st.inflightDeletes.isEmpty,
+      s"compactCommitMarkers: delete leg(s) ${st.inflightDeletes} in " +
+        "flight — compact only a quiescent index")
+    dirtyPath.foreach(p => require(!fs.exists(p),
+      s"compactCommitMarkers: dirty flag $p present — sweep or redeliver " +
+        "before compacting"))
+    val fb = (st.committedAppends + st.frontierBatch).max
+    val fd = (st.delMarkers + st.frontierDel).max
+    if (fb > Long.MinValue)
+      writeLinesAtomic(fs, new Path(commitsDir, "frontier_batch"),
+        Seq(fb.toString))
+    if (fd > Long.MinValue)
+      writeLinesAtomic(fs, new Path(commitsDir, "frontier_del"),
+        Seq(fd.toString))
+    st.committedAppends.foreach(id =>
+      fs.delete(new Path(commitsDir, s"batch_$id"), false))
+    st.delMarkers.foreach(id =>
+      fs.delete(new Path(commitsDir, s"del_$id"), false))
+    // stale write-ahead litter under the frontier (crash between a
+    // marker and its clears) is swept with the markers
+    st.stagedAppends.foreach(id =>
+      fs.delete(new Path(commitsDir, s"staged_$id"), false))
+    st.writeAheadDeletes.foreach { id =>
+      fs.delete(new Path(commitsDir, s"delstate_$id"), false)
+      fs.delete(new Path(commitsDir, s"delflag_$id"), false)
+      fs.delete(new Path(commitsDir, s"struck_$id"), true)
+    }
+    (fb, fd)
   }
 
   /** Pin a serving scan against a STABLE commits state — the snapshot

@@ -441,7 +441,8 @@ object Retrieval {
     val marker = path(s"${name}_commits/batch_$batchId")
     val stagedMf = path(s"${name}_commits/staged_$batchId")
     val dirty = path(s"${name}_vocab_dirty")
-    if (fs.exists(marker)) {
+    if (IndexProtocol.isMarked(fs, commitsDir, s"batch_$batchId",
+        "frontier_batch", batchId)) {
       // committed: sweep litter a crash between marker and clears left
       fs.delete(dirty, false); fs.delete(stagedMf, false)
       return
@@ -541,7 +542,8 @@ object Retrieval {
         val ok = st.headOption.exists(_.toLong == batchId)
         if (!ok) {
           val prev = st.headOption.map(_.toLong).getOrElse(-1L)
-          require(fs.exists(path(s"${name}_commits/batch_$prev")),
+          require(IndexProtocol.isMarked(fs, commitsDir, s"batch_$prev",
+              "frontier_batch", prev),
             s"appendBm25IndexBatch($name): dirty flag names batch $prev " +
               s"with no commit marker while batch $batchId is applying — " +
               "two writers on one index?")
@@ -660,6 +662,28 @@ object Retrieval {
     IndexProtocol.moveStagedIn(fs, stage, path(s"${name}_positions"),
       partitionPrefix = "term_bucket=", batchPrefix = s"b$batchId-",
       manifest = path(s"${name}_pos_commits/staged_$batchId"))
+  }
+
+  /** Fold a quiescent BM25 index's per-batch commit markers into the
+    * frontier files ([[IndexProtocol.compactCommitMarkers]]) — run it on
+    * the maintenance cadence alongside file compaction so the commits
+    * dir stays O(1) names instead of one marker per batch ever ingested.
+    * Serving and redelivery semantics are unchanged: `id ≤ frontier`
+    * answers exactly what the deleted markers did (monotone batch ids).
+    */
+  def compactBm25IndexCommits(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(writer.path(s"${name}_commits"))
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    IndexProtocol.compactCommitMarkers(fs, d, dirtyPath = Some(
+      new org.apache.hadoop.fs.Path(writer.path(s"${name}_vocab_dirty"))))
+  }
+
+  def compactPositionalIndexCommits(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(writer.path(s"${name}_pos_commits"))
+    IndexProtocol.compactCommitMarkers(
+      d.getFileSystem(spark.sessionState.newHadoopConf()), d)
   }
 
   /** Hand over a BM25 index's single-writer lease (see
@@ -860,7 +884,8 @@ object Retrieval {
     def cleanup(): Unit = {
       fs.delete(state, false); fs.delete(struckDir, true)
     }
-    if (fs.exists(marker)) { cleanup(); return }
+    if (IndexProtocol.isMarked(fs, commitsDir, s"del_$batchId",
+        "frontier_del", batchId)) { cleanup(); return }
     val postRoot = path(s"${name}_postings")
     if (!fs.exists(postRoot)) { // empty index: deleting nothing is done
       fs.create(marker, true).close(); return
@@ -1189,7 +1214,7 @@ object Retrieval {
       }
 
     val liveDirty = dirty.nonEmpty &&
-      dirty.headOption.exists(h => !state.committedAppends.contains(h.toLong))
+      dirty.headOption.exists(h => !state.isCommitted(h.toLong))
     if (liveDirty && dirty.lift(1).contains("bootstrap"))
       return None // no batch ever committed: the snapshot is an empty index
 
@@ -1596,7 +1621,10 @@ object Retrieval {
       s"appendPositionalIndexBatch($name)")
     val marker = path(s"${name}_pos_commits/batch_$batchId")
     val stagedMf = path(s"${name}_pos_commits/staged_$batchId")
-    if (fs.exists(marker)) { fs.delete(stagedMf, false); return }
+    if (IndexProtocol.isMarked(fs, commitsDir, s"batch_$batchId",
+        "frontier_batch", batchId)) {
+      fs.delete(stagedMf, false); return
+    }
     val posRoot = path(s"${name}_positions")
     IndexProtocol.redoFromManifest(fs, stagedMf)
     val stage = path(s"__stage_pb${batchId}_$name")
@@ -1634,7 +1662,8 @@ object Retrieval {
     IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"deleteFromPositionalIndexBatch($name)")
     val marker = path(s"${name}_pos_commits/del_$batchId")
-    if (fs.exists(marker)) {
+    if (IndexProtocol.isMarked(fs, commitsDir, s"del_$batchId",
+        "frontier_del", batchId)) {
       // sweep a crash-between-marker-and-clear's stale reader fence
       fs.delete(path(s"${name}_pos_commits/delflag_$batchId"), false)
       return

@@ -712,10 +712,13 @@ object Similarity {
       s"appendIvfIndexBatch($name)")
     val marker = path(s"${name}_ivf_commits/batch_$batchId")
     val stagedMf = path(s"${name}_ivf_commits/staged_$batchId")
-    if (fs.exists(marker)) { fs.delete(stagedMf, false); return }
+    if (IndexProtocol.isMarked(fs, commitsDir, s"batch_$batchId",
+        "frontier_batch", batchId)) {
+      fs.delete(stagedMf, false); return
+    }
     val everCommitted = fs.listStatus(commitsDir).exists { st =>
       val n = st.getPath.getName
-      n.startsWith("batch_") || n == "adopted"
+      n.startsWith("batch_") || n == "adopted" || n == "frontier_batch"
     }
     if (!everCommitted && batch.isEmpty) {
       // an empty batch on an unborn index (a delete-only first feed
@@ -811,7 +814,8 @@ object Similarity {
     IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"deleteFromIvfIndexBatch($name)")
     val marker = path(s"${name}_ivf_commits/del_$batchId")
-    if (fs.exists(marker)) {
+    if (IndexProtocol.isMarked(fs, commitsDir, s"del_$batchId",
+        "frontier_del", batchId)) {
       // sweep a crash-between-marker-and-clear's stale reader fence
       fs.delete(path(s"${name}_ivf_commits/delflag_$batchId"), false)
       return
@@ -867,6 +871,16 @@ object Similarity {
         writer, indexName, bid, trainIters, initStride, keyCol, vecCol,
         writerId)
     }
+  }
+
+  /** IVF twin of [[Retrieval.compactBm25IndexCommits]]: fold a quiescent
+    * index's per-batch markers into the frontier files.
+    */
+  def compactIvfIndexCommits(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(writer.path(s"${name}_ivf_commits"))
+    IndexProtocol.compactCommitMarkers(
+      d.getFileSystem(spark.sessionState.newHadoopConf()), d)
   }
 
   /** Hand over an IVF index's single-writer lease (see
@@ -1094,7 +1108,8 @@ object Similarity {
     val adopted = streamed && ivfFs.exists(
       new org.apache.hadoop.fs.Path(ivfCommits, "adopted"))
     val state0 = IndexProtocol.commitsState(ivfFs, ivfCommits)
-    if (streamed && !adopted && state0.committedAppends.isEmpty)
+    if (streamed && !adopted && state0.committedAppends.isEmpty
+        && state0.frontierBatch == Long.MinValue)
       return Seq.empty[(Long, Long, Int)].toDF("query_id", "nbr_id", "rank")
     val cents = writer.read(spark, s"${name}_centroids")
       .withColumn("cent_norm", VectorFns.norm(col("cent_vec")))
