@@ -4306,6 +4306,79 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Multi-version merge table (q118 — the transaction-log layer over
+    * the bucket layout, [[graft.sources.VersionedTable]]): three atomic
+    * commits (base merge, partial upsert, targeted delete) each publish
+    * a version MANIFEST instead of swapping bucket dirs in place, so
+    * readers pin exact file lists — a commit racing a read is
+    * invisible, torn cross-bucket states are unobservable (the table-
+    * layer twin of the q112–q114 index snapshot isolation), and every
+    * retained version stays readable (time travel = an older manifest).
+    * The entry serves the LATEST state, the as-of state at v1, and the
+    * latest again after a vacuum that reclaims v0's superseded
+    * generation — all three under one closed-form oracle, so a manifest
+    * that leaks uncommitted files, drops a carried-over bucket, or a
+    * vacuum that deletes a still-referenced file breaks the hash.
+    * VersionedTableSpec pins the physical claims (crash-window
+    * invisibility, untouched-bucket byte-stability, writer fencing,
+    * pre-floor refusal).
+    */
+  private def q118VersionedTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val changes = base.filter(col("k") % 7 === 0)
+      .withColumn("price",
+        (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+    val doomed = o.filter(col("k") % 9 === 0).select("k")
+    val wh = s"$q40Scratch/vtable_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val root = s"$wh/orders_v"
+    VersionedTable.commitMerge(s, root, base, "k")    // v0
+    VersionedTable.commitMerge(s, root, changes, "k") // v1
+    VersionedTable.commitDelete(s, root, doomed, "k") // v2
+    VersionedTable.vacuum(s, root, retainLast = 2)    // reclaims v0 only
+    def phase(p: String, df: DataFrame): DataFrame =
+      df.select(lit(p).as("phase"), col("k"),
+        col("price").cast("double").as("price"))
+    phase("latest", VersionedTable.read(s, root))
+      .unionByName(phase("asof_v1", VersionedTable.read(s, root, Some(1))))
+      .unionByName(phase("postvacuum", VersionedTable.read(s, root)))
+  }
+
+  /** Versioned-table schema evolution (q119 — Delta's mergeSchema
+    * analogue on the manifest-committed layout): a second commit
+    * carries an ADDITIVE column; pre-evolution files stay byte-stable
+    * (VersionedTableSpec), the committed read spans both generations
+    * with mergeSchema, and pre-evolution rows null-fill — surfaced as
+    * an explicit 'legacy' marker so the null semantics are under the
+    * hash, alongside the evolved batch's genuine values.
+    */
+  private def q119VersionedEvolve(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val evolved = base.filter(col("k") % 7 === 0)
+      .withColumn("price",
+        (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .withColumn("status", lit("bumped"))
+      .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0)
+        .withColumn("status", lit("new")))
+    val wh = s"$q40Scratch/vtevo_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val root = s"$wh/orders_evo"
+    VersionedTable.commitMerge(s, root, base, "k")
+    VersionedTable.commitMerge(s, root, evolved, "k")
+    VersionedTable.read(s, root)
+      .select(col("k"), col("price").cast("double").as("price"),
+        coalesce(col("status"), lit("legacy")).as("status"))
+  }
+
   /** Incremental BM25 index ingest (v13): the index is built from the
     * base corpus (doc_id % 10 != 0) and the rest arrives as an appended
     * batch — postings appended, dfs additively merged, stats summed
@@ -5528,6 +5601,8 @@ object SparkEntry {
     "q115_feed_retention" -> (q115FeedRetention _),
     "q116_cdc_hybrid" -> (q116CdcHybrid _),
     "q117_commit_compaction" -> (q117CommitCompaction _),
+    "q118_versioned_table" -> (q118VersionedTable _),
+    "q119_versioned_evolve" -> (q119VersionedEvolve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6952,6 +7027,46 @@ object SparkEntry {
     // q117: marker compaction + full redelivery — the folded frontier
     // must serve exactly the uninterrupted build (v10's replay)
     "q117_commit_compaction" -> v10OracleSql,
+    // q118: three manifest-committed versions — latest (post-delete),
+    // time travel at v1 (pre-delete), latest again after vacuuming v0's
+    // generation; all three states closed-form
+    "q118_versioned_table" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |), merged AS (
+        |  SELECT k, CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+        |    AS DOUBLE) AS price
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k, CAST(price AS DOUBLE) FROM newbies
+        |)
+        |SELECT 'latest' AS phase, k, price FROM merged WHERE k % 9 <> 0
+        |UNION ALL
+        |SELECT 'asof_v1' AS phase, k, price FROM merged
+        |UNION ALL
+        |SELECT 'postvacuum' AS phase, k, price FROM merged WHERE k % 9 <> 0""".stripMargin,
+    // q119: additive schema evolution across manifest generations —
+    // pre-evolution rows null-fill (surfaced as 'legacy')
+    "q119_versioned_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), newbies AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |)
+        |SELECT k,
+        |  CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END AS DOUBLE)
+        |    AS price,
+        |  CASE WHEN k % 7 = 0 THEN 'bumped' ELSE 'legacy' END AS status
+        |FROM base
+        |UNION ALL
+        |SELECT k, CAST(price AS DOUBLE) AS price, 'new' AS status
+        |FROM newbies""".stripMargin,
     "d20_media_features" -> graft.models.MediaFixture.oracleSql,
     "d23_video_features" -> graft.models.MediaFixture.videoOracleSql,
 

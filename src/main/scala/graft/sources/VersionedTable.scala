@@ -1,0 +1,347 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IndexProtocol
+
+/** Multi-version merge tables: the transaction-log layer over the
+  * [[TableWriter.mergeByKey]] bucket layout (the Delta-log/Iceberg-
+  * snapshot analogue, built from the same primitives the index families'
+  * exactly-once protocols use — atomic manifest writes, writer leases,
+  * staged-file-manifest redo).
+  *
+  * Why it exists: plain `mergeByKey` swaps bucket directories in place —
+  * correct for a single writer with quiescent readers, but a reader
+  * overlapping a multi-bucket merge can see bucket 3 NEW while bucket 7
+  * is still OLD (a torn cross-bucket state), or a briefly-missing bucket
+  * mid-rename; and two concurrent writers collide on the shared stage
+  * dir silently. The snapshot-isolation work (q112–q114) closed exactly
+  * this hazard for the three serving-index families; this class closes
+  * it for the table layer.
+  *
+  * Layout under the table root:
+  * {{{
+  *   __bucket=<b>/v<N>-<i>.parquet     // generation-stamped, immutable
+  *   _commits/v_<N>                    // version manifest: "<b>\t<file>"
+  *   _commits/writer                   // single-writer lease
+  *   _commits/staged_<N>               // in-flight commit's redo manifest
+  * }}}
+  *
+  * Commit protocol (merge or delete), per version `N+1`:
+  *   1. acquire the writer lease (same id re-acquires; different id
+  *      fails loudly — no second writer can interleave);
+  *   2. sweep crashed attempts: any `staged_<k>` without a `v_<k>`
+  *      manifest names exactly the files that attempt may have moved in
+  *      — delete them (O(attempt), no directory listing);
+  *   3. read the CURRENT committed state (manifest-resolved, touched
+  *      buckets only) and compute the merged/surviving rows;
+  *   4. stage the touched buckets, move them in under `v<N+1>-` names
+  *      guarded by `staged_<N+1>` ([[IndexProtocol.moveStagedIn]]);
+  *      new files are invisible — no reader resolves them until…
+  *   5. …the version manifest `v_<N+1>` (touched buckets' new files +
+  *      untouched buckets' entries carried over verbatim) is renamed in
+  *      ATOMICALLY. This is the commit point: readers see v_N exactly,
+  *      or v_{N+1} exactly, never a mix;
+  *   6. drop the staged manifest.
+  *
+  * Readers ([[read]]) resolve a version manifest to an exact file list —
+  * no directory listing, no globbing — so a commit racing the read is
+  * invisible (old files are immutable and survive until [[vacuum]]).
+  * `asOf` pins any retained version: time travel is a different manifest,
+  * zero extra storage beyond the superseded generations vacuum hasn't
+  * reclaimed. Untouched buckets are carried over as manifest ENTRIES, so
+  * an incremental commit never re-lists, re-reads, or re-writes them.
+  *
+  * Scale notes (the 100 TB shape): commit data cost tracks touched-
+  * bucket volume (the mergeByKey sizing rule: grow bucket count with the
+  * table to hold bucket volume constant); commit metadata cost is the
+  * manifest — O(total live files) lines, ~60 B each (4096 buckets × a
+  * few files ≈ 1 MB, one atomic small-file write). A deployment whose
+  * file count outgrows that writes delta manifests + periodic
+  * checkpoints — the commit-marker-compaction pattern ([[
+  * graft.operators.IndexProtocol.compactCommitMarkers]]) applied to
+  * manifests; the self-contained form is the honest simple one and
+  * keeps reads a single manifest fetch. Reads with `mergeSchema` touch
+  * every file's footer once; a deployment past that records the schema
+  * in the manifest (as table formats do).
+  */
+object VersionedTable {
+
+  /** Test-only crash injection points, mirroring IndexRestartSpec's
+    * protocol-faithful injectors: each hook runs at the named protocol
+    * step; a throwing hook simulates a crash there.
+    */
+  private[graft] final case class CommitHooks(
+      beforeMove: () => Unit = () => (),
+      beforeManifest: () => Unit = () => ())
+  private[graft] object CommitHooks { val none: CommitHooks = CommitHooks() }
+
+  private def commitsDir(root: Path) = new Path(root, "_commits")
+  private def manifestPath(root: Path, v: Long) =
+    new Path(commitsDir(root), s"v_$v")
+  private def stagedPath(root: Path, v: Long) =
+    new Path(commitsDir(root), s"staged_$v")
+
+  private def fsOf(spark: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Committed version ids, ascending (empty for a table never
+    * committed).
+    */
+  def versions(spark: SparkSession, rootStr: String): Seq[Long] = {
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    val cd = commitsDir(root)
+    if (!fs.exists(cd)) Nil
+    else fs.listStatus(cd).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("v_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v_").toLong).toOption)
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, rootStr: String): Option[Long] =
+    versions(spark, rootStr).lastOption
+
+  /** Per-bucket committed files of version `v`. */
+  private def manifestEntries(fs: FileSystem, root: Path,
+      v: Long): Map[Int, Seq[String]] = {
+    val mf = manifestPath(root, v)
+    require(fs.exists(mf), s"no manifest for version $v under $root")
+    IndexProtocol.readLines(fs, mf).filter(_.nonEmpty).map { l =>
+      val Array(b, p) = l.split("\t", 2); (b.toInt, p)
+    }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
+  }
+
+  /** Snapshot read of the table at `asOf` (default: latest committed).
+    * Resolves the version manifest to an exact file list — concurrent
+    * commits are invisible, torn states unobservable. Reading a
+    * vacuumed version refuses loudly, naming the retained floor.
+    * `buckets` restricts to those bucket ids (the pruned read the
+    * commit paths use). `mergeSchema` spans schema evolution: files
+    * older than an additive column null-fill it.
+    */
+  def read(spark: SparkSession, rootStr: String,
+      asOf: Option[Long] = None,
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    val vs = versions(spark, rootStr)
+    require(vs.nonEmpty, s"versioned table $rootStr has no committed version")
+    val v = asOf match {
+      case None => vs.last
+      case Some(a) =>
+        require(vs.contains(a),
+          s"version $a of $rootStr is not available " +
+            s"(retained: ${vs.mkString(", ")} — older versions were vacuumed)")
+        a
+    }
+    val entries = manifestEntries(fs, root, v)
+    val selected = buckets match {
+      case Some(bs) => entries.filter { case (b, _) => bs.contains(b) }
+      case None => entries
+    }
+    val files = selected.toSeq.flatMap(_._2).sorted
+    if (files.isEmpty) {
+      // none of the selected buckets exist at this version — empty
+      // frame with the table schema (from any committed file)
+      val any = entries.toSeq.flatMap(_._2).sorted
+      require(any.nonEmpty, s"version $v of $rootStr has no files")
+      spark.read.option("basePath", rootStr).parquet(any.head).limit(0)
+        .withColumn("__bucket", col("__bucket").cast("int"))
+    } else {
+      spark.read.option("basePath", rootStr)
+        .option("mergeSchema", "true")
+        .parquet(files: _*)
+        .withColumn("__bucket", col("__bucket").cast("int"))
+    }
+  }
+
+  /** Sweep every crashed attempt: a `staged_<k>` whose `v_<k>` manifest
+    * never committed names exactly the files that attempt moved in.
+    * (A `staged_<k>` WITH a committed `v_<k>` is cleanup litter from a
+    * crash after the commit point — the staged file is dropped, the
+    * data files are live.)
+    */
+  private def sweepCrashed(fs: FileSystem, root: Path): Unit = {
+    val cd = commitsDir(root)
+    if (!fs.exists(cd)) return
+    val names = fs.listStatus(cd).map(_.getPath.getName).toSet
+    names.filter(_.startsWith("staged_")).foreach { n =>
+      val k = n.stripPrefix("staged_")
+      if (!names.contains(s"v_$k"))
+        IndexProtocol.redoFromManifest(fs, new Path(cd, n))
+      fs.delete(new Path(cd, n), false)
+    }
+  }
+
+  /** Upsert `incoming` by `key` as one atomic committed version.
+    * Same merge semantics as [[TableWriter.mergeByKey]] (incoming wins,
+    * or an associative `resolveOrder` argmax; at most one incoming row
+    * per key), same touched-bucket cost — plus the commit protocol
+    * above. Returns the committed version id. Additive schema
+    * evolution is supported: an incoming frame with new columns
+    * null-fills existing rows (old files stay byte-stable; reads
+    * mergeSchema across generations).
+    */
+  def commitMerge(spark: SparkSession, rootStr: String, incoming: DataFrame,
+      key: String, numBuckets: Int = 16, writerId: String = "default",
+      resolveOrder: Seq[Column] = Nil,
+      hooks: CommitHooks = CommitHooks.none): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    IndexProtocol.acquireLease(fs, commitsDir(root), writerId, "commitMerge")
+    sweepCrashed(fs, root)
+    val cur = latestVersion(spark, rootStr)
+    val next = cur.map(_ + 1).getOrElse(0L)
+    val withBucket = incoming
+      .withColumn("__bucket",
+        pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+      .withColumn("__gen", lit(1))
+    val merged = cur match {
+      case None => withBucket
+      case Some(v) =>
+        // bounded collect: ≤ numBuckets ids
+        val affected = withBucket.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        val existing = read(spark, rootStr, Some(v), Some(affected))
+          .withColumn("__gen", lit(0))
+        val w = Window.partitionBy(col(key)).orderBy(
+          (if (resolveOrder.nonEmpty) resolveOrder
+           else Seq(col("__gen").desc)): _*)
+        existing.unionByName(withBucket, allowMissingColumns = true)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
+    commitStaged(spark, fs, root, rootStr, next, cur,
+      merged.drop("__gen"), hooks)
+    next
+  }
+
+  /** Delete rows matching `doomedKeys` (one column named `key`) as one
+    * atomic committed version. Bucket-pruned like
+    * [[TableWriter.deleteByKey]]: only buckets actually holding a
+    * doomed row are rewritten; a delete that hits nothing commits NO
+    * new version (returns the current one) — absent keys and re-runs
+    * are silent, the mergeByKeyCdc silence contract. A bucket whose
+    * every row is doomed simply leaves the next manifest.
+    */
+  def commitDelete(spark: SparkSession, rootStr: String,
+      doomedKeys: DataFrame, key: String, numBuckets: Int = 16,
+      writerId: String = "default",
+      hooks: CommitHooks = CommitHooks.none): Long = {
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    IndexProtocol.acquireLease(fs, commitsDir(root), writerId, "commitDelete")
+    sweepCrashed(fs, root)
+    val cur = latestVersion(spark, rootStr)
+    require(cur.nonEmpty, s"commitDelete: no committed version at $rootStr")
+    val doomed = doomedKeys.select(col(key)).distinct()
+      .withColumn("__bucket",
+        pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+    // bounded collect: ≤ numBuckets ids
+    val affected = doomed.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val candidates = read(spark, rootStr, cur, Some(affected))
+    // bounded collect: ≤ numBuckets ids
+    val hit = candidates.join(doomed.select(col(key)), Seq(key), "left_semi")
+      .select("__bucket").distinct().collect().map(_.getInt(0)).toIndexedSeq
+    if (hit.isEmpty) return cur.get
+    val next = cur.get + 1
+    val survivors = candidates.filter(col("__bucket").isin(hit: _*))
+      .join(doomed.select(col(key)), Seq(key), "left_anti")
+    commitStaged(spark, fs, root, rootStr, next, cur, survivors, hooks,
+      rewrittenBuckets = Some(hit.toSet))
+    next
+  }
+
+  /** Steps 4–6 of the protocol: stage `touched` (its `__bucket` column
+    * decides which buckets this commit rewrites — for a delete, a
+    * fully-emptied bucket writes no rows, so `rewrittenBuckets` names
+    * the buckets whose old entries must STILL be dropped from the next
+    * manifest), move in under `v<next>-` names, commit the manifest.
+    */
+  private def commitStaged(spark: SparkSession, fs: FileSystem, root: Path,
+      rootStr: String, next: Long, cur: Option[Long], touched: DataFrame,
+      hooks: CommitHooks, rewrittenBuckets: Option[Set[Int]] = None): Unit = {
+    val stage = new Path(root, s"_stage_v$next")
+    fs.delete(stage, true)
+    // cluster per bucket: file count tracks buckets (see mergeByKey)
+    touched.repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__bucket")
+      .parquet(stage.toString)
+    hooks.beforeMove()
+    val moved = IndexProtocol.moveStagedIn(fs, stage, root,
+      "__bucket=", s"v$next-", stagedPath(root, next))
+    val newEntries: Map[Int, Seq[String]] = moved
+      .map(p => (bucketOf(p), fs.makeQualified(p).toString))
+      .groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2).sorted }
+    val rewritten = rewrittenBuckets.getOrElse(newEntries.keySet)
+    val carried: Map[Int, Seq[String]] = cur match {
+      case None => Map.empty
+      case Some(v) => manifestEntries(fs, root, v)
+        .filterNot { case (b, _) => rewritten.contains(b) }
+    }
+    hooks.beforeManifest()
+    val entries = carried ++ newEntries
+    IndexProtocol.writeLinesAtomic(fs, manifestPath(root, next),
+      entries.toSeq.sortBy(_._1)
+        .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") })
+    fs.delete(stagedPath(root, next), false)
+  }
+
+  private def bucketOf(p: Path): Int =
+    p.getParent.getName.stripPrefix("__bucket=").toInt
+
+  /** Reclaim superseded generations: drop all but the newest
+    * `retainLast` version manifests, then delete every data file no
+    * retained manifest references. Runs under the writer lease (the
+    * single-writer discipline is what makes "unreferenced" decidable —
+    * an in-flight commit's files are invisible to manifests but
+    * protected by serialization, not luck). Crash-safe by ordering:
+    * manifests are dropped FIRST, so no retained manifest ever names a
+    * deleted file; a crash mid-sweep leaves unreferenced files a re-run
+    * (or the next vacuum) removes. Reading a dropped version afterwards
+    * refuses loudly ([[read]]). Returns (versions dropped, files
+    * deleted).
+    */
+  def vacuum(spark: SparkSession, rootStr: String, retainLast: Int,
+      writerId: String = "default"): (Int, Int) = {
+    require(retainLast >= 1, "vacuum must retain at least the latest version")
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    IndexProtocol.acquireLease(fs, commitsDir(root), writerId, "vacuum")
+    sweepCrashed(fs, root)
+    val vs = versions(spark, rootStr)
+    val dropped = vs.dropRight(retainLast)
+    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    val kept = vs.takeRight(retainLast)
+    val live: Set[String] = kept
+      .flatMap(v => manifestEntries(fs, root, v).values.flatten)
+      .map(p => fs.makeQualified(new Path(p)).toString).toSet
+    var deleted = 0
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+      .foreach { d =>
+        val files = fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+        files.foreach { f =>
+          if (!live.contains(fs.makeQualified(f.getPath).toString)) {
+            fs.delete(f.getPath, false); deleted += 1
+          }
+        }
+        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
+      }
+    (dropped.size, deleted)
+  }
+
+  /** Hand the table over to a new writer id (only safe once the owning
+    * writer is decommissioned) — the index families' lease contract.
+    */
+  def releaseLease(spark: SparkSession, rootStr: String): Unit = {
+    val root = new Path(rootStr)
+    IndexProtocol.releaseLease(fsOf(spark, root), commitsDir(root))
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+import graft.sources.VersionedTable.CommitHooks
+
+/** The multi-version merge-table commit protocol: atomic version
+  * manifests over the bucket layout. What the suite pins, in protocol
+  * order: per-version time travel; untouched-bucket entries carried
+  * over byte-stable (never re-read, never re-written); crash ANYWHERE
+  * before the manifest rename is invisible to readers (the torn-read
+  * impossibility the in-place mergeByKey swap cannot offer) and swept
+  * convergently on redelivery; writer fencing; vacuum retention with
+  * loud pre-floor refusal; additive schema evolution.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtable").toFile
+    d.deleteOnExit(); d.getPath + "/t"
+  }
+
+  private def base = (1 to 20).map(k => (k.toLong, k * 10L)).toDF("k", "price")
+  private def changes = (1 to 20).filter(_ % 4 == 0)
+    .map(k => (k.toLong, k * 10L + 1L)).toDF("k", "price")
+
+  private def state(root: String, asOf: Option[Long] = None): Map[Long, Long] =
+    VersionedTable.read(spark, root, asOf)
+      .select("k", "price").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("commits are versioned; time travel serves each version exactly") {
+    val root = freshRoot()
+    val v0 = VersionedTable.commitMerge(spark, root, base, "k", 8)
+    val v1 = VersionedTable.commitMerge(spark, root, changes, "k", 8)
+    val v2 = VersionedTable.commitDelete(spark, root,
+      (1 to 20).filter(_ % 5 == 0).map(_.toLong).toDF("k"), "k", 8)
+    assert((v0, v1, v2) === (0L, 1L, 2L))
+    val s0 = (1 to 20).map(k => k.toLong -> k * 10L).toMap
+    val s1 = s0 ++ (1 to 20).filter(_ % 4 == 0).map(k => k.toLong -> (k * 10L + 1))
+    val s2 = s1.filterNot { case (k, _) => k % 5 == 0 }
+    assert(state(root, Some(0)) === s0)
+    assert(state(root, Some(1)) === s1)
+    assert(state(root, Some(2)) === s2)
+    assert(state(root) === s2) // latest
+  }
+
+  test("untouched buckets carry over: entries verbatim, files byte-stable") {
+    val root = freshRoot()
+    VersionedTable.commitMerge(spark, root, base, "k", 8)
+    val sigsBefore = parquetFileSigs(root)
+    // a batch confined to ONE bucket: pick the keys hashing to bucket 0
+    val oneBucket = base
+      .withColumn("b", pmod(xxhash64(col("k")), lit(8L)).cast("int"))
+      .filter(col("b") === 0).drop("b")
+      .withColumn("price", col("price") + 7)
+    val nIncoming = oneBucket.count()
+    assert(nIncoming > 0, "fixture needs at least one key in bucket 0")
+    VersionedTable.commitMerge(spark, root, oneBucket, "k", 8)
+    // every v0 file still byte-identical (v1 only ADDED files)
+    val sigsAfter = parquetFileSigs(root)
+    sigsBefore.foreach { case (p, sig) => assert(sigsAfter(p) === sig,
+      s"committed file rewritten: $p") }
+    // v1 manifest: bucket 0 entries are new, all others carried verbatim
+    def manifest(v: Long): Map[Int, Set[String]] = {
+      val lines = scala.io.Source.fromFile(s"$root/_commits/v_$v").getLines()
+        .filter(_.nonEmpty).toSeq
+      lines.map { l => val Array(b, p) = l.split("\t", 2); (b.toInt, p) }
+        .groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2).toSet }
+    }
+    val (m0, m1) = (manifest(0), manifest(1))
+    assert(m1(0) !== m0(0))
+    m0.keys.filter(_ != 0).foreach(b => assert(m1(b) === m0(b),
+      s"untouched bucket $b entry changed"))
+    assert(state(root) === state(root, Some(0)) ++
+      oneBucket.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("crash before the manifest commit is invisible and swept on redelivery") {
+    val root = freshRoot()
+    VersionedTable.commitMerge(spark, root, base, "k", 8)
+    val s0 = state(root)
+    // crash AFTER data files moved in, BEFORE the commit point — the
+    // exact window where an in-place swap would serve a torn state
+    intercept[RuntimeException] {
+      VersionedTable.commitMerge(spark, root, changes, "k", 8,
+        hooks = CommitHooks(beforeManifest =
+          () => throw new RuntimeException("crash")))
+    }
+    // the crashed attempt's files LANDED…
+    val landed = parquetFileSigs(root).keys.filter(_.contains("/v1-"))
+    assert(landed.nonEmpty, "injector should have moved v1 files in")
+    // …but no reader resolves them: latest is exactly v0
+    assert(state(root) === s0)
+    assert(VersionedTable.versions(spark, root) === Seq(0L))
+    // redelivery: the same commit re-runs; crashed files swept first, so
+    // the committed v1 serves exactly the merged state, no duplicates
+    val v1 = VersionedTable.commitMerge(spark, root, changes, "k", 8)
+    assert(v1 === 1L)
+    val expected = s0 ++ changes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(state(root) === expected)
+    val df = VersionedTable.read(spark, root)
+    assert(df.count() === df.select("k").distinct().count(), "duplicate rows")
+    // crash BEFORE any move: only a stage dir — readers and redelivery
+    // untouched by construction
+    intercept[RuntimeException] {
+      VersionedTable.commitDelete(spark, root, Seq(4L).toDF("k"), "k", 8,
+        hooks = CommitHooks(beforeMove =
+          () => throw new RuntimeException("crash")))
+    }
+    assert(state(root) === expected)
+    val v2 = VersionedTable.commitDelete(spark, root, Seq(4L).toDF("k"), "k", 8)
+    assert(v2 === 2L)
+    assert(state(root) === expected - 4L)
+  }
+
+  test("second concurrent writer is refused; releaseLease hands over") {
+    val root = freshRoot()
+    VersionedTable.commitMerge(spark, root, base, "k", 8, writerId = "stream-a")
+    val e = intercept[IllegalStateException] {
+      VersionedTable.commitMerge(spark, root, changes, "k", 8,
+        writerId = "stream-b")
+    }
+    assert(e.getMessage.contains("stream-a"))
+    // same id re-acquires freely (restart of the owning writer)
+    VersionedTable.commitMerge(spark, root, changes, "k", 8,
+      writerId = "stream-a")
+    VersionedTable.releaseLease(spark, root)
+    VersionedTable.commitDelete(spark, root, Seq(5L).toDF("k"), "k", 8,
+      writerId = "stream-b")
+    assert(!state(root).contains(5L))
+  }
+
+  test("vacuum reclaims superseded generations; retained reads intact; " +
+      "pre-floor asOf refuses loudly") {
+    val root = freshRoot()
+    VersionedTable.commitMerge(spark, root, base, "k", 8)
+    VersionedTable.commitMerge(spark, root, changes, "k", 8)
+    VersionedTable.commitDelete(spark, root,
+      (1 to 20).filter(_ % 5 == 0).map(_.toLong).toDF("k"), "k", 8)
+    val (s1, s2) = (state(root, Some(1)), state(root, Some(2)))
+    val filesBefore = parquetFileSigs(root)
+    val (droppedV, deletedF) = VersionedTable.vacuum(spark, root, 2)
+    assert(droppedV === 1)
+    assert(deletedF > 0, "v0-only generation files should be reclaimed")
+    // retained versions read byte-identically
+    assert(state(root, Some(1)) === s1)
+    assert(state(root, Some(2)) === s2)
+    // surviving files untouched (vacuum deletes, never rewrites)
+    val filesAfter = parquetFileSigs(root)
+    filesAfter.foreach { case (p, sig) => assert(filesBefore(p) === sig) }
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(0))
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // idempotent: nothing left to reclaim
+    assert(VersionedTable.vacuum(spark, root, 2) === (0, 0))
+  }
+
+  test("additive schema evolution: new column null-fills old rows; " +
+      "old files byte-stable") {
+    val root = freshRoot()
+    VersionedTable.commitMerge(spark, root, base, "k", 8)
+    val sigs0 = parquetFileSigs(root)
+    val evolved = Seq((21L, 210L, "gold"), (4L, 41L, "silver"))
+      .toDF("k", "price", "tier")
+    VersionedTable.commitMerge(spark, root, evolved, "k", 8)
+    val sigsAfter = parquetFileSigs(root)
+    sigs0.foreach { case (p, sig) => assert(sigsAfter(p) === sig) }
+    val rows = VersionedTable.read(spark, root)
+      .select("k", "price", "tier").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(rows(21L) === ((210L, Some("gold"))))
+    assert(rows(4L) === ((41L, Some("silver"))))
+    assert(rows(3L) === ((30L, None)), "pre-evolution row should null-fill")
+    // time travel BELOW the evolution still serves the old schema's data
+    assert(state(root, Some(0)) === base.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("a delete that hits nothing commits no version") {
+    val root = freshRoot()
+    val v0 = VersionedTable.commitMerge(spark, root, base, "k", 8)
+    val v = VersionedTable.commitDelete(spark, root,
+      Seq(999L, 1000L).toDF("k"), "k", 8)
+    assert(v === v0)
+    assert(VersionedTable.versions(spark, root) === Seq(0L))
+  }
+}
