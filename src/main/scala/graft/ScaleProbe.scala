@@ -34,7 +34,7 @@ object ScaleProbe {
         "q70", "q71", "q20", "q43", "v8", "v9", "v12", "v17", "bm25",
         "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics",
         "triangles", "ranktopk", "ivftrain", "recovery", "annrank",
-        "snapshot")
+        "snapshot", "vtable")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -778,7 +778,8 @@ object ScaleProbe {
     // Materialization family: the WRITE paths (snapshot store, bucket-
     // scoped merge, bucketed tables) measured under replication
     if (probes.intersect(
-        Set("q59", "q62", "q63", "q69", "q70", "q71", "clone")).nonEmpty) {
+        Set("q59", "q62", "q63", "q69", "q70", "q71", "clone",
+          "vtable")).nonEmpty) {
       val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
       val ordersN = (0 until mult).map { r =>
         orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
@@ -808,6 +809,43 @@ object ScaleProbe {
         // tracks that bucket's volume (grows with mult at fixed bucket
         // count — the q94/CDC sizing rule holds bucket volume constant
         // by growing the count in production).
+        // q118: the versioned-table commit protocol under the sizing
+        // rule (bucket count grows with the table, holding bucket
+        // VOLUME constant): the one-bucket commit and the pruned
+        // snapshot read must stay FLAT as the table grows mult×; the
+        // bootstrap commit and the vacuum sweep are the linear paths
+        // (full write resp. full file listing) and are labeled as such.
+        if (on("vtable")) {
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_vtable_").toString
+          import graft.sources.VersionedTable
+          val root = s"$wh/t"
+          val nb = if (label == "1x") 16 else 16 * mult
+          val base = src.filter(col("k") % 3 === 0)
+          t(s"q118_vtable_bootstrap_$label") {
+            VersionedTable.commitMerge(spark, root, base, "k", nb)
+            VersionedTable.read(spark, root).count()
+          }
+          val batch = base
+            .filter(pmod(xxhash64(col("k")), lit(nb.toLong)) === 3)
+            .withColumn("price", (col("price") +
+              lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+            .persist()
+          val bn = batch.count() // materialize OUTSIDE the timed commit
+          t(s"q118_vtable_commit_1bkt_$label") {
+            VersionedTable.commitMerge(spark, root, batch, "k", nb)
+            bn
+          }
+          t(s"q118_vtable_read_pruned_$label") {
+            VersionedTable.read(spark, root, buckets = Some(Seq(3))).count()
+          }
+          t(s"q118_vtable_vacuum_$label") {
+            val (dv, df) = VersionedTable.vacuum(spark, root, 1)
+            dv.toLong * 1000000L + df
+          }
+          batch.unpersist(blocking = false)
+          deleteTree(wh)
+        }
         if (on("clone")) {
           val wh = java.nio.file.Files
             .createTempDirectory("probe_clone_").toString
