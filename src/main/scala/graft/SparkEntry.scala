@@ -4574,6 +4574,67 @@ object SparkEntry {
   private def d45CountMin(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.countMinEstimates(t(s, dir, "documents"))
 
+  /** HyperLogLog cardinality sketch (d46, Flajolet et al. 2007 —
+    * completing the mergeable-sketch family: KMV/q19 distinct sample,
+    * Count-Min/d45 frequencies, HLL fixed-memory cardinality): 256
+    * registers over the shared numHash chain, register = low 8 bits,
+    * rho = trailing zeros + 1 of the remaining ~42 bits (P(rho=k) =
+    * 2^-k, same geometric rank as the classical leading-zero form but
+    * pure integer CASE — oracle-replayable branch for branch). Sketch =
+    * register-wise MAX (order-independent, exactly mergeable — HllSpec
+    * pins shard-merge == union). Served on the full register spine WITH
+    * the raw estimate and the true distinct count, so the estimate's
+    * arithmetic (integer-scaled harmonic sum, two IEEE ops over
+    * exactly-representable operands — see [[
+    * graft.operators.Sketches.hllEstimate]]) and its accuracy vs truth
+    * are both under the FULL hash contract — no ln(), no rank-only
+    * slack, unlike every published HLL that needs the linear-counting
+    * branch (deliberately consumer-side here).
+    */
+  private def d46Hll(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("v"))
+    val regs = Sketches.hllRegisters(li, col("v"), 8)
+    val est = Sketches.hllEstimate(regs, 8)
+    val truth = li.agg(countDistinct(col("v")).as("true_ndv"))
+    // both joined frames are 1-row (bounded): estimate + truth
+    regs.crossJoin(broadcast(est)).crossJoin(broadcast(truth))
+      .select(col("register"), col("rho").cast("long").as("rho"),
+        col("est"), col("true_ndv"))
+  }
+
+  private def d46OracleSql: String = {
+    val cases = (1 to 42).map(k =>
+      s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString(" ")
+    s"""WITH vals AS (
+       |  SELECT l_orderkey AS vec_id, 0 AS v FROM lineitem
+       |${numHashCtes("vals", "hh")}
+       |), regs0 AS (
+       |  SELECT CAST(h % 256 AS INT) AS register, h // 256 AS w FROM hh
+       |), rr AS (
+       |  SELECT register,
+       |    MAX(CASE WHEN w = 0 THEN 43 $cases END) AS rho
+       |  FROM regs0 GROUP BY 1
+       |), spine AS (
+       |  SELECT CAST(range AS INT) AS register FROM range(256)
+       |), regs AS (
+       |  SELECT s.register, COALESCE(rr.rho, 0) AS rho
+       |  FROM spine s LEFT JOIN rr ON s.register = rr.register
+       |), est AS (
+       |  -- ((alpha * m^2) * 2^43) / denom, alpha = 0.7213/(1+1.079/m):
+       |  -- association mirrored from Sketches.hllEstimate exactly
+       |  SELECT 0.7213 / (1.0 + 1.079 / 256.0) * CAST(65536 AS DOUBLE)
+       |    * CAST(8796093022208 AS DOUBLE)
+       |    / CAST(CAST(SUM(CAST(1 AS BIGINT) << (43 - rho)) AS BIGINT)
+       |        AS DOUBLE) AS est
+       |  FROM regs
+       |), tru AS (
+       |  SELECT COUNT(DISTINCT l_orderkey) AS true_ndv FROM lineitem
+       |)
+       |SELECT r.register, CAST(r.rho AS BIGINT) AS rho, e.est, t.true_ndv
+       |FROM regs r CROSS JOIN est e CROSS JOIN tru t""".stripMargin
+  }
+
   private def d45OracleSql: String =
     """WITH tf AS (
       |  SELECT term, COUNT(*) AS true_cnt FROM (
@@ -5580,6 +5641,7 @@ object SparkEntry {
     "d42_centrality_rank" -> (d42CentralityRank _),
     "d44_triangle_count" -> (d44TriangleCount _),
     "d45_countmin" -> (d45CountMin _),
+    "d46_hll" -> (d46Hll _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -6989,6 +7051,7 @@ object SparkEntry {
     "d42_centrality_rank" -> d42OracleSql,
     "d44_triangle_count" -> d44OracleSql,
     "d45_countmin" -> d45OracleSql,
+    "d46_hll" -> d46OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -83,6 +83,73 @@ object Sketches {
       }: _*)
   }
 
+  /** HyperLogLog registers (Flajolet et al. 2007) over a value column —
+    * the fixed-memory cardinality sketch completing the mergeable
+    * family next to [[kmvDistinct]] (distinct sample), countMinSketch
+    * (frequencies), and [[histQuantiles]] (quantiles). KMV keeps k
+    * hashes per group; HLL keeps 2^p four-bit-ish registers TOTAL — the
+    * shape that lets a 100 TB scan carry cardinality state in bytes per
+    * executor and merge shards by a register-wise MAX (max is
+    * idempotent/commutative, so the sketch is order-independent and
+    * EXACTLY mergeable; HllSpec pins shard-merge == union).
+    *
+    * Determinism contract (full hash, no rank-only slack): the value
+    * runs the shared [[numHash]] chain (uniform on [0, M), M = 2^50−27,
+    * replayable in integer SQL); register = low p bits, and rho is
+    * TRAILING zeros + 1 of the remaining ~(50−p) bits — P(rho = k) =
+    * 2^-k exactly as with the classical leading-zero rank, but trailing
+    * zeros is a pure integer CASE over w % 2^k (no log2, no doubles),
+    * so the DuckDB oracle replays it branch for branch. Registers are
+    * served on the full 0..2^p−1 spine (absent register = 0).
+    */
+  def hllRegisters(df: DataFrame, valueCol: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllRegisters: p=$p out of range")
+    val m = 1 << p
+    val spark = df.sparkSession
+    val hashed = df.select(numHash(valueCol).as("__h"))
+      .withColumn("register", (col("__h") % lit(m.toLong)).cast("int"))
+      .withColumn("__w", expr(s"__h div $m"))
+    // w < 2^(50-p): trailing-zero count ≤ 49-p for w > 0; cap rho at
+    // hllRhoCap for w = 0 (the "all bits zero" register value)
+    val rho = (1 to (hllRhoCap - 1)).foldLeft(
+      when(col("__w") === 0, lit(hllRhoCap))) { (acc, k) =>
+      acc.when(col("__w") % lit(1L << k) === lit(1L << (k - 1)), lit(k))
+    }
+    val observed = hashed.select(col("register"), rho.as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("rho"))
+    spark.range(m).select(col("id").cast("int").as("register"))
+      .join(observed, Seq("register"), "left")
+      .select(col("register"), coalesce(col("rho"), lit(0)).as("rho"))
+  }
+
+  /** rho cap: w has at most 42 usable bits at p=8 (M ≈ 2^50), so 43
+    * means "w was exactly zero" — reachable with probability ~2^-42
+    * per row and shared with the oracle's CASE verbatim.
+    */
+  val hllRhoCap = 43
+
+  /** The HLL raw estimate from a register frame: alpha_m · m² / Σ
+    * 2^-M[j]. The harmonic denominator is computed SCALED by 2^(cap):
+    * each term 2^(cap − rho) is an exact BIGINT (rho ≤ cap), the sum is
+    * order-independent integer addition bounded by m·2^cap = 2^51 at
+    * p=8 (exactly representable as a double), and the final estimate is
+    * two IEEE double ops over exactly-representable operands — so the
+    * estimate itself sits under the full hash contract, not rank-only
+    * (no ln(), no decimal→double rounding ambiguity). Small-range
+    * (linear-counting) correction is deliberately a CONSUMER-side
+    * choice: it needs ln(), which costs the cross-engine bit contract;
+    * the register frame carries everything needed (V = count of rho=0).
+    */
+  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
+    val m = (1 << p).toLong
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.agg(sum(expr(s"shiftleft(cast(1 as bigint), $hllRhoCap - rho)"))
+        .as("__denom"))
+      .select((alpha * lit(m * m).cast("double") *
+        lit(1L << hllRhoCap).cast("double") / col("__denom").cast("double"))
+        .as("est"))
+  }
+
   /** Additive row salt for the Count-Min row hashes (decimal digits of
     * e; any fixed constant < M works — rows then diverge through the
     * avalanche chain, not through the salt itself).

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** HyperLogLog registers (d46): the mergeable-cardinality contract.
+  * Pins: register-wise max merges shards EXACTLY into the union sketch
+  * (the 100 TB shape — per-shard sketches, bytes each, one tiny merge);
+  * the trailing-zero rho equals an independent bit-twiddling
+  * recomputation of the same hash; the full register spine is always
+  * served; duplicates never move a register; and the raw estimate lands
+  * within the published error regime on a known-cardinality fixture.
+  */
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def values(n: Int, offset: Long = 0L) =
+    (1 to n).map(i => i.toLong * 7919L + offset).toDF("v")
+
+  test("shard-merge equals union sketch register for register") {
+    val all = values(20000)
+    val union = Sketches.hllRegisters(all, col("v"), 8)
+    val shardMerged = (0 until 4)
+      .map(s => Sketches.hllRegisters(
+        all.filter(pmod(col("v"), lit(4)) === s), col("v"), 8))
+      .reduce(_ unionByName _)
+      .groupBy("register").agg(max(col("rho")).as("rho"))
+    val u = union.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val m = shardMerged.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(u === m)
+  }
+
+  test("rho matches an independent Long.numberOfTrailingZeros recomputation") {
+    val vs = values(5000)
+    val engine = Sketches.hllRegisters(vs, col("v"), 8)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // independent replay: the same numHash chain evaluated through the
+    // engine, but rho/register derived with JVM bit ops instead of the
+    // CASE chain
+    val hashes = vs.select(Sketches.numHash(col("v")).as("h"))
+      .collect().map(_.getLong(0))
+    val expected = scala.collection.mutable.Map.empty[Int, Int]
+      .withDefaultValue(0)
+    hashes.foreach { h =>
+      val reg = (h % 256).toInt
+      val w = h / 256
+      val rho = if (w == 0L) Sketches.hllRhoCap
+        else java.lang.Long.numberOfTrailingZeros(w) + 1
+      expected(reg) = math.max(expected(reg), rho)
+    }
+    (0 until 256).foreach { r =>
+      assert(engine(r) === expected(r), s"register $r")
+    }
+  }
+
+  test("full spine: 256 registers always served; duplicates are free") {
+    val once = Sketches.hllRegisters(values(100), col("v"), 8)
+    assert(once.count() === 256)
+    val dup = values(100).unionAll(values(100)).unionAll(values(100))
+    val dupRegs = Sketches.hllRegisters(dup, col("v"), 8)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val onceRegs = once.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(dupRegs === onceRegs, "duplicate values must not move registers")
+  }
+
+  test("raw estimate is inside the error regime at known cardinality") {
+    // n >> 2.5m, so the raw (non-linear-counting) regime applies;
+    // sigma ~ 1.04/sqrt(256) = 6.5% — assert a 4-sigma band
+    val n = 50000
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(values(n), col("v"), 8), 8)
+      .head().getDouble(0)
+    assert(math.abs(est / n - 1.0) < 0.26, s"estimate $est vs true $n")
+  }
+
+  test("estimate arithmetic: denominator exact, empty sketch sane") {
+    // empty input: every register 0, denom = 256 * 2^43, est = alpha*m^2
+    val empty = Seq.empty[Long].toDF("v")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(empty, col("v"), 8), 8).head().getDouble(0)
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    assert(math.abs(est - alpha * 256.0) < 1e-9)
+  }
+}
