@@ -33,6 +33,7 @@ object ScaleProbe {
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
         "q70", "q71", "q20", "q43", "v8", "v9", "v12", "v17", "bm25",
         "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics",
+        "mvrewrite",
         "triangles", "ranktopk", "ivftrain", "recovery", "annrank",
         "snapshot", "vtable")
     def on(p: String) = probes.contains(p)
@@ -779,7 +780,7 @@ object ScaleProbe {
     // scoped merge, bucketed tables) measured under replication
     if (probes.intersect(
         Set("q59", "q62", "q63", "q69", "q70", "q71", "clone",
-          "vtable")).nonEmpty) {
+          "vtable", "mvrewrite")).nonEmpty) {
       val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
       val ordersN = (0 until mult).map { r =>
         orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
@@ -815,6 +816,53 @@ object ScaleProbe {
         // snapshot read must stay FLAT as the table grows mult×; the
         // bootstrap commit and the vacuum sweep are the linear paths
         // (full write resp. full file listing) and are labeled as such.
+        // q120/q121: the MV rewrite's claim is that the aggregate's cost
+        // moves from the BASE table to the view: the plain aggregate is
+        // the linear reference (scans mult× rows); the rewritten query
+        // reads the |grain|-sized view and must stay FLAT; the
+        // compensated query adds a fixed-size feed tail and must track
+        // view + tail, not the base.
+        if (on("mvrewrite")) {
+          import graft.plans.{MvRegistry, MvRewrite}
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_mvrw_").toString
+          val basePath = s"$wh/base"
+          val mvPath = s"$wh/mv"
+          val feedRoot = s"$wh/feed"
+          val base = src.withColumn("cust", pmod(col("k"), lit(1000L)))
+          base.write.mode("overwrite").parquet(basePath)
+          spark.read.parquet(basePath).groupBy("cust")
+            .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+            .write.mode("overwrite").parquet(mvPath)
+          // fixed-size tail regardless of mult: ~2k signed change rows
+          base.filter(col("k") % 9973 === 0).limit(2000)
+            .withColumn("batch_id", lit(1L))
+            .withColumn("change_op", lit("insert"))
+            .write.mode("overwrite").parquet(s"$feedRoot/batch=1")
+          if (!spark.experimental.extraOptimizations
+              .exists(_.isInstanceOf[MvRewrite]))
+            spark.experimental.extraOptimizations =
+              spark.experimental.extraOptimizations :+ MvRewrite(spark)
+          // force BOTH outputs (a count-only fold would let pruning
+          // drop the SUM partials — the probe-honesty rule)
+          def agg() = {
+            val r = spark.read.parquet(basePath).groupBy("cust")
+              .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+              .agg(sum("n_rows"), sum(col("total"))).collect()(0)
+            r.getLong(0) + r.getDecimal(1).longValue()
+          }
+          MvRegistry.deregister(spark, basePath)
+          t(s"q120_mv_plain_agg_$label")(agg()) // linear reference
+          MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+            mvPath, Set("cust"), Map("price" -> "sum_price"), "n"))
+          t(s"q120_mv_rewritten_$label")(agg()) // must be FLAT
+          MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+            mvPath, Set("cust"), Map("price" -> "sum_price"), "n",
+            comp = Some(MvRegistry.CompDef(feedRoot, frontier = 0L))))
+          t(s"q121_mv_compensated_$label")(agg()) // view + fixed tail
+          MvRegistry.deregister(spark, basePath)
+          deleteTree(wh)
+        }
         if (on("vtable")) {
           val wh = java.nio.file.Files
             .createTempDirectory("probe_vtable_").toString

@@ -5092,6 +5092,197 @@ object SparkEntry {
       |  CAST(SUM(price) AS DOUBLE) AS sum_price
       |FROM finalstate GROUP BY 1""".stripMargin
 
+  /** Transparent materialized-view rewrite (q120 — the optimizer half
+    * of incremental view maintenance, composing q90's CDC feed, q91's
+    * feed-fold view, and a custom Catalyst `Rule[LogicalPlan]`
+    * ([[graft.plans.MvRewrite]], injected via
+    * `experimental.extraOptimizations` like [[graft.plans.RewriteDotProduct]]):
+    * a base table is maintained through two CDC merges; a grouped
+    * (COUNT, SUM) view is maintained PURELY from the change feed; the
+    * user's aggregate query — written against the BASE table — is
+    * silently rewritten to re-aggregate the view's partials. At 100 TB
+    * that turns a fact-table scan into a grain-sized summary read. The
+    * entry REQUIRES the optimized plan to scan the view (a
+    * non-firing rewrite is a loud CORRECTNESS err, not a silent
+    * fallback), and the oracle states the aggregate closed-form over
+    * the post-CDC table — the rewrite must be result-invisible (the
+    * q81 discipline). Decimal/integer partials re-aggregate
+    * order-independently, so the hash is exact. MvRewriteSpec pins the
+    * plan transfer, coarser-grain re-aggregation, global aggregates,
+    * and the fall-through shapes (max, finer grain, COUNT DISTINCT,
+    * unregistered tables).
+    */
+  private def q120MvRewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 50).as("cust"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val changes = base.filter(col("k") % 7 === 0)
+      .withColumn("price",
+        (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+    val wh = s"$q40Scratch/mvstore_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val w = new graft.sources.TableWriter(wh)
+    w.mergeByKeyCdc(s, "orders_mvbase", base, "k", batchId = 1L)
+    w.mergeByKeyCdc(s, "orders_mvbase", changes, "k", batchId = 2L)
+    // the view: folded from the FEED only (q91's IVM discipline), never
+    // from a base-table read
+    val feed = w.readChangeFeed(s, "orders_mvbase")
+    val signed = feed.withColumn("sign",
+      when(col("change_op").isin("insert", "update_post"), lit(1L))
+        .otherwise(lit(-1L)))
+    val mvPath = s"$wh/orders_mv"
+    signed.groupBy("cust")
+      .agg(sum(col("sign")).as("n"),
+        sum(when(col("sign") === 1L, col("price")).otherwise(-col("price")))
+          .as("sum_price"))
+      .filter(col("n") > 0)
+      .write.mode("overwrite").parquet(mvPath)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, w.path("orders_mvbase"), MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n"))
+    val q = s.read.parquet(w.path("orders_mvbase"))
+      .groupBy("cust")
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total_price"))
+    val roots = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.nonEmpty && roots.forall(_.endsWith("orders_mv")),
+      s"MV rewrite did not fire: plan scans $roots")
+    q.select(col("cust"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"))
+  }
+
+  private def q120OracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey % 50 AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), newb AS (
+      |  SELECT o_orderkey AS k, o_custkey % 50 AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+      |), finalstate AS (
+      |  SELECT k, cust,
+      |    CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+      |      AS DECIMAL(18,2)) AS price
+      |  FROM base
+      |  UNION ALL
+      |  SELECT k, cust, price FROM newb
+      |)
+      |SELECT cust, COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE)
+      |  AS total_price
+      |FROM finalstate GROUP BY 1""".stripMargin
+
+  /** Stale-view compensation rewrite (q121 — [[graft.plans.MvRewrite]]
+    * with a [[graft.plans.MvRegistry.CompDef]]): the view is folded
+    * from the change feed only through batch 2, then the base table
+    * moves on — batch 3 merges updates+inserts, batch 4 deletes rows.
+    * The user's FILTERED aggregate (a grain-column predicate rides the
+    * rewrite) against the base must come back exactly FRESH: the rule
+    * unions the stale view's partials with signed per-row
+    * contributions from feed batches past the frontier (insert/
+    * update_post → +1, update_pre/delete → −1) and aggregates once,
+    * dropping groups whose net count reaches zero. The entry REQUIRES
+    * the optimized plan to scan the view + the two tail batch dirs and
+    * NOT the base table; the oracle states the post-batch-4 aggregate
+    * closed-form. At 100 TB the query reads |grain| + |feed tail| rows
+    * instead of the fact table — the lambda-architecture answer with
+    * exact semantics.
+    */
+  private def q121MvCompensation(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 50).as("cust"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val batch2 = base.filter(col("k") % 7 === 0)
+      .withColumn("price",
+        (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+    val batch3 = o.filter(col("k") % 3 === 0 && col("k") % 9 === 0)
+      .withColumn("price",
+        (col("price") + lit(2000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .unionByName(o.filter(col("k") % 3 === 2 && col("k") % 10 === 0))
+    val doomed = o.filter(col("k") % 3 === 1 && col("k") % 5 === 0).select("k")
+    val wh = s"$q40Scratch/mvcomp_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val w = new graft.sources.TableWriter(wh)
+    w.mergeByKeyCdc(s, "orders_cmpbase", base, "k", batchId = 1L)
+    w.mergeByKeyCdc(s, "orders_cmpbase", batch2, "k", batchId = 2L)
+    // fold the view from the feed AS OF batch 2 (q91's IVM discipline)
+    val feed = w.readChangeFeed(s, "orders_cmpbase")
+      .filter(col("batch_id") <= 2L)
+    val signed = feed.withColumn("sign",
+      when(col("change_op").isin("insert", "update_post"), lit(1L))
+        .otherwise(lit(-1L)))
+    val mvPath = s"$wh/orders_cmv"
+    signed.groupBy("cust")
+      .agg(sum(col("sign")).as("n"),
+        sum(when(col("sign") === 1L, col("price")).otherwise(-col("price")))
+          .as("sum_price"))
+      .filter(col("n") > 0)
+      .write.mode("overwrite").parquet(mvPath)
+    // the base moves past the view's frontier
+    w.mergeByKeyCdc(s, "orders_cmpbase", batch3, "k", batchId = 3L)
+    w.deleteByKeyCdc(s, "orders_cmpbase", doomed, "k", batchId = 4L)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, w.path("orders_cmpbase"), MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(
+        w.path("orders_cmpbase_changes"), frontier = 2L))))
+    val q = s.read.parquet(w.path("orders_cmpbase"))
+      .filter(col("cust") < 30)
+      .groupBy("cust")
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total_price"))
+    val roots = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.exists(_.endsWith("orders_cmv"))
+        && roots.exists(_.contains("batch=3"))
+        && roots.exists(_.contains("batch=4"))
+        && !roots.exists(_.endsWith("orders_cmpbase")),
+      s"compensated MV rewrite did not fire: plan scans $roots")
+    q.select(col("cust"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"))
+  }
+
+  private def q121OracleSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_custkey % 50 AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |), finalstate AS (
+      |  SELECT k, cust,
+      |    CAST(CASE WHEN k % 9 = 0 THEN price + 2000
+      |              WHEN k % 7 = 0 THEN price + 1000
+      |              ELSE price END AS DECIMAL(18,2)) AS price
+      |  FROM src WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, cust, price FROM src WHERE k % 3 = 2 AND k % 10 = 0
+      |)
+      |SELECT cust, COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE)
+      |  AS total_price
+      |FROM finalstate WHERE cust < 30 GROUP BY 1""".stripMargin
+
   /** Serving-index compaction under the oracle (q92): four incremental
     * appends leave one small file per (batch × touched bucket) in the
     * BM25 postings layout — the small-file reality of any streamed
@@ -5642,6 +5833,8 @@ object SparkEntry {
     "d44_triangle_count" -> (d44TriangleCount _),
     "d45_countmin" -> (d45CountMin _),
     "d46_hll" -> (d46Hll _),
+    "q120_mv_rewrite" -> (q120MvRewrite _),
+    "q121_mv_compensation" -> (q121MvCompensation _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -7052,6 +7245,8 @@ object SparkEntry {
     "d44_triangle_count" -> d44OracleSql,
     "d45_countmin" -> d45OracleSql,
     "d46_hll" -> d46OracleSql,
+    "q120_mv_rewrite" -> q120OracleSql,
+    "q121_mv_compensation" -> q121OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import graft.plans.{MvRegistry, MvRewrite}
+
+/** The transparent MV-rewrite rule: queries written against the BASE
+  * table must silently aggregate the registered summary view when (and
+  * only when) the rewrite is provable. Pins: the optimized plan's scan
+  * root moves to the view; results equal the base computation at the
+  * view's own grain, at a COARSER grain (partials re-aggregate), and
+  * globally (empty-group coalesce); unsupported aggregates and
+  * unregistered tables fall through untouched.
+  */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dirs = {
+    val d = java.nio.file.Files.createTempDirectory("mvrw").toFile
+    d.deleteOnExit()
+    val basePath = d.getPath + "/base"
+    val mvPath = d.getPath + "/mv"
+    val base = (1 to 1000).map { i =>
+      (i.toLong, s"c${i % 7}", s"r${i % 3}", BigDecimal(i) + BigDecimal("0.25"))
+    }.toDF("k", "cust", "region", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+    base.write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath)
+      .groupBy("cust", "region")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      mvPath, Set("cust", "region"), Map("price" -> "sum_price"), "n"))
+    (basePath, mvPath)
+  }
+
+  private def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+
+  private def readsMv(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val roots = scanRoots(df)
+    roots.nonEmpty && roots.forall(_.endsWith("/mv"))
+  }
+
+  test("exact-grain query rewrites to the view and matches the base answer") {
+    val (basePath, _) = dirs
+    val q = spark.read.parquet(basePath)
+      .groupBy("cust", "region")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(readsMv(q), s"expected MV scan, got ${scanRoots(q)}")
+    // recompute WITHOUT the rewrite (deregister, then re-register)
+    MvRegistry.deregister(spark, basePath)
+    val plain = spark.read.parquet(basePath)
+      .groupBy("cust", "region")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(!readsMv(plain))
+    val got = q.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getDecimal(3)))).toMap
+    val exp = plain.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getDecimal(3)))).toMap
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      dirs._2, Set("cust", "region"), Map("price" -> "sum_price"), "n"))
+    assert(got === exp)
+  }
+
+  test("coarser-grain query re-aggregates the view's partials") {
+    val (basePath, _) = dirs
+    val q = spark.read.parquet(basePath)
+      .groupBy("region").agg(sum(col("price")).as("total"))
+    assert(readsMv(q), s"expected MV scan, got ${scanRoots(q)}")
+    val exp = (1 to 1000).groupBy(i => s"r${i % 3}")
+      .map { case (r, is) =>
+        r -> is.map(i => BigDecimal(i) + BigDecimal("0.25")).sum
+      }
+    q.collect().foreach { row =>
+      assert(BigDecimal(row.getDecimal(1)) === exp(row.getString(0)))
+    }
+  }
+
+  test("global aggregate rewrites; types survive the cast-back") {
+    val (basePath, _) = dirs
+    val q = spark.read.parquet(basePath)
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(readsMv(q))
+    val row = q.head()
+    assert(row.getLong(0) === 1000L)
+    assert(BigDecimal(row.getDecimal(1)) ===
+      (1 to 1000).map(i => BigDecimal(i) + BigDecimal("0.25")).sum)
+  }
+
+  test("unsupported shapes fall through to the base scan") {
+    val (basePath, _) = dirs
+    // max() is not derivable from the view's partials
+    val qMax = spark.read.parquet(basePath)
+      .groupBy("cust").agg(max(col("price")).as("mx"))
+    assert(!readsMv(qMax), "max() must not rewrite")
+    // grouping outside the view's grain
+    val qGrain = spark.read.parquet(basePath)
+      .groupBy("k").agg(sum(col("price")).as("t"))
+    assert(!readsMv(qGrain), "finer grain must not rewrite")
+    // distinct count is not derivable
+    val qDist = spark.read.parquet(basePath)
+      .groupBy("cust").agg(countDistinct(col("region")).as("d"))
+    assert(!readsMv(qDist), "COUNT(DISTINCT) must not rewrite")
+    // an unregistered table is never touched
+    val other = java.nio.file.Files.createTempDirectory("mvrw_other").toFile
+    other.deleteOnExit()
+    (1 to 10).map(i => (s"c$i", i.toLong)).toDF("cust", "x")
+      .write.mode("overwrite").parquet(other.getPath + "/t")
+    val qOther = spark.read.parquet(other.getPath + "/t")
+      .groupBy("cust").agg(count(lit(1)).as("n"))
+    assert(!readsMv(qOther))
+    assert(qOther.count() === 10)
+  }
+
+  test("grain-column filter rides the rewrite; measure filter falls through") {
+    val (basePath, _) = dirs
+    val q = spark.read.parquet(basePath)
+      .filter(col("region") =!= "r1")
+      .groupBy("cust", "region")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(readsMv(q), s"expected MV scan, got ${scanRoots(q)}")
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keys.forall(_._2 != "r1"))
+    val exp = (1 to 1000).filter(_ % 3 != 1)
+      .groupBy(i => (s"c${i % 7}", s"r${i % 3}")).view.mapValues(_.size.toLong)
+    assert(got === exp.toMap)
+    // a predicate on a MEASURE column is not answerable from the view
+    val qMeasure = spark.read.parquet(basePath)
+      .filter(col("price") > 500)
+      .groupBy("cust").agg(count(lit(1)).as("n"))
+    assert(!readsMv(qMeasure), "measure filter must not rewrite")
+  }
+
+  /** Compensation: the view is STALE (folded through feed batch 2); the
+    * feed's batch 3 carries updates, deletes (killing one whole group),
+    * and inserts. The rewrite must answer the FRESH base aggregate from
+    * view + signed tail, never scanning the base.
+    */
+  private lazy val compDirs = {
+    val d = java.nio.file.Files.createTempDirectory("mvrw_comp").toFile
+    d.deleteOnExit()
+    val basePath = d.getPath + "/cbase"
+    val mvPath = d.getPath + "/cmv"
+    val feedRoot = d.getPath + "/cfeed"
+    def price(i: Int) = (BigDecimal(i) + BigDecimal("0.25"))
+    // stale state S: rows 1..100, group g = i % 10; group 9 is rows
+    // 9,19,...,99 and batch 3 deletes ALL of them (dead-group case)
+    val stale = (1 to 100).map(i => (i.toLong, s"g${i % 10}", price(i)))
+      .toDF("k", "g", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+    // fresh base B: updates k<=5 (price+100), deletes g9, inserts 101..105
+    val fresh = (1 to 100).filterNot(_ % 10 == 9).map { i =>
+      (i.toLong, s"g${i % 10}",
+        if (i <= 5) price(i) + 100 else price(i))
+    } ++ (101 to 105).map(i => (i.toLong, s"g${i % 10}", price(i)))
+    fresh.toDF("k", "g", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+      .write.mode("overwrite").parquet(basePath)
+    // view folded over S only (frontier = 2)
+    stale.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    // feed batch 3: the S -> B delta as change rows
+    val pre = (1 to 5).map(i => (3L, "update_pre", i.toLong, s"g${i % 10}", price(i)))
+    val post = (1 to 5).map(i => (3L, "update_post", i.toLong, s"g${i % 10}", price(i) + 100))
+    val dels = (1 to 100).filter(_ % 10 == 9)
+      .map(i => (3L, "delete", i.toLong, s"g${i % 10}", price(i)))
+    val ins = (101 to 105).map(i => (3L, "insert", i.toLong, s"g${i % 10}", price(i)))
+    (pre ++ post ++ dels ++ ins)
+      .toDF("batch_id", "change_op", "k", "g", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+      .write.mode("overwrite").parquet(feedRoot + "/batch=3")
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(feedRoot, frontier = 2L))))
+    (basePath, mvPath, feedRoot)
+  }
+
+  private def compScanOk(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val roots = scanRoots(df)
+    roots.exists(_.endsWith("/cmv")) &&
+      roots.exists(_.contains("/cfeed/batch=3")) &&
+      !roots.exists(_.endsWith("/cbase"))
+  }
+
+  test("stale view + feed tail answers the fresh aggregate; dead group vanishes") {
+    val (basePath, _, _) = compDirs
+    val q = spark.read.parquet(basePath)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(compScanOk(q), s"expected mv+tail scan, got ${scanRoots(q)}")
+    MvRegistry.deregister(spark, basePath)
+    val plain = spark.read.parquet(basePath)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(scanRoots(plain).forall(_.endsWith("/cbase")))
+    val got = q.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    val exp = plain.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      compDirs._2, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(compDirs._3, frontier = 2L))))
+    assert(!got.contains("g9"), "fully-deleted group must vanish")
+    assert(got === exp)
+  }
+
+  test("compensated global aggregate and grain filter compose") {
+    val (basePath, _, _) = compDirs
+    val qGlobal = spark.read.parquet(basePath)
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(compScanOk(qGlobal))
+    val row = qGlobal.head()
+    assert(row.getLong(0) === 95L) // 100 - 10 deleted + 5 inserted
+    val qFiltered = spark.read.parquet(basePath)
+      .filter(col("g").isin("g1", "g9"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(compScanOk(qFiltered))
+    val rows = qFiltered.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("g1" -> 11L)) // g9 dead, g1 gained k=101
+  }
+
+  test("frontier at the feed head degrades to the plain view path") {
+    val (basePath, mvPath, feedRoot) = compDirs
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(feedRoot, frontier = 3L))))
+    try {
+      val q = spark.read.parquet(basePath)
+        .groupBy("g").agg(count(lit(1)).as("n"))
+      val roots = scanRoots(q)
+      assert(roots.nonEmpty && roots.forall(_.endsWith("/cmv")),
+        s"empty tail must scan only the view, got $roots")
+      // answers the STALE state (the registrant claimed frontier 3)
+      assert(q.collect().map(_.getLong(1)).sum === 100L)
+    } finally MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(feedRoot, frontier = 2L))))
+  }
+
+  test("results stay correct when the rewrite fires inside a larger plan") {
+    val (basePath, _) = dirs
+    val agg = spark.read.parquet(basePath)
+      .groupBy("cust").agg(count(lit(1)).as("n_rows"))
+    val joined = agg.filter(col("n_rows") > 0)
+      .orderBy("cust")
+    assert(readsMv(joined))
+    val rows = joined.collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getLong(1)).sum === 1000L)
+  }
+}
