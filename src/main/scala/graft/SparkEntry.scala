@@ -5126,6 +5126,7 @@ object SparkEntry {
     val wh = s"$q40Scratch/mvstore_${java.lang.Integer.toHexString(dir.hashCode)}"
     deleteTree(java.nio.file.Paths.get(wh))
     val w = new graft.sources.TableWriter(wh)
+    MvRegistry.deregister(s, w.path("orders_mvbase")) // maintenance runs unregistered
     w.mergeByKeyCdc(s, "orders_mvbase", base, "k", batchId = 1L)
     w.mergeByKeyCdc(s, "orders_mvbase", changes, "k", batchId = 2L)
     // the view: folded from the FEED only (q91's IVM discipline), never
@@ -5219,6 +5220,7 @@ object SparkEntry {
     val wh = s"$q40Scratch/mvcomp_${java.lang.Integer.toHexString(dir.hashCode)}"
     deleteTree(java.nio.file.Paths.get(wh))
     val w = new graft.sources.TableWriter(wh)
+    MvRegistry.deregister(s, w.path("orders_cmpbase")) // maintenance runs unregistered
     w.mergeByKeyCdc(s, "orders_cmpbase", base, "k", batchId = 1L)
     w.mergeByKeyCdc(s, "orders_cmpbase", batch2, "k", batchId = 2L)
     // fold the view from the feed AS OF batch 2 (q91's IVM discipline)
@@ -5282,6 +5284,85 @@ object SparkEntry {
       |SELECT cust, COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE)
       |  AS total_price
       |FROM finalstate WHERE cust < 30 GROUP BY 1""".stripMargin
+
+  /** MV rewrite: the wider aggregate shapes (q122) — MIN/MAX served
+    * from the view's extrema partials (min of mins — exact on any
+    * grain subset) and AVG from sum+count under the registrant's
+    * declared non-null contract, lowered through `Average`'s OWN
+    * final-projection expression with the buffer slots substituted, so
+    * the decimal half-up division is bit-identical to the base plan's.
+    * The oracle replays that division in exact integer arithmetic
+    * (2·S·10⁴ + N) // (2N) over cent-denominated sums — HALF_UP at
+    * scale 6 without trusting DuckDB's decimal division semantics.
+    * The entry REQUIRES the optimized plan to scan only the view.
+    */
+  private def q122MvAggregates(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    val base = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select((col("o_custkey") % 40).as("cust"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val wh = s"$q40Scratch/mvagg_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val basePath = s"$wh/agg_base"
+    val mvPath = s"$wh/agg_mv"
+    // view maintenance must run UNREGISTERED: a registered base would
+    // route the view-rebuild aggregate through the (stale/absent) view
+    MvRegistry.deregister(s, basePath)
+    base.write.mode("overwrite").parquet(basePath)
+    s.read.parquet(basePath).groupBy("cust")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"),
+        min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, basePath, MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n",
+      minCols = Map("price" -> "min_price"),
+      maxCols = Map("price" -> "max_price"),
+      nonNullMeasures = Set("price")))
+    val q = s.read.parquet(basePath)
+      .filter(col("cust") >= 5)
+      .groupBy("cust")
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total_price"),
+        min(col("price")).as("lo_price"), max(col("price")).as("hi_price"),
+        avg(col("price")).as("mean_price"))
+    val roots = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.nonEmpty && roots.forall(_.endsWith("agg_mv")),
+      s"MV aggregate rewrite did not fire: plan scans $roots")
+    q.select(col("cust"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"),
+      col("lo_price").cast("double").as("lo_price"),
+      col("hi_price").cast("double").as("hi_price"),
+      col("mean_price").cast("double").as("mean_price"))
+  }
+
+  private def q122OracleSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey % 40 AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |), g AS (
+      |  SELECT cust, COUNT(*) AS n_orders,
+      |    SUM(CAST(price * 100 AS BIGINT)) AS s_cents,
+      |    MIN(price) AS lo, MAX(price) AS hi
+      |  FROM base WHERE cust >= 5 GROUP BY 1
+      |)
+      |SELECT cust, n_orders,
+      |  CAST(s_cents AS DOUBLE) / 100 AS total_price,
+      |  CAST(lo AS DOUBLE) AS lo_price,
+      |  CAST(hi AS DOUBLE) AS hi_price,
+      |  CAST((2 * s_cents * 10000 + n_orders) // (2 * n_orders)
+      |    AS DOUBLE) / 1000000 AS mean_price
+      |FROM g""".stripMargin
 
   /** Serving-index compaction under the oracle (q92): four incremental
     * appends leave one small file per (batch × touched bucket) in the
@@ -5835,6 +5916,7 @@ object SparkEntry {
     "d46_hll" -> (d46Hll _),
     "q120_mv_rewrite" -> (q120MvRewrite _),
     "q121_mv_compensation" -> (q121MvCompensation _),
+    "q122_mv_aggregates" -> (q122MvAggregates _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -7247,6 +7329,7 @@ object SparkEntry {
     "d46_hll" -> d46OracleSql,
     "q120_mv_rewrite" -> q120OracleSql,
     "q121_mv_compensation" -> q121OracleSql,
+    "q122_mv_aggregates" -> q122OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -70,10 +70,27 @@ object MvRegistry {
   /** `mvPath` holds rows at grain `groupCols` with an additive row
     * count `countCol` and per-measure sums `sumCols` (base measure
     * column name → view sum column name).
+    *
+    * Optional extras widen the aggregate shapes the rewrite serves:
+    *   - `minCols`/`maxCols`: per-grain extrema columns — MIN/MAX
+    *     re-aggregate exactly from grain partials (min of mins), but
+    *     only on a CURRENT view: extrema cannot be compensated from a
+    *     feed tail that may carry deletes/updates, so queries using
+    *     them fall through whenever `comp` is set.
+    *   - `nonNullMeasures`: measures the registrant asserts are never
+    *     NULL in the base. AVG(x) needs the non-null count of x, which
+    *     equals the row count only under that assertion — AVG rewrites
+    *     only for DECIMAL measures listed here (decimal sums are exact
+    *     on both paths; a double/integral AVG accumulates IEEE sums
+    *     row-by-row in the base and could differ from the re-folded
+    *     partials by rounding, so it falls through).
     */
   final case class MvDef(mvPath: String, groupCols: Set[String],
       sumCols: Map[String, String], countCol: String,
-      comp: Option[CompDef] = None)
+      comp: Option[CompDef] = None,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty,
+      nonNullMeasures: Set[String] = Set.empty)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, MvDef]
@@ -104,15 +121,36 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   // stay clear of any user grain column)
   private val cntCol = "__mv_cnt"
   private def sumCol(measure: String) = s"__mv_sum_$measure"
+  private def minC(measure: String) = s"__mv_min_$measure"
+  private def maxC(measure: String) = s"__mv_max_$measure"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(grouping, aggExprs, child, _) =>
       (for {
         (roots, cond) <- baseShapeOf(child)
         mv <- MvRegistry.find(roots)
-        rewritten <- tryRewrite(grouping, aggExprs, cond, mv)
+        rewritten <- tryRewriteSafely(grouping, aggExprs, cond, mv)
       } yield rewritten).getOrElse(agg)
   }
+
+  /** A registration whose view/feed files have gone missing (dropped
+    * without deregistering — e.g. mid-REFRESH) must not kill the user's
+    * query inside the optimizer: the base scan is always a correct
+    * fallback. The refresh job itself must deregister around
+    * maintenance anyway — otherwise its view-rebuild aggregate would be
+    * rewritten to read the view being rebuilt.
+    */
+  private def tryRewriteSafely(grouping: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      filterCond: Option[Expression],
+      mv: MvRegistry.MvDef): Option[LogicalPlan] =
+    try tryRewrite(grouping, aggExprs, filterCond, mv)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"MV rewrite for ${mv.mvPath} failed; " +
+          s"falling back to the base scan: ${e.getMessage}")
+        None
+    }
 
   /** The base-table shapes the rule accepts: the scan itself, an
     * optional Filter directly above it, and an optional pure
@@ -151,12 +189,22 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def partialsFrame(mv: MvRegistry.MvDef): DataFrame = {
     val grain = mv.groupCols.toSeq.sorted
     val viewRaw = spark.read.parquet(mv.mvPath)
+    // extrema columns only ride the comp-free path (they cannot be
+    // compensated); with comp set, Min/Max queries fall through before
+    // this frame is ever built
+    val extrema =
+      if (mv.comp.isDefined) Seq.empty
+      else mv.minCols.toSeq.sortBy(_._1).map { case (m, s) =>
+        col(s).as(minC(m))
+      } ++ mv.maxCols.toSeq.sortBy(_._1).map { case (m, s) =>
+        col(s).as(maxC(m))
+      }
     val view = viewRaw.select(
       grain.map(col) ++
         Seq(col(mv.countCol).cast(LongType).as(cntCol)) ++
         mv.sumCols.toSeq.sortBy(_._1).map { case (m, s) =>
           col(s).as(sumCol(m))
-        }: _*)
+        } ++ extrema: _*)
     mv.comp match {
       case None => view
       case Some(c) =>
@@ -219,8 +267,22 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     def sumOf(col: AttributeReference): Expression =
       AggregateExpression(Sum(col), Complete, isDistinct = false)
+    def aggOf(f: AggregateFunction): Expression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    // SUM/AVG rewrites only for exactly-additive types: decimal and
+    // integral partials re-fold to the identical value under any
+    // grouping; double sums are order-dependent IEEE folds and the
+    // re-folded partials could differ from the base's row fold in the
+    // last ulp — those fall through to the base scan
+    def additive(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
 
-    // every output must be: a grouped column, COUNT(1), or SUM(measure)
+    // every output must be a grouped column or a derivable aggregate:
+    // COUNT(1), SUM/MIN/MAX(measure), AVG(declared non-null decimal)
     val rewritten: Seq[Option[NamedExpression]] = aggExprs.map {
       case a: AttributeReference if groupNames.contains(a.name) =>
         Some(Alias(pAttr(a.name), a.name)(exprId = a.exprId))
@@ -237,9 +299,37 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(
           AggregateExpression(Sum(attr: AttributeReference, _), Complete, false, None, _),
-          name) if mv.sumCols.contains(attr.name) =>
+          name) if mv.sumCols.contains(attr.name) && additive(al.dataType) =>
         val s = sumOf(pAttr(sumCol(attr.name)))
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
+      case al @ Alias(
+          AggregateExpression(Min(attr: AttributeReference), Complete, false, None, _),
+          name) if mv.minCols.contains(attr.name) && mv.comp.isEmpty =>
+        val s = aggOf(Min(pAttr(minC(attr.name))))
+        Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
+      case al @ Alias(
+          AggregateExpression(Max(attr: AttributeReference), Complete, false, None, _),
+          name) if mv.maxCols.contains(attr.name) && mv.comp.isEmpty =>
+        val s = aggOf(Max(pAttr(maxC(attr.name))))
+        Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
+      case al @ Alias(
+          AggregateExpression(avg @ Average(attr: AttributeReference, _), Complete, false, None, _),
+          name) if mv.sumCols.contains(attr.name)
+            && mv.nonNullMeasures.contains(attr.name)
+            && attr.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+        // AVG(x) = Average's own final-projection expression with its
+        // sum/count buffer slots substituted by the re-folded partials:
+        // the division arithmetic is literally the one Spark lowers
+        // Average to, over operand VALUES equal to the base's (exact
+        // decimal sum; count == non-null count under the registrant's
+        // nonNullMeasures assertion) — bit-equal by construction
+        val totalSum = castTo(sumOf(pAttr(sumCol(attr.name))), avg.sum.dataType)
+        val totalCnt = Coalesce(Seq(sumOf(pAttr(cntCol)), Literal(0L)))
+        val e = avg.evaluateExpression.transform {
+          case a: AttributeReference if a.exprId == avg.sum.exprId => totalSum
+          case a: AttributeReference if a.exprId == avg.count.exprId => totalCnt
+        }
+        Some(Alias(castTo(e, al.dataType), name)(exprId = al.exprId))
       case _ => None
     }
     if (rewritten.exists(_.isEmpty)) return None

@@ -249,6 +249,138 @@ class MvRewriteSpec extends SparkSpec {
       comp = Some(MvRegistry.CompDef(feedRoot, frontier = 2L))))
   }
 
+  /** Wider aggregate shapes: MIN/MAX from extrema partials, AVG from
+    * sum+count under the declared non-null contract, and the
+    * exactness guards (double SUM, undeclared AVG fall through).
+    */
+  private lazy val extDirs = {
+    val d = java.nio.file.Files.createTempDirectory("mvrw_ext").toFile
+    d.deleteOnExit()
+    val basePath = d.getPath + "/xbase"
+    val mvPath = d.getPath + "/xmv"
+    val base = (1 to 900).map { i =>
+      (i.toLong, s"c${i % 9}", BigDecimal(i * 7 % 400) + BigDecimal("0.75"),
+        (i * 13 % 211).toDouble + 0.5)
+    }.toDF("k", "cust", "price", "dprice")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+    base.write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy("cust")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"),
+        sum(col("dprice")).as("sum_dprice"),
+        min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      mvPath, Set("cust"),
+      Map("price" -> "sum_price", "dprice" -> "sum_dprice"), "n",
+      minCols = Map("price" -> "min_price"),
+      maxCols = Map("price" -> "max_price"),
+      nonNullMeasures = Set("price")))
+    basePath
+  }
+
+  private def readsXmv(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val roots = scanRoots(df)
+    roots.nonEmpty && roots.forall(_.endsWith("/xmv"))
+  }
+
+  test("MIN/MAX re-aggregate from extrema partials; AVG from sum+count, bit-exact") {
+    val basePath = extDirs
+    val q = spark.read.parquet(basePath).groupBy("cust")
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"),
+        avg(col("price")).as("mean"))
+    assert(readsXmv(q), s"expected MV scan, got ${scanRoots(q)}")
+    MvRegistry.deregister(spark, basePath)
+    val plain = spark.read.parquet(basePath).groupBy("cust")
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"),
+        avg(col("price")).as("mean"))
+    assert(!readsXmv(plain))
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getDecimal(1), r.getDecimal(2), r.getDecimal(3)))).toMap
+    val exp = plain.collect().map(r => r.getString(0) ->
+      ((r.getDecimal(1), r.getDecimal(2), r.getDecimal(3)))).toMap
+    // re-register for sibling tests
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      basePath.replace("/xbase", "/xmv"), Set("cust"),
+      Map("price" -> "sum_price", "dprice" -> "sum_dprice"), "n",
+      minCols = Map("price" -> "min_price"),
+      maxCols = Map("price" -> "max_price"),
+      nonNullMeasures = Set("price")))
+    assert(got === exp)
+    // schema parity: the rewritten avg keeps Average's result type
+    assert(q.schema("mean").dataType === plain.schema("mean").dataType)
+  }
+
+  test("exactness guards: double SUM and undeclared AVG fall through") {
+    val basePath = extDirs
+    val qDouble = spark.read.parquet(basePath).groupBy("cust")
+      .agg(sum(col("dprice")).as("t"))
+    assert(!readsXmv(qDouble), "IEEE double sum must not rewrite")
+    val qAvgUndeclared = spark.read.parquet(basePath).groupBy("cust")
+      .agg(avg(col("dprice")).as("m"))
+    assert(!readsXmv(qAvgUndeclared), "AVG of an undeclared measure must not rewrite")
+    // decimal SUM + COUNT still rewrite on this registration
+    val qOk = spark.read.parquet(basePath).groupBy("cust")
+      .agg(sum(col("price")).as("t"), count(lit(1)).as("n"))
+    assert(readsXmv(qOk))
+  }
+
+  test("MIN/MAX under a compensation registration falls through (not compensatable)") {
+    val (basePath, _, _) = compDirs
+    val qMax = spark.read.parquet(basePath).groupBy("g")
+      .agg(max(col("price")).as("hi"))
+    val roots = scanRoots(qMax)
+    assert(roots.forall(_.endsWith("/cbase")),
+      s"extrema with comp must scan the base, got $roots")
+  }
+
+  test("the SQL path gets the same rewrite") {
+    val basePath = extDirs
+    spark.read.parquet(basePath).createOrReplaceTempView("mvrw_sql_base")
+    val q = spark.sql(
+      """SELECT cust, COUNT(1) AS n_rows, SUM(price) AS total,
+        |  AVG(price) AS mean
+        |FROM mvrw_sql_base GROUP BY cust""".stripMargin)
+    assert(readsXmv(q), s"expected MV scan via SQL, got ${scanRoots(q)}")
+    assert(q.collect().map(_.getLong(1)).sum === 900L)
+  }
+
+  test("a registration whose view files vanished falls back to the base scan") {
+    val d = java.nio.file.Files.createTempDirectory("mvrw_gone").toFile
+    d.deleteOnExit()
+    val basePath = d.getPath + "/gbase"
+    val mvPath = d.getPath + "/gmv"
+    (1 to 50).map(i => (s"c${i % 5}", BigDecimal(i)))
+      .toDF("cust", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy("cust")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n"))
+    try {
+      // registrant error: view dropped WITHOUT deregistering — the
+      // user's query must survive (base scan) rather than die in the
+      // optimizer
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(mvPath))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+      val q = spark.read.parquet(basePath).groupBy("cust")
+        .agg(count(lit(1)).as("n_rows"))
+      val roots = scanRoots(q)
+      assert(roots.nonEmpty && roots.forall(_.endsWith("/gbase")),
+        s"expected base-scan fallback, got $roots")
+      assert(q.collect().map(_.getLong(1)).sum === 50L)
+    } finally MvRegistry.deregister(spark, basePath)
+  }
+
   test("results stay correct when the rewrite fires inside a larger plan") {
     val (basePath, _) = dirs
     val agg = spark.read.parquet(basePath)
