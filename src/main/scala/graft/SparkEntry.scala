@@ -5364,6 +5364,87 @@ object SparkEntry {
       |    AS DOUBLE) / 1000000 AS mean_price
       |FROM g""".stripMargin
 
+  /** Star-schema MV rewrite (q123): the user's aggregate sits over
+    * `fact INNER JOIN nation` grouped by a DIM column — the rule swaps
+    * only the fact side for the view's partials and keeps the dim
+    * subplan verbatim. Exact without a dim-uniqueness contract: the
+    * join condition references only the view grain on the fact side,
+    * so every fact row of a grain matches the same dim rows and the
+    * partials scale through the join multiplicity exactly as the rows
+    * would. At 100 TB the star query reads |grain| + |dim| rows. The
+    * entry REQUIRES the optimized plan to scan the view and NOT the
+    * fact table; the oracle replays fact ⋈ nation closed-form,
+    * including AVG's half-up division in exact integer arithmetic.
+    */
+  private def q123MvStar(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    val base = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 1)
+      .select((col("o_custkey") % 25).as("cust"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val wh = s"$q40Scratch/mvstar_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val basePath = s"$wh/star_base"
+    val mvPath = s"$wh/star_mv"
+    MvRegistry.deregister(s, basePath) // maintenance runs unregistered
+    base.write.mode("overwrite").parquet(basePath)
+    s.read.parquet(basePath).groupBy("cust")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"),
+        min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, basePath, MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n",
+      minCols = Map("price" -> "min_price"),
+      maxCols = Map("price" -> "max_price"),
+      nonNullMeasures = Set("price")))
+    val dim = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val q = s.read.parquet(basePath)
+      .join(dim, col("cust") === col("n_nationkey"))
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total_price"),
+        min(col("price")).as("lo_price"), avg(col("price")).as("mean_price"))
+    val roots = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.exists(_.endsWith("star_mv"))
+        && !roots.exists(_.endsWith("star_base")),
+      s"star MV rewrite did not fire: plan scans $roots")
+    q.select(col("n_regionkey"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"),
+      col("lo_price").cast("double").as("lo_price"),
+      col("mean_price").cast("double").as("mean_price"))
+  }
+
+  private def q123OracleSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey % 25 AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |), j AS (
+      |  SELECT n.n_regionkey, b.price
+      |  FROM base b JOIN nation n ON b.cust = n.n_nationkey
+      |), g AS (
+      |  SELECT n_regionkey, COUNT(*) AS n_orders,
+      |    SUM(CAST(price * 100 AS BIGINT)) AS s_cents,
+      |    MIN(price) AS lo
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT n_regionkey, n_orders,
+      |  CAST(s_cents AS DOUBLE) / 100 AS total_price,
+      |  CAST(lo AS DOUBLE) AS lo_price,
+      |  CAST((2 * s_cents * 10000 + n_orders) // (2 * n_orders)
+      |    AS DOUBLE) / 1000000 AS mean_price
+      |FROM g""".stripMargin
+
   /** Serving-index compaction under the oracle (q92): four incremental
     * appends leave one small file per (batch × touched bucket) in the
     * BM25 postings layout — the small-file reality of any streamed
@@ -5917,6 +5998,7 @@ object SparkEntry {
     "q120_mv_rewrite" -> (q120MvRewrite _),
     "q121_mv_compensation" -> (q121MvCompensation _),
     "q122_mv_aggregates" -> (q122MvAggregates _),
+    "q123_mv_star" -> (q123MvStar _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -7330,6 +7412,7 @@ object SparkEntry {
     "q120_mv_rewrite" -> q120OracleSql,
     "q121_mv_compensation" -> q121OracleSql,
     "q122_mv_aggregates" -> q122OracleSql,
+    "q123_mv_star" -> q123OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

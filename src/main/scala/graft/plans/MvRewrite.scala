@@ -126,11 +126,62 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(grouping, aggExprs, child, _) =>
-      (for {
+      rewriteAggregate(grouping, aggExprs, child).getOrElse(agg)
+  }
+
+  /** The star-schema join context: the aggregate sits over
+    * `base INNER JOIN dim` and the dim side is kept VERBATIM (same
+    * attribute ids, already optimized) — only the base side is swapped
+    * for the partials. This is exact WITHOUT any dim-uniqueness
+    * contract: the join condition may only reference GRAIN columns on
+    * the base side, so every base row of a grain matches the same dim
+    * rows (multiplicity m_g per grain) — COUNT partials scale to
+    * cnt_g·m_g through the join exactly as the base rows would, SUM
+    * partials likewise, and MIN/MAX are duplication-invariant.
+    */
+  private case class JoinCtx(dimPlan: LogicalPlan, joinCond: Expression,
+      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint,
+      baseOutput: AttributeSet, dimOutput: AttributeSet)
+
+  private def relationRoots(plan: LogicalPlan): Seq[String] = plan.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+      case _ => Seq.empty[String]
+    }
+  }.flatten
+
+  private def rewriteAggregate(grouping: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] = child match {
+    // a pure column-pruning Project between the aggregate and the join
+    // (what ColumnPruning leaves) is transparent: every attribute it
+    // passes is unchanged, so grouping/aggregates resolve against the
+    // join directly
+    case Project(projList, inner)
+        if projList.forall(_.isInstanceOf[AttributeReference])
+          && inner.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join] =>
+      rewriteAggregate(grouping, aggExprs, inner)
+    case org.apache.spark.sql.catalyst.plans.logical.Join(
+        l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), hint)
+        if cond.deterministic =>
+      def attempt(basePlan: LogicalPlan, dimPlan: LogicalPlan)
+          : Option[LogicalPlan] =
+        for {
+          (roots, bc) <- baseShapeOf(basePlan)
+          mv <- MvRegistry.find(roots)
+          // a self-join (dim side also scans the base) is out of scope
+          if !relationRoots(dimPlan).exists(roots.contains)
+          res <- tryRewriteSafely(grouping, aggExprs, bc, mv,
+            Some(JoinCtx(dimPlan, cond, hint,
+              basePlan.outputSet, dimPlan.outputSet)))
+        } yield res
+      attempt(l, r).orElse(attempt(r, l))
+    case _ =>
+      for {
         (roots, cond) <- baseShapeOf(child)
         mv <- MvRegistry.find(roots)
-        rewritten <- tryRewriteSafely(grouping, aggExprs, cond, mv)
-      } yield rewritten).getOrElse(agg)
+        res <- tryRewriteSafely(grouping, aggExprs, cond, mv, None)
+      } yield res
   }
 
   /** A registration whose view/feed files have gone missing (dropped
@@ -143,8 +194,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewriteSafely(grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       filterCond: Option[Expression],
-      mv: MvRegistry.MvDef): Option[LogicalPlan] =
-    try tryRewrite(grouping, aggExprs, filterCond, mv)
+      mv: MvRegistry.MvDef,
+      join: Option[JoinCtx]): Option[LogicalPlan] =
+    try tryRewrite(grouping, aggExprs, filterCond, mv, join)
     catch {
       case scala.util.control.NonFatal(e) =>
         logWarning(s"MV rewrite for ${mv.mvPath} failed; " +
@@ -244,16 +296,27 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       filterCond: Option[Expression],
-      mv: MvRegistry.MvDef): Option[LogicalPlan] = {
-    // grouping must be bare columns inside the view's grain
+      mv: MvRegistry.MvDef,
+      join: Option[JoinCtx]): Option[LogicalPlan] = {
+    def fromDim(a: Attribute): Boolean = join.exists(_.dimOutput.contains(a))
+    // grouping must be bare columns: dim-side columns pass through
+    // verbatim, base-side columns must sit inside the view's grain
     val groupAttrs = grouping.collect { case a: AttributeReference => a }
     if (groupAttrs.size != grouping.size) return None
-    if (!groupAttrs.forall(a => mv.groupCols.contains(a.name))) return None
-    val groupNames = groupAttrs.map(_.name).toSet
-    // a filter may only touch grain columns (grain values are carried
-    // verbatim into the partials, so the predicate transfers exactly)
+    if (!groupAttrs.forall(a => fromDim(a) || mv.groupCols.contains(a.name)))
+      return None
+    val groupNames =
+      groupAttrs.filterNot(fromDim).map(_.name).toSet
+    // a base-side filter may only touch grain columns (grain values are
+    // carried verbatim into the partials, so the predicate transfers)
     if (filterCond.exists(c =>
         !c.references.forall(a => mv.groupCols.contains(a.name))))
+      return None
+    // the join condition: dim-side references stay; base-side
+    // references must be grain columns (the multiplicity argument in
+    // [[JoinCtx]]'s doc needs every base row of a grain to join alike)
+    if (join.exists(j => !j.joinCond.references.forall(a =>
+        fromDim(a) || (j.baseOutput.contains(a) && mv.groupCols.contains(a.name)))))
       return None
 
     // fresh analyzed scan of the partials (fresh exprIds per rewrite —
@@ -282,12 +345,25 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // every output must be a grouped column or a derivable aggregate:
-    // COUNT(1), SUM/MIN/MAX(measure), AVG(declared non-null decimal)
+    // COUNT(1), SUM/MIN/MAX(measure), AVG(declared non-null decimal);
+    // with a join, dim-side grouped columns and dim-side MIN/MAX pass
+    // through verbatim (duplication-invariant), while SUM/AVG over a
+    // dim column is NOT derivable (each view row carries cnt_g base
+    // rows, but a dim value would be folded only once per match) and
+    // falls through
     val rewritten: Seq[Option[NamedExpression]] = aggExprs.map {
+      case a: AttributeReference if fromDim(a) => Some(a)
+      case al @ Alias(a: AttributeReference, _) if fromDim(a) => Some(al)
+      case al @ Alias(
+          AggregateExpression(Min(a: AttributeReference), Complete, false, None, _), _)
+          if fromDim(a) => Some(al)
+      case al @ Alias(
+          AggregateExpression(Max(a: AttributeReference), Complete, false, None, _), _)
+          if fromDim(a) => Some(al)
       case a: AttributeReference if groupNames.contains(a.name) =>
         Some(Alias(pAttr(a.name), a.name)(exprId = a.exprId))
       case al @ Alias(a: AttributeReference, name)
-          if groupNames.contains(a.name) =>
+          if groupNames.contains(a.name) && !fromDim(a) =>
         Some(Alias(pAttr(a.name), name)(exprId = al.exprId))
       case al @ Alias(
           AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _),
@@ -299,22 +375,25 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(
           AggregateExpression(Sum(attr: AttributeReference, _), Complete, false, None, _),
-          name) if mv.sumCols.contains(attr.name) && additive(al.dataType) =>
+          name) if !fromDim(attr) && mv.sumCols.contains(attr.name)
+            && additive(al.dataType) =>
         val s = sumOf(pAttr(sumCol(attr.name)))
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(
           AggregateExpression(Min(attr: AttributeReference), Complete, false, None, _),
-          name) if mv.minCols.contains(attr.name) && mv.comp.isEmpty =>
+          name) if !fromDim(attr) && mv.minCols.contains(attr.name)
+            && mv.comp.isEmpty =>
         val s = aggOf(Min(pAttr(minC(attr.name))))
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(
           AggregateExpression(Max(attr: AttributeReference), Complete, false, None, _),
-          name) if mv.maxCols.contains(attr.name) && mv.comp.isEmpty =>
+          name) if !fromDim(attr) && mv.maxCols.contains(attr.name)
+            && mv.comp.isEmpty =>
         val s = aggOf(Max(pAttr(maxC(attr.name))))
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(
           AggregateExpression(avg @ Average(attr: AttributeReference, _), Complete, false, None, _),
-          name) if mv.sumCols.contains(attr.name)
+          name) if !fromDim(attr) && mv.sumCols.contains(attr.name)
             && mv.nonNullMeasures.contains(attr.name)
             && attr.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
         // AVG(x) = Average's own final-projection expression with its
@@ -342,16 +421,27 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Filter(remapped, partials)
     }
-    val newGrouping = groupAttrs.map(a => pAttr(a.name))
+    val rewrittenChild: LogicalPlan = join match {
+      case None => filtered
+      case Some(j) =>
+        val remappedCond = j.joinCond.transform {
+          case a: AttributeReference if !fromDim(a) => pAttr(a.name)
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Join(
+          filtered, j.dimPlan, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(remappedCond), j.hint)
+    }
+    val newGrouping: Seq[Expression] =
+      groupAttrs.map(a => if (fromDim(a)) a else pAttr(a.name))
     val outs = rewritten.flatten
 
     mv.comp match {
       case None =>
-        Some(Aggregate(newGrouping, outs, filtered))
+        Some(Aggregate(newGrouping, outs, rewrittenChild))
       case Some(_) if groupAttrs.isEmpty =>
         // a global aggregate keeps its single row even when the table
         // nets to empty (COUNT returns 0) — no HAVING guard
-        Some(Aggregate(newGrouping, outs, filtered))
+        Some(Aggregate(newGrouping, outs, rewrittenChild))
       case Some(_) =>
         // compensated GROUPED aggregate: a group fully deleted in the
         // feed tail nets to zero rows and must vanish from the result,
@@ -360,7 +450,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // output exprIds preserved
         val net = Alias(
           Coalesce(Seq(sumOf(pAttr(cntCol)), Literal(0L))), "__mv_net")()
-        val withNet = Aggregate(newGrouping, outs :+ net, filtered)
+        val withNet = Aggregate(newGrouping, outs :+ net, rewrittenChild)
         val having = Filter(GreaterThan(net.toAttribute, Literal(0L)), withNet)
         Some(Project(outs.map(_.toAttribute), having))
     }

@@ -347,6 +347,113 @@ class MvRewriteSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(1)).sum === 900L)
   }
 
+  /** Star-schema: aggregates over base INNER JOIN dim rewrite to
+    * view JOIN dim — the dim side verbatim, the base side swapped for
+    * partials. Exact without a dim-uniqueness contract: multiplicity
+    * per grain scales COUNT/SUM partials exactly as it scales base
+    * rows (pinned with a deliberately DUPLICATED dim key).
+    */
+  test("fact-join-dim aggregate rewrites to view-join-dim and matches") {
+    val basePath = extDirs
+    val dim = (0 until 9).map(i => (s"c$i", s"b${i % 3}", i * 10))
+      .toDF("cust", "band", "weight")
+    val q = spark.read.parquet(basePath).join(dim, "cust")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(readsXmv(q), s"expected MV scan under the join, got ${scanRoots(q)}")
+    MvRegistry.deregister(spark, basePath)
+    val plain = spark.read.parquet(basePath).join(dim, "cust")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDecimal(2)))).toMap
+    val exp = plain.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDecimal(2)))).toMap
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      basePath.replace("/xbase", "/xmv"), Set("cust"),
+      Map("price" -> "sum_price", "dprice" -> "sum_dprice"), "n",
+      minCols = Map("price" -> "min_price"),
+      maxCols = Map("price" -> "max_price"),
+      nonNullMeasures = Set("price")))
+    assert(got === exp)
+  }
+
+  test("join multiplicity: duplicate dim keys scale partials exactly") {
+    val basePath = extDirs
+    // c0 matches TWO dim rows, c1 none, others one
+    val dim = ((0 until 9).filterNot(_ == 1).map(i => (s"c$i", s"b${i % 3}"))
+      :+ (("c0", "bx"))).toDF("cust", "band")
+    val q = spark.read.parquet(basePath).join(dim, "cust")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(readsXmv(q), s"expected MV scan, got ${scanRoots(q)}")
+    MvRegistry.deregister(spark, basePath)
+    val plain = spark.read.parquet(basePath).join(dim, "cust")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    val g = q.head(); val e = plain.head()
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      basePath.replace("/xbase", "/xmv"), Set("cust"),
+      Map("price" -> "sum_price", "dprice" -> "sum_dprice"), "n",
+      minCols = Map("price" -> "min_price"),
+      maxCols = Map("price" -> "max_price"),
+      nonNullMeasures = Set("price")))
+    assert(g.getLong(0) === e.getLong(0))
+    assert(g.getDecimal(1) === e.getDecimal(1))
+  }
+
+  test("join guards: dim-measure SUM and non-grain join keys fall through; dim MIN/MAX rides") {
+    val basePath = extDirs
+    val dim = (0 until 9).map(i => (s"c$i", s"b${i % 3}", i * 10))
+      .toDF("cust", "band", "weight")
+    // SUM over a dim column is not derivable (view rows fold a dim
+    // value once, base rows fold it cnt_g times)
+    val qDimSum = spark.read.parquet(basePath).join(dim, "cust")
+      .groupBy("band").agg(sum(col("weight")).as("w"))
+    assert(!readsXmv(qDimSum), "dim-measure SUM must not rewrite")
+    // a join key OUTSIDE the view grain breaks the multiplicity argument
+    val dimK = (1 to 20).map(i => (i.toLong, s"b${i % 3}")).toDF("k", "band")
+    val qNonGrain = spark.read.parquet(basePath).join(dimK, "k")
+      .groupBy("band").agg(count(lit(1)).as("n"))
+    assert(!readsXmv(qNonGrain), "non-grain join key must not rewrite")
+    // dim-side MIN/MAX is duplication-invariant and passes verbatim
+    val qDimMinMax = spark.read.parquet(basePath).join(dim, "cust")
+      .groupBy("band")
+      .agg(min(col("weight")).as("wlo"), count(lit(1)).as("n"))
+    assert(readsXmv(qDimMinMax), s"dim MIN should ride, got ${scanRoots(qDimMinMax)}")
+    val rows = qDimMinMax.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows === Map("b0" -> 0, "b1" -> 10, "b2" -> 20))
+  }
+
+  test("compensated join: stale view + tail through a dim join, dead grain gone") {
+    val (basePath, _, _) = compDirs
+    val dim = (0 until 10).map(i => (s"g$i", s"side${i % 2}")).toDF("g", "side")
+    val q = spark.read.parquet(basePath).join(dim, "g")
+      .groupBy("side")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    assert(compScanOk(q), s"expected mv+tail scan, got ${scanRoots(q)}")
+    MvRegistry.deregister(spark, basePath)
+    val plain = spark.read.parquet(basePath).join(dim, "g")
+      .groupBy("side")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    val exp = plain.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      compDirs._2, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(compDirs._3, frontier = 2L))))
+    assert(got === exp)
+  }
+
+  test("self-join of the base falls through") {
+    val basePath = extDirs
+    val l = spark.read.parquet(basePath)
+    val r = spark.read.parquet(basePath)
+      .select(col("cust").as("cust2"), col("k").as("k2"))
+    val q = l.join(r, col("cust") === col("cust2"))
+      .groupBy("cust").agg(count(lit(1)).as("n"))
+    assert(!readsXmv(q), s"self-join must not rewrite, got ${scanRoots(q)}")
+  }
+
   test("a registration whose view files vanished falls back to the base scan") {
     val d = java.nio.file.Files.createTempDirectory("mvrw_gone").toFile
     d.deleteOnExit()
