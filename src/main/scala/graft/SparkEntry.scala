@@ -5445,6 +5445,58 @@ object SparkEntry {
       |    AS DOUBLE) / 1000000 AS mean_price
       |FROM g""".stripMargin
 
+  /** Per-file BLOOM data skipping (q124 —
+    * [[graft.sources.ManifestIndex.buildBloom]]): point lookups on a
+    * high-cardinality column whose values are SCATTERED across files —
+    * the case q74's min/max manifest cannot prune at all (every file's
+    * range spans the domain; BloomSkipSpec pins that 10/10 files
+    * survive range pruning on this very column). One distributed pass
+    * expands each row in-row to its bloom bit positions (the q81
+    * codegen expression), folds per-(file, word) masks map-side, and
+    * stores a SPARSE word map per file; the probe computes the k
+    * positions driver-side and keeps files with all bits set —
+    * expected survivors 1 + fpp·(F−1) at ANY table size. The probed
+    * read re-applies the exact predicate, so false positives are
+    * result-invisible (the q81 discipline) and the oracle is the plain
+    * closed-form lookup. v = (k·2654435761) mod (10⁹+7) is injective
+    * over the key domain, giving exactly one owning file per probe.
+    */
+  private def q124BloomSkip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestIndex
+    val numBits = 1 << 18
+    val numHashes = 5
+    val src = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        ((col("o_orderkey") * lit(2654435761L)) % lit(1000000007L)).as("v"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val wh = s"$q40Scratch/bloomskip_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val path = s"$wh/t"
+    src.repartition(10, col("k")).write.mode("overwrite").parquet(path)
+    ManifestIndex.buildBloom(s, path, "v", numBits, numHashes)
+    // probe the v's of the three smallest order keys (bounded collect)
+    val targets = src.orderBy(col("k")).limit(3)
+      .select("v").collect().map(_.getLong(0)).toSeq
+    val (frame, scanned) =
+      ManifestIndex.readBloomPruned(s, path, "v", targets, numBits, numHashes)
+    require(scanned >= 1 && scanned < 10,
+      s"bloom skipping did not prune: scanned $scanned of 10 files")
+    frame.select(col("k"), col("v"),
+      col("price").cast("double").as("price"))
+  }
+
+  private def q124OracleSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k,
+      |    (o_orderkey * 2654435761) % 1000000007 AS v,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |), targets AS (
+      |  SELECT v FROM src ORDER BY k LIMIT 3
+      |)
+      |SELECT k, v, CAST(price AS DOUBLE) AS price
+      |FROM src WHERE v IN (SELECT v FROM targets)""".stripMargin
+
   /** Serving-index compaction under the oracle (q92): four incremental
     * appends leave one small file per (batch × touched bucket) in the
     * BM25 postings layout — the small-file reality of any streamed
@@ -5999,6 +6051,7 @@ object SparkEntry {
     "q121_mv_compensation" -> (q121MvCompensation _),
     "q122_mv_aggregates" -> (q122MvAggregates _),
     "q123_mv_star" -> (q123MvStar _),
+    "q124_bloom_skip" -> (q124BloomSkip _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -7413,6 +7466,7 @@ object SparkEntry {
     "q121_mv_compensation" -> q121OracleSql,
     "q122_mv_aggregates" -> q122OracleSql,
     "q123_mv_star" -> q123OracleSql,
+    "q124_bloom_skip" -> q124OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -161,4 +161,92 @@ object ManifestIndex {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else spark.read.parquet(files: _*)
   }
+
+  // ---------------------------------------------------------------------
+  // Per-file BLOOM manifest — point-lookup skipping where min/max can't
+  // help: on a high-cardinality column whose values are SCATTERED
+  // across files (the usual fate of every column the table is not
+  // clustered by), every file's [min, max] spans the domain and range
+  // pruning keeps everything; a per-file bloom keeps only the files
+  // that might contain the probed value — expected survivors
+  // 1 + fpp·(F−1) however many files the table holds. This is the
+  // Iceberg/Parquet bloom complement of the min/max stats above,
+  // maintained as `_bloom_<col>` beside `_manifest`.
+
+  private def bloomPath(tablePath: String, c: String) =
+    s"$tablePath/_bloom_$c"
+
+  /** Build the per-file bloom manifest for integral column `c` in ONE
+    * distributed pass: each row expands in-row to its `numHashes` bit
+    * positions (the codegen'd [[graft.functions.BloomPositions]] — the
+    * exact expansion the q81 join-filter build uses, so build and
+    * probe agree by construction), positions fold to per-(file, word)
+    * masks by `bit_or` (map-side combined), and each file keeps a
+    * SPARSE word map (only set words are stored — a file whose rows
+    * touch w distinct words costs w map entries, never numBits/64).
+    * Layout is bucketed by file hash like the stats manifest.
+    */
+  def buildBloom(spark: SparkSession, tablePath: String, c: String,
+      numBits: Int, numHashes: Int, buckets: Int = 16): String = {
+    require(numBits % 64 == 0 && numBits > 0,
+      s"numBits must be a positive multiple of 64, got $numBits")
+    import org.apache.spark.sql.GraftExpressionBridge.{column => gcol, expression => gexpr}
+    val pos = gcol(graft.functions.BloomPositions(
+      gexpr(col(c).cast("long")), numHashes, numBits))
+    spark.read.parquet(tablePath)
+      .select(col("_metadata.file_path").as("file"), explode(pos).as("p"))
+      .select(col("file"), (col("p") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").as("mask"))
+      .groupBy(col("file"), col("word"))
+      .agg(bit_or(col("mask")).as("bits"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("bloom"))
+      .withColumn("mf_bucket",
+        pmod(xxhash64(col("file")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("mf_bucket"))
+      .write.mode("overwrite").partitionBy("mf_bucket")
+      .parquet(bloomPath(tablePath, c))
+    bloomPath(tablePath, c)
+  }
+
+  /** Files that might contain ANY of `values` in column `c`: for each
+    * value the k bit positions are computed driver-side (the same
+    * [[graft.functions.Bloom.position]] chain the build expanded) and
+    * tested against the sparse word map — an absent word is an unset
+    * word. Zero false negatives by construction; false positives are
+    * filtered by the caller's residual predicate. Bounded collect:
+    * only surviving file paths. `numBits`/`numHashes` must match the
+    * build.
+    */
+  def bloomPrunedFiles(spark: SparkSession, tablePath: String, c: String,
+      values: Seq[Long], numBits: Int, numHashes: Int): Seq[String] = {
+    require(values.nonEmpty, "bloom probe needs at least one value")
+    val anyValue = values.map { v =>
+      (0 until numHashes).map { i =>
+        val p = graft.functions.Bloom.position(v, i, numBits)
+        coalesce(element_at(col("bloom"), lit(p / 64)), lit(0L))
+          .bitwiseAND(lit(1L << (p % 64))) =!= lit(0L)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    spark.read.parquet(bloomPath(tablePath, c))
+      .filter(anyValue).select("file")
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Point-lookup read through the bloom manifest: scan only files
+    * that might contain one of `values`, re-apply the exact predicate
+    * as a residual. Returns (frame, filesScanned).
+    */
+  def readBloomPruned(spark: SparkSession, tablePath: String, c: String,
+      values: Seq[Long], numBits: Int, numHashes: Int): (DataFrame, Int) = {
+    val files = bloomPrunedFiles(spark, tablePath, c, values, numBits, numHashes)
+    val frame =
+      if (files.isEmpty) {
+        val schema = spark.read.parquet(tablePath).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else spark.read.parquet(files: _*)
+    (frame.filter(col(c).isin(values: _*)), files.length)
+  }
 }
