@@ -33,7 +33,7 @@ object ScaleProbe {
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
         "q70", "q71", "q20", "q43", "v8", "v9", "v12", "v17", "bm25",
         "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics",
-        "mvrewrite",
+        "mvrewrite", "bloomskip",
         "triangles", "ranktopk", "ivftrain", "recovery", "annrank",
         "snapshot", "vtable")
     def on(p: String) = probes.contains(p)
@@ -780,7 +780,7 @@ object ScaleProbe {
     // scoped merge, bucketed tables) measured under replication
     if (probes.intersect(
         Set("q59", "q62", "q63", "q69", "q70", "q71", "clone",
-          "vtable", "mvrewrite")).nonEmpty) {
+          "vtable", "mvrewrite", "bloomskip")).nonEmpty) {
       val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
       val ordersN = (0 until mult).map { r =>
         orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
@@ -861,6 +861,44 @@ object ScaleProbe {
             comp = Some(MvRegistry.CompDef(feedRoot, frontier = 0L))))
           t(s"q121_mv_compensated_$label")(agg()) // view + fixed tail
           MvRegistry.deregister(spark, basePath)
+          deleteTree(wh)
+        }
+        // q124: bloom-skip point lookups must stay FLAT as the table
+        // grows — file size (and so per-file fpp) is held constant by
+        // growing the file COUNT with the data, so expected survivors
+        // are 1 + fpp·F per probe (fpp ≈ 1e-3 here → ~1 file however
+        // many the table holds), while the full scan is the linear
+        // reference. Build is the one linear pass, labeled as such.
+        if (on("bloomskip")) {
+          import graft.sources.ManifestIndex
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_bloom_").toString
+          val path = s"$wh/t"
+          val numBits = 1 << 18
+          val numHashes = 5
+          // bound k before the multiply: replicated keys reach 1e10 and
+          // k·2654435761 would overflow Long under ANSI
+          val tab = src.withColumn("v",
+            (pmod(col("k"), lit(1000000007L)) * lit(2654435761L))
+              % lit(1000000007L))
+          val nFiles = 10 * (if (label == "1x") 1 else mult)
+          t(s"q124_bloom_build_$label") {
+            tab.repartition(nFiles, col("k"))
+              .write.mode("overwrite").parquet(path)
+            ManifestIndex.buildBloom(spark, path, "v", numBits, numHashes)
+            nFiles.toLong
+          }
+          val targets = spark.read.parquet(path).orderBy(col("k")).limit(3)
+            .select("v").collect().map(_.getLong(0)).toSeq
+          t(s"q124_bloom_probe_$label") {
+            val (frame, scanned) = ManifestIndex.readBloomPruned(
+              spark, path, "v", targets, numBits, numHashes)
+            frame.count() * 1000L + scanned
+          }
+          t(s"q124_full_scan_$label") {
+            spark.read.parquet(path)
+              .filter(col("v").isin(targets: _*)).count()
+          }
           deleteTree(wh)
         }
         if (on("vtable")) {
