@@ -4591,6 +4591,85 @@ object SparkEntry {
     * slack, unlike every published HLL that needs the linear-counting
     * branch (deliberately consumer-side here).
     */
+  /** URL canonicalization dedup keys (d47 —
+    * [[graft.functions.UrlFns]]): the normalization every web-crawl
+    * pipeline runs before content dedup — lowercase scheme/host, `www.`
+    * and default ports dropped, trailing slashes stripped, query
+    * params SORTED with `utm_*` tracking params removed, fragments
+    * gone. URLs synthesized deterministically from doc_id with every
+    * rule's trigger present (case variance, default/explicit ports,
+    * trailing slashes, shuffled params, tracking params, fragments);
+    * the oracle replays BOTH the synthesis and every normalization
+    * step in DuckDB SQL (regexp_extract parts, anchored
+    * regexp_replace — replace-all vs replace-first agree by anchoring —
+    * rtrim, list_sort/list_filter for the param sort). Output = per
+    * canonical URL: duplicate count and the kept (min) doc — the crawl
+    * dedup decision itself under the hash. All-Column expressions, one
+    * shuffle (the final groupBy).
+    */
+  private def d47UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFns
+    val d = col("doc_id")
+    val url = concat(
+      when(d % 2 === 0, lit("http")).otherwise(lit("HTTPS")), lit("://"),
+      when(d % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(d % 5 === 0, lit("SITE")).otherwise(lit("site")),
+      (d % 50).cast("string"), lit(".example.com"),
+      when(d % 4 === 0, lit(":80"))
+        .when(d % 4 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), (d % 7).cast("string"),
+      when(d % 2 === 0, lit("/")).otherwise(lit("")),
+      when(d % 2 === 0, concat(lit("?b=2&a=1"),
+        when(d % 3 === 0, lit("&utm_source=x")).otherwise(lit(""))))
+        .otherwise(lit("")),
+      when(d % 5 === 0, lit("#frag")).otherwise(lit("")))
+    t(s, dir, "documents").select(col("doc_id"))
+      .select(UrlFns.canonicalUrl(url).as("canon"), col("doc_id"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+  }
+
+  private def d47OracleSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, concat(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END, '://',
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'SITE' ELSE 'site' END,
+      |    CAST(doc_id % 50 AS VARCHAR), '.example.com',
+      |    CASE WHEN doc_id % 4 = 0 THEN ':80'
+      |         WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END,
+      |    '/p/', CAST(doc_id % 7 AS VARCHAR),
+      |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      |    CASE WHEN doc_id % 2 = 0 THEN concat('?b=2&a=1',
+      |      CASE WHEN doc_id % 3 = 0 THEN '&utm_source=x' ELSE '' END)
+      |      ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS hp0,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS q0
+      |  FROM u
+      |), norm AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$', '')
+      |         ELSE hp0 END AS hp,
+      |    CASE WHEN rtrim(path0, '/') = '' THEN '/'
+      |         ELSE rtrim(path0, '/') END AS path,
+      |    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      |      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
+      |  FROM parts
+      |)
+      |SELECT concat(scheme, '://', hp, path,
+      |    CASE WHEN q <> '' THEN concat('?', q) ELSE '' END) AS canon,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+      |FROM norm GROUP BY 1""".stripMargin
+
   private def d46Hll(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sketches
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("v"))
@@ -6047,6 +6126,7 @@ object SparkEntry {
     "d44_triangle_count" -> (d44TriangleCount _),
     "d45_countmin" -> (d45CountMin _),
     "d46_hll" -> (d46Hll _),
+    "d47_url_canon" -> (d47UrlCanon _),
     "q120_mv_rewrite" -> (q120MvRewrite _),
     "q121_mv_compensation" -> (q121MvCompensation _),
     "q122_mv_aggregates" -> (q122MvAggregates _),
@@ -7462,6 +7542,7 @@ object SparkEntry {
     "d44_triangle_count" -> d44OracleSql,
     "d45_countmin" -> d45OracleSql,
     "d46_hll" -> d46OracleSql,
+    "d47_url_canon" -> d47OracleSql,
     "q120_mv_rewrite" -> q120OracleSql,
     "q121_mv_compensation" -> q121OracleSql,
     "q122_mv_aggregates" -> q122OracleSql,
