@@ -4670,6 +4670,96 @@ object SparkEntry {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper
       |FROM norm GROUP BY 1""".stripMargin
 
+  /** HLL set algebra (d48): the mergeable-register property (d46)
+    * applied — two sketches over overlapping key sets, union by
+    * register-wise MAX ([[graft.operators.Sketches.hllMerge]]: merge
+    * introduces NO additional error — max over unions == union of
+    * maxes), intersection by inclusion–exclusion over the three
+    * exact-contract estimates (est_a + est_b − est_union: fixed-order
+    * IEEE ops over deterministic doubles, so the derived estimate is
+    * itself under the FULL hash contract). Served with all four true
+    * counts, so set-algebra accuracy is under the oracle too. The
+    * oracle replays THREE register pipelines (A, B, and the GREATEST
+    * merge) plus the estimates digit-for-digit. At 100 TB this is the
+    * cross-source overlap estimator: per-source sketches are tiny
+    * (m=256 registers), merge is register-wise, nothing rescans data.
+    */
+  private def d48HllSetops(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("v"))
+    val condA = col("v") % 3 =!= 0
+    val condB = col("v") % 2 === 0
+    val ra = Sketches.hllRegisters(li.filter(condA), col("v"), 8)
+    val rb = Sketches.hllRegisters(li.filter(condB), col("v"), 8)
+    val ru = Sketches.hllMerge(Seq(ra, rb))
+    val ea = Sketches.hllEstimate(ra, 8).select(col("est").as("est_a"))
+    val eb = Sketches.hllEstimate(rb, 8).select(col("est").as("est_b"))
+    val eu = Sketches.hllEstimate(ru, 8).select(col("est").as("est_union"))
+    val truth = li.agg(
+      countDistinct(when(condA, col("v"))).as("true_a"),
+      countDistinct(when(condB, col("v"))).as("true_b"),
+      countDistinct(when(condA || condB, col("v"))).as("true_union"),
+      countDistinct(when(condA && condB, col("v"))).as("true_inter"))
+    // all four frames are 1-row (bounded)
+    ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
+      .crossJoin(broadcast(truth))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+        col("true_a"), col("true_b"), col("true_union"), col("true_inter"))
+  }
+
+  private def d48OracleSql: String = {
+    val cases = (1 to 42).map(k =>
+      s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString(" ")
+    def block(tag: String, where: String): String =
+      s"""vals_$tag AS (
+         |  SELECT l_orderkey AS vec_id, 0 AS v FROM lineitem WHERE $where
+         |${numHashCtes(s"vals_$tag", s"h_$tag")}
+         |), regs0_$tag AS (
+         |  SELECT CAST(h % 256 AS INT) AS register, h // 256 AS w FROM h_$tag
+         |), rr_$tag AS (
+         |  SELECT register, MAX(CASE WHEN w = 0 THEN 43 $cases END) AS rho
+         |  FROM regs0_$tag GROUP BY 1
+         |)""".stripMargin
+    def estCte(tag: String): String =
+      s"""est_$tag AS (
+         |  SELECT 0.7213 / (1.0 + 1.079 / 256.0) * CAST(65536 AS DOUBLE)
+         |    * CAST(8796093022208 AS DOUBLE)
+         |    / CAST(CAST(SUM(CAST(1 AS BIGINT) << (43 - rho)) AS BIGINT)
+         |        AS DOUBLE) AS est
+         |  FROM regs_$tag
+         |)""".stripMargin
+    s"""WITH ${block("a", "l_orderkey % 3 <> 0")},
+       |${block("b", "l_orderkey % 2 = 0")},
+       |spine AS (
+       |  SELECT CAST(range AS INT) AS register FROM range(256)
+       |), regs_a AS (
+       |  SELECT s.register, COALESCE(r.rho, 0) AS rho
+       |  FROM spine s LEFT JOIN rr_a r ON s.register = r.register
+       |), regs_b AS (
+       |  SELECT s.register, COALESCE(r.rho, 0) AS rho
+       |  FROM spine s LEFT JOIN rr_b r ON s.register = r.register
+       |), regs_u AS (
+       |  SELECT a.register, GREATEST(a.rho, b.rho) AS rho
+       |  FROM regs_a a JOIN regs_b b ON a.register = b.register
+       |), ${estCte("a")}, ${estCte("b")}, ${estCte("u")},
+       |tru AS (
+       |  SELECT
+       |    COUNT(DISTINCT CASE WHEN l_orderkey % 3 <> 0 THEN l_orderkey END) AS true_a,
+       |    COUNT(DISTINCT CASE WHEN l_orderkey % 2 = 0 THEN l_orderkey END) AS true_b,
+       |    COUNT(DISTINCT CASE WHEN l_orderkey % 3 <> 0 OR l_orderkey % 2 = 0
+       |      THEN l_orderkey END) AS true_union,
+       |    COUNT(DISTINCT CASE WHEN l_orderkey % 3 <> 0 AND l_orderkey % 2 = 0
+       |      THEN l_orderkey END) AS true_inter
+       |  FROM lineitem
+       |)
+       |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+       |  ea.est + eb.est - eu.est AS est_inter,
+       |  t.true_a, t.true_b, t.true_union, t.true_inter
+       |FROM est_a ea CROSS JOIN est_b eb CROSS JOIN est_u eu
+       |CROSS JOIN tru t""".stripMargin
+  }
+
   private def d46Hll(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sketches
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("v"))
@@ -6127,6 +6217,7 @@ object SparkEntry {
     "d45_countmin" -> (d45CountMin _),
     "d46_hll" -> (d46Hll _),
     "d47_url_canon" -> (d47UrlCanon _),
+    "d48_hll_setops" -> (d48HllSetops _),
     "q120_mv_rewrite" -> (q120MvRewrite _),
     "q121_mv_compensation" -> (q121MvCompensation _),
     "q122_mv_aggregates" -> (q122MvAggregates _),
@@ -7543,6 +7634,7 @@ object SparkEntry {
     "d45_countmin" -> d45OracleSql,
     "d46_hll" -> d46OracleSql,
     "d47_url_canon" -> d47OracleSql,
+    "d48_hll_setops" -> d48OracleSql,
     "q120_mv_rewrite" -> q120OracleSql,
     "q121_mv_compensation" -> q121OracleSql,
     "q122_mv_aggregates" -> q122OracleSql,

@@ -150,6 +150,20 @@ object Sketches {
         .as("est"))
   }
 
+  /** Register-wise MAX of two (or more) register frames — the HLL
+    * merge, which IS the union sketch: max over unions == union of
+    * maxes, exactly (no approximation is introduced by merging; the
+    * union ESTIMATE carries the usual HLL error). Frames must share
+    * `p` (same spine). Basis for distributed sketching (shard → merge)
+    * and for set algebra: |A∩B| ≈ est(A) + est(B) − est(A∪B) by
+    * inclusion–exclusion over three exact-contract estimates.
+    */
+  def hllMerge(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "hllMerge needs at least one frame")
+    frames.reduce(_ unionByName _)
+      .groupBy("register").agg(max(col("rho")).as("rho"))
+  }
+
   /** Additive row salt for the Count-Min row hashes (decimal digits of
     * e; any fixed constant < M works — rows then diverge through the
     * avalanche chain, not through the salt itself).
