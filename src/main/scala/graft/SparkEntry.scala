@@ -2989,6 +2989,92 @@ object SparkEntry {
     * checkpoint dir carries source progress, so a restarted query
     * resumes instead of replaying.
     */
+  /** Streaming IVM end-to-end (q125): the base table is maintained by a
+    * REAL readStream (foreachBatch → mergeByKeyCdc, one micro-batch per
+    * hash chunk — the q83 ingestion shape, now with a change feed); the
+    * summary view is folded from the feed AS OF micro-batch 1 and
+    * registered with that frontier; the user's aggregate — written
+    * against the base table — is rewritten by [[graft.plans.MvRewrite]]
+    * to view + the batches the STREAM appended after the view's sync
+    * (compensation). The full loop: streaming runtime → CDC feed → IVM
+    * view → optimizer — a query against a stream-maintained table
+    * answers exactly fresh from grain-sized state however far the view
+    * lags. Plan REQUIRED to scan view + tail batch dirs and not the
+    * base; oracle = the grouped aggregate closed-form over ALL events
+    * (frontier-independent by construction — whichever chunks landed in
+    * batches ≤ 1, compensation covers the rest).
+    */
+  private def q125StreamMvServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    val e = t(s, dir, "events")
+      .select(col("event_id"), (col("user_id") % 20).as("grp"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q125_").toString
+    e.withColumn("__c", pmod(col("event_id"), lit(4)).cast("int"))
+      .repartition(col("__c"))
+      .write.partitionBy("__c").parquet(s"$stage/chunks")
+    val wh = s"$q40Scratch/mvstream_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val w = new graft.sources.TableWriter(wh)
+    MvRegistry.deregister(s, w.path("ev_base")) // maintenance unregistered
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/chunks/__c=*")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$stage/_ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        w.mergeByKeyCdc(s, "ev_base", batch, "event_id", batchId = id)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // view folded from the feed AS OF batch 1 — the stream moved on
+    val feed = w.readChangeFeed(s, "ev_base").filter(col("batch_id") <= 1L)
+    val signed = feed.withColumn("sign",
+      when(col("change_op").isin("insert", "update_post"), lit(1L))
+        .otherwise(lit(-1L)))
+    val mvPath = s"$wh/ev_mv"
+    signed.groupBy("grp")
+      .agg(sum(col("sign")).as("n"),
+        sum(when(col("sign") === 1L, col("v")).otherwise(-col("v")))
+          .as("sum_v"))
+      .filter(col("n") > 0)
+      .write.mode("overwrite").parquet(mvPath)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, w.path("ev_base"), MvRegistry.MvDef(
+      mvPath, Set("grp"), Map("v" -> "sum_v"), "n",
+      comp = Some(MvRegistry.CompDef(
+        w.path("ev_base_changes"), frontier = 1L))))
+    val out = s.read.parquet(w.path("ev_base"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("total"))
+    val roots = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.exists(_.endsWith("ev_mv"))
+        && roots.exists(_.contains("batch=2"))
+        && roots.exists(_.contains("batch=3"))
+        && !roots.exists(_.endsWith("ev_base")),
+      s"streaming MV serve did not rewrite: plan scans $roots")
+    val res = out.select(col("grp"), col("n_events"),
+      col("total").cast("double").as("total"))
+    deleteTree(java.nio.file.Paths.get(stage))
+    res
+  }
+
+  private def q125OracleSql: String =
+    """SELECT user_id % 20 AS grp, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin
+
   private def q83StreamUpsert(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = t(s, dir, "events")
@@ -6223,6 +6309,7 @@ object SparkEntry {
     "q122_mv_aggregates" -> (q122MvAggregates _),
     "q123_mv_star" -> (q123MvStar _),
     "q124_bloom_skip" -> (q124BloomSkip _),
+    "q125_stream_mv_serve" -> (q125StreamMvServe _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -7640,6 +7727,7 @@ object SparkEntry {
     "q122_mv_aggregates" -> q122OracleSql,
     "q123_mv_star" -> q123OracleSql,
     "q124_bloom_skip" -> q124OracleSql,
+    "q125_stream_mv_serve" -> q125OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,
