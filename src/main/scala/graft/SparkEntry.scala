@@ -4846,6 +4846,65 @@ object SparkEntry {
        |CROSS JOIN tru t""".stripMargin
   }
 
+  /** Per-host document caps (d49 —
+    * [[graft.operators.Sampling.capPerGroup]] over
+    * [[graft.functions.UrlFns.canonicalHost]]): the per-domain quota
+    * every crawl corpus applies so no host dominates training data
+    * (Gopher / CCNet practice). Composes d47's canonical host key
+    * (case/www/port-normalized) with a deterministic keep-first-k-by-
+    * doc_id cap; output = per host: total docs, kept docs, and the
+    * exact kept-id checksum, so the keep SET itself is under the hash.
+    * The oracle replays host normalization + ROW_NUMBER ranking.
+    */
+  private def d49HostCaps(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFns
+    import graft.operators.Sampling
+    val d = col("doc_id")
+    val url = concat(
+      when(d % 2 === 0, lit("http")).otherwise(lit("HTTPS")), lit("://"),
+      when(d % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(d % 5 === 0, lit("SITE")).otherwise(lit("site")),
+      (d % 50).cast("string"), lit(".example.com"),
+      when(d % 4 === 0, lit(":80"))
+        .when(d % 4 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), (d % 7).cast("string"))
+    val hosts = t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), UrlFns.canonicalHost(url).as("host"))
+    val kept = Sampling.capPerGroup(hosts, col("host"), col("doc_id"), 5)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    hosts.groupBy("host").agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("host"))
+      .select(col("host"), col("n_total"), col("n_kept"), col("kept_id_sum"))
+  }
+
+  private def d49OracleSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, concat(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END, '://',
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'SITE' ELSE 'site' END,
+      |    CAST(doc_id % 50 AS VARCHAR), '.example.com',
+      |    CASE WHEN doc_id % 4 = 0 THEN ':80'
+      |         WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END,
+      |    '/p/', CAST(doc_id % 7 AS VARCHAR)) AS url
+      |  FROM documents
+      |), hosts AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', ''),
+      |      ':[0-9]+$', '') AS host
+      |  FROM u
+      |), ranked AS (
+      |  SELECT doc_id, host,
+      |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+      |  FROM hosts
+      |)
+      |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn <= 5 THEN doc_id END) AS BIGINT) AS kept_id_sum
+      |FROM ranked GROUP BY 1""".stripMargin
+
   private def d46Hll(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sketches
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("v"))
@@ -6304,6 +6363,7 @@ object SparkEntry {
     "d46_hll" -> (d46Hll _),
     "d47_url_canon" -> (d47UrlCanon _),
     "d48_hll_setops" -> (d48HllSetops _),
+    "d49_host_caps" -> (d49HostCaps _),
     "q120_mv_rewrite" -> (q120MvRewrite _),
     "q121_mv_compensation" -> (q121MvCompensation _),
     "q122_mv_aggregates" -> (q122MvAggregates _),
@@ -7722,6 +7782,7 @@ object SparkEntry {
     "d46_hll" -> d46OracleSql,
     "d47_url_canon" -> d47OracleSql,
     "d48_hll_setops" -> d48OracleSql,
+    "d49_host_caps" -> d49OracleSql,
     "q120_mv_rewrite" -> q120OracleSql,
     "q121_mv_compensation" -> q121OracleSql,
     "q122_mv_aggregates" -> q122OracleSql,

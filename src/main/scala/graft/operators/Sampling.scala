@@ -164,4 +164,24 @@ object Sampling {
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("n_feats"))
   }
+
+  /** Keep at most `k` rows per group, chosen by `order` (ascending,
+    * which must be a total order for determinism) — the per-domain
+    * document cap every crawl corpus applies (Gopher/CCNet-style
+    * per-host quotas: no single domain may dominate the corpus). One
+    * hash shuffle on the group key; groups are ranked independently,
+    * so the shape distributes across the (many) groups. A single
+    * pathological mega-group ranks in one task — if a deployment's
+    * biggest group outgrows a task, pre-prune per partition first
+    * (rank ≤ k per partition is a superset of the global top-k), the
+    * Ranking.global trick.
+    */
+  def capPerGroup(df: DataFrame, group: Column, order: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"capPerGroup: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(group).orderBy(order)))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

@@ -374,6 +374,13 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val s = Coalesce(Seq(sumOf(pAttr(cntCol)), Literal(0L)))
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(
+          AggregateExpression(Count(Seq(attr: AttributeReference)), Complete, false, None, _),
+          name) if !fromDim(attr) && mv.nonNullMeasures.contains(attr.name) =>
+        // COUNT(col) counts non-nulls == the row count under the
+        // registrant's non-null assertion — same derivation as COUNT(*)
+        val s = Coalesce(Seq(sumOf(pAttr(cntCol)), Literal(0L)))
+        Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
+      case al @ Alias(
           AggregateExpression(Sum(attr: AttributeReference, _), Complete, false, None, _),
           name) if !fromDim(attr) && mv.sumCols.contains(attr.name)
             && additive(al.dataType) =>

@@ -313,6 +313,17 @@ class MvRewriteSpec extends SparkSpec {
     assert(q.schema("mean").dataType === plain.schema("mean").dataType)
   }
 
+  test("COUNT(col) rewrites for declared-non-null measures, falls through otherwise") {
+    val basePath = extDirs
+    val qDeclared = spark.read.parquet(basePath).groupBy("cust")
+      .agg(count(col("price")).as("n"))
+    assert(readsXmv(qDeclared), s"COUNT(non-null measure) should rewrite, got ${scanRoots(qDeclared)}")
+    assert(qDeclared.collect().map(_.getLong(1)).sum === 900L)
+    val qUndeclared = spark.read.parquet(basePath).groupBy("cust")
+      .agg(count(col("dprice")).as("n"))
+    assert(!readsXmv(qUndeclared), "COUNT of an undeclared measure must not rewrite")
+  }
+
   test("exactness guards: double SUM and undeclared AVG fall through") {
     val basePath = extDirs
     val qDouble = spark.read.parquet(basePath).groupBy("cust")
