@@ -52,12 +52,44 @@ object GraftFunctions {
       graft.functions.BpeIdChecksumExpr(es(0))
     })
 
+  /** The URL canonicalization kit (d47/d49) for SQL users — registered
+    * as Spark 4 SQL-defined functions (CREATE TEMPORARY FUNCTION …
+    * RETURN <expr>): the Column-composed [[graft.functions.UrlFns]]
+    * trees carry lambda HOFs that a raw function-registry builder
+    * cannot inject unresolved, so the SQL twin states the SAME rules in
+    * SQL text; SqlSurfaceSpec pins SQL == Column on a
+    * every-rule-triggering URL, so the twins cannot drift silently.
+    */
+  private val sqlFunctions: Seq[String] = {
+    val hp0 = """regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')"""
+    Seq(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION canonical_host(u STRING)
+         |RETURNS STRING RETURN regexp_replace($hp0, ':[0-9]+$$', '')""".stripMargin,
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION canonical_url(u STRING)
+         |RETURNS STRING RETURN concat(
+         |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '://',
+         |  CASE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         |    WHEN 'http' THEN regexp_replace($hp0, ':80$$', '')
+         |    WHEN 'https' THEN regexp_replace($hp0, ':443$$', '')
+         |    ELSE $hp0 END,
+         |  CASE WHEN rtrim('/', regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)) = ''
+         |    THEN '/'
+         |    ELSE rtrim('/', regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)) END,
+         |  CASE WHEN array_join(array_sort(filter(split(regexp_extract(u, '\\\\?([^#]*)', 1), '&'),
+         |      x -> x != '' AND NOT startswith(x, 'utm_'))), '&') != ''
+         |    THEN concat('?', array_join(array_sort(filter(split(regexp_extract(u, '\\\\?([^#]*)', 1), '&'),
+         |      x -> x != '' AND NOT startswith(x, 'utm_'))), '&'))
+         |    ELSE '' END)""".stripMargin)
+  }
+
   /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+    sqlFunctions.foreach(spark.sql(_))
+  }
 }
 
 /** Session-build-time registration:

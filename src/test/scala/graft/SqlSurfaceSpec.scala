@@ -30,6 +30,18 @@ class SqlSurfaceSpec extends SparkSpec {
         |  bpe_id_checksum('key agg row') AS c""".stripMargin).head()
     assert(bpe.getLong(0) == graft.functions.Bpe.countTokensText("key agg row"))
     assert(bpe.getLong(1) == graft.functions.Bpe.idChecksumText("key agg row"))
+    // URL canonicalization surface: SQL == Column API
+    val raw = "HTTP://WWW.Site7.example.com:80/p/3/?b=2&utm_source=x&a=1#f"
+    val url = spark.sql(
+      s"""SELECT canonical_url('$raw') AS cu, canonical_host('$raw') AS ch""")
+      .head()
+    val viaColUrl = Seq(raw).toDF("u")
+      .select(graft.functions.UrlFns.canonicalUrl(col("u")),
+        graft.functions.UrlFns.canonicalHost(col("u"))).head()
+    assert(url.getString(0) == viaColUrl.getString(0))
+    assert(url.getString(0) == "http://site7.example.com/p/3?a=1&b=2")
+    assert(url.getString(1) == viaColUrl.getString(1))
+    assert(url.getString(1) == "site7.example.com")
   }
 
   test("GraftSession.install is idempotent and wires functions + rule") {
