@@ -5599,6 +5599,94 @@ object SparkEntry {
       |  AS total_price
       |FROM finalstate WHERE cust < 30 GROUP BY 1""".stripMargin
 
+  /** Incremental view REFRESH (q126 — [[graft.sources.MvMaintain]]):
+    * the maintenance half of the MV story. The base table moves
+    * through four CDC batches; the view is refreshed after batch 2
+    * (full fold) and again after batch 4 — the second refresh folds
+    * ONLY the tail batches into the existing grain-sized view
+    * (O(delta + grain), never a base read), with the frontier committed
+    * atomically inside the view directory. Registration reads that
+    * durable frontier; the view being fresh, the rewritten query serves
+    * from the view ALONE (zero compensation tail — plan-required), and
+    * the oracle states the post-batch-4 aggregate closed-form. The
+    * refresh == full-refold equivalence, no-op byte-stability, emptied
+    * grains, and the torn-swap healing are MvMaintainSpec's pins.
+    */
+  private def q126MvRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    import graft.sources.MvMaintain
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 50).as("cust"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val batch2 = base.filter(col("k") % 7 === 0)
+      .withColumn("price",
+        (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+    val batch3 = o.filter(col("k") % 3 === 0 && col("k") % 9 === 0)
+      .withColumn("price",
+        (col("price") + lit(2000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+      .unionByName(o.filter(col("k") % 3 === 2 && col("k") % 10 === 0))
+    val doomed = o.filter(col("k") % 3 === 1 && col("k") % 5 === 0).select("k")
+    val wh = s"$q40Scratch/mvrefresh_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val w = new graft.sources.TableWriter(wh)
+    val mvPath = s"$wh/orders_rmv"
+    MvRegistry.deregister(s, w.path("orders_rbase")) // maintenance unregistered
+    val vdef = MvMaintain.ViewDef(Seq("cust"), Map("price" -> "sum_price"), "n")
+    w.mergeByKeyCdc(s, "orders_rbase", base, "k", batchId = 1L)
+    w.mergeByKeyCdc(s, "orders_rbase", batch2, "k", batchId = 2L)
+    val fr1 = MvMaintain.refresh(s, w.path("orders_rbase_changes"), mvPath, vdef)
+    require(fr1 == 2L, s"first refresh frontier: $fr1")
+    w.mergeByKeyCdc(s, "orders_rbase", batch3, "k", batchId = 3L)
+    w.deleteByKeyCdc(s, "orders_rbase", doomed, "k", batchId = 4L)
+    val fr2 = MvMaintain.refresh(s, w.path("orders_rbase_changes"), mvPath, vdef)
+    require(fr2 == 4L, s"second refresh frontier: $fr2")
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, w.path("orders_rbase"), MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(
+        w.path("orders_rbase_changes"),
+        frontier = MvMaintain.frontier(s, mvPath).get))))
+    val q = s.read.parquet(w.path("orders_rbase"))
+      .filter(col("cust") < 35)
+      .groupBy("cust")
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total_price"))
+    val roots = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.nonEmpty && roots.forall(_.endsWith("orders_rmv")),
+      s"fresh view must serve alone (zero tail): plan scans $roots")
+    q.select(col("cust"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"))
+  }
+
+  private def q126OracleSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_custkey % 50 AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |), finalstate AS (
+      |  SELECT k, cust,
+      |    CAST(CASE WHEN k % 9 = 0 THEN price + 2000
+      |              WHEN k % 7 = 0 THEN price + 1000
+      |              ELSE price END AS DECIMAL(18,2)) AS price
+      |  FROM src WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, cust, price FROM src WHERE k % 3 = 2 AND k % 10 = 0
+      |)
+      |SELECT cust, COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE)
+      |  AS total_price
+      |FROM finalstate WHERE cust < 35 GROUP BY 1""".stripMargin
+
   /** MV rewrite: the wider aggregate shapes (q122) — MIN/MAX served
     * from the view's extrema partials (min of mins — exact on any
     * grain subset) and AVG from sum+count under the registrant's
@@ -6370,6 +6458,7 @@ object SparkEntry {
     "q123_mv_star" -> (q123MvStar _),
     "q124_bloom_skip" -> (q124BloomSkip _),
     "q125_stream_mv_serve" -> (q125StreamMvServe _),
+    "q126_mv_refresh" -> (q126MvRefresh _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -7789,6 +7878,7 @@ object SparkEntry {
     "q123_mv_star" -> q123OracleSql,
     "q124_bloom_skip" -> q124OracleSql,
     "q125_stream_mv_serve" -> q125OracleSql,
+    "q126_mv_refresh" -> q126OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,
