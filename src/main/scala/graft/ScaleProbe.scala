@@ -33,7 +33,7 @@ object ScaleProbe {
         "v3", "v5", "v6", "q32", "d33", "d34", "q59", "q62", "q63", "q69",
         "q70", "q71", "q20", "q43", "v8", "v9", "v12", "v17", "bm25",
         "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics",
-        "mvrewrite", "bloomskip",
+        "mvrewrite", "bloomskip", "mvrefresh",
         "triangles", "ranktopk", "ivftrain", "recovery", "annrank",
         "snapshot", "vtable")
     def on(p: String) = probes.contains(p)
@@ -780,7 +780,7 @@ object ScaleProbe {
     // scoped merge, bucketed tables) measured under replication
     if (probes.intersect(
         Set("q59", "q62", "q63", "q69", "q70", "q71", "clone",
-          "vtable", "mvrewrite", "bloomskip")).nonEmpty) {
+          "vtable", "mvrewrite", "bloomskip", "mvrefresh")).nonEmpty) {
       val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
       val ordersN = (0 until mult).map { r =>
         orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
@@ -861,6 +861,37 @@ object ScaleProbe {
             comp = Some(MvRegistry.CompDef(feedRoot, frontier = 0L))))
           t(s"q121_mv_compensated_$label")(agg()) // view + fixed tail
           MvRegistry.deregister(spark, basePath)
+          deleteTree(wh)
+        }
+        // q126: incremental view refresh must cost O(|tail| + |grain|):
+        // the bootstrap fold over the mult× feed is the linear path
+        // (labeled); a fixed ~3k-row tail batch folded into the
+        // (1000-grain) view afterwards must stay FLAT however large the
+        // already-folded history is. Feed dirs are synthesized directly
+        // (refresh reads only the feed), so the probe isolates refresh
+        // cost from CDC-merge cost.
+        if (on("mvrefresh")) {
+          import graft.sources.MvMaintain
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_mvrf_").toString
+          val feed = s"$wh/feed"
+          val mv = s"$wh/mv"
+          val big = src.withColumn("cust", pmod(col("k"), lit(1000L)))
+            .withColumn("batch_id", lit(1L))
+            .withColumn("change_op", lit("insert"))
+          big.write.mode("overwrite").parquet(s"$feed/batch=1")
+          val vdef = MvMaintain.ViewDef(
+            Seq("cust"), Map("price" -> "sum_price"), "n")
+          t(s"q126_refresh_bootstrap_$label") {
+            MvMaintain.refresh(spark, feed, mv, vdef)
+          }
+          big.filter(col("k") % 9973 === 0).limit(3000)
+            .withColumn("k", col("k") + lit(900000000000L))
+            .withColumn("batch_id", lit(2L))
+            .write.mode("overwrite").parquet(s"$feed/batch=2")
+          t(s"q126_refresh_tail_$label") {
+            MvMaintain.refresh(spark, feed, mv, vdef)
+          }
           deleteTree(wh)
         }
         // q124: bloom-skip point lookups must stay FLAT as the table
