@@ -63,7 +63,10 @@ object MvRegistry {
     * mergeByKeyCdc layout) of the BASE table, and `frontier` is the
     * last batch id folded into the view. Feed rows must carry the
     * view's grain and measure columns (they do: the feed carries full
-    * row images).
+    * row images). Retention interaction: compensation reads only
+    * batches PAST the frontier, so `truncateChangeFeed` of applied
+    * batches (ids ≤ frontier) never affects it — the registered
+    * frontier is exactly the low-water mark this consumer contributes.
     */
   final case class CompDef(feedRoot: String, frontier: Long)
 

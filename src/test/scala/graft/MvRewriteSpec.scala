@@ -313,6 +313,16 @@ class MvRewriteSpec extends SparkSpec {
     assert(q.schema("mean").dataType === plain.schema("mean").dataType)
   }
 
+  test("pure DISTINCT over grain columns rides the rewrite (Aggregate with no agg functions)") {
+    val (basePath, _) = dirs
+    val q = spark.read.parquet(basePath)
+      .select("cust", "region").distinct()
+    assert(readsMv(q), s"DISTINCT over grain should rewrite, got ${scanRoots(q)}")
+    val got = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val exp = (1 to 1000).map(i => (s"c${i % 7}", s"r${i % 3}")).toSet
+    assert(got === exp)
+  }
+
   test("COUNT(col) rewrites for declared-non-null measures, falls through otherwise") {
     val basePath = extDirs
     val qDeclared = spark.read.parquet(basePath).groupBy("cust")
