@@ -4905,6 +4905,70 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN rn <= 5 THEN doc_id END) AS BIGINT) AS kept_id_sum
       |FROM ranked GROUP BY 1""".stripMargin
 
+  /** Host-level quality priors (d50): domain-level filtering — the
+    * RefinedWeb/C4 practice of gating documents on their HOST's
+    * aggregate quality, not just per-doc scores (a spammy domain's
+    * individually-plausible pages all drop). Hosts from d47's canonical
+    * key; the prior here is mean document length, and the "host mean ≥
+    * corpus mean" gate is evaluated by exact BIGINT cross-multiplication
+    * (sum_chars·total_docs ≥ total_chars·n_docs) — no division, FULL
+    * hash contract on the kept decision itself. One grain-sized
+    * aggregate + a broadcast 1-row totals frame; the oracle replays the
+    * synthesis, the host key, and the cross-multiplied gate.
+    */
+  private def d50HostQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFns
+    val d = col("doc_id")
+    val url = concat(
+      when(d % 2 === 0, lit("http")).otherwise(lit("HTTPS")), lit("://"),
+      when(d % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(d % 5 === 0, lit("SITE")).otherwise(lit("site")),
+      (d % 50).cast("string"), lit(".example.com"),
+      when(d % 4 === 0, lit(":80"))
+        .when(d % 4 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), (d % 7).cast("string"))
+    val hosts = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .select(col("doc_id"), col("n_chars"), UrlFns.canonicalHost(url).as("host"))
+    val hstats = hosts.groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val totals = hosts.agg(count(lit(1)).as("total_docs"),
+      sum(col("n_chars")).as("total_chars"))
+    hstats.crossJoin(broadcast(totals))
+      .select(col("host"), col("n_docs"), col("sum_chars"),
+        (col("sum_chars") * col("total_docs") >=
+          col("total_chars") * col("n_docs")).as("kept"))
+  }
+
+  private def d50OracleSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, n_chars, concat(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END, '://',
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'SITE' ELSE 'site' END,
+      |    CAST(doc_id % 50 AS VARCHAR), '.example.com',
+      |    CASE WHEN doc_id % 4 = 0 THEN ':80'
+      |         WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END,
+      |    '/p/', CAST(doc_id % 7 AS VARCHAR)) AS url
+      |  FROM documents
+      |), hosts AS (
+      |  SELECT doc_id, n_chars,
+      |    regexp_replace(regexp_replace(lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', ''),
+      |      ':[0-9]+$', '') AS host
+      |  FROM u
+      |), hstats AS (
+      |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |  FROM hosts GROUP BY 1
+      |), totals AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM hosts
+      |)
+      |SELECT h.host, h.n_docs, h.sum_chars,
+      |  h.sum_chars * t.total_docs >= t.total_chars * h.n_docs AS kept
+      |FROM hstats h CROSS JOIN totals t""".stripMargin
+
   private def d46Hll(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sketches
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("v"))
@@ -6452,6 +6516,7 @@ object SparkEntry {
     "d47_url_canon" -> (d47UrlCanon _),
     "d48_hll_setops" -> (d48HllSetops _),
     "d49_host_caps" -> (d49HostCaps _),
+    "d50_host_quality" -> (d50HostQuality _),
     "q120_mv_rewrite" -> (q120MvRewrite _),
     "q121_mv_compensation" -> (q121MvCompensation _),
     "q122_mv_aggregates" -> (q122MvAggregates _),
@@ -7872,6 +7937,7 @@ object SparkEntry {
     "d47_url_canon" -> d47OracleSql,
     "d48_hll_setops" -> d48OracleSql,
     "d49_host_caps" -> d49OracleSql,
+    "d50_host_quality" -> d50OracleSql,
     "q120_mv_rewrite" -> q120OracleSql,
     "q121_mv_compensation" -> q121OracleSql,
     "q122_mv_aggregates" -> q122OracleSql,
