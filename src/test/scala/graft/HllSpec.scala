@@ -28,6 +28,12 @@ class HllSpec extends SparkSpec {
     val u = union.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     val m = shardMerged.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(u === m)
+    // the packaged API (d48's union path) is the same fold
+    val api = Sketches.hllMerge((0 until 4).map(s =>
+      Sketches.hllRegisters(
+        all.filter(pmod(col("v"), lit(4)) === s), col("v"), 8)))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(api === u)
   }
 
   test("rho matches an independent Long.numberOfTrailingZeros recomputation") {
