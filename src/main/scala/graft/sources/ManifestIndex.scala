@@ -210,6 +210,47 @@ object ManifestIndex {
     bloomPath(tablePath, c)
   }
 
+  /** Incrementally fold NEW data files into an existing bloom manifest —
+    * the bloom twin of [[append]]: word maps are computed over just the
+    * new files and appended into the bucketed layout (cost tracks the
+    * batch; untouched manifest buckets stay byte-stable). Files already
+    * present are refused. `numBits`/`numHashes` must match the build.
+    */
+  def appendBloom(spark: SparkSession, tablePath: String, c: String,
+      newFiles: Seq[String], numBits: Int, numHashes: Int,
+      buckets: Int = 16): String = {
+    require(newFiles.nonEmpty, "appendBloom needs at least one file")
+    import org.apache.spark.sql.GraftExpressionBridge.{column => gcol, expression => gexpr}
+    val pos = gcol(graft.functions.BloomPositions(
+      gexpr(col(c).cast("long")), numHashes, numBits))
+    val blooms = spark.read.parquet(newFiles: _*)
+      .select(col("_metadata.file_path").as("file"), explode(pos).as("p"))
+      .select(col("file"), (col("p") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").as("mask"))
+      .groupBy(col("file"), col("word"))
+      .agg(bit_or(col("mask")).as("bits"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("bloom"))
+      .withColumn("mf_bucket",
+        pmod(xxhash64(col("file")), lit(buckets.toLong)).cast("int"))
+    // presence guard, pruned to the batch's buckets (bounded collect)
+    val touched = blooms.select("mf_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val clash = spark.read.parquet(bloomPath(tablePath, c))
+      .withColumn("mf_bucket", col("mf_bucket").cast("int"))
+      .filter(col("mf_bucket").isin(touched.toIndexedSeq: _*))
+      .join(blooms.select("file"), Seq("file"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"bloom append: file already present: ${clash.headOption
+        .map(_.get(0)).getOrElse("")}")
+    blooms.repartition(col("mf_bucket"))
+      .write.mode("append").partitionBy("mf_bucket")
+      .parquet(bloomPath(tablePath, c))
+    bloomPath(tablePath, c)
+  }
+
   /** Files that might contain ANY of `values` in column `c`: for each
     * value the k bit positions are computed driver-side (the same
     * [[graft.functions.Bloom.position]] chain the build expanded) and

@@ -85,6 +85,57 @@ class BloomSkipSpec extends SparkSpec {
     assert(exp.size === 3)
   }
 
+  test("incremental bloom append == rebuild; untouched buckets byte-stable; dupes refused") {
+    val d = java.nio.file.Files.createTempDirectory("bloomapp").toFile
+    d.deleteOnExit()
+    val path = d.getPath + "/t"
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, (i.toLong * 2654435761L) % 1000000007L)
+    }.toDF("k", "v")
+    mk(1 to 8000).repartition(4, col("k"))
+      .write.mode("overwrite").parquet(path)
+    ManifestIndex.buildBloom(spark, path, "v", numBits, numHashes)
+    // new files arrive (appended data), bloom folds them incrementally
+    val before = parquetFileSigs(s"$path/_bloom_v")
+    mk(8001 to 10000).repartition(2, col("k"))
+      .write.mode("append").parquet(path)
+    val all = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.getAbsolutePath).toSeq
+    val preexisting = spark.read.parquet(s"$path/_bloom_v")
+      .select("file").collect().map(_.getString(0)).toSet
+    val newFiles = all.filterNot(f => preexisting.exists(_.endsWith(f.split("/").last)))
+    assert(newFiles.size === 2)
+    ManifestIndex.appendBloom(spark, path, "v", newFiles, numBits, numHashes)
+    // the appended manifest must serve like a rebuild: probe a value
+    // living in a NEW file and one in an OLD file — both owners survive
+    val vNew = (9000L * 2654435761L) % 1000000007L
+    val vOld = (100L * 2654435761L) % 1000000007L
+    val owners = fileOfIn(path, Seq(vNew, vOld))
+    Seq(vNew, vOld).foreach { v =>
+      val survivors = ManifestIndex
+        .bloomPrunedFiles(spark, path, "v", Seq(v), numBits, numHashes)
+      assert(survivors.contains(owners(v)),
+        s"owner of $v missing after incremental append")
+    }
+    // untouched-bucket byte-stability: every pre-append manifest file
+    // still present, byte-identical
+    val after = parquetFileSigs(s"$path/_bloom_v")
+    assert(before.forall { case (f, sig) => after.get(f).contains(sig) },
+      "pre-append bloom manifest files must stay byte-identical")
+    // re-appending the same files is refused
+    val err = intercept[IllegalArgumentException] {
+      ManifestIndex.appendBloom(spark, path, "v", newFiles, numBits, numHashes)
+    }
+    assert(err.getMessage.contains("already present"))
+  }
+
+  private def fileOfIn(path: String, vs: Seq[Long]): Map[Long, String] =
+    spark.read.parquet(path)
+      .filter(col("v").isin(vs: _*))
+      .select(col("v"), col("_metadata.file_path").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
   test("the sparse word map agrees with the driver-side position chain") {
     val v = (500L * 2654435761L) % 1000000007L
     val owner = fileOf(Seq(v))(v)
