@@ -4969,6 +4969,61 @@ object SparkEntry {
       |  h.sum_chars * t.total_docs >= t.total_chars * h.n_docs AS kept
       |FROM hstats h CROSS JOIN totals t""".stripMargin
 
+  /** Fill-in-the-middle transformation (d51 — Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * the PSM reordering code/infilling models train on — each document
+    * splits into (prefix, middle, suffix) and re-serializes as
+    * <PRE> prefix <SUF> suffix <MID> middle, teaching the model to
+    * generate the middle conditioned on both sides. Split points are
+    * deterministic doc_id arithmetic over the token count (reproducible
+    * corpus builds — the repo's id-hash discipline; real deployments
+    * randomize per epoch, which is exactly a seed parameter here), cut
+    * at whitespace-token boundaries via slice/array_join — pure Column
+    * ops, zero shuffles, and the oracle replays the same arithmetic
+    * with DuckDB list slicing. Documents under 3 tokens pass through
+    * unchanged (nothing to infill), flagged in the output.
+    */
+  private def d51FimSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // a in [1, n-1] tokens of prefix; b in [a, n-1]: suffix non-empty,
+    // middle may be empty (the paper keeps empty middles — they teach
+    // "nothing to insert")
+    val a = (lit(1) + pmod(col("doc_id") * 7, (n - 1).cast("long")).cast("int"))
+    val b = (a + pmod(col("doc_id") * 11, (n - a).cast("long")).cast("int"))
+    val fim = concat(
+      lit("<PRE> "), array_join(slice(toks, lit(1), a), " "),
+      lit(" <SUF> "), array_join(slice(toks, b + 1, n - b), " "),
+      lit(" <MID> "), array_join(slice(toks, a + 1, b - a), " "))
+    docs.select(col("doc_id"),
+      when(n >= 3, fim).otherwise(col("text")).as("fim_text"),
+      (n >= 3).as("infilled"))
+  }
+
+  private def d51OracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), cuts AS (
+      |  SELECT doc_id, text, toks, n,
+      |    CAST(1 + (doc_id * 7) % (n - 1) AS INT) AS a
+      |  FROM d
+      |), cuts2 AS (
+      |  SELECT doc_id, text, toks, n, a,
+      |    CAST(a + (doc_id * 11) % (n - a) AS INT) AS b
+      |  FROM cuts
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN n >= 3 THEN concat(
+      |    '<PRE> ', array_to_string(toks[1:a], ' '),
+      |    ' <SUF> ', array_to_string(toks[b+1:n], ' '),
+      |    ' <MID> ', array_to_string(toks[a+1:b], ' '))
+      |  ELSE text END AS fim_text,
+      |  n >= 3 AS infilled
+      |FROM cuts2""".stripMargin
+
   private def d46Hll(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sketches
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("v"))
@@ -6517,6 +6572,7 @@ object SparkEntry {
     "d48_hll_setops" -> (d48HllSetops _),
     "d49_host_caps" -> (d49HostCaps _),
     "d50_host_quality" -> (d50HostQuality _),
+    "d51_fim_split" -> (d51FimSplit _),
     "q120_mv_rewrite" -> (q120MvRewrite _),
     "q121_mv_compensation" -> (q121MvCompensation _),
     "q122_mv_aggregates" -> (q122MvAggregates _),
@@ -7938,6 +7994,7 @@ object SparkEntry {
     "d48_hll_setops" -> d48OracleSql,
     "d49_host_caps" -> d49OracleSql,
     "d50_host_quality" -> d50OracleSql,
+    "d51_fim_split" -> d51OracleSql,
     "q120_mv_rewrite" -> q120OracleSql,
     "q121_mv_compensation" -> q121OracleSql,
     "q122_mv_aggregates" -> q122OracleSql,
