@@ -5806,6 +5806,67 @@ object SparkEntry {
       |  AS total_price
       |FROM finalstate WHERE cust < 35 GROUP BY 1""".stripMargin
 
+  /** Summary-lattice view selection (q127): TWO views registered over
+    * one base — fine grain (cust, region) and coarse grain (region) —
+    * and the rewrite picks the COARSEST view that can answer
+    * (ascending grain width, first match; a grain or filter the coarse
+    * view lacks falls through to the fine one — spec-pinned). The
+    * entry's region-grain aggregate is REQUIRED to land on the coarse
+    * view: at 100 TB that is the difference between reading |regions|
+    * rows and |cust × region| rows, the classic summary-lattice
+    * navigation (Harinarayan et al. 1996). Oracle = the closed-form
+    * aggregate over the base.
+    */
+  private def q127MvLattice(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    val base = t(s, dir, "orders")
+      .select((col("o_custkey") % 30).as("cust"),
+        ((col("o_custkey") % 30) % 5).as("region"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val wh = s"$q40Scratch/mvlat_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val basePath = s"$wh/lat_base"
+    val fine = s"$wh/lat_fine"
+    val coarse = s"$wh/lat_coarse"
+    MvRegistry.deregister(s, basePath) // maintenance runs unregistered
+    base.write.mode("overwrite").parquet(basePath)
+    s.read.parquet(basePath).groupBy("cust", "region")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(fine)
+    s.read.parquet(basePath).groupBy("region")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(coarse)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, basePath, Seq(
+      MvRegistry.MvDef(fine, Set("cust", "region"),
+        Map("price" -> "sum_price"), "n"),
+      MvRegistry.MvDef(coarse, Set("region"),
+        Map("price" -> "sum_price"), "n")))
+    val q = s.read.parquet(basePath)
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total_price"))
+    val roots = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.nonEmpty && roots.forall(_.endsWith("lat_coarse")),
+      s"lattice selection must pick the coarse view: plan scans $roots")
+    q.select(col("region"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"))
+  }
+
+  private def q127OracleSql: String =
+    """SELECT (o_custkey % 30) % 5 AS region, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** MV rewrite: the wider aggregate shapes (q122) — MIN/MAX served
     * from the view's extrema partials (min of mins — exact on any
     * grain subset) and AVG from sum+count under the registrant's
@@ -6580,6 +6641,7 @@ object SparkEntry {
     "q124_bloom_skip" -> (q124BloomSkip _),
     "q125_stream_mv_serve" -> (q125StreamMvServe _),
     "q126_mv_refresh" -> (q126MvRefresh _),
+    "q127_mv_lattice" -> (q127MvLattice _),
     "v15_ann_filtered" -> (v15AnnFiltered _),
     "q94_rebucket" -> (q94Rebucket _),
     "d43_quality_classifier" -> (d43QualityClassifier _),
@@ -8002,6 +8064,7 @@ object SparkEntry {
     "q124_bloom_skip" -> q124OracleSql,
     "q125_stream_mv_serve" -> q125OracleSql,
     "q126_mv_refresh" -> q126OracleSql,
+    "q127_mv_lattice" -> q127OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -96,7 +96,7 @@ object MvRegistry {
       nonNullMeasures: Set[String] = Set.empty)
 
   private val reg =
-    scala.collection.concurrent.TrieMap.empty[String, MvDef]
+    scala.collection.concurrent.TrieMap.empty[String, Seq[MvDef]]
 
   private def qualify(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -105,16 +105,28 @@ object MvRegistry {
   }
 
   def register(spark: SparkSession, basePath: String, mv: MvDef): Unit =
+    register(spark, basePath, Seq(mv))
+
+  /** Register SEVERAL views over one base (different grains — the
+    * classic summary lattice). The rewrite tries them COARSEST first
+    * (fewest grain columns ≈ fewest rows) and takes the first that can
+    * answer, so a `GROUP BY region` lands on the region view while
+    * `GROUP BY region, day` falls to the finer one.
+    */
+  def register(spark: SparkSession, basePath: String, mvs: Seq[MvDef]): Unit = {
+    require(mvs.nonEmpty, "register needs at least one view")
     reg.put(qualify(spark, basePath),
-      mv.copy(mvPath = qualify(spark, mv.mvPath)))
+      mvs.map(mv => mv.copy(mvPath = qualify(spark, mv.mvPath)))
+        .sortBy(_.groupCols.size))
+  }
 
   def deregister(spark: SparkSession, basePath: String): Unit =
     reg.remove(qualify(spark, basePath))
 
-  private[plans] def find(rootPaths: Seq[String]): Option[MvDef] =
+  private[plans] def find(rootPaths: Seq[String]): Seq[MvDef] =
     rootPaths match {
-      case Seq(one) => reg.get(one)
-      case _ => None // multi-root scans are never a registered base
+      case Seq(one) => reg.getOrElse(one, Seq.empty)
+      case _ => Seq.empty // multi-root scans are never a registered base
     }
 }
 
@@ -169,22 +181,22 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if cond.deterministic =>
       def attempt(basePlan: LogicalPlan, dimPlan: LogicalPlan)
           : Option[LogicalPlan] =
-        for {
-          (roots, bc) <- baseShapeOf(basePlan)
-          mv <- MvRegistry.find(roots)
+        baseShapeOf(basePlan).flatMap { case (roots, bc) =>
           // a self-join (dim side also scans the base) is out of scope
-          if !relationRoots(dimPlan).exists(roots.contains)
-          res <- tryRewriteSafely(grouping, aggExprs, bc, mv,
-            Some(JoinCtx(dimPlan, cond, hint,
-              basePlan.outputSet, dimPlan.outputSet)))
-        } yield res
+          if (relationRoots(dimPlan).exists(roots.contains)) None
+          else MvRegistry.find(roots).view.flatMap(mv =>
+            tryRewriteSafely(grouping, aggExprs, bc, mv,
+              Some(JoinCtx(dimPlan, cond, hint,
+                basePlan.outputSet, dimPlan.outputSet)))).headOption
+        }
       attempt(l, r).orElse(attempt(r, l))
     case _ =>
-      for {
-        (roots, cond) <- baseShapeOf(child)
-        mv <- MvRegistry.find(roots)
-        res <- tryRewriteSafely(grouping, aggExprs, cond, mv, None)
-      } yield res
+      baseShapeOf(child).flatMap { case (roots, cond) =>
+        // coarsest-first view selection: the first registered view (by
+        // ascending grain width) that can answer wins
+        MvRegistry.find(roots).view.flatMap(mv =>
+          tryRewriteSafely(grouping, aggExprs, cond, mv, None)).headOption
+      }
   }
 
   /** A registration whose view/feed files have gone missing (dropped

@@ -475,6 +475,55 @@ class MvRewriteSpec extends SparkSpec {
     assert(!readsXmv(q), s"self-join must not rewrite, got ${scanRoots(q)}")
   }
 
+  test("multi-view selection: coarsest view that can answer wins; finer serves the rest") {
+    val d = java.nio.file.Files.createTempDirectory("mvrw_multi").toFile
+    d.deleteOnExit()
+    val basePath = d.getPath + "/mbase"
+    val fine = d.getPath + "/mv_fine"
+    val coarse = d.getPath + "/mv_coarse"
+    (1 to 600).map(i => (i.toLong, s"c${i % 6}", s"r${i % 3}", BigDecimal(i)))
+      .toDF("k", "cust", "region", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy("cust", "region")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(fine)
+    spark.read.parquet(basePath).groupBy("region")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(coarse)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, basePath, Seq(
+      MvRegistry.MvDef(fine, Set("cust", "region"),
+        Map("price" -> "sum_price"), "n"),
+      MvRegistry.MvDef(coarse, Set("region"),
+        Map("price" -> "sum_price"), "n")))
+    try {
+      def roots(df: org.apache.spark.sql.DataFrame) = scanRoots(df)
+      val qRegion = spark.read.parquet(basePath).groupBy("region")
+        .agg(sum(col("price")).as("t"))
+      assert(roots(qRegion).forall(_.endsWith("/mv_coarse")),
+        s"region grain should pick the coarse view, got ${roots(qRegion)}")
+      val qBoth = spark.read.parquet(basePath).groupBy("cust", "region")
+        .agg(count(lit(1)).as("n_rows"))
+      assert(roots(qBoth).forall(_.endsWith("/mv_fine")),
+        s"(cust, region) grain needs the fine view, got ${roots(qBoth)}")
+      // a cust filter disqualifies the coarse view even for a region
+      // grouping — selection falls through to the fine one
+      val qFiltered = spark.read.parquet(basePath)
+        .filter(col("cust") === "c1")
+        .groupBy("region").agg(count(lit(1)).as("n_rows"))
+      assert(roots(qFiltered).forall(_.endsWith("/mv_fine")),
+        s"cust filter must fall to the fine view, got ${roots(qFiltered)}")
+      // values agree with the base on all three
+      assert(qRegion.collect().map(r => BigDecimal(r.getDecimal(1))).sum ===
+        (1 to 600).map(BigDecimal(_)).sum)
+      assert(qBoth.collect().map(_.getLong(2)).sum === 600L)
+      assert(qFiltered.collect().map(_.getLong(1)).sum === 100L)
+    } finally MvRegistry.deregister(spark, basePath)
+  }
+
   test("a registration whose view files vanished falls back to the base scan") {
     val d = java.nio.file.Files.createTempDirectory("mvrw_gone").toFile
     d.deleteOnExit()
