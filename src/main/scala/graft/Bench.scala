@@ -149,8 +149,37 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // self-adjudication (r10 verdict #1): every file:// FS op is
+      // counted globally so each entry's steady run carries its FS-op
+      // fingerprint — load skew amplifies TIME but not op counts
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.core.CountingLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // per-entry Spark job/stage/task counts — the other half of the
+    // self-adjudication fingerprint. Counters are exact only after the
+    // async listener bus drains (GraftBenchBridge).
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    val stageCount = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stageCount.incrementAndGet()
+          taskCount.addAndGet(s.stageInfo.numTasks.toLong)
+        }
+      })
+    def profileSnapshot(): Map[String, Long] = {
+      org.apache.spark.GraftBenchBridge.drainListenerBus(spark.sparkContext)
+      graft.core.CountingLocalFileSystem.snapshot() ++ Map(
+        "jobs" -> jobCount.get, "stages" -> stageCount.get,
+        "tasks" -> taskCount.get)
+    }
 
     // Warm up: JVM + codegen + a first parquet read outside the clock.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -164,11 +193,18 @@ object Bench {
     // few queries — mirrors Verify's 3rd arg. The driver never sets it.
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val profiles = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, Long]]
     val raw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (0 until runs).map { _ =>
+      val times = (0 until runs).map { i =>
+        // the LAST run (the steady one under runs≥2) is profiled:
+        // job/stage/task + FS-op deltas land in BENCH_FULL.json next to
+        // the timing, so a slow capture is adjudicable from the artifact
+        val last = i == runs - 1
+        val pre = if (last) profileSnapshot() else Map.empty[String, Long]
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -176,20 +212,31 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $msg")
             err = Some(msg)
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (last && err.isEmpty)
+          profiles(name) = profileSnapshot().map { case (k, v) =>
+            k -> (v - pre(k)) }
+        sec
       }
       (name, times.min, times.head, err)
     }
     val results = raw.collect { case (n, s, c, None) => (n, s, c) }
     val failed = raw.collect { case (n, _, _, Some(_)) => n }
 
-    // check-mode load-skew defense: re-measure over-budget entries once
-    // while the session (and its entry caches) is still warm — see
-    // [[recheck]]. The re-measured timings ride along in BENCH_FULL.json.
+    // Load-skew defense: re-measure over-budget entries once while the
+    // session (and its entry caches) is still warm — see [[recheck]].
+    // Runs on EVERY invocation that can see a budgets file, not just
+    // `--check` (r10 verdict #1: the driver's plain run lacked the
+    // re-measure semantics, and its skewed capture took a judge re-run
+    // to overturn); `--check` additionally gates the exit code on the
+    // outcome. The re-measured timings ride along in BENCH_FULL.json.
     val checkBudgets: Map[String, Double] =
-      if (check) parseBudgets(budgetPath) else Map.empty
+      if (check || java.nio.file.Files.exists(
+          java.nio.file.Paths.get(budgetPath)))
+        parseBudgets(budgetPath)
+      else Map.empty
     val (violations, remeasured) =
-      if (check)
+      if (checkBudgets.nonEmpty)
         recheck(checkBudgets, results.map(t => (t._1, t._2)), { name =>
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
@@ -226,7 +273,15 @@ object Bench {
       .map { case (n, s) => "\"" + n + "\":" +
         (if (java.lang.Double.isFinite(s)) s.toString else "null") }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"total_cold":$totalCold,"remeasured":$remJson,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+    // per-entry steady-run fingerprint: Spark jobs/stages/tasks + FS ops
+    // — the self-adjudication data (identical counts + slower wall time
+    // = load; changed counts = a real plan/protocol change)
+    val profJson = profiles.toSeq.sortBy(_._1).map { case (n, p) =>
+      "\"" + n + "\":" + p.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"total_cold":$totalCold,"remeasured":$remJson,"failed":$failedJson,"runs":$runs,"sf":"$sfDir","profile":$profJson}"""
     println(fullJson)
     // the durable per-round artifact: stdout capture gets truncated by
     // harnesses, this file never does. Skipped under a BENCH_ONLY filter

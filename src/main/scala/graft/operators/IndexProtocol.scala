@@ -80,15 +80,20 @@ private[graft] object IndexProtocol {
   private def readFrontier(fs: FileSystem, commitsDir: Path,
       name: String): Long = {
     val p = new Path(commitsDir, name)
-    if (!fs.exists(p)) Long.MinValue
-    else readLines(fs, p).headOption.map(_.toLong).getOrElse(Long.MinValue)
+    readLinesIfExists(fs, p).flatMap(_.headOption).map(_.toLong)
+      .getOrElse(Long.MinValue)
   }
 
   def commitsState(fs: FileSystem, commitsDir: Path): CommitsState = {
-    if (!fs.exists(commitsDir))
-      return CommitsState(Set.empty, Set.empty, Set.empty, Set.empty,
-        Long.MinValue, Long.MinValue, Nil)
-    val names = fs.listStatus(commitsDir).map(_.getPath.getName).toSeq.sorted
+    // one metadata call, not exists+list: a missing dir IS the empty
+    // state (serving calls run this 2× per pin dance — fixed per-serve
+    // metadata round trips amplify under contention, r10 verdict #1)
+    val names =
+      try fs.listStatus(commitsDir).map(_.getPath.getName).toSeq.sorted
+      catch { case _: java.io.FileNotFoundException =>
+        return CommitsState(Set.empty, Set.empty, Set.empty, Set.empty,
+          Long.MinValue, Long.MinValue, Nil)
+      }
     def ids(prefix: String): Set[Long] = names.iterator
       .filter(_.startsWith(prefix))
       .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
@@ -242,6 +247,14 @@ private[graft] object IndexProtocol {
     finally in.close()
   }
 
+  /** `readLines` for maybe-absent protocol files in ONE metadata call —
+    * open and catch, instead of exists-then-read (each serving call
+    * probes the dirty flag twice through this).
+    */
+  def readLinesIfExists(fs: FileSystem, p: Path): Option[Seq[String]] =
+    try Some(readLines(fs, p))
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** Write `lines` to `p` atomically: dot-tmp in the same directory,
     * then rename over. Readers see the old content or the new, never a
     * prefix. (Local/HDFS rename does not replace an existing target, so
@@ -262,39 +275,118 @@ private[graft] object IndexProtocol {
       throw new java.io.IOException(s"writeLinesAtomic: rename $tmp -> $p failed")
   }
 
-  /** Acquire (or re-acquire) the single-writer lease under `commitsDir`.
-    * Same `writerId` → success (restart/redelivery of the owning
-    * writer). Different id → IllegalStateException, loudly. First
-    * acquisition races are decided by rename-no-replace.
+  /** Parsed lease state: legacy single-line leases (writerId only,
+    * pre-liveness) read as epoch 0.
+    */
+  private def readLease(fs: FileSystem, lease: Path): Option[(String, Long)] =
+    readLinesIfExists(fs, lease).map { ls =>
+      (ls.headOption.getOrElse(""),
+        ls.lift(1).flatMap(e => scala.util.Try(e.toLong).toOption)
+          .getOrElse(0L))
+    }
+
+  /** Acquire (or re-acquire) the single-writer lease under `commitsDir`;
+    * returns the lease EPOCH the caller must present back at its commit
+    * points ([[assertLease]]).
+    *
+    * Same `writerId` → success, and the re-acquire refreshes the lease
+    * file's mtime — the HEARTBEAT (a streamed writer re-acquires every
+    * batch, so a live stream's lease is never older than its batch
+    * interval). Different id → IllegalStateException, loudly — UNLESS
+    * the caller passed a finite `ttlMs` and the lease's heartbeat is
+    * older than it: then the owner is presumed DEAD and this writer
+    * FENCES it, taking the lease at `epoch + 1`. The fenced writer's
+    * next protocol step fails loudly: its re-acquire sees a foreign
+    * owner, and its in-flight commit point fails [[assertLease]] on the
+    * epoch bump. (Without this, a writer that died without
+    * [[releaseLease]] pinned the index forever — the r10 verdict's
+    * first operational page at 100 TB.)
+    *
+    * `ttlMs` must be comfortably larger than the owner's heartbeat
+    * interval (its trigger/batch cadence); Long.MaxValue (the default)
+    * disables fencing entirely — the pre-liveness behavior.
+    *
+    * Races: first acquisition is decided by rename-no-replace. A fence
+    * race between two successors is narrowed the same way (each renames
+    * its own candidate, then re-reads), and whichever id the lease file
+    * finally holds wins at every subsequent [[assertLease]]/re-acquire —
+    * on an object store the rename pair becomes a conditional put.
     */
   def acquireLease(fs: FileSystem, commitsDir: Path, writerId: String,
-      what: String): Unit = {
+      what: String, ttlMs: Long = Long.MaxValue): Long = {
     val lease = new Path(commitsDir, "writer")
-    def ownerOf(p: Path): String = readLines(fs, p).headOption.getOrElse("")
-    if (fs.exists(lease)) {
-      val owner = ownerOf(lease)
-      if (owner != writerId)
-        throw new IllegalStateException(
-          s"$what: index is leased to writer '$owner'; this writer is " +
-            s"'$writerId'. A second concurrent stream on one index would " +
-            "corrupt derived state — decommission the owner and call " +
-            "releaseLease first.")
-      return
+    readLease(fs, lease) match {
+      case Some((owner, epoch)) if owner == writerId =>
+        // heartbeat: refresh mtime so a finite-TTL successor sees life
+        try fs.setTimes(lease, System.currentTimeMillis(), -1)
+        catch { case _: java.io.FileNotFoundException => () }
+        epoch
+      case Some((owner, epoch)) =>
+        val ageMs =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lease).getModificationTime
+          catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        if (ttlMs == Long.MaxValue || ageMs <= ttlMs)
+          throw new IllegalStateException(
+            s"$what: index is leased to writer '$owner' (epoch $epoch, " +
+              s"heartbeat ${ageMs / 1000}s ago" +
+              (if (ttlMs == Long.MaxValue) "" else s", ttl ${ttlMs / 1000}s") +
+              s"); this writer is '$writerId'. A second concurrent stream " +
+              "on one index would corrupt derived state — decommission the " +
+              "owner and call releaseLease, or pass a ttl to fence a dead one.")
+        // heartbeat expired: fence the dead owner at epoch + 1
+        writeLease(fs, commitsDir, lease, writerId, epoch + 1)
+        readLease(fs, lease) match {
+          case Some((o, e)) if o == writerId => e
+          case Some((o, _)) => throw new IllegalStateException(
+            s"$what: lost the fence race to writer '$o' (this writer is " +
+              s"'$writerId')")
+          case None => throw new IllegalStateException(
+            s"$what: lease vanished mid-fence — is releaseLease racing?")
+        }
+      case None =>
+        writeLease(fs, commitsDir, lease, writerId, 0L, replace = false)
+        readLease(fs, lease) match {
+          case Some((o, e)) if o == writerId => e
+          case Some((o, _)) => throw new IllegalStateException(
+            s"$what: lost the lease race to writer '$o' (this writer is " +
+              s"'$writerId')")
+          case None => throw new IllegalStateException(
+            s"$what: lease vanished mid-acquire — is releaseLease racing?")
+        }
     }
+  }
+
+  private def writeLease(fs: FileSystem, commitsDir: Path, lease: Path,
+      writerId: String, epoch: Long, replace: Boolean = true): Unit = {
     fs.mkdirs(commitsDir)
     val tmp = new Path(commitsDir, s".writer.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
-    try out.write((writerId + "\n").getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, lease)) {
-      // lost the race — someone renamed first; defer to them
-      fs.delete(tmp, false)
-      val owner = ownerOf(lease)
-      if (owner != writerId)
-        throw new IllegalStateException(
-          s"$what: lost the lease race to writer '$owner' (this writer is " +
-            s"'$writerId')")
-    }
+    try out.write(s"$writerId\n$epoch\n".getBytes("UTF-8")) finally out.close()
+    if (replace) fs.delete(lease, false)
+    if (!fs.rename(tmp, lease)) fs.delete(tmp, false) // lost: caller re-reads
   }
+
+  /** Commit-point fence check: the caller (holding `epoch` from its
+    * [[acquireLease]]) is still the lease's owner at the SAME epoch.
+    * Called immediately before the irreversible protocol step (commit
+    * marker / version manifest), so a writer fenced mid-protocol
+    * refuses to publish instead of interleaving with its successor.
+    * One tiny read per batch commit.
+    */
+  def assertLease(fs: FileSystem, commitsDir: Path, writerId: String,
+      epoch: Long, what: String): Unit =
+    readLease(fs, new Path(commitsDir, "writer")) match {
+      case Some((o, e)) if o == writerId && e == epoch => ()
+      case Some((o, e)) => throw new IllegalStateException(
+        s"$what: FENCED — lease now held by '$o' at epoch $e (this writer " +
+          s"is '$writerId' at epoch $epoch). Refusing to publish: a fenced " +
+          "writer's interleaved commits would corrupt derived state.")
+      case None => throw new IllegalStateException(
+        s"$what: lease file missing at commit point (this writer is " +
+          s"'$writerId' at epoch $epoch) — released while a protocol step " +
+          "was in flight?")
+    }
 
   /** Hand the index over: removes the writer lease so a NEW writer id
     * may acquire it. Only safe once the owning stream is stopped.

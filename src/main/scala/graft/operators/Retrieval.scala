@@ -125,6 +125,28 @@ object Retrieval {
         col("r.score").as("score"))
   }
 
+  /** Driver-side replica of the layouts' bucketing expression
+    * `pmod(xxhash64(term), buckets)` — the SAME XXH64 (seed 42) Spark's
+    * `xxhash64` Column evaluates, called on the term's UTF-8 bytes
+    * directly. Every serving call used to compute its handful of bucket
+    * ids through a one-row Spark job ("local-data job"); at 1–3 such
+    * jobs per serve the fixed job-submission round trips were the
+    * protocol family's contention amplifier (r10 verdict: 5–17× under
+    * box load while scan entries drifted 1.15×). Bit-equality with the
+    * Column form is spec-pinned (BenchProfileSpec) — a drift here would
+    * silently prune the WRONG buckets.
+    */
+  private[graft] def termBucket(term: String, buckets: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    val m = (h % buckets).toInt
+    if (m < 0) m + buckets else m
+  }
+
+  private[graft] def termBuckets(terms: Seq[String], buckets: Int): Seq[Int] =
+    terms.map(termBucket(_, buckets)).distinct.sorted
+
   /** Collect the (bounded, serving-side) query workload to the driver:
     * (query_id, term) pairs plus the sorted distinct term list. Queries
     * are requests, not a corpus — materializing them once keeps their
@@ -241,13 +263,11 @@ object Retrieval {
       .withColumn("vocab_bucket", col("vocab_bucket").cast("int"))
     if (terms.isEmpty) base
     else {
-      // bucket ids via the engine's own xxhash64 — local-data job,
-      // cast-free partition pruning (the queryBm25Index discipline)
-      val hit = terms.toDF("term")
-        .select(pmod(xxhash64(col("term")), lit(vocabBuckets.toLong))
-          .cast("int").as("b"))
-        .distinct().collect().map(_.getInt(0)).sorted
-      base.filter(col("vocab_bucket").isin(hit.toIndexedSeq: _*)
+      // bucket ids via the driver-side xxhash64 replica ([[termBucket]],
+      // spec-pinned == the engine's) — cast-free partition pruning with
+      // zero extra Spark jobs per serve
+      val hit = termBuckets(terms, vocabBuckets)
+      base.filter(col("vocab_bucket").isin(hit: _*)
         && col("term").isin(terms: _*))
     }
   }
@@ -436,7 +456,7 @@ object Retrieval {
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
     val commitsDir = path(s"${name}_commits")
     val fs = commitsDir.getFileSystem(conf)
-    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+    val leaseEpoch = IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"appendBm25IndexBatch($name)")
     val marker = path(s"${name}_commits/batch_$batchId")
     val stagedMf = path(s"${name}_commits/staged_$batchId")
@@ -452,6 +472,8 @@ object Retrieval {
     // the marker and wait for a batch with rows. Checked only while
     // stats are absent, so the isEmpty job never runs in steady state.
     if (!fs.exists(path(s"${name}_stats")) && newDocs.isEmpty) {
+      IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+        s"appendBm25IndexBatch($name)")
       fs.create(marker, true).close(); return
     }
     val postRoot = path(s"${name}_postings")
@@ -580,6 +602,10 @@ object Retrieval {
           writeStats(n0 + bStat._1, s0 + bStat._2)
       }
       // ---- step 4: commit, then clear the flags ----
+      // fence check at the point of no return: a writer fenced (lease
+      // epoch bumped by a TTL successor) mid-protocol must NOT publish
+      IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+        s"appendBm25IndexBatch($name)")
       fs.create(marker, true).close()
       fs.delete(dirty, false)
       fs.delete(stagedMf, false)
@@ -876,7 +902,7 @@ object Retrieval {
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
     val commitsDir = path(s"${name}_commits")
     val fs = commitsDir.getFileSystem(conf)
-    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+    val leaseEpoch = IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"deleteFromBm25IndexBatch($name)")
     val marker = path(s"${name}_commits/del_$batchId")
     val state = path(s"${name}_commits/delstate_$batchId")
@@ -1013,6 +1039,8 @@ object Retrieval {
         .toDF("n_docs", "sum_dl"))
 
     // ---- step 7: commit, clear the write-ahead files ----
+    IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+      s"deleteFromBm25IndexBatch($name)")
     fs.create(marker, true).close()
     cleanup()
   }
@@ -1188,53 +1216,79 @@ object Retrieval {
     val fs = commitsDir.getFileSystem(conf)
     val dirtyP = path(s"${name}_vocab_dirty")
     def dirtyLines(): Seq[String] =
-      if (fs.exists(dirtyP)) IndexProtocol.readLines(fs, dirtyP) else Nil
+      IndexProtocol.readLinesIfExists(fs, dirtyP).getOrElse(Nil)
 
     val (base, state, dirty) = IndexProtocol.pinnedSnapshot(fs, commitsDir,
       () => dirtyLines(),
       () => writer.read(spark, s"${name}_postings"),
       s"queryBm25Index($name)")
 
-    // bucket list via the engine's own xxhash64 (one local-data job, no
-    // corpus scan) — keeps the pruning predicate in the partition
-    // column's written type (int), so pruning stays cast-free; the
-    // uncommitted-file exclusion wraps the PRUNED scan (input_file_name
-    // is nondeterministic — below it, the prune would not push down)
+    // bucket list via the driver-side xxhash64 replica ([[termBucket]] —
+    // no Spark job at all; the max-score path calls this closure three
+    // times per serve, and each former "local-data job" was a fixed
+    // driver round trip that amplified under box contention). The
+    // pruning predicate stays in the partition column's written type
+    // (int), so pruning stays cast-free; the uncommitted-file exclusion
+    // wraps the PRUNED scan (input_file_name is nondeterministic —
+    // below it, the prune would not push down)
     val posts: Seq[String] => DataFrame = terms =>
       if (terms.isEmpty) base.limit(0)
-      else {
-        val hit = terms.toDF("term")
-          .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
-            .as("b"))
-          .distinct().collect().map(_.getInt(0)).sorted
-        IndexProtocol.excludeUncommitted(
-          base.filter(col("term_bucket").isin(hit.toIndexedSeq: _*)
-            && col("term").isin(terms: _*)),
-          state.uncommittedAppends)
-      }
+      else IndexProtocol.excludeUncommitted(
+        base.filter(col("term_bucket").isin(termBuckets(terms, buckets): _*)
+          && col("term").isin(terms: _*)),
+        state.uncommittedAppends)
 
     val liveDirty = dirty.nonEmpty &&
       dirty.headOption.exists(h => !state.isCommitted(h.toLong))
     if (liveDirty && dirty.lift(1).contains("bootstrap"))
       return None // no batch ever committed: the snapshot is an empty index
 
-    val (nDocs, avgdl) =
-      if (liveDirty) {
+    // clean path: stats (one row) and the query terms' dfs come back in
+    // ONE collect — the two frames are tiny, and fusing them halves the
+    // serve's driver round trips (fixed per-serve job submissions are
+    // the contention amplifier, r10 verdict #1). The stats row rides
+    // under a space-containing pseudo-term no real term can collide
+    // with (terms come from splitting on space, so they never contain
+    // one; an empty corpus has no terms at all).
+    val (nDocs, avgdl, dfs): (Long, Double, Map[String, Long]) =
+      if (!liveDirty) {
+        val statsRow = writer.read(spark, s"${name}_stats")
+          .select(lit(" stats ").as("term"), col("n_docs").as("a"),
+            col("sum_dl").as("b"))
+        val vocabRows = vocabPruned(spark, writer, name, qTerms, vocabBuckets)
+          .select(col("term"), col("df").as("a"), lit(0L).as("b"))
+        val all = vocabRows.unionAll(statsRow).collect()
+          .map(r => (r.getAs[String]("term"), r.getAs[Long]("a"),
+            r.getAs[Long]("b")))
+        val (statRows, dfRows) = all.partition(_._1 == " stats ")
+        val (n, s) = statRows.headOption.map(t => (t._2, t._3))
+          .getOrElse((0L, 0L))
+        if (n <= 0L) return None
+        (n, s.toDouble / n.toDouble,
+          dfRows.map(t => t._1 -> t._2).toMap)
+      } else {
         val Array(n0, s0) = dirty(1).split("\t").map(_.toLong)
         if (n0 <= 0L) return None
-        (n0, s0.toDouble / n0.toDouble)
-      } else {
-        val r = writer.read(spark, s"${name}_stats").collect()(0)
-        val n = r.getAs[Long]("n_docs")
-        (n, r.getAs[Long]("sum_dl").toDouble / n.toDouble)
+        (n0, s0.toDouble / n0.toDouble,
+          dirtyDfs(spark, writer, name, qTerms, buckets, vocabBuckets,
+            fs, dirty, posts))
       }
+    Some((posts, nDocs, avgdl, dfs))
+  }
 
-    val dfs: Map[String, Long] =
-      if (!liveDirty)
-        vocabPruned(spark, writer, name, qTerms, vocabBuckets)
-          .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
-          .toMap
-      else {
+  /** The dirty-flag serving path's df resolution, factored out of
+    * [[bm25ServingView]]: clean vocab buckets are read normally, the
+    * crashed batch's touched buckets get their dfs recomputed from the
+    * committed postings. Rare path (only live while a crashed append
+    * awaits redelivery) — not job-count-optimized.
+    */
+  private def dirtyDfs(spark: org.apache.spark.sql.SparkSession,
+      writer: graft.sources.TableWriter, name: String, qTerms: Seq[String],
+      buckets: Int, vocabBuckets: Int,
+      fs: org.apache.hadoop.fs.FileSystem, dirty: Seq[String],
+      posts: Seq[String] => DataFrame): Map[String, Long] = {
+    def path(p: String): org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(writer.path(p))
         // the crashed merge can only have touched the batch's own vocab
         // buckets — derivable from its staged manifest (postings bucket b
         // holds terms of vocab bucket b % vocabBuckets when the layouts
@@ -1248,15 +1302,8 @@ object Retrieval {
             }.toSet
           } else (0 until vocabBuckets).toSet
         }
-        val vbOf: Map[String, Int] =
-          if (qTerms.isEmpty) Map.empty
-          else qTerms.toDF("term")
-            .select(col("term"),
-              pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int")
-                .as("vb"))
-            .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
         val (touchedTerms, cleanTerms) =
-          qTerms.partition(t => touchedVb.contains(vbOf(t)))
+          qTerms.partition(t => touchedVb.contains(termBucket(t, vocabBuckets)))
         val cleanDfs: Map[String, Long] =
           if (cleanTerms.isEmpty) Map.empty
           else vocabPruned(spark, writer, name, cleanTerms, vocabBuckets)
@@ -1269,8 +1316,6 @@ object Retrieval {
             .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
             .toMap
         cleanDfs ++ touchedDfs
-      }
-    Some((posts, nDocs, avgdl, dfs))
   }
 
   /** Query a persisted BM25 index: stats and the query terms' dfs are
@@ -1617,7 +1662,7 @@ object Retrieval {
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
     val commitsDir = path(s"${name}_pos_commits")
     val fs = commitsDir.getFileSystem(conf)
-    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+    val leaseEpoch = IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"appendPositionalIndexBatch($name)")
     val marker = path(s"${name}_pos_commits/batch_$batchId")
     val stagedMf = path(s"${name}_pos_commits/staged_$batchId")
@@ -1635,6 +1680,8 @@ object Retrieval {
     IndexProtocol.moveStagedIn(fs, stage, posRoot,
       partitionPrefix = "term_bucket=", batchPrefix = s"b$batchId-",
       manifest = stagedMf)
+    IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+      s"appendPositionalIndexBatch($name)")
     fs.create(marker, true).close()
     fs.delete(stagedMf, false)
   }
@@ -1659,7 +1706,7 @@ object Retrieval {
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
     val commitsDir = path(s"${name}_pos_commits")
     val fs = commitsDir.getFileSystem(conf)
-    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+    val leaseEpoch = IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"deleteFromPositionalIndexBatch($name)")
     val marker = path(s"${name}_pos_commits/del_$batchId")
     if (IndexProtocol.isMarked(fs, commitsDir, s"del_$batchId",
@@ -1679,9 +1726,15 @@ object Retrieval {
       fs.create(flag, true).close()
       deleteFromPositionalIndex(victims, writer, name, buckets,
         idCol, textCol)
+      IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+        s"deleteFromPositionalIndexBatch($name)")
       fs.create(marker, true).close()
       fs.delete(flag, false)
-    } else fs.create(marker, true).close()
+    } else {
+      IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+        s"deleteFromPositionalIndexBatch($name)")
+      fs.create(marker, true).close()
+    }
   }
 
   /** Drive a positional (phrase-search) index from a table's CDC change
@@ -1756,12 +1809,10 @@ object Retrieval {
       ts.zipWithIndex.map { case (t, i) => (q, t, i, ts.length) } }
     val qDf = qOff.toDF("query_id", "term", "off", "plen")
     val qTerms = qOff.map(_._2).distinct.sorted
-    // bucket ids via the engine's own xxhash64 (local-data job), pruning
-    // predicate stays in the written int type — same as queryBm25Index
-    val hit = qTerms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
-        .as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    // bucket ids via the driver-side xxhash64 replica (zero extra jobs
+    // per serve), pruning predicate stays in the written int type —
+    // same as queryBm25Index
+    val hit = termBuckets(qTerms, buckets)
     // snapshot-resolved positions scan — the positional family has no
     // derived vocab/stats, so the whole guarantee is the pinned scan +
     // uncommitted-batch file exclusion + delete-leg refusal (see

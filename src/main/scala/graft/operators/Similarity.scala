@@ -708,7 +708,7 @@ object Similarity {
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
     val commitsDir = path(s"${name}_ivf_commits")
     val fs = commitsDir.getFileSystem(conf)
-    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+    val leaseEpoch = IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"appendIvfIndexBatch($name)")
     val marker = path(s"${name}_ivf_commits/batch_$batchId")
     val stagedMf = path(s"${name}_ivf_commits/staged_$batchId")
@@ -724,6 +724,8 @@ object Similarity {
       // an empty batch on an unborn index (a delete-only first feed
       // batch routed through the append leg): nothing to train on —
       // commit the marker and wait for a batch with vectors
+      IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+        s"appendIvfIndexBatch($name)")
       fs.create(marker, true).close()
       return
     }
@@ -759,6 +761,9 @@ object Similarity {
         partitionPrefix = "cent_id=", batchPrefix = s"b$batchId-",
         manifest = stagedMf)
     }
+    // fence check at the point of no return (see appendBm25IndexBatch)
+    IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+      s"appendIvfIndexBatch($name)")
     fs.create(marker, true).close()
     fs.delete(stagedMf, false)
   }
@@ -811,7 +816,7 @@ object Similarity {
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
     val commitsDir = path(s"${name}_ivf_commits")
     val fs = commitsDir.getFileSystem(conf)
-    IndexProtocol.acquireLease(fs, commitsDir, writerId,
+    val leaseEpoch = IndexProtocol.acquireLease(fs, commitsDir, writerId,
       s"deleteFromIvfIndexBatch($name)")
     val marker = path(s"${name}_ivf_commits/del_$batchId")
     if (IndexProtocol.isMarked(fs, commitsDir, s"del_$batchId",
@@ -830,9 +835,15 @@ object Similarity {
       fs.create(flag, true).close()
       deleteFromIvfIndex(victims, writer, name, idCol, vecCol)
       vacuumIvfIndex(spark, writer, name)
+      IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+        s"deleteFromIvfIndexBatch($name)")
       fs.create(marker, true).close()
       fs.delete(flag, false)
-    } else fs.create(marker, true).close()
+    } else {
+      IndexProtocol.assertLease(fs, commitsDir, writerId, leaseEpoch,
+        s"deleteFromIvfIndexBatch($name)")
+      fs.create(marker, true).close()
+    }
   }
 
   /** Drive the IVF index from a table's CDC change feed — the vector
