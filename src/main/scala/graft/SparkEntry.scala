@@ -5867,6 +5867,274 @@ object SparkEntry {
       |    AS total_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** MV rewrite over a CATALOG-TABLE base (q128 — the r10 verdict's
+    * Missing #2): the base is a `saveAsTable` table (the engine's own
+    * S3-materialization path), matched by its catalog identifier via
+    * [[graft.plans.MvRegistry.registerTable]] rather than a scan root
+    * path — so `spark.table(...)`/SQL queries against the table rewrite
+    * to the summary view exactly like path-read bases. The entry
+    * REQUIRES the optimized plan to scan only the view.
+    */
+  private val mvCatCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  private def q128MvCatalogBase(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val (tbl, mvPath) = mvCatCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/mvcat_$hex"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val tb = s"mv_cat_base_$hex"
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_custkey") % 45).as("cust"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .write.mode("overwrite").option("path", s"$wh/cat_base")
+        .saveAsTable(tb)
+      s.table(tb).groupBy("cust")
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+        .write.mode("overwrite").parquet(s"$wh/cat_mv")
+      (tb, s"$wh/cat_mv")
+    })
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.registerTable(s, tbl, MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n"))
+    val q = s.table(tbl).groupBy("cust")
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total_price"))
+    val roots = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.nonEmpty && roots.forall(_.endsWith("cat_mv")),
+      s"catalog-table base must rewrite to the view: plan scans $roots")
+    q.select(col("cust"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"))
+  }
+
+  private def q128OracleSql: String =
+    """SELECT o_custkey % 45 AS cust, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Compensated EXTREMA (q129 — the r10 verdict's Missing #2 tail +
+    * Next-round #5): MIN/MAX served from a STALE view. Changes in the
+    * feed tail can only affect the grains they touch, so the rewrite
+    * NULL-masks the view's extrema on touched grains and re-supplies
+    * them from a delta-bounded (left-semi) recompute over the query's
+    * own base subtree — the tail deletes group maxima here, exactly the
+    * case a naive min-of-mins would get wrong. COUNT/SUM still
+    * compensate additively in the same aggregate. The entry REQUIRES
+    * the plan to read view + base (semi-joined), and the oracle is the
+    * fresh closed form.
+    */
+  private val mvExtCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q129MvCompExtrema(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 40).as("cust"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val w = mvExtCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/mvext_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val wr = new graft.sources.TableWriter(wh)
+      MvRegistry.deregister(s, wr.path("ext_base"))
+      wr.mergeByKeyCdc(s, "ext_base", o.filter(col("k") % 2 === 0),
+        "k", batchId = 1L)
+      s.read.parquet(wr.path("ext_base")).groupBy("cust")
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"),
+          min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+        .write.mode("overwrite").parquet(s"$wh/ext_mv")
+      // the tail the view has NOT folded: updates raise some prices,
+      // deletes remove rows — including group maxima
+      wr.mergeByKeyCdc(s, "ext_base",
+        o.filter(col("k") % 2 === 0 && col("k") % 13 === 1)
+          .withColumn("price",
+            (col("price") + lit(5000).cast("decimal(18,2)"))
+              .cast("decimal(18,2)")),
+        "k", batchId = 2L)
+      wr.deleteByKeyCdc(s, "ext_base",
+        o.filter(col("k") % 2 === 0 && col("k") % 11 === 3).select("k"),
+        "k", batchId = 3L)
+      wr
+    })
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, w.path("ext_base"), MvRegistry.MvDef(
+      s"${w.path("ext_mv")}", Set("cust"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(w.path("ext_base_changes"), frontier = 1L)),
+      minCols = Map("price" -> "min_price"),
+      maxCols = Map("price" -> "max_price")))
+    val q = s.read.parquet(w.path("ext_base")).groupBy("cust")
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"),
+        count(lit(1)).as("n_orders"), sum(col("price")).as("total_price"))
+    val plan = q.queryExecution.optimizedPlan
+    val roots = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.exists(_.endsWith("ext_mv")),
+      s"compensated extrema must still read the view: plan scans $roots")
+    require(roots.exists(_.endsWith("ext_base")),
+      s"touched grains must recompute from the base: plan scans $roots")
+    require(plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }.nonEmpty, "base recompute must be semi-joined to the touched grains")
+    q.select(col("cust"), col("lo").cast("double").as("lo"),
+      col("hi").cast("double").as("hi"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"))
+  }
+
+  private def q129OracleSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_custkey % 40 AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |), fin AS (
+      |  SELECT cust,
+      |    CAST(CASE WHEN k % 13 = 1 THEN price + 5000 ELSE price END
+      |      AS DECIMAL(18,2)) AS price
+      |  FROM src WHERE k % 11 <> 3
+      |)
+      |SELECT cust, CAST(MIN(price) AS DOUBLE) AS lo,
+      |  CAST(MAX(price) AS DOUBLE) AS hi, COUNT(*) AS n_orders,
+      |  CAST(SUM(price) AS DOUBLE) AS total_price
+      |FROM fin GROUP BY 1""".stripMargin
+
+  /** The streaming MV loop CLOSED with retention (q130 — the r10
+    * verdict's Next-round #8, composing q125 + q126 + q115): a real
+    * readStream maintains the base via foreachBatch → mergeByKeyCdc;
+    * [[graft.sources.MvMaintain]] refreshes the view with its durable
+    * frontier advancing; and BETWEEN refreshes `truncateChangeFeed`
+    * drops every feed batch below the registered frontier — the CompDef
+    * low-water-mark contract exercised end to end: compensation reads
+    * only batches PAST the frontier, so truncation of applied history
+    * is invisible, and answers stay exactly fresh in BOTH phases
+    * (stale view + surviving tail; refreshed view + zero tail). Plan
+    * shapes REQUIRED per phase; oracle = the final closed form × 2.
+    */
+  private def q130MvStreamRetention(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    import graft.sources.MvMaintain
+    val e = t(s, dir, "events")
+      .select(col("event_id"), (col("user_id") % 25).as("grp"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q130_").toString
+    e.withColumn("__c", pmod(col("event_id"), lit(4)).cast("int"))
+      .repartition(col("__c"))
+      .write.partitionBy("__c").parquet(s"$stage/chunks")
+    val wh = s"$q40Scratch/mvret_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val w = new graft.sources.TableWriter(wh)
+    MvRegistry.deregister(s, w.path("ev_rbase"))
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/chunks/__c=*")
+    val sq = stream.writeStream
+      .option("checkpointLocation", s"$stage/_ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        w.mergeByKeyCdc(s, "ev_rbase", batch, "event_id", batchId = id)
+        ()
+      }
+      .start()
+    try sq.processAllAvailable() finally sq.stop()
+    val mvPath = s"$wh/ev_rmv"
+    val vdef = MvMaintain.ViewDef(Seq("grp"), Map("v" -> "sum_v"), "n")
+    val fr1 = MvMaintain.refresh(s, w.path("ev_rbase_changes"), mvPath, vdef)
+    require(fr1 == 3L, s"first refresh frontier: $fr1")
+    // retention: applied history (< frontier) is dropped mid-loop —
+    // the registered frontier IS the consumer's low-water mark
+    w.truncateChangeFeed(s, "ev_rbase", beforeBatchId = fr1)
+    // the table keeps moving past the view: updates + deletes
+    w.mergeByKeyCdc(s, "ev_rbase",
+      e.filter(col("event_id") % 9 === 2)
+        .withColumn("v", (col("v") + lit(500).cast("decimal(18,2)"))
+          .cast("decimal(18,2)")),
+      "event_id", batchId = 4L)
+    w.deleteByKeyCdc(s, "ev_rbase",
+      e.filter(col("event_id") % 9 === 5).select("event_id"),
+      "event_id", batchId = 5L)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    def roots(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    def serve(): DataFrame = s.read.parquet(w.path("ev_rbase"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("total"))
+    // phase 1: stale view + surviving tail (batches 4, 5) — truncation
+    // of batches < 3 must be invisible to compensation
+    MvRegistry.register(s, w.path("ev_rbase"), MvRegistry.MvDef(
+      mvPath, Set("grp"), Map("v" -> "sum_v"), "n",
+      comp = Some(MvRegistry.CompDef(w.path("ev_rbase_changes"),
+        frontier = fr1))))
+    val p1 = serve()
+    val r1 = roots(p1)
+    require(r1.exists(_.endsWith("ev_rmv"))
+        && r1.exists(_.contains("batch=4")) && r1.exists(_.contains("batch=5"))
+        && !r1.exists(_.endsWith("ev_rbase")),
+      s"phase 1 must serve view + tail: plan scans $r1")
+    val out1 = p1.withColumn("phase", lit("stale_tail"))
+    // second refresh advances the frontier; truncate again; re-register
+    MvRegistry.deregister(s, w.path("ev_rbase")) // maintenance unregistered
+    val fr2 = MvMaintain.refresh(s, w.path("ev_rbase_changes"), mvPath, vdef)
+    require(fr2 == 5L, s"second refresh frontier: $fr2")
+    w.truncateChangeFeed(s, "ev_rbase", beforeBatchId = fr2)
+    MvRegistry.register(s, w.path("ev_rbase"), MvRegistry.MvDef(
+      mvPath, Set("grp"), Map("v" -> "sum_v"), "n",
+      comp = Some(MvRegistry.CompDef(w.path("ev_rbase_changes"),
+        frontier = fr2))))
+    val p2 = serve()
+    val r2 = roots(p2)
+    require(r2.nonEmpty && r2.forall(_.endsWith("ev_rmv")),
+      s"phase 2 (fresh view) must serve alone: plan scans $r2")
+    val out2 = p2.withColumn("phase", lit("fresh"))
+    val res = out1.unionByName(out2)
+      .select(col("phase"), col("grp"), col("n_events"),
+        col("total").cast("double").as("total"))
+    deleteTree(java.nio.file.Paths.get(stage))
+    res
+  }
+
+  private def q130OracleSql: String =
+    """WITH fin AS (
+      |  SELECT user_id % 25 AS grp,
+      |    CAST(CASE WHEN event_id % 9 = 2
+      |      THEN CAST(value AS DECIMAL(18,2)) + 500
+      |      ELSE CAST(value AS DECIMAL(18,2)) END AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_id % 9 <> 5
+      |), agg AS (
+      |  SELECT grp, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total
+      |  FROM fin GROUP BY 1
+      |)
+      |SELECT phase, grp, n_events, total
+      |FROM agg CROSS JOIN
+      |  (SELECT 'stale_tail' AS phase UNION ALL SELECT 'fresh') p""".stripMargin
+
   /** MV rewrite: the wider aggregate shapes (q122) — MIN/MAX served
     * from the view's extrema partials (min of mins — exact on any
     * grain subset) and AVG from sum+count under the registrant's
@@ -6665,6 +6933,9 @@ object SparkEntry {
     "q117_commit_compaction" -> (q117CommitCompaction _),
     "q118_versioned_table" -> (q118VersionedTable _),
     "q119_versioned_evolve" -> (q119VersionedEvolve _),
+    "q128_mv_catalog_base" -> (q128MvCatalogBase _),
+    "q129_mv_comp_extrema" -> (q129MvCompExtrema _),
+    "q130_mv_stream_retention" -> (q130MvStreamRetention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8065,6 +8336,9 @@ object SparkEntry {
     "q125_stream_mv_serve" -> q125OracleSql,
     "q126_mv_refresh" -> q126OracleSql,
     "q127_mv_lattice" -> q127OracleSql,
+    "q128_mv_catalog_base" -> q128OracleSql,
+    "q129_mv_comp_extrema" -> q129OracleSql,
+    "q130_mv_stream_retention" -> q130OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

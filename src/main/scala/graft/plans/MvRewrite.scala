@@ -97,6 +97,8 @@ object MvRegistry {
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Seq[MvDef]]
+  private val regByTable =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[MvDef]]
 
   private def qualify(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -104,14 +106,26 @@ object MvRegistry {
     fs.makeQualified(p).toString
   }
 
+  /** Normalized `db.table` key for catalog-table bases (the catalog
+    * lowercases identifiers; an unqualified name resolves against the
+    * session's current database).
+    */
+  private def tableKey(spark: SparkSession, tableName: String): String = {
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val db = ti.database.getOrElse(spark.catalog.currentDatabase)
+    s"$db.${ti.table}".toLowerCase(java.util.Locale.ROOT)
+  }
+
   def register(spark: SparkSession, basePath: String, mv: MvDef): Unit =
     register(spark, basePath, Seq(mv))
 
   /** Register SEVERAL views over one base (different grains — the
-    * classic summary lattice). The rewrite tries them COARSEST first
-    * (fewest grain columns ≈ fewest rows) and takes the first that can
-    * answer, so a `GROUP BY region` lands on the region view while
-    * `GROUP BY region, day` falls to the finer one.
+    * classic summary lattice). The rewrite picks the SMALLEST view (by
+    * parquet-footer row count, refreshed when the view's files change)
+    * that can answer, so a `GROUP BY region` lands on the region view
+    * while `GROUP BY region, day` falls to the finer one — and a
+    * wider-grain but physically smaller view beats a 1-column view over
+    * a high-cardinality key (the r10 lattice note).
     */
   def register(spark: SparkSession, basePath: String, mvs: Seq[MvDef]): Unit = {
     require(mvs.nonEmpty, "register needs at least one view")
@@ -120,14 +134,36 @@ object MvRegistry {
         .sortBy(_.groupCols.size))
   }
 
+  /** Register view(s) whose base is a CATALOG TABLE (`saveAsTable` —
+    * the engine's own S3 materialization path): the rewrite matches the
+    * relation by its catalog identifier, so the base rewrites no matter
+    * which path the table's files live under, V1 or DSv2.
+    */
+  def registerTable(spark: SparkSession, tableName: String, mv: MvDef): Unit =
+    registerTable(spark, tableName, Seq(mv))
+
+  def registerTable(spark: SparkSession, tableName: String,
+      mvs: Seq[MvDef]): Unit = {
+    require(mvs.nonEmpty, "registerTable needs at least one view")
+    regByTable.put(tableKey(spark, tableName),
+      mvs.map(mv => mv.copy(mvPath = qualify(spark, mv.mvPath)))
+        .sortBy(_.groupCols.size))
+  }
+
   def deregister(spark: SparkSession, basePath: String): Unit =
     reg.remove(qualify(spark, basePath))
+
+  def deregisterTable(spark: SparkSession, tableName: String): Unit =
+    regByTable.remove(tableKey(spark, tableName))
 
   private[plans] def find(rootPaths: Seq[String]): Seq[MvDef] =
     rootPaths match {
       case Seq(one) => reg.getOrElse(one, Seq.empty)
       case _ => Seq.empty // multi-root scans are never a registered base
     }
+
+  private[plans] def findByTable(key: Option[String]): Seq[MvDef] =
+    key.map(k => regByTable.getOrElse(k, Seq.empty)).getOrElse(Seq.empty)
 }
 
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -163,7 +199,80 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
       case _ => Seq.empty[String]
     }
+    case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      dsv2.table match {
+        case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+          ft.fileIndex.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
   }.flatten
+
+  /** How a base relation is identified against the registry: by its
+    * single scan root path (plain `spark.read.parquet` bases) and/or by
+    * its catalog identifier (`saveAsTable` bases — V1-converted
+    * relations carry `catalogTable`, DSv2 relations an `identifier`).
+    */
+  private case class BaseKey(roots: Seq[String], table: Option[String])
+
+  private def relKey(plan: LogicalPlan): Option[BaseKey] = plan match {
+    case lr: LogicalRelation =>
+      val roots = lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+      val tbl = lr.catalogTable.map(ct =>
+        (ct.identifier.database.getOrElse("default") + "." +
+          ct.identifier.table).toLowerCase(java.util.Locale.ROOT))
+      if (roots.isEmpty && tbl.isEmpty) None else Some(BaseKey(roots, tbl))
+    case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      val roots = dsv2.table match {
+        case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+          ft.fileIndex.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+      val tbl = dsv2.identifier.map(i =>
+        (i.namespace() :+ i.name()).mkString(".")
+          .toLowerCase(java.util.Locale.ROOT))
+      if (roots.isEmpty && tbl.isEmpty) None else Some(BaseKey(roots, tbl))
+    case _ => None
+  }
+
+  /** Candidate views for a base, SMALLEST first: ordered by the view's
+    * physical row count (parquet footer metadata, driver-side, memoized
+    * on the view's file signature — no Spark job), tie-broken by grain
+    * width then path. Catalog-identified registrations and path
+    * registrations merge (a base can be reachable both ways).
+    */
+  private def candidates(key: BaseKey): Seq[MvRegistry.MvDef] = {
+    val all = (MvRegistry.findByTable(key.table) ++ MvRegistry.find(key.roots))
+      .distinct
+    if (all.size <= 1) all
+    else all.sortBy(mv => (viewRowCount(mv.mvPath), mv.groupCols.size, mv.mvPath))
+  }
+
+  private val rowCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Seq[(String, Long, Long)]), Long]
+
+  private def viewRowCount(path: String): Long = try {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val sig = files.map(st =>
+      (st.getPath.getName, st.getModificationTime, st.getLen))
+    rowCountMemo.getOrElseUpdate((path, sig), files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum)
+  } catch {
+    // unreadable/missing view: order it last; tryRewriteSafely still
+    // guards actual use
+    case scala.util.control.NonFatal(_) => Long.MaxValue
+  }
 
   private def rewriteAggregate(grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
@@ -181,21 +290,22 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if cond.deterministic =>
       def attempt(basePlan: LogicalPlan, dimPlan: LogicalPlan)
           : Option[LogicalPlan] =
-        baseShapeOf(basePlan).flatMap { case (roots, bc) =>
+        baseShapeOf(basePlan).flatMap { case (key, bc) =>
           // a self-join (dim side also scans the base) is out of scope
-          if (relationRoots(dimPlan).exists(roots.contains)) None
-          else MvRegistry.find(roots).view.flatMap(mv =>
+          if (relationRoots(dimPlan).exists(key.roots.contains)) None
+          else candidates(key).view.flatMap(mv =>
             tryRewriteSafely(grouping, aggExprs, bc, mv,
               Some(JoinCtx(dimPlan, cond, hint,
-                basePlan.outputSet, dimPlan.outputSet)))).headOption
+                basePlan.outputSet, dimPlan.outputSet)), basePlan)).headOption
         }
       attempt(l, r).orElse(attempt(r, l))
     case _ =>
-      baseShapeOf(child).flatMap { case (roots, cond) =>
-        // coarsest-first view selection: the first registered view (by
-        // ascending grain width) that can answer wins
-        MvRegistry.find(roots).view.flatMap(mv =>
-          tryRewriteSafely(grouping, aggExprs, cond, mv, None)).headOption
+      baseShapeOf(child).flatMap { case (key, cond) =>
+        // smallest-first view selection (see [[candidates]]): the first
+        // view that can answer wins
+        candidates(key).view.flatMap(mv =>
+          tryRewriteSafely(grouping, aggExprs, cond, mv, None, child))
+          .headOption
       }
   }
 
@@ -210,8 +320,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       filterCond: Option[Expression],
       mv: MvRegistry.MvDef,
-      join: Option[JoinCtx]): Option[LogicalPlan] =
-    try tryRewrite(grouping, aggExprs, filterCond, mv, join)
+      join: Option[JoinCtx],
+      baseChild: LogicalPlan): Option[LogicalPlan] =
+    try tryRewrite(grouping, aggExprs, filterCond, mv, join, baseChild)
     catch {
       case scala.util.control.NonFatal(e) =>
         logWarning(s"MV rewrite for ${mv.mvPath} failed; " +
@@ -219,31 +330,25 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         None
     }
 
-  /** The base-table shapes the rule accepts: the scan itself, an
-    * optional Filter directly above it, and an optional pure
-    * column-pruning Project above either (what ColumnPruning +
-    * PushDownPredicates leave by the time extraOptimizations run).
-    * Returns the scan roots plus the filter condition, if any.
+  /** The base-table shapes the rule accepts: the scan itself (V1 path,
+    * catalog-table, or DSv2 — see [[relKey]]), an optional Filter
+    * directly above it, and an optional pure column-pruning Project
+    * above either (what ColumnPruning + PushDownPredicates leave by the
+    * time extraOptimizations run). Returns the base's registry key plus
+    * the filter condition, if any.
     */
   private def baseShapeOf(plan: LogicalPlan)
-      : Option[(Seq[String], Option[Expression])] = {
-    def roots(lr: LogicalRelation): Option[Seq[String]] = lr.relation match {
-      case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
-      case _ => None
-    }
-    plan match {
-      case lr: LogicalRelation => roots(lr).map((_, None))
-      case Filter(cond, lr: LogicalRelation) if cond.deterministic =>
-        roots(lr).map((_, Some(cond)))
-      case Project(projList, inner) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        inner match {
-          case lr: LogicalRelation => roots(lr).map((_, None))
-          case Filter(cond, lr: LogicalRelation) if cond.deterministic =>
-            roots(lr).map((_, Some(cond)))
-          case _ => None
-        }
-      case _ => None
-    }
+      : Option[(BaseKey, Option[Expression])] = plan match {
+    case Project(projList, inner)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      inner match {
+        case Filter(cond, rel) if cond.deterministic =>
+          relKey(rel).map((_, Some(cond)))
+        case rel => relKey(rel).map((_, None))
+      }
+    case Filter(cond, rel) if cond.deterministic =>
+      relKey(rel).map((_, Some(cond)))
+    case rel => relKey(rel).map((_, None))
   }
 
   /** The partials frame the rewritten aggregate folds: the view's rows
@@ -252,45 +357,93 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * frontier. Everything additive: COUNT partials are ±1L / view
     * counts, SUM partials are ±measure / view sums, all cast to the
     * view's own sum types so the union is exact.
+    *
+    * EXTREMA under compensation (`wantMin`/`wantMax` nonempty with a
+    * stale view) cannot be derived additively — a delete in the tail
+    * may have removed a group's max — but they CAN be repaired
+    * delta-boundedly: changes in the tail can only affect the grains
+    * the tail TOUCHES. So the frame becomes three sources:
+    *   1. view rows, with the wanted min/max columns NULL-masked on
+    *      touched grains (untouched grains' extrema are exact as-is);
+    *   2. the usual signed tail rows (extrema NULL — Min/Max ignore
+    *      them);
+    *   3. the query's own base subtree SEMI-JOINED to the touched
+    *      grains, contributing raw measure values as min/max partials
+    *      (count 0, sums NULL) — the final fold recomputes exactly
+    *      those grains' extrema from current base rows.
+    * The base scan reads touched grains only — delta-bounded, never the
+    * fact table.
     */
-  private def partialsFrame(mv: MvRegistry.MvDef): DataFrame = {
+  private def partialsFrame(mv: MvRegistry.MvDef, wantMin: Seq[String],
+      wantMax: Seq[String], baseChild: LogicalPlan): DataFrame = {
     val grain = mv.groupCols.toSeq.sorted
     val viewRaw = spark.read.parquet(mv.mvPath)
-    // extrema columns only ride the comp-free path (they cannot be
-    // compensated); with comp set, Min/Max queries fall through before
-    // this frame is ever built
-    val extrema =
-      if (mv.comp.isDefined) Seq.empty
-      else mv.minCols.toSeq.sortBy(_._1).map { case (m, s) =>
-        col(s).as(minC(m))
-      } ++ mv.maxCols.toSeq.sortBy(_._1).map { case (m, s) =>
-        col(s).as(maxC(m))
-      }
-    val view = viewRaw.select(
-      grain.map(col) ++
-        Seq(col(mv.countCol).cast(LongType).as(cntCol)) ++
-        mv.sumCols.toSeq.sortBy(_._1).map { case (m, s) =>
-          col(s).as(sumCol(m))
-        } ++ extrema: _*)
+    def viewWith(extrema: Seq[org.apache.spark.sql.Column]): DataFrame =
+      viewRaw.select(
+        grain.map(col) ++
+          Seq(col(mv.countCol).cast(LongType).as(cntCol)) ++
+          mv.sumCols.toSeq.sortBy(_._1).map { case (m, s) =>
+            col(s).as(sumCol(m))
+          } ++ extrema: _*)
+    def viewExtrema: Seq[org.apache.spark.sql.Column] =
+      mv.minCols.toSeq.sortBy(_._1).map { case (m, s) => col(s).as(minC(m)) } ++
+        mv.maxCols.toSeq.sortBy(_._1).map { case (m, s) => col(s).as(maxC(m)) }
     mv.comp match {
-      case None => view
+      case None => viewWith(viewExtrema)
       case Some(c) =>
         val tailDirs = feedBatchDirsPast(c)
-        if (tailDirs.isEmpty) view
+        // a fresh view (empty tail) serves extrema directly
+        if (tailDirs.isEmpty) viewWith(viewExtrema)
         else {
           val sumTypes = mv.sumCols.map { case (m, s) =>
             m -> viewRaw.schema(s).dataType
           }
           val tail = spark.read.parquet(tailDirs: _*)
           val pos = col("change_op").isin("insert", "update_post")
+          val extremaNull: Seq[org.apache.spark.sql.Column] =
+            wantMin.map(m => lit(null).cast(viewRaw.schema(mv.minCols(m))
+              .dataType).as(minC(m))) ++
+              wantMax.map(m => lit(null).cast(viewRaw.schema(mv.maxCols(m))
+                .dataType).as(maxC(m)))
           val comp = tail.select(
             grain.map(col) ++
               Seq(when(pos, lit(1L)).otherwise(lit(-1L)).as(cntCol)) ++
               mv.sumCols.keys.toSeq.sorted.map { m =>
                 when(pos, col(m)).otherwise(-col(m))
                   .cast(sumTypes(m)).as(sumCol(m))
-              }: _*)
-          view.unionByName(comp)
+              } ++ extremaNull: _*)
+          if (wantMin.isEmpty && wantMax.isEmpty)
+            viewWith(Seq.empty).unionByName(comp)
+          else {
+            // dedup via an explicit Aggregate — .distinct() would inject
+            // a Deduplicate node, which nothing lowers after the main
+            // optimizer batches (extraOptimizations run last)
+            val touched = tail.groupBy(grain.map(col): _*)
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("__mv_tch"))
+              .select(grain.map(col) :+ lit(1).as("__mv_tch"): _*)
+            val masked = viewRaw.join(touched, grain, "left").select(
+              grain.map(col) ++
+                Seq(col(mv.countCol).cast(LongType).as(cntCol)) ++
+                mv.sumCols.toSeq.sortBy(_._1).map { case (m, s) =>
+                  col(s).as(sumCol(m))
+                } ++
+                wantMin.map(m => when(col("__mv_tch").isNull,
+                  col(mv.minCols(m))).as(minC(m))) ++
+                wantMax.map(m => when(col("__mv_tch").isNull,
+                  col(mv.maxCols(m))).as(maxC(m))): _*)
+            val base = org.apache.spark.sql.GraftExpressionBridge
+              .dataFrame(spark, baseChild)
+            val recompute = base
+              .join(touched.drop("__mv_tch"), grain, "left_semi")
+              .select(
+                grain.map(col) ++
+                  Seq(lit(0L).as(cntCol)) ++
+                  mv.sumCols.keys.toSeq.sorted.map(m =>
+                    lit(null).cast(sumTypes(m)).as(sumCol(m))) ++
+                  wantMin.map(m => col(m).as(minC(m))) ++
+                  wantMax.map(m => col(m).as(maxC(m))): _*)
+            masked.unionByName(comp).unionByName(recompute)
+          }
         }
     }
   }
@@ -312,7 +465,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       filterCond: Option[Expression],
       mv: MvRegistry.MvDef,
-      join: Option[JoinCtx]): Option[LogicalPlan] = {
+      join: Option[JoinCtx],
+      baseChild: LogicalPlan): Option[LogicalPlan] = {
     def fromDim(a: Attribute): Boolean = join.exists(_.dimOutput.contains(a))
     // grouping must be bare columns: dim-side columns pass through
     // verbatim, base-side columns must sit inside the view's grain
@@ -334,9 +488,23 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         fromDim(a) || (j.baseOutput.contains(a) && mv.groupCols.contains(a.name)))))
       return None
 
+    // which base-side extrema the query actually needs — under a stale
+    // view these drive the delta-bounded recompute in [[partialsFrame]]
+    val wantMin: Seq[String] = aggExprs.collect {
+      case Alias(AggregateExpression(
+          Min(a: AttributeReference), Complete, false, None, _), _)
+          if !fromDim(a) && mv.minCols.contains(a.name) => a.name
+    }.distinct.sorted
+    val wantMax: Seq[String] = aggExprs.collect {
+      case Alias(AggregateExpression(
+          Max(a: AttributeReference), Complete, false, None, _), _)
+          if !fromDim(a) && mv.maxCols.contains(a.name) => a.name
+    }.distinct.sorted
+
     // fresh analyzed scan of the partials (fresh exprIds per rewrite —
     // safe under self-joins / repeated rewrites in one plan)
-    val partials = partialsFrame(mv).queryExecution.analyzed
+    val partials =
+      partialsFrame(mv, wantMin, wantMax, baseChild).queryExecution.analyzed
     def pAttr(name: String): AttributeReference =
       partials.output.collectFirst {
         case a: AttributeReference if a.name == name => a
@@ -396,6 +564,22 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val s = Coalesce(Seq(sumOf(pAttr(cntCol)), Literal(0L)))
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(
+          AggregateExpression(Count(attrs), Complete, true, None, _), name)
+          if attrs.nonEmpty && mv.comp.isEmpty && attrs.forall {
+            case a: AttributeReference =>
+              !fromDim(a) && mv.groupCols.contains(a.name)
+            case _ => false
+          } =>
+        // COUNT(DISTINCT g...) for g ⊆ grain: view rows ARE the distinct
+        // grain combos (each with cnt > 0 — maintained views drop netted
+        // grains), so distinct-counting the view's grain columns equals
+        // distinct-counting the base's, null semantics included. Fresh
+        // views only: under compensation a tail-deleted value would
+        // still be visible to DISTINCT (netting is invisible to it).
+        val pAttrs = attrs.map { case a: AttributeReference => pAttr(a.name) }
+        val s = AggregateExpression(Count(pAttrs), Complete, isDistinct = true)
+        Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
+      case al @ Alias(
           AggregateExpression(Sum(attr: AttributeReference, _), Complete, false, None, _),
           name) if !fromDim(attr) && mv.sumCols.contains(attr.name)
             && additive(al.dataType) =>
@@ -403,14 +587,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(
           AggregateExpression(Min(attr: AttributeReference), Complete, false, None, _),
-          name) if !fromDim(attr) && mv.minCols.contains(attr.name)
-            && mv.comp.isEmpty =>
+          name) if !fromDim(attr) && mv.minCols.contains(attr.name) =>
+        // exact even under compensation: [[partialsFrame]] NULL-masks
+        // the view's extrema on tail-touched grains and re-supplies
+        // them from a delta-bounded base recompute
         val s = aggOf(Min(pAttr(minC(attr.name))))
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(
           AggregateExpression(Max(attr: AttributeReference), Complete, false, None, _),
-          name) if !fromDim(attr) && mv.maxCols.contains(attr.name)
-            && mv.comp.isEmpty =>
+          name) if !fromDim(attr) && mv.maxCols.contains(attr.name) =>
         val s = aggOf(Max(pAttr(maxC(attr.name))))
         Some(Alias(castTo(s, al.dataType), name)(exprId = al.exprId))
       case al @ Alias(

@@ -94,6 +94,26 @@ class MvRewriteSpec extends SparkSpec {
       (1 to 1000).map(i => BigDecimal(i) + BigDecimal("0.25")).sum)
   }
 
+  test("COUNT(DISTINCT grain-col) rewrites: view rows ARE the distinct combos") {
+    val (basePath, _) = dirs
+    val q = spark.read.parquet(basePath)
+      .groupBy("cust")
+      .agg(countDistinct(col("region")).as("d"), count(lit(1)).as("n_rows"))
+    assert(readsMv(q), s"expected MV scan, got ${scanRoots(q)}")
+    val got = q.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exp = (1 to 1000).groupBy(i => s"c${i % 7}").map { case (c, is) =>
+      c -> ((is.map(i => s"r${i % 3}").distinct.size.toLong, is.size.toLong))
+    }
+    assert(got === exp)
+    // multi-column distinct over grain columns also derives
+    val q2 = spark.read.parquet(basePath)
+      .agg(countDistinct(col("cust"), col("region")).as("d"))
+    assert(readsMv(q2))
+    assert(q2.head().getLong(0) ===
+      (1 to 1000).map(i => (s"c${i % 7}", s"r${i % 3}")).distinct.size.toLong)
+  }
+
   test("unsupported shapes fall through to the base scan") {
     val (basePath, _) = dirs
     // max() is not derivable from the view's partials
@@ -104,10 +124,10 @@ class MvRewriteSpec extends SparkSpec {
     val qGrain = spark.read.parquet(basePath)
       .groupBy("k").agg(sum(col("price")).as("t"))
     assert(!readsMv(qGrain), "finer grain must not rewrite")
-    // distinct count is not derivable
+    // distinct count of a NON-grain column is not derivable
     val qDist = spark.read.parquet(basePath)
-      .groupBy("cust").agg(countDistinct(col("region")).as("d"))
-    assert(!readsMv(qDist), "COUNT(DISTINCT) must not rewrite")
+      .groupBy("cust").agg(countDistinct(col("k")).as("d"))
+    assert(!readsMv(qDist), "COUNT(DISTINCT measure) must not rewrite")
     // an unregistered table is never touched
     val other = java.nio.file.Files.createTempDirectory("mvrw_other").toFile
     other.deleteOnExit()
@@ -521,6 +541,162 @@ class MvRewriteSpec extends SparkSpec {
         (1 to 600).map(BigDecimal(_)).sum)
       assert(qBoth.collect().map(_.getLong(2)).sum === 600L)
       assert(qFiltered.collect().map(_.getLong(1)).sum === 100L)
+    } finally MvRegistry.deregister(spark, basePath)
+  }
+
+  test("catalog-table base (saveAsTable) rewrites through registerTable; SQL path included") {
+    val d = java.nio.file.Files.createTempDirectory("mvrw_cat").toFile
+    d.deleteOnExit()
+    val mvPath = d.getPath + "/catmv"
+    spark.sql("DROP TABLE IF EXISTS mvrw_cat")
+    (1 to 300).map(i => (i.toLong, s"c${i % 5}", BigDecimal(i)))
+      .toDF("k", "cust", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+      .write.mode("overwrite").saveAsTable("mvrw_cat")
+    spark.table("mvrw_cat").groupBy("cust")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.registerTable(spark, "mvrw_cat", MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n"))
+    try {
+      val q = spark.table("mvrw_cat").groupBy("cust")
+        .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+      assert(scanRoots(q).nonEmpty && scanRoots(q).forall(_.endsWith("/catmv")),
+        s"catalog base must rewrite to the view, got ${scanRoots(q)}")
+      val got = q.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+      val exp = (1 to 300).groupBy(i => s"c${i % 5}").map { case (c, is) =>
+        c -> ((is.size.toLong, is.map(BigDecimal(_)).sum))
+      }
+      assert(got === exp)
+      // the SQL surface resolves the same relation — same rewrite
+      val qsql = spark.sql(
+        "SELECT cust, count(1) AS n_rows FROM mvrw_cat GROUP BY cust")
+      assert(scanRoots(qsql).forall(_.endsWith("/catmv")),
+        s"SQL path over the catalog base must rewrite, got ${scanRoots(qsql)}")
+      // deregistering restores the plain scan
+      MvRegistry.deregisterTable(spark, "mvrw_cat")
+      val plain = spark.table("mvrw_cat").groupBy("cust")
+        .agg(count(lit(1)).as("n_rows"))
+      assert(!scanRoots(plain).exists(_.endsWith("/catmv")))
+    } finally {
+      MvRegistry.deregisterTable(spark, "mvrw_cat")
+      spark.sql("DROP TABLE IF EXISTS mvrw_cat")
+    }
+  }
+
+  test("compensated extrema: a tail delete removing a group max answers " +
+      "exactly; base scanned for touched grains only") {
+    val wh = java.nio.file.Files.createTempDirectory("mvrw_cext").toString
+    val w = new graft.sources.TableWriter(wh)
+    // 4 groups; g3 stays untouched by the tail
+    val r1 = (1 to 80).map(i => (i.toLong, s"g${i % 4}", BigDecimal(i)))
+      .toDF("k", "g", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+    w.mergeByKeyCdc(spark, "t", r1, "k", batchId = 1L)
+    val basePath = w.path("t")
+    val mvPath = s"$wh/cxmv"
+    spark.read.parquet(basePath).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"),
+        min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(w.path("t_changes"), frontier = 1L)),
+      minCols = Map("price" -> "min_price"),
+      maxCols = Map("price" -> "max_price")))
+    try {
+      // the tail: delete g1's max (k=77) and g2's min (k=2); insert a
+      // new overall max into g0 — exactly the changes a stale-extrema
+      // rewrite would get wrong
+      w.deleteByKeyCdc(spark, "t", Seq(77L, 2L).toDF("k"), "k", batchId = 2L)
+      w.mergeByKeyCdc(spark, "t",
+        Seq((500L, "g0", BigDecimal(500))).toDF("k", "g", "price")
+          .withColumn("price", col("price").cast("decimal(18,2)")),
+        "k", batchId = 3L)
+      val q = spark.read.parquet(basePath).groupBy("g")
+        .agg(min(col("price")).as("lo"), max(col("price")).as("hi"),
+          count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+      // plan shape: the view partials AND a delta-bounded (left-semi)
+      // base recompute — never an unrestricted base aggregate
+      val roots = scanRoots(q)
+      assert(roots.exists(_.endsWith("/cxmv")),
+        s"compensated extrema must still read the view, got $roots")
+      assert(roots.exists(_.endsWith("/t")),
+        s"touched grains must recompute from the base, got $roots")
+      val semis = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty,
+        "base recompute must be semi-joined to the touched grains")
+      val got = q.collect().map(r => r.getString(0) ->
+        ((BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)),
+          r.getLong(3), BigDecimal(r.getDecimal(4))))).toMap
+      MvRegistry.deregister(spark, basePath)
+      val exp = spark.read.parquet(basePath).groupBy("g")
+        .agg(min(col("price")).as("lo"), max(col("price")).as("hi"),
+          count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+        .collect().map(r => r.getString(0) ->
+          ((BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)),
+            r.getLong(3), BigDecimal(r.getDecimal(4))))).toMap
+      assert(got === exp)
+      // spot-check the interesting groups: g1's max DROPPED to the
+      // second-best (77 gone), g2's min ROSE (2 gone), g0 gained 500,
+      // g3 (untouched) served straight from the view
+      assert(got("g1")._2 === BigDecimal(73))
+      assert(got("g2")._1 === BigDecimal(6))
+      assert(got("g0")._2 === BigDecimal(500))
+      assert(got("g3") === exp("g3"))
+    } finally MvRegistry.deregister(spark, basePath)
+  }
+
+  test("stats-aware lattice: wider-grain but physically smaller view wins") {
+    val d = java.nio.file.Files.createTempDirectory("mvrw_stats").toFile
+    d.deleteOnExit()
+    val basePath = d.getPath + "/sbase"
+    val narrowBig = d.getPath + "/mv_k"       // 1 grain col, 2000 rows
+    val wideSmall = d.getPath + "/mv_cr"      // 2 grain cols, 15 rows
+    (1 to 2000).map(i => (i.toLong, s"c${i % 5}", s"r${i % 3}", BigDecimal(i)))
+      .toDF("k", "cust", "region", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(narrowBig)
+    spark.read.parquet(basePath).groupBy("cust", "region")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(wideSmall)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, basePath, Seq(
+      MvRegistry.MvDef(narrowBig, Set("k"),
+        Map("price" -> "sum_price"), "n"),
+      MvRegistry.MvDef(wideSmall, Set("cust", "region"),
+        Map("price" -> "sum_price"), "n")))
+    try {
+      // a GLOBAL aggregate is answerable by both; grain-count ordering
+      // (the r10 heuristic) would pick the 1-column view over the
+      // high-cardinality key — row-count ordering picks the 15-row one
+      val q = spark.read.parquet(basePath)
+        .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+      val roots = scanRoots(q)
+      assert(roots.nonEmpty && roots.forall(_.endsWith("/mv_cr")),
+        s"physically smaller view must win, got $roots")
+      val row = q.head()
+      assert(row.getLong(0) === 2000L)
+      assert(BigDecimal(row.getDecimal(1)) === (1 to 2000).map(BigDecimal(_)).sum)
+      // a k-grouping is only answerable by the k view — still serves
+      val qk = spark.read.parquet(basePath).groupBy("k")
+        .agg(sum(col("price")).as("t"))
+      assert(scanRoots(qk).forall(_.endsWith("/mv_k")))
     } finally MvRegistry.deregister(spark, basePath)
   }
 
