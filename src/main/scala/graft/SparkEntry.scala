@@ -4796,7 +4796,7 @@ object SparkEntry {
 
   private def d48OracleSql: String = {
     val cases = (1 to 42).map(k =>
-      s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString(" ")
+      s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString(" ") + " ELSE 43"
     def block(tag: String, where: String): String =
       s"""vals_$tag AS (
          |  SELECT l_orderkey AS vec_id, 0 AS v FROM lineitem WHERE $where
@@ -5038,7 +5038,7 @@ object SparkEntry {
 
   private def d46OracleSql: String = {
     val cases = (1 to 42).map(k =>
-      s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString(" ")
+      s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString(" ") + " ELSE 43"
     s"""WITH vals AS (
        |  SELECT l_orderkey AS vec_id, 0 AS v FROM lineitem
        |${numHashCtes("vals", "hh")}

@@ -110,11 +110,18 @@ object Sketches {
       .withColumn("register", (col("__h") % lit(m.toLong)).cast("int"))
       .withColumn("__w", expr(s"__h div $m"))
     // w < 2^(50-p): trailing-zero count ≤ 49-p for w > 0; cap rho at
-    // hllRhoCap for w = 0 (the "all bits zero" register value)
+    // hllRhoCap for w = 0 (the "all bits zero" register value). The
+    // terminal OTHERWISE saturates explicitly: at p ≤ 7, w can carry
+    // more than hllRhoCap−1 trailing zeros, and without it those rows
+    // fell out of every branch to NULL → coalesced to rho 0 on the
+    // spine — silently UNDER-recording a register the API's exact
+    // contract covers for all p ≥ 4 (r11 advisor). Probability ~2^-42
+    // per row, but exact means exact; the oracle CASE carries the same
+    // ELSE branch.
     val rho = (1 to (hllRhoCap - 1)).foldLeft(
       when(col("__w") === 0, lit(hllRhoCap))) { (acc, k) =>
       acc.when(col("__w") % lit(1L << k) === lit(1L << (k - 1)), lit(k))
-    }
+    }.otherwise(lit(hllRhoCap))
     val observed = hashed.select(col("register"), rho.as("rho"))
       .groupBy("register").agg(max(col("rho")).as("rho"))
     spark.range(m).select(col("id").cast("int").as("register"))
@@ -131,18 +138,29 @@ object Sketches {
   /** The HLL raw estimate from a register frame: alpha_m · m² / Σ
     * 2^-M[j]. The harmonic denominator is computed SCALED by 2^(cap):
     * each term 2^(cap − rho) is an exact BIGINT (rho ≤ cap), the sum is
-    * order-independent integer addition bounded by m·2^cap = 2^51 at
-    * p=8 (exactly representable as a double), and the final estimate is
-    * two IEEE double ops over exactly-representable operands — so the
-    * estimate itself sits under the full hash contract, not rank-only
-    * (no ln(), no decimal→double rounding ambiguity). Small-range
-    * (linear-counting) correction is deliberately a CONSUMER-side
-    * choice: it needs ln(), which costs the cross-engine bit contract;
-    * the register frame carries everything needed (V = count of rho=0).
+    * order-independent integer addition bounded by m·2^cap — exactly
+    * representable as a double for p ≤ 10 (m·2^43 ≤ 2^53; larger p
+    * still estimates, but the double conversion may round the low
+    * bits, so the FULL-HASH cross-engine contract is scoped to
+    * p ≤ 10) — and the final estimate is two IEEE double ops over
+    * those operands, so no ln() and no decimal→double ambiguity.
+    * alpha_m follows Flajolet et al.'s TABLE, not just the asymptotic
+    * formula: 0.673 / 0.697 / 0.709 for m = 16/32/64 (the classical
+    * small-m constants), 0.7213/(1 + 1.079/m) for m ≥ 128 (r11
+    * advisor — the asymptotic constant biases small-m estimates by a
+    * few percent). Small-range (linear-counting) correction is
+    * deliberately a CONSUMER-side choice: it needs ln(), which costs
+    * the cross-engine bit contract; the register frame carries
+    * everything needed (V = count of rho=0).
     */
   def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
     val m = (1 << p).toLong
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val alpha = m match {
+      case 16L => lit(0.673)
+      case 32L => lit(0.697)
+      case 64L => lit(0.709)
+      case _ => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    }
     regs.agg(sum(expr(s"shiftleft(cast(1 as bigint), $hllRhoCap - rho)"))
         .as("__denom"))
       .select((alpha * lit(m * m).cast("double") *

@@ -79,6 +79,45 @@ class HllSpec extends SparkSpec {
     assert(math.abs(est / n - 1.0) < 0.26, s"estimate $est vs true $n")
   }
 
+  test("small p: rho saturates at the cap (never NULL→0) and the spine holds") {
+    // p=4 leaves w up to 46 usable bits — more trailing zeros than the
+    // CASE's 42 branches. The saturating otherwise (r11 advisor) means
+    // the engine value is min(ntz+1, cap), never a fallen-through NULL
+    // coalesced to 0; replay pins exactly that.
+    val vs = values(3000)
+    val engine = Sketches.hllRegisters(vs, col("v"), 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(engine.size === 16)
+    val hashes = vs.select(Sketches.numHash(col("v")).as("h"))
+      .collect().map(_.getLong(0))
+    val expected = scala.collection.mutable.Map.empty[Int, Int]
+      .withDefaultValue(0)
+    hashes.foreach { h =>
+      val reg = (h % 16).toInt
+      val w = h / 16
+      val rho = if (w == 0L) Sketches.hllRhoCap
+        else math.min(java.lang.Long.numberOfTrailingZeros(w) + 1,
+          Sketches.hllRhoCap)
+      expected(reg) = math.max(expected(reg), rho)
+    }
+    (0 until 16).foreach { r => assert(engine(r) === expected(r), s"register $r") }
+  }
+
+  test("alpha follows the classical small-m table, not the asymptotic formula") {
+    // all 16 registers at rho=1: denom = 16·2^42, est = alpha_16·16²·2^43
+    // / (16·2^42) = alpha_16·32 — Flajolet's alpha_16 = 0.673, where the
+    // asymptotic formula would give 0.7213/(1+1.079/16) ≈ 0.6757
+    val regs = (0 until 16).map(i => (i, 1)).toDF("register", "rho")
+    val est4 = Sketches.hllEstimate(regs, 4).head().getDouble(0)
+    assert(math.abs(est4 - 0.673 * 32.0) < 1e-9, s"alpha_16 estimate: $est4")
+    val regs32 = (0 until 32).map(i => (i, 1)).toDF("register", "rho")
+    assert(math.abs(Sketches.hllEstimate(regs32, 5).head().getDouble(0)
+      - 0.697 * 64.0) < 1e-9)
+    val regs64 = (0 until 64).map(i => (i, 1)).toDF("register", "rho")
+    assert(math.abs(Sketches.hllEstimate(regs64, 6).head().getDouble(0)
+      - 0.709 * 128.0) < 1e-9)
+  }
+
   test("estimate arithmetic: denominator exact, empty sketch sane") {
     // empty input: every register 0, denom = 256 * 2^43, est = alpha*m^2
     val empty = Seq.empty[Long].toDF("v")
