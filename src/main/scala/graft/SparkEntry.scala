@@ -6135,6 +6135,72 @@ object SparkEntry {
       |FROM agg CROSS JOIN
       |  (SELECT 'stale_tail' AS phase UNION ALL SELECT 'fresh') p""".stripMargin
 
+  /** Manifest-derived change-data feed (q131 — the Delta-CDF analogue
+    * with NO feed maintained at write time): the NET row-level changes
+    * between two committed [[graft.sources.VersionedTable]] versions,
+    * classified into the engine's CDC op vocabulary (insert / delete /
+    * update_pre / update_post) purely by diffing the two versions'
+    * manifest-resolved states. Bucket-pruned by construction — a
+    * bucket with identical file lists in both manifests cannot have
+    * changed and is never read (immutable files), so a 3-bucket diff
+    * at 100 TB reads 2×3 bucket file sets, not two snapshots; bucket
+    * rewrites that carried rows unchanged cancel in the null-safe
+    * compare (NET changes, not file churn). Oracle: the v0 and v2
+    * closed-form states full-outer-diffed in SQL.
+    */
+  private val vtCdfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def q131VersionedCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val root = vtCdfCache.getOrElseUpdate((s, dir), {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val base = o.filter(col("k") % 3 === 0)
+      val changes = base.filter(col("k") % 7 === 0)
+        .withColumn("price",
+          (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+        .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0))
+      val doomed = base.filter(col("k") % 9 === 0).select("k")
+      val wh = s"$q40Scratch/vtcdf_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val r = s"$wh/orders_cdf"
+      VersionedTable.commitMerge(s, r, base, "k")    // v0
+      VersionedTable.commitMerge(s, r, changes, "k") // v1
+      VersionedTable.commitDelete(s, r, doomed, "k") // v2
+      r
+    })
+    VersionedTable.changesBetween(s, root, "k", 0L, 2L)
+      .select(col("change_op"), col("k"),
+        col("price").cast("double").as("price"))
+  }
+
+  private def q131OracleSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |), s0 AS (
+      |  SELECT k, price FROM src WHERE k % 3 = 0
+      |), s2 AS (
+      |  SELECT k, CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+      |    AS DECIMAL(18,2)) AS price
+      |  FROM src WHERE k % 3 = 0 AND k % 9 <> 0
+      |  UNION ALL
+      |  SELECT k, price FROM src WHERE k % 3 = 1 AND k % 5 = 0
+      |)
+      |SELECT 'delete' AS change_op, s0.k, CAST(s0.price AS DOUBLE) AS price
+      |FROM s0 LEFT JOIN s2 ON s0.k = s2.k WHERE s2.k IS NULL
+      |UNION ALL
+      |SELECT 'insert', s2.k, CAST(s2.price AS DOUBLE)
+      |FROM s2 LEFT JOIN s0 ON s0.k = s2.k WHERE s0.k IS NULL
+      |UNION ALL
+      |SELECT 'update_pre', s0.k, CAST(s0.price AS DOUBLE)
+      |FROM s0 JOIN s2 ON s0.k = s2.k WHERE s0.price <> s2.price
+      |UNION ALL
+      |SELECT 'update_post', s2.k, CAST(s2.price AS DOUBLE)
+      |FROM s0 JOIN s2 ON s0.k = s2.k WHERE s0.price <> s2.price""".stripMargin
+
   /** MV rewrite: the wider aggregate shapes (q122) — MIN/MAX served
     * from the view's extrema partials (min of mins — exact on any
     * grain subset) and AVG from sum+count under the registrant's
@@ -6936,6 +7002,7 @@ object SparkEntry {
     "q128_mv_catalog_base" -> (q128MvCatalogBase _),
     "q129_mv_comp_extrema" -> (q129MvCompExtrema _),
     "q130_mv_stream_retention" -> (q130MvStreamRetention _),
+    "q131_versioned_cdf" -> (q131VersionedCdf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8339,6 +8406,7 @@ object SparkEntry {
     "q128_mv_catalog_base" -> q128OracleSql,
     "q129_mv_comp_extrema" -> q129OracleSql,
     "q130_mv_stream_retention" -> q130OracleSql,
+    "q131_versioned_cdf" -> q131OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

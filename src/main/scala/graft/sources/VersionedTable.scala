@@ -471,4 +471,59 @@ object VersionedTable {
     val root = new Path(rootStr)
     IndexProtocol.releaseLease(fsOf(spark, root), commitsDir(root))
   }
+
+  /** Change-data-feed read DERIVED FROM THE MANIFESTS (the Delta CDF
+    * analogue, with no change feed maintained at write time): the net
+    * row-level changes between two committed versions, classified as
+    * `insert` / `delete` / `update_pre` / `update_post` (the engine's
+    * CDC vocabulary — [[TableWriter.mergeByKeyCdc]]'s op set, so the
+    * output composes with every feed consumer: index sync, MV
+    * compensation, replicas).
+    *
+    * BUCKET-PRUNED by construction: files are immutable and manifests
+    * name them per bucket, so a bucket whose file list is IDENTICAL in
+    * both manifests cannot have changed — only DIFFERING buckets are
+    * read, in either version. At 100 TB a between-versions diff that
+    * touched 3 buckets reads 2×3 bucket file sets, not two table
+    * snapshots. Within differing buckets, rewritten-but-equal rows
+    * (carried by a bucket rewrite) cancel in the null-safe full-outer
+    * compare and emit nothing — the diff is NET row changes, not file
+    * churn.
+    *
+    * Output: `change_op` plus the row image — pre-image for
+    * delete/update_pre, post-image for insert/update_post. Both
+    * versions must still be retained ([[read]] refuses otherwise).
+    */
+  def changesBetween(spark: SparkSession, rootStr: String, key: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"changesBetween: fromV $fromV must precede toV $toV")
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    val (eFrom, _) = resolveManifest(fs, root, fromV)
+    val (eTo, _) = resolveManifest(fs, root, toV)
+    val changed = (eFrom.keySet ++ eTo.keySet).filter { b =>
+      eFrom.getOrElse(b, Nil).sorted != eTo.getOrElse(b, Nil).sorted
+    }.toSeq.sorted
+    val old = read(spark, rootStr, Some(fromV), Some(changed)).drop("__bucket")
+    val neu = read(spark, rootStr, Some(toV), Some(changed)).drop("__bucket")
+    val dataCols = (old.columns.toSet ++ neu.columns.toSet - key).toSeq.sorted
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col(key) +: lit(true).as(s"__has_$tag") +:
+        dataCols.map(c =>
+          (if (df.columns.contains(c)) col(c)
+           else lit(null)).as(s"__${tag}_$c")): _*)
+    val j = side(old, "a").join(side(neu, "b"), Seq(key), "full_outer")
+    val same = dataCols.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val hasA = coalesce(col("__has_a"), lit(false))
+    val hasB = coalesce(col("__has_b"), lit(false))
+    def img(tag: String, op: String, pred: Column): DataFrame =
+      j.filter(pred).select(
+        lit(op).as("change_op") +: col(key) +:
+          dataCols.map(c => col(s"__${tag}_$c").as(c)): _*)
+    img("a", "delete", hasA && !hasB)
+      .unionByName(img("b", "insert", hasB && !hasA))
+      .unionByName(img("a", "update_pre", hasA && hasB && !same))
+      .unionByName(img("b", "update_post", hasA && hasB && !same))
+  }
 }

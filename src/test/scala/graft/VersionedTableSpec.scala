@@ -219,6 +219,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(state(root, Some(1)) === Map.empty[Long, Long])
   }
 
+  test("changesBetween: exact CDC classification; only differing buckets read") {
+    val root = freshRoot()
+    VersionedTable.commitMerge(spark, root, base, "k", 8)
+    // confine every change to ONE bucket (the most populous): update
+    // two of its keys, delete one — untouched buckets must not even be
+    // READ by the diff
+    val byBucket = base
+      .withColumn("b", pmod(xxhash64(col("k")), lit(8L)).cast("int"))
+      .select("b", "k").collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2).sorted }
+    val (bkt, bKeys) = byBucket.maxBy(_._2.length)
+    assert(bKeys.length >= 3, s"fixture needs ≥3 keys in one bucket: $byBucket")
+    val (updA, updB, del) = (bKeys(0), bKeys(1), bKeys(2))
+    VersionedTable.commitMerge(spark, root,
+      Seq((updA, 9991L), (updB, 9992L)).toDF("k", "price"), "k", 8)
+    VersionedTable.commitDelete(spark, root, Seq(del).toDF("k"), "k", 8)
+    val diff = VersionedTable.changesBetween(spark, root, "k", 0L, 2L)
+    val got = diff.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = Set(
+      ("update_pre", updA, updA * 10L), ("update_post", updA, 9991L),
+      ("update_pre", updB, updB * 10L), ("update_post", updB, 9992L),
+      ("delete", del, del * 10L))
+    assert(got === exp)
+    // bucket pruning: every file the diff reads lives in the one
+    // differing bucket
+    val files = diff.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"__bucket=$bkt")),
+      s"diff read outside bucket $bkt: " +
+        files.filterNot(_.contains(s"__bucket=$bkt")).toSeq)
+    // rewritten-but-equal rows (bucket 0's untouched carriers) cancel:
+    // no op rows beyond the five expected
+    assert(diff.count() === 5L)
+    // and an insert classifies too (new key, any bucket)
+    VersionedTable.commitMerge(spark, root,
+      Seq((100001L, 42L)).toDF("k", "price"), "k", 8)
+    val d2 = VersionedTable.changesBetween(spark, root, "k", 2L, 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d2 === Set(("insert", 100001L, 42L)))
+  }
+
   test("checkpoint cadence: full at v0 and every checkpointEvery-th; " +
       "long chains resolve exactly") {
     val root = freshRoot()
