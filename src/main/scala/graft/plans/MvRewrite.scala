@@ -205,6 +205,12 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           ft.fileIndex.rootPaths.map(_.toString)
         case _ => Seq.empty[String]
       }
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      sr.relation.table match {
+        case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+          ft.fileIndex.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
   }.flatten
 
   /** How a base relation is identified against the registry: by its
@@ -225,16 +231,26 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           ct.identifier.table).toLowerCase(java.util.Locale.ROOT))
       if (roots.isEmpty && tbl.isEmpty) None else Some(BaseKey(roots, tbl))
     case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-      val roots = dsv2.table match {
-        case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
-          ft.fileIndex.rootPaths.map(_.toString)
-        case _ => Seq.empty[String]
-      }
-      val tbl = dsv2.identifier.map(i =>
-        (i.namespace() :+ i.name()).mkString(".")
-          .toLowerCase(java.util.Locale.ROOT))
-      if (roots.isEmpty && tbl.isEmpty) None else Some(BaseKey(roots, tbl))
+      v2Key(dsv2)
+    // by extraOptimizations time V2ScanRelationPushDown has already
+    // turned V2 relations into scan relations — match those too
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      v2Key(sr.relation)
     case _ => None
+  }
+
+  private def v2Key(
+      dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation)
+      : Option[BaseKey] = {
+    val roots = dsv2.table match {
+      case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+        ft.fileIndex.rootPaths.map(_.toString)
+      case _ => Seq.empty[String]
+    }
+    val tbl = dsv2.identifier.map(i =>
+      (i.namespace() :+ i.name()).mkString(".")
+        .toLowerCase(java.util.Locale.ROOT))
+    if (roots.isEmpty && tbl.isEmpty) None else Some(BaseKey(roots, tbl))
   }
 
   /** Candidate views for a base, SMALLEST first: ordered by the view's
@@ -502,9 +518,22 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }.distinct.sorted
 
     // fresh analyzed scan of the partials (fresh exprIds per rewrite —
-    // safe under self-joins / repeated rewrites in one plan)
+    // safe under self-joins / repeated rewrites in one plan). V1
+    // relations are injected ANALYZED (FileSourceStrategy still derives
+    // pruning/pushdown from the Project/Filter above them at physical
+    // planning); a partials tree holding DSv2 relations must be
+    // OPTIMIZED first — V2ScanRelationPushDown only runs in the main
+    // batches, and a bare DataSourceV2Relation injected after them has
+    // no physical plan. Re-entrant optimization is safe here: the
+    // partials tree has no Aggregate over a registered base, so this
+    // rule cannot re-fire inside it.
+    val partialsQe = partialsFrame(mv, wantMin, wantMax, baseChild)
+      .queryExecution
     val partials =
-      partialsFrame(mv, wantMin, wantMax, baseChild).queryExecution.analyzed
+      if (partialsQe.analyzed.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation]))
+        partialsQe.optimizedPlan
+      else partialsQe.analyzed
     def pAttr(name: String): AttributeReference =
       partials.output.collectFirst {
         case a: AttributeReference if a.name == name => a

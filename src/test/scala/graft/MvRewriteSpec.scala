@@ -657,6 +657,110 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRegistry.deregister(spark, basePath)
   }
 
+  test("DSv2 parquet base rewrites (FileTable root paths)") {
+    // a session whose V1 fallback list is emptied plans parquet through
+    // DataSourceV2Relation — the relation shape the r10 verdict said
+    // never rewrote; relKey now matches FileTable root paths
+    val d = java.nio.file.Files.createTempDirectory("mvrw_v2").toFile
+    d.deleteOnExit()
+    val basePath = d.getPath + "/v2base"
+    val mvPath = d.getPath + "/v2mv"
+    (1 to 400).map(i => (i.toLong, s"c${i % 4}", BigDecimal(i)))
+      .toDF("k", "cust", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy("cust")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    if (!s2.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ MvRewrite(s2)
+    MvRegistry.register(s2, basePath, MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n"))
+    try {
+      val q = s2.read.parquet(basePath).groupBy("cust")
+        .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+      // sanity: the base really is a DSv2 relation in this session
+      val hasV2 = s2.read.parquet(basePath).queryExecution.analyzed.collect {
+        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => 1
+      }.nonEmpty
+      assert(hasV2, "fixture must plan parquet through DSv2")
+      val roots = q.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          v2.table match {
+            case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+              ft.fileIndex.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          sr.relation.table match {
+            case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+              ft.fileIndex.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      assert(roots.nonEmpty && roots.forall(_.endsWith("/v2mv")),
+        s"DSv2 base must rewrite to the view, got $roots")
+      val got = q.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+      val exp = (1 to 400).groupBy(i => s"c${i % 4}").map { case (c, is) =>
+        c -> ((is.size.toLong, is.map(BigDecimal(_)).sum))
+      }
+      assert(got === exp)
+    } finally MvRegistry.deregister(s2, basePath)
+  }
+
+  test("compensated extrema compose with the star join (dim verbatim, " +
+      "base recompute semi-joined)") {
+    val wh = java.nio.file.Files.createTempDirectory("mvrw_cxj").toString
+    val w = new graft.sources.TableWriter(wh)
+    val r1 = (1 to 60).map(i => (i.toLong, s"g${i % 3}", BigDecimal(i)))
+      .toDF("k", "g", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+    w.mergeByKeyCdc(spark, "t", r1, "k", batchId = 1L)
+    val basePath = w.path("t")
+    val mvPath = s"$wh/cxjmv"
+    spark.read.parquet(basePath).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"),
+        max(col("price")).as("max_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef(w.path("t_changes"), frontier = 1L)),
+      maxCols = Map("price" -> "max_price")))
+    try {
+      // tail deletes g1's max (k=58: g1 keys are 1,4,...,58)
+      w.deleteByKeyCdc(spark, "t", Seq(58L).toDF("k"), "k", batchId = 2L)
+      val dim = Seq(("g0", "north"), ("g1", "south"), ("g2", "east"))
+        .toDF("g", "region")
+      val q = spark.read.parquet(basePath).join(dim, Seq("g"))
+        .groupBy("region")
+        .agg(max(col("price")).as("hi"), count(lit(1)).as("n_rows"))
+      val got = q.collect()
+        .map(r => r.getString(0) -> ((BigDecimal(r.getDecimal(1)), r.getLong(2))))
+        .toMap
+      MvRegistry.deregister(spark, basePath)
+      val exp = spark.read.parquet(basePath).join(dim, Seq("g"))
+        .groupBy("region")
+        .agg(max(col("price")).as("hi"), count(lit(1)).as("n_rows"))
+        .collect()
+        .map(r => r.getString(0) -> ((BigDecimal(r.getDecimal(1)), r.getLong(2))))
+        .toMap
+      assert(got === exp)
+      assert(got("south")._1 === BigDecimal(55), "g1's max must drop to 55")
+    } finally MvRegistry.deregister(spark, basePath)
+  }
+
   test("stats-aware lattice: wider-grain but physically smaller view wins") {
     val d = java.nio.file.Files.createTempDirectory("mvrw_stats").toFile
     d.deleteOnExit()
