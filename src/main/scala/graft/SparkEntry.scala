@@ -5992,10 +5992,16 @@ object SparkEntry {
       s"compensated extrema must still read the view: plan scans $roots")
     require(roots.exists(_.endsWith("ext_base")),
       s"touched grains must recompute from the base: plan scans $roots")
+    // the recompute pushes the collected touched-grain set as a literal
+    // grain predicate onto the base scan (I/O-delta-bounded)
     require(plan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join
-          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
-    }.nonEmpty, "base recompute must be semi-joined to the touched grains")
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.references.map(_.name).toSet == Set("cust")
+            && f.child.collectFirst {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+            }.nonEmpty => f
+    }.nonEmpty,
+      "base recompute must push a literal grain predicate onto the base scan")
     q.select(col("cust"), col("lo").cast("double").as("lo"),
       col("hi").cast("double").as("hi"), col("n_orders"),
       col("total_price").cast("double").as("total_price"))

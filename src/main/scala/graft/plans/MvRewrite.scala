@@ -383,12 +383,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     *      touched grains (untouched grains' extrema are exact as-is);
     *   2. the usual signed tail rows (extrema NULL — Min/Max ignore
     *      them);
-    *   3. the query's own base subtree SEMI-JOINED to the touched
-    *      grains, contributing raw measure values as min/max partials
-    *      (count 0, sums NULL) — the final fold recomputes exactly
-    *      those grains' extrema from current base rows.
-    * The base scan reads touched grains only — delta-bounded, never the
-    * fact table.
+    *   3. the query's own base subtree FILTERED to the touched grains,
+    *      contributing raw measure values as min/max partials (count 0,
+    *      sums NULL) — the final fold recomputes exactly those grains'
+    *      extrema from current base rows. The touched set is collected
+    *      (bounded by the tail) and pushed as a LITERAL grain predicate
+    *      into the base scan — parquet row-group skipping / partition
+    *      pruning applies, so the recompute is delta-bounded in the
+    *      I/O sense, not just post-scan; a touched set past the
+    *      1000-combo literal cap falls back to a left-semi join
+    *      (row-bounded, scan-wide).
     */
   private def partialsFrame(mv: MvRegistry.MvDef, wantMin: Seq[String],
       wantMax: Seq[String], baseChild: LogicalPlan): DataFrame = {
@@ -431,33 +435,67 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (wantMin.isEmpty && wantMax.isEmpty)
             viewWith(Seq.empty).unionByName(comp)
           else {
-            // dedup via an explicit Aggregate — .distinct() would inject
-            // a Deduplicate node, which nothing lowers after the main
-            // optimizer batches (extraOptimizations run last)
-            val touched = tail.groupBy(grain.map(col): _*)
-              .agg(org.apache.spark.sql.functions.count(lit(1)).as("__mv_tch"))
-              .select(grain.map(col) :+ lit(1).as("__mv_tch"): _*)
-            val masked = viewRaw.join(touched, grain, "left").select(
-              grain.map(col) ++
-                Seq(col(mv.countCol).cast(LongType).as(cntCol)) ++
-                mv.sumCols.toSeq.sortBy(_._1).map { case (m, s) =>
-                  col(s).as(sumCol(m))
-                } ++
-                wantMin.map(m => when(col("__mv_tch").isNull,
-                  col(mv.minCols(m))).as(minC(m))) ++
-                wantMax.map(m => when(col("__mv_tch").isNull,
-                  col(mv.maxCols(m))).as(maxC(m))): _*)
             val base = org.apache.spark.sql.GraftExpressionBridge
               .dataFrame(spark, baseChild)
-            val recompute = base
-              .join(touched.drop("__mv_tch"), grain, "left_semi")
-              .select(
+            // the touched-grain set is bounded by the feed tail (the
+            // whole compensation premise) — collect it and push a
+            // LITERAL grain predicate into the base scan, so the
+            // recompute reads base rows for touched grains only in the
+            // I/O sense too (parquet row-group skipping / partition
+            // pruning, not just a post-scan semi filter). Beyond the
+            // literal cap, fall back to the semi-join (row-bounded,
+            // scan-wide) rather than build a megabyte predicate.
+            val touchedRows = tail
+              .groupBy(grain.map(col): _*)
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("__c"))
+              .select(grain.map(col): _*).collect()
+            val literalCap = 1000
+            def maskedFrom(src: DataFrame,
+                touchedOnView: org.apache.spark.sql.Column): DataFrame =
+              src.select(
+                grain.map(col) ++
+                  Seq(col(mv.countCol).cast(LongType).as(cntCol)) ++
+                  mv.sumCols.toSeq.sortBy(_._1).map { case (m, s) =>
+                    col(s).as(sumCol(m))
+                  } ++
+                  wantMin.map(m => when(!touchedOnView,
+                    col(mv.minCols(m))).as(minC(m))) ++
+                  wantMax.map(m => when(!touchedOnView,
+                    col(mv.maxCols(m))).as(maxC(m))): _*)
+            def recomputeFrom(src: DataFrame): DataFrame =
+              src.select(
                 grain.map(col) ++
                   Seq(lit(0L).as(cntCol)) ++
                   mv.sumCols.keys.toSeq.sorted.map(m =>
                     lit(null).cast(sumTypes(m)).as(sumCol(m))) ++
                   wantMin.map(m => col(m).as(minC(m))) ++
                   wantMax.map(m => col(m).as(maxC(m))): _*)
+            val (masked, recompute) =
+              if (touchedRows.length <= literalCap) {
+                val pred =
+                  if (touchedRows.isEmpty) lit(false)
+                  else if (grain.size == 1)
+                    col(grain.head).isin(touchedRows.map(_.get(0)).toSeq: _*)
+                  else touchedRows.map { r =>
+                    grain.zipWithIndex.map { case (g, i) =>
+                      col(g) === lit(r.get(i))
+                    }.reduce(_ && _)
+                  }.reduce(_ || _)
+                (maskedFrom(viewRaw, pred), recomputeFrom(base.filter(pred)))
+              } else {
+                // huge touched set: semi-join fallback (row-bounded,
+                // scan-wide). Dedup via an explicit Aggregate —
+                // .distinct() would inject a Deduplicate node, which
+                // nothing lowers after the main optimizer batches
+                val touched = tail.groupBy(grain.map(col): _*)
+                  .agg(org.apache.spark.sql.functions.count(lit(1))
+                    .as("__mv_tch"))
+                  .select(grain.map(col) :+ lit(1).as("__mv_tch"): _*)
+                (maskedFrom(viewRaw.join(touched, grain, "left"),
+                    col("__mv_tch").isNotNull),
+                  recomputeFrom(
+                    base.join(touched.drop("__mv_tch"), grain, "left_semi")))
+              }
             masked.unionByName(comp).unionByName(recompute)
           }
         }

@@ -630,12 +630,17 @@ class MvRewriteSpec extends SparkSpec {
         s"compensated extrema must still read the view, got $roots")
       assert(roots.exists(_.endsWith("/t")),
         s"touched grains must recompute from the base, got $roots")
-      val semis = q.queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      // small touched sets ride a LITERAL grain predicate pushed onto
+      // the base scan (I/O-delta-bounded); the semi-join is the
+      // beyond-literal-cap fallback
+      val prunedFilters = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.references.map(_.name).toSet == Set("g")
+              && f.child.collectFirst { case lr: LogicalRelation => lr }.nonEmpty
+          => f
       }
-      assert(semis.nonEmpty,
-        "base recompute must be semi-joined to the touched grains")
+      assert(prunedFilters.nonEmpty,
+        "base recompute must push a literal grain predicate onto the base scan")
       val got = q.collect().map(r => r.getString(0) ->
         ((BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)),
           r.getLong(3), BigDecimal(r.getDecimal(4))))).toMap
