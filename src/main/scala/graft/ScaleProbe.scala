@@ -35,7 +35,7 @@ object ScaleProbe {
         "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics",
         "mvrewrite", "bloomskip", "mvrefresh",
         "triangles", "ranktopk", "ivftrain", "recovery", "annrank",
-        "snapshot", "vtable", "manifest")
+        "snapshot", "vtable", "manifest", "mvext")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -780,7 +780,7 @@ object ScaleProbe {
     // scoped merge, bucketed tables) measured under replication
     if (probes.intersect(
         Set("q59", "q62", "q63", "q69", "q70", "q71", "clone",
-          "vtable", "mvrewrite", "bloomskip", "mvrefresh")).nonEmpty) {
+          "vtable", "mvrewrite", "bloomskip", "mvrefresh", "manifest", "mvext")).nonEmpty) {
       val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
       val ordersN = (0 until mult).map { r =>
         orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
@@ -971,6 +971,51 @@ object ScaleProbe {
             dv.toLong * 1000000L + df
           }
           batch.unpersist(blocking = false)
+          deleteTree(wh)
+        }
+        if (on("mvext")) {
+          // compensated EXTREMA serving (r11): MIN/MAX from a stale
+          // view whose tail deleted group maxima — the rewrite masks
+          // view extrema on touched grains and recomputes them from
+          // the base under a PUSHED literal grain predicate. Serve
+          // cost should track |view| + |tail| + touched-grain row
+          // groups, NOT the fact table; the plain aggregate is the
+          // full-scan reference.
+          import graft.plans.{MvRegistry, MvRewrite}
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_mvext_").toString
+          val w = new graft.sources.TableWriter(wh)
+          val src2 = o.select(col("o_orderkey").as("k"),
+            pmod(col("o_custkey"), lit(1000L)).as("cust"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+          w.mergeByKeyCdc(spark, "xt", src2, "k", batchId = 1L)
+          spark.read.parquet(w.path("xt")).groupBy("cust")
+            .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"),
+              min(col("price")).as("min_price"),
+              max(col("price")).as("max_price"))
+            .write.mode("overwrite").parquet(s"$wh/xmv")
+          // tail: strike 3 grains' current maxima
+          val victims = spark.read.parquet(w.path("xt"))
+            .filter(col("cust").isin(7L, 13L, 99L))
+            .groupBy("cust")
+            .agg(max(struct(col("price"), col("k"))).as("m"))
+            .select(col("m.k").as("k"))
+          w.deleteByKeyCdc(spark, "xt", victims, "k", batchId = 2L)
+          if (!spark.experimental.extraOptimizations
+              .exists(_.isInstanceOf[MvRewrite]))
+            spark.experimental.extraOptimizations =
+              spark.experimental.extraOptimizations :+ MvRewrite(spark)
+          MvRegistry.register(spark, w.path("xt"), MvRegistry.MvDef(
+            s"$wh/xmv", Set("cust"), Map("price" -> "sum_price"), "n",
+            comp = Some(MvRegistry.CompDef(w.path("xt_changes"), frontier = 1L)),
+            minCols = Map("price" -> "min_price"),
+            maxCols = Map("price" -> "max_price")))
+          def serveQ = spark.read.parquet(w.path("xt")).groupBy("cust")
+            .agg(min(col("price")).as("lo"), max(col("price")).as("hi"),
+              count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+          t(s"q129_mvext_serve_$label") { serveQ.collect().length.toLong }
+          MvRegistry.deregister(spark, w.path("xt"))
+          t(s"q129_mvext_plain_$label") { serveQ.collect().length.toLong }
           deleteTree(wh)
         }
         if (on("manifest") && label == "1x") {
