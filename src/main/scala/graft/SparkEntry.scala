@@ -6141,6 +6141,120 @@ object SparkEntry {
       |FROM agg CROSS JOIN
       |  (SELECT 'stale_tail' AS phase UNION ALL SELECT 'fresh') p""".stripMargin
 
+  /** DYNAMIC-frontier compensated serving (q132 — the register-once
+    * closure of the MV loop): the view is registered ONE time with
+    * [[graft.plans.MvRegistry.CompDef.dynamic]], and the rewrite
+    * resolves (served directory, frontier) per query from the view's
+    * own in-dir `_frontier` — refreshes advance the frontier without
+    * any re-registration (q126/q130 re-registered after each refresh;
+    * a static frontier is a footgun the moment maintenance and serving
+    * are separate processes), and the (dir, frontier) pair is
+    * consistent by construction even against a torn swap (the frontier
+    * lives INSIDE the served directory — MvMaintainSpec pins exact
+    * serving from `__old` + tail mid-crash). Three phases under one
+    * registration: fresh (view alone), stale (view + feed tail), fresh
+    * again after a refresh — plan shape REQUIRED per phase, oracle =
+    * the closed forms.
+    */
+  private def q132MvDynamicFrontier(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    import graft.sources.MvMaintain
+    val e = t(s, dir, "events")
+      .select(col("event_id").as("k"), (col("user_id") % 30).as("grp"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val wh = s"$q40Scratch/mvdyn_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val w = new graft.sources.TableWriter(wh)
+    val mvPath = s"$wh/dyn_mv"
+    MvRegistry.deregister(s, w.path("dyn_base"))
+    val vdef = MvMaintain.ViewDef(Seq("grp"), Map("v" -> "sum_v"), "n")
+    w.mergeByKeyCdc(s, "dyn_base", e.filter(col("k") % 2 === 0), "k",
+      batchId = 1L)
+    val fr1 = MvMaintain.refresh(s, w.path("dyn_base_changes"), mvPath, vdef)
+    require(fr1 == 1L, s"first refresh frontier: $fr1")
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    // THE one registration — never repeated below
+    MvRegistry.register(s, w.path("dyn_base"), MvRegistry.MvDef(
+      mvPath, Set("grp"), Map("v" -> "sum_v"), "n",
+      comp = Some(MvRegistry.CompDef.dynamic(w.path("dyn_base_changes")))))
+    def roots(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    def serve(): DataFrame = s.read.parquet(w.path("dyn_base"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("total"))
+    // each phase is MATERIALIZED at phase time (collect on the
+    // grain-bounded result): the phases observe different table
+    // states, so deferring them into one lazily-executed union would
+    // re-plan every phase against the FINAL state (and stale pinned
+    // file lists) at execution
+    def materialize(df: DataFrame, phase: String): Seq[(String, Long, Long, Double)] =
+      df.select(col("grp"), col("n_events"),
+          col("total").cast("double").as("total"))
+        .collect().map(r => (phase, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val p1 = serve()
+    require(roots(p1).nonEmpty && roots(p1).forall(_.endsWith("dyn_mv")),
+      s"phase 1 (fresh) must serve the view alone: ${roots(p1)}")
+    val out1 = materialize(p1, "fresh1")
+    // the table moves; the registration does NOT
+    w.mergeByKeyCdc(s, "dyn_base",
+      e.filter(col("k") % 2 === 0 && col("k") % 7 === 3)
+        .withColumn("v", (col("v") + lit(2000).cast("decimal(18,2)"))
+          .cast("decimal(18,2)")),
+      "k", batchId = 2L)
+    w.deleteByKeyCdc(s, "dyn_base",
+      e.filter(col("k") % 2 === 0 && col("k") % 5 === 1).select("k"),
+      "k", batchId = 3L)
+    val p2 = serve()
+    val r2 = roots(p2)
+    require(r2.exists(_.endsWith("dyn_mv"))
+        && r2.exists(_.contains("batch=2")) && r2.exists(_.contains("batch=3"))
+        && !r2.exists(_.endsWith("dyn_base")),
+      s"phase 2 (stale) must serve view + tail: $r2")
+    val out2 = materialize(p2, "stale_tail")
+    // refresh under the SAME registration; the next query is fresh
+    val fr2 = MvMaintain.refresh(s, w.path("dyn_base_changes"), mvPath, vdef)
+    require(fr2 == 3L, s"second refresh frontier: $fr2")
+    val p3 = serve()
+    require(roots(p3).nonEmpty && roots(p3).forall(_.endsWith("dyn_mv")),
+      s"phase 3 (fresh again) must serve the view alone: ${roots(p3)}")
+    val out3 = materialize(p3, "fresh2")
+    import s.implicits._
+    (out1 ++ out2 ++ out3).toDF("phase", "grp", "n_events", "total")
+  }
+
+  private def q132OracleSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id % 30 AS grp, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_id % 2 = 0
+      |), s2 AS (
+      |  SELECT user_id % 30 AS grp,
+      |    CAST(CASE WHEN event_id % 7 = 3
+      |      THEN CAST(value AS DECIMAL(18,2)) + 2000
+      |      ELSE CAST(value AS DECIMAL(18,2)) END AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_id % 2 = 0 AND event_id % 5 <> 1
+      |), a1 AS (
+      |  SELECT grp, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total
+      |  FROM s1 GROUP BY 1
+      |), a2 AS (
+      |  SELECT grp, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total
+      |  FROM s2 GROUP BY 1
+      |)
+      |SELECT 'fresh1' AS phase, grp, n_events, total FROM a1
+      |UNION ALL
+      |SELECT 'stale_tail', grp, n_events, total FROM a2
+      |UNION ALL
+      |SELECT 'fresh2', grp, n_events, total FROM a2""".stripMargin
+
   /** Manifest-derived change-data feed (q131 — the Delta-CDF analogue
     * with NO feed maintained at write time): the NET row-level changes
     * between two committed [[graft.sources.VersionedTable]] versions,
@@ -7009,6 +7123,7 @@ object SparkEntry {
     "q129_mv_comp_extrema" -> (q129MvCompExtrema _),
     "q130_mv_stream_retention" -> (q130MvStreamRetention _),
     "q131_versioned_cdf" -> (q131VersionedCdf _),
+    "q132_mv_dynamic_frontier" -> (q132MvDynamicFrontier _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8413,6 +8528,7 @@ object SparkEntry {
     "q129_mv_comp_extrema" -> q129OracleSql,
     "q130_mv_stream_retention" -> q130OracleSql,
     "q131_versioned_cdf" -> q131OracleSql,
+    "q132_mv_dynamic_frontier" -> q132OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

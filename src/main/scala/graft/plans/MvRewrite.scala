@@ -67,8 +67,22 @@ object MvRegistry {
     * batches PAST the frontier, so `truncateChangeFeed` of applied
     * batches (ids ≤ frontier) never affects it — the registered
     * frontier is exactly the low-water mark this consumer contributes.
+    *
+    * [[CompDef.dynamic]] leaves the frontier UNPINNED: the rewrite
+    * resolves (view directory, frontier) per query from the view's own
+    * in-dir `_frontier` ([[graft.sources.MvMaintain]]'s layout,
+    * torn-swap-resolving) — register ONCE, refresh forever, no
+    * re-registration after each refresh, and a refresh that crashed
+    * between its swap renames serves the PRIOR view with the matching
+    * frontier + the un-refolded tail, still exactly fresh.
     */
-  final case class CompDef(feedRoot: String, frontier: Long)
+  final case class CompDef(feedRoot: String, frontier: Long) {
+    def isDynamic: Boolean = frontier == CompDef.Dynamic
+  }
+  object CompDef {
+    val Dynamic: Long = Long.MinValue
+    def dynamic(feedRoot: String): CompDef = CompDef(feedRoot, Dynamic)
+  }
 
   /** `mvPath` holds rows at grain `groupCols` with an additive row
     * count `countCol` and per-measure sums `sumCols` (base measure
@@ -397,7 +411,22 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def partialsFrame(mv: MvRegistry.MvDef, wantMin: Seq[String],
       wantMax: Seq[String], baseChild: LogicalPlan): DataFrame = {
     val grain = mv.groupCols.toSeq.sorted
-    val viewRaw = spark.read.parquet(mv.mvPath)
+    // dynamic-frontier registrations resolve (dir, frontier) per query
+    // from the view's own in-dir _frontier — the pair is consistent by
+    // construction (frontier lives inside the served directory), and a
+    // missing/frontier-less view throws here, which tryRewriteSafely
+    // turns into the correct base-scan fallback
+    val (viewDir, resolvedFrontier): (String, Option[Long]) = mv.comp match {
+      case Some(c) if c.isDynamic =>
+        val (d, f) = graft.sources.MvMaintain.servingView(spark, mv.mvPath)
+          .getOrElse(throw new IllegalStateException(
+            s"dynamic-frontier view at ${mv.mvPath} has no committed " +
+              "directory/_frontier"))
+        (d, Some(f))
+      case Some(c) => (mv.mvPath, Some(c.frontier))
+      case None => (mv.mvPath, None)
+    }
+    val viewRaw = spark.read.parquet(viewDir)
     def viewWith(extrema: Seq[org.apache.spark.sql.Column]): DataFrame =
       viewRaw.select(
         grain.map(col) ++
@@ -411,7 +440,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     mv.comp match {
       case None => viewWith(viewExtrema)
       case Some(c) =>
-        val tailDirs = feedBatchDirsPast(c)
+        val tailDirs = feedBatchDirsPast(c.feedRoot, resolvedFrontier.get)
         // a fresh view (empty tail) serves extrema directly
         if (tailDirs.isEmpty) viewWith(viewExtrema)
         else {
@@ -505,13 +534,13 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Bounded driver-side listing (one listStatus on the feed root):
     * the batch directories with id strictly past the view's frontier.
     */
-  private def feedBatchDirsPast(c: MvRegistry.CompDef): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(c.feedRoot)
+  private def feedBatchDirsPast(feedRoot: String, frontier: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(feedRoot)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .filter(_.getPath.getName.stripPrefix("batch=").toLong > c.frontier)
+      .filter(_.getPath.getName.stripPrefix("batch=").toLong > frontier)
       .map(_.getPath.toString).sorted
   }
 

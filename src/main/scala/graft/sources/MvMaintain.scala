@@ -85,6 +85,23 @@ object MvMaintain {
   def readView(spark: SparkSession, mvPath: String): Option[DataFrame] =
     liveDir(spark, mvPath).map(dir => spark.read.parquet(dir.toString))
 
+  /** The committed serving pair (directory, frontier) resolved from the
+    * SAME directory — what [[graft.plans.MvRewrite]]'s dynamic-frontier
+    * mode consumes: reading the dir and its embedded `_frontier`
+    * together is what keeps view rows and compensation low-water mark
+    * consistent even when this call races a refresh's swap (the pair
+    * is either the prior view's or the new one's, never a mix — the
+    * frontier lives INSIDE the view directory).
+    */
+  private[graft] def servingView(spark: SparkSession,
+      mvPath: String): Option[(String, Long)] =
+    liveDir(spark, mvPath).flatMap { dir =>
+      val fs = fsOf(spark, dir)
+      graft.operators.IndexProtocol.readLinesIfExists(fs,
+          new org.apache.hadoop.fs.Path(dir, "_frontier"))
+        .flatMap(_.headOption).map(f => (dir.toString, f.trim.toLong))
+    }
+
   private def feedBatchIds(spark: SparkSession, feedRoot: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(feedRoot)
     val fs = fsOf(spark, root)

@@ -181,6 +181,66 @@ class MvMaintainSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("dynamic frontier: register once, refresh forever — and a torn " +
+      "swap still serves exactly") {
+    val (w, mv, _) = mkStore()
+    w.mergeByKeyCdc(spark, "t", rows(1 to 30), "k", batchId = 1L)
+    MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    // ONE registration with an unpinned frontier — the rewrite reads
+    // the frontier from the served view directory per query
+    MvRegistry.register(spark, w.path("t"), MvRegistry.MvDef(
+      mv, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef.dynamic(w.path("t_changes")))))
+    def serve() = spark.read.parquet(w.path("t")).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+    def direct() = w.read(spark, "t").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    def roots(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    try {
+      // fresh: zero tail, view alone
+      assert(toMap(serve()) === toMap(direct()))
+      assert(roots(serve()).forall(_.endsWith("/mv")))
+      // the table moves — NO re-registration, compensation picks up
+      // the tail from the unchanged dynamic registration
+      w.mergeByKeyCdc(spark, "t", rows(31 to 40), "k", batchId = 2L)
+      assert(toMap(serve()) === toMap(direct()))
+      assert(roots(serve()).exists(_.contains("batch=2")))
+      // a refresh CRASHES between its swap renames: the prior view
+      // survives under __old, and the dynamic resolution serves it
+      // with ITS frontier + the full un-refolded tail — still exact
+      intercept[RuntimeException] {
+        MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef,
+          MvMaintain.SwapHooks(betweenRenames =
+            () => throw new RuntimeException("crash")))
+      }
+      assert(!new java.io.File(mv).exists(), "fixture: swap must be torn")
+      assert(toMap(serve()) === toMap(direct()),
+        "torn swap must serve the prior view + tail exactly")
+      val r = roots(serve())
+      assert(r.exists(_.endsWith("/mv__old")) && r.exists(_.contains("batch=2"))
+          && !r.exists(_.endsWith("/t")),
+        s"torn-swap serve must read __old + tail, got $r")
+      // recovery refresh: back to view-only serving, still exact
+      MvMaintain.refresh(spark, w.path("t_changes"), mv, vdef)
+      assert(toMap(serve()) === toMap(direct()))
+      assert(roots(serve()).forall(_.endsWith("/mv")))
+    } finally MvRegistry.deregister(spark, w.path("t"))
+  }
+
   test("the committed frontier composes with MvRewrite: fresh view, zero tail") {
     val (w, mv, _) = mkStore()
     w.mergeByKeyCdc(spark, "t", rows(1 to 40), "k", batchId = 1L)
