@@ -6098,13 +6098,23 @@ object SparkEntry {
       mvPath, Set("grp"), Map("v" -> "sum_v"), "n",
       comp = Some(MvRegistry.CompDef(w.path("ev_rbase_changes"),
         frontier = fr1))))
+    // phases are MATERIALIZED at phase time (the q132 lesson): a
+    // deferred union re-plans every phase against the final state at
+    // execution — here both phases fold to the same values so the
+    // oracle could not tell, but the phase labels should mean what
+    // they say
+    def materialize(df: DataFrame, phase: String): Seq[(String, Long, Long, Double)] =
+      df.select(col("grp"), col("n_events"),
+          col("total").cast("double").as("total"))
+        .collect().map(r => (phase, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
     val p1 = serve()
     val r1 = roots(p1)
     require(r1.exists(_.endsWith("ev_rmv"))
         && r1.exists(_.contains("batch=4")) && r1.exists(_.contains("batch=5"))
         && !r1.exists(_.endsWith("ev_rbase")),
       s"phase 1 must serve view + tail: plan scans $r1")
-    val out1 = p1.withColumn("phase", lit("stale_tail"))
+    val out1 = materialize(p1, "stale_tail")
     // second refresh advances the frontier; truncate again; re-register
     MvRegistry.deregister(s, w.path("ev_rbase")) // maintenance unregistered
     val fr2 = MvMaintain.refresh(s, w.path("ev_rbase_changes"), mvPath, vdef)
@@ -6118,12 +6128,10 @@ object SparkEntry {
     val r2 = roots(p2)
     require(r2.nonEmpty && r2.forall(_.endsWith("ev_rmv")),
       s"phase 2 (fresh view) must serve alone: plan scans $r2")
-    val out2 = p2.withColumn("phase", lit("fresh"))
-    val res = out1.unionByName(out2)
-      .select(col("phase"), col("grp"), col("n_events"),
-        col("total").cast("double").as("total"))
+    val out2 = materialize(p2, "fresh")
     deleteTree(java.nio.file.Paths.get(stage))
-    res
+    import s.implicits._
+    (out1 ++ out2).toDF("phase", "grp", "n_events", "total")
   }
 
   private def q130OracleSql: String =
