@@ -6263,6 +6263,49 @@ object SparkEntry {
       |UNION ALL
       |SELECT 'fresh2', grp, n_events, total FROM a2""".stripMargin
 
+  /** VersionedTable → BM25 index sync from MANIFEST DIFFS (q133 — the
+    * round's two storage features driving the serving stack): the
+    * corpus lives as a versioned merge table (three commits: full
+    * insert, the %7 text update, the %11 delete — the q109 history,
+    * but with NO change feed written at any point), and the index is
+    * maintained purely by replaying [[graft.sources.VersionedTable
+    * .changesBetween]] per version pair through the exactly-once
+    * delete/append legs (version ids = batch ids; sync runs TWICE —
+    * marker fast-paths make the second pass a no-op). Serving must
+    * equal a fresh build over the latest version — q109's oracle
+    * verbatim, because the final corpus is identical.
+    */
+  private val vtIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q133VtIndexSync(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val writer = vtIdxCache.getOrElseUpdate((s, dir), {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val wh = s"$q40Scratch/vtidx_${java.lang.Integer.toHexString(dir.hashCode)}"
+      deleteTree(java.nio.file.Paths.get(wh))
+      val root = s"$wh/docs_vt"
+      VersionedTable.commitMerge(s, root, d, "doc_id")             // v0
+      VersionedTable.commitMerge(s, root,
+        d.filter(col("doc_id") % 7 === 0)
+          .withColumn("text", concat(col("text"), lit(" upd7"))),
+        "doc_id")                                                  // v1
+      VersionedTable.commitDelete(s, root,
+        d.filter(col("doc_id") % 11 === 5).select("doc_id"),
+        "doc_id")                                                  // v2
+      val w = new graft.sources.TableWriter(wh)
+      Retrieval.syncBm25IndexFromVersionedTable(s, root, w, "vtdocs")
+      Retrieval.syncBm25IndexFromVersionedTable(s, root, w, "vtdocs")
+      w
+    })
+    val fin = VersionedTable.read(s, writer.path("docs_vt"))
+      .select(col("doc_id"), col("text"))
+    val qs = Retrieval.queryTerms(fin, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, writer, "vtdocs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Manifest-derived change-data feed (q131 — the Delta-CDF analogue
     * with NO feed maintained at write time): the NET row-level changes
     * between two committed [[graft.sources.VersionedTable]] versions,
@@ -7132,6 +7175,7 @@ object SparkEntry {
     "q130_mv_stream_retention" -> (q130MvStreamRetention _),
     "q131_versioned_cdf" -> (q131VersionedCdf _),
     "q132_mv_dynamic_frontier" -> (q132MvDynamicFrontier _),
+    "q133_vt_index_sync" -> (q133VtIndexSync _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8537,6 +8581,7 @@ object SparkEntry {
     "q130_mv_stream_retention" -> q130OracleSql,
     "q131_versioned_cdf" -> q131OracleSql,
     "q132_mv_dynamic_frontier" -> q132OracleSql,
+    "q133_vt_index_sync" -> q109OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -1866,6 +1866,67 @@ object Retrieval {
         col("payload").as("n_occ"), col("rank"))
   }
 
+  /** Drive a BM25 serving index from a [[graft.sources.VersionedTable]]'s
+    * commit history — the CDC → index sync (q109) with NO change feed
+    * maintained at write time: each committed version's net row changes
+    * are derived from the MANIFEST DIFF
+    * ([[graft.sources.VersionedTable.changesBetween]], bucket-pruned by
+    * file-list identity), pre-images struck via
+    * [[deleteFromBm25IndexBatch]] and post-images appended via
+    * [[appendBm25IndexBatch]] — version ids are the batch ids, so the
+    * exactly-once markers make re-runs (and crash redeliveries inside
+    * any version) fast-path convergently, and the synced index serves
+    * exactly what a fresh build over the latest version would.
+    *
+    * Version 0 (or the oldest retained version on first sync) replays
+    * as pure inserts of its full state. Versions already marked are
+    * skipped without reading any manifest diff. Retention contract:
+    * every UNSYNCED version and its predecessor must still be retained
+    * (vacuum keeps `retainLast`; sync before vacuuming past unsynced
+    * history — [[graft.sources.VersionedTable.read]] refuses loudly
+    * otherwise, never silently skips).
+    */
+  def syncBm25IndexFromVersionedTable(spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String, writer: graft.sources.TableWriter, name: String,
+      buckets: Int = 64, vocabBuckets: Int = 16,
+      keyCol: String = "doc_id", textCol: String = "text",
+      writerId: String = "default"): Unit = {
+    import graft.sources.VersionedTable
+    val conf = spark.sessionState.newHadoopConf()
+    val commitsDir = new org.apache.hadoop.fs.Path(
+      writer.path(s"${name}_commits"))
+    val fs = commitsDir.getFileSystem(conf)
+    val vs = VersionedTable.versions(spark, tableRoot)
+    for (v <- vs) {
+      val applied =
+        IndexProtocol.isMarked(fs, commitsDir, s"batch_$v",
+          "frontier_batch", v) &&
+        IndexProtocol.isMarked(fs, commitsDir, s"del_$v",
+          "frontier_del", v)
+      if (!applied) {
+        val (pre, post) =
+          if (v == vs.head) {
+            val full = VersionedTable.read(spark, tableRoot, Some(v))
+              .select(col(keyCol), col(textCol))
+            (full.limit(0), full)
+          } else {
+            val d = VersionedTable.changesBetween(spark, tableRoot,
+              keyCol, v - 1, v)
+            (d.filter(col("change_op").isin("delete", "update_pre"))
+              .select(col(keyCol), col(textCol)),
+              d.filter(col("change_op").isin("insert", "update_post"))
+                .select(col(keyCol), col(textCol)))
+          }
+        deleteFromBm25IndexBatch(pre, writer, name, batchId = v,
+          buckets = buckets, vocabBuckets = vocabBuckets,
+          idCol = keyCol, textCol = textCol, writerId = writerId)
+        appendBm25IndexBatch(post, writer, name, batchId = v,
+          buckets = buckets, vocabBuckets = vocabBuckets,
+          idCol = keyCol, textCol = textCol, writerId = writerId)
+      }
+    }
+  }
+
   /** Exact top-k tokens per group by frequency (count desc, token asc).
     * The corpus-sized work is the single (group, token) count shuffle
     * with map-side combine; the window that ranks it runs on the
