@@ -289,6 +289,19 @@ object Bench {
     if (only.isEmpty)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    // compact totals summary as the LAST stdout line (r11 verdict #4):
+    // the full JSON above is ~45 KB and overflows the driver's stdout
+    // tail capture, so the driver's own artifact has never parsed. This
+    // line stays under ~1 KB — totals, counts, violations, and the ten
+    // slowest steady entries — so an independent adjudication survives
+    // any tail truncation. Kept AFTER the BENCH_FULL write so a crash
+    // between the two can't leave a summary with no backing detail.
+    val headline = results.sortBy(-_._2).take(10)
+      .map(t => "\"" + t._1 + "\":" + f"${t._2}%.3f").mkString("{", ",", "}")
+    val violJson = violations.sortBy(_._1)
+      .map { case (n, s, b) => "\"" + n + "\":" + f"[$s%.3f,$b%.3f]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"graft_summary","value":${f"$total%.3f"},"unit":"sec","sf":"$sfBase","entries":${results.size},"failed":${failed.size},"violations":$violJson,"total_cold":${f"$totalCold%.3f"},"runs":$runs,"queries":$headline}""")
     spark.stop()
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")

@@ -1879,12 +1879,18 @@ object Retrieval {
     * exactly what a fresh build over the latest version would.
     *
     * Version 0 (or the oldest retained version on first sync) replays
-    * as pure inserts of its full state. Versions already marked are
+    * as pure inserts of its full state — and that full replay is legal
+    * ONLY onto a VIRGIN index: if vacuum has dropped manifests past
+    * versions this index already synced, the new oldest retained
+    * version would re-insert every live doc as a duplicate (doubled
+    * postings and dfs, silently). So when the head version is unmarked
+    * but the index carries ANY prior sync state (a batch/del marker, a
+    * folded frontier, or the stats file), the sync REFUSES loudly
+    * instead of replaying (r11 advisor). Versions already marked are
     * skipped without reading any manifest diff. Retention contract:
     * every UNSYNCED version and its predecessor must still be retained
     * (vacuum keeps `retainLast`; sync before vacuuming past unsynced
-    * history — [[graft.sources.VersionedTable.read]] refuses loudly
-    * otherwise, never silently skips).
+    * history).
     */
   def syncBm25IndexFromVersionedTable(spark: org.apache.spark.sql.SparkSession,
       tableRoot: String, writer: graft.sources.TableWriter, name: String,
@@ -1906,6 +1912,31 @@ object Retrieval {
       if (!applied) {
         val (pre, post) =
           if (v == vs.head) {
+            // full-state replay is only legal onto a virgin index: sync
+            // state from any OTHER version id means vacuum dropped
+            // manifests past already-synced versions, and replaying the
+            // head as pure inserts would double every live doc's
+            // postings and dfs. State attributable to v ITSELF (del_v
+            // marker, staged_v manifest, write-ahead litter for v, or
+            // the stats file while v's legs are in flight) is legitimate
+            // crash-redelivery of this very replay and must NOT refuse —
+            // the exactly-once legs converge it.
+            val st = IndexProtocol.commitsState(fs, commitsDir)
+            val inflightForV = st.stagedAppends.contains(v) ||
+              st.writeAheadDeletes.contains(v) || st.delMarkers.contains(v)
+            val priorSync =
+              (st.committedAppends ++ st.delMarkers ++ st.stagedAppends ++
+                st.writeAheadDeletes).exists(_ != v) ||
+              st.frontierBatch > Long.MinValue ||
+              st.frontierDel > Long.MinValue ||
+              (!inflightForV && fs.exists(new org.apache.hadoop.fs.Path(
+                writer.path(s"${name}_stats"))))
+            require(!priorSync,
+              s"syncBm25IndexFromVersionedTable: oldest retained version " +
+                s"$v of $tableRoot is unsynced but index '$name' already " +
+                "carries sync state — vacuum dropped manifests past synced " +
+                "history; full replay would duplicate postings. Rebuild " +
+                "the index or restore retention before syncing.")
             val full = VersionedTable.read(spark, tableRoot, Some(v))
               .select(col(keyCol), col(textCol))
             (full.limit(0), full)

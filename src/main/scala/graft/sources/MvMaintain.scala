@@ -87,11 +87,14 @@ object MvMaintain {
 
   /** The committed serving pair (directory, frontier) resolved from the
     * SAME directory — what [[graft.plans.MvRewrite]]'s dynamic-frontier
-    * mode consumes: reading the dir and its embedded `_frontier`
-    * together is what keeps view rows and compensation low-water mark
-    * consistent even when this call races a refresh's swap (the pair
-    * is either the prior view's or the new one's, never a mix — the
-    * frontier lives INSIDE the view directory).
+    * mode consumes. NOTE: this call alone does NOT pin the view's rows
+    * — the returned dir's parquet listing happens later at the caller,
+    * and a refresh swap landing between this frontier read and that
+    * listing would pair the old frontier with the new rows. The
+    * consumer (MvRewrite.partialsFrame) closes the window by pinning
+    * the parquet file index first and re-calling this to verify the
+    * frontier is unchanged (retrying on a detected swap); any new
+    * caller must do the same dance or accept the race.
     */
   private[graft] def servingView(spark: SparkSession,
       mvPath: String): Option[(String, Long)] =
