@@ -248,12 +248,51 @@ object VersionedTable {
     val cd = commitsDir(root)
     if (!fs.exists(cd)) return
     val names = fs.listStatus(cd).map(_.getPath.getName).toSet
-    names.filter(_.startsWith("staged_")).foreach { n =>
-      val k = n.stripPrefix("staged_")
-      if (!names.contains(s"v_$k"))
-        IndexProtocol.redoFromManifest(fs, new Path(cd, n))
-      fs.delete(new Path(cd, n), false)
-    }
+    // optimistic writers' markers (staged_occ_<writerId>) are NOT
+    // crashes from this path's perspective — they may be live in-flight
+    // commits; the leased paths refuse to run while any exist (mode
+    // check below), and [[sweepOwnOcc]]/[[sweepOcc]] handle them by
+    // reference
+    names.filter(n => n.startsWith("staged_") && !n.startsWith("staged_occ_"))
+      .foreach { n =>
+        val k = n.stripPrefix("staged_")
+        if (!names.contains(s"v_$k"))
+          IndexProtocol.redoFromManifest(fs, new Path(cd, n))
+        fs.delete(new Path(cd, n), false)
+      }
+  }
+
+  /** Names of in-flight/crashed optimistic markers under the table. */
+  private def occMarkers(fs: FileSystem, root: Path): Seq[String] = {
+    val cd = commitsDir(root)
+    if (!fs.exists(cd)) Nil
+    else fs.listStatus(cd).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("staged_occ_")).sorted
+  }
+
+  /** The leased single-writer paths refuse while optimistic markers
+    * exist: a leased writer's crash sweep and version allocation both
+    * assume exclusivity, and an optimistic writer may be live. A marker
+    * from a KNOWN-DEAD optimistic writer is cleared with [[sweepOcc]].
+    */
+  private def assertNoOcc(fs: FileSystem, root: Path, what: String): Unit = {
+    val ms = occMarkers(fs, root)
+    require(ms.isEmpty,
+      s"$what: optimistic commit marker(s) ${ms.mkString(", ")} present — " +
+        "the table is being written in optimistic mode (or an optimistic " +
+        "writer crashed). Leased and optimistic commits never mix; for a " +
+        "dead optimistic writer run VersionedTable.sweepOcc first.")
+  }
+
+  /** Clear a DEAD optimistic writer's marker: files it moved in are
+    * kept if any retained manifest references them (the crash was
+    * post-commit) and deleted otherwise, exactly like the writer's own
+    * startup sweep. Only safe once that writer is decommissioned.
+    */
+  def sweepOcc(spark: SparkSession, rootStr: String, writerId: String): Unit = {
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    sweepOwnOcc(fs, root, rootStr, spark, writerId)
   }
 
   /** Upsert `incoming` by `key` as one atomic committed version.
@@ -275,6 +314,7 @@ object VersionedTable {
     val fs = fsOf(spark, root)
     val epoch = IndexProtocol.acquireLease(fs, commitsDir(root), writerId,
       "commitMerge", leaseTtlMs)
+    assertNoOcc(fs, root, "commitMerge")
     sweepCrashed(fs, root)
     val cur = latestVersion(spark, rootStr)
     val next = cur.map(_ + 1).getOrElse(0L)
@@ -319,6 +359,7 @@ object VersionedTable {
     val fs = fsOf(spark, root)
     val epoch = IndexProtocol.acquireLease(fs, commitsDir(root), writerId,
       "commitDelete", leaseTtlMs)
+    assertNoOcc(fs, root, "commitDelete")
     sweepCrashed(fs, root)
     val cur = latestVersion(spark, rootStr)
     require(cur.nonEmpty, s"commitDelete: no committed version at $rootStr")
@@ -425,8 +466,26 @@ object VersionedTable {
     require(retainLast >= 1, "vacuum must retain at least the latest version")
     val root = new Path(rootStr)
     val fs = fsOf(spark, root)
+    // on an OPTIMISTIC-mode table (no lease on disk) vacuum still takes
+    // the lease for its own duration — optimistic commits refuse while
+    // it runs, which is what makes "unreferenced" decidable — and
+    // releases it afterward so the table stays in optimistic mode
+    val occMode = !fs.exists(new Path(commitsDir(root), "writer"))
     IndexProtocol.acquireLease(fs, commitsDir(root), writerId, "vacuum",
       leaseTtlMs)
+    // under the table's publish lock: an optimistic publish that passed
+    // its start-of-commit lease check before this vacuum took the lease
+    // either lands BEFORE this block (vacuum then sees its version) or
+    // hits the in-lock lease re-check and aborts — never a commit
+    // landing between vacuum's manifest read and its file sweep
+    try occLock(fs.makeQualified(root).toString).synchronized {
+      vacuumUnderLease(spark, fs, root, rootStr, retainLast)
+    }
+    finally if (occMode) IndexProtocol.releaseLease(fs, commitsDir(root))
+  }
+
+  private def vacuumUnderLease(spark: SparkSession, fs: FileSystem,
+      root: Path, rootStr: String, retainLast: Int): (Int, Int) = {
     sweepCrashed(fs, root)
     val vs = versions(spark, rootStr)
     val dropped = vs.dropRight(retainLast)
@@ -446,9 +505,19 @@ object VersionedTable {
       }
     }
     dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    // files named by optimistic markers are PROTECTED: a crashed-but-
+    // committed attempt's marker may linger past commit (its files are
+    // also in a manifest — harmless double-count), and an attempt whose
+    // writer died pre-commit keeps its files until sweepOcc decides by
+    // reference. Vacuum never adjudicates another writer's attempt.
+    val inflight: Set[String] = occMarkers(fs, root).flatMap { m =>
+      IndexProtocol.readLinesIfExists(fs, new Path(commitsDir(root), m))
+        .getOrElse(Nil).filter(_.nonEmpty)
+        .map(p => fs.makeQualified(new Path(p)).toString)
+    }.toSet
     val live: Set[String] = kept
       .flatMap(v => manifestEntries(fs, root, v).values.flatten)
-      .map(p => fs.makeQualified(new Path(p)).toString).toSet
+      .map(p => fs.makeQualified(new Path(p)).toString).toSet ++ inflight
     var deleted = 0
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
@@ -470,6 +539,321 @@ object VersionedTable {
   def releaseLease(spark: SparkSession, rootStr: String): Unit = {
     val root = new Path(rootStr)
     IndexProtocol.releaseLease(fsOf(spark, root), commitsDir(root))
+  }
+
+  // ------------------------------------------------------------------
+  // Optimistic concurrency (the Delta/Iceberg-class commit protocol):
+  // multiple writers commit WITHOUT a table lease; conflicts are
+  // detected at the commit point against the manifests that appeared
+  // since the writer's read version, and a writer whose touched buckets
+  // are DISJOINT from everything committed since simply REBASES its
+  // already-staged files onto the new head and re-attempts. Only
+  // writers that touched an overlapping bucket abort (their merge read
+  // that bucket's now-stale content). At 100 TB with many pipelines
+  // feeding one table, this removes the single-writer serialization the
+  // r11 verdict called the bottleneck — concurrent loaders of disjoint
+  // key ranges commit in parallel, and metadata arbitration (not data
+  // movement) is the only serialized step.
+  // ------------------------------------------------------------------
+
+  /** Test-only crash/interleave injection for the optimistic path:
+    * `beforePublish` runs after the files are moved in, before the
+    * manifest-publish loop (the window where another writer's commit
+    * forces a rebase or a conflict); `afterPublish` runs after the
+    * manifest committed, before the staged marker is dropped.
+    */
+  private[graft] final case class OccHooks(
+      beforePublish: () => Unit = () => (),
+      afterPublish: () => Unit = () => ())
+  private[graft] object OccHooks { val none: OccHooks = OccHooks() }
+
+  /** Thrown when a concurrent commit rewrote one of this commit's
+    * touched buckets: the rows this merge read from that bucket are
+    * stale, so the staged output is invalid and has been cleaned up.
+    * The caller retries the whole commit — its re-read sees the new
+    * head, and the retry usually wins (conflicts shrink as loaders
+    * partition the key space).
+    */
+  final class CommitConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
+  /** JVM-wide publish arbitration per table root. Within one driver
+    * JVM (the local[...] and one-cluster-driver shapes) the manifest
+    * CAS below is exact; ACROSS processes it narrows to
+    * exists-check + rename-no-replace — atomic on HDFS (rename refuses
+    * an existing destination) and mappable to a conditional put on
+    * object stores; a plain POSIX local FS leaves the classic
+    * renames-overwrite window, which is why multi-PROCESS writers on
+    * file:// should keep using the leased paths.
+    */
+  private val occLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def occLock(rootStr: String): Object =
+    occLocks.getOrElseUpdate(rootStr, new Object)
+
+  private def occStagedPath(root: Path, writerId: String) =
+    new Path(commitsDir(root), s"staged_occ_$writerId")
+
+  /** Buckets whose committed file lists differ between `fromV`
+    * (exclusive; None = before the first version) and `toV` — the
+    * conflict test set. Metadata-only: manifests resolve to per-bucket
+    * file lists and immutable files make list identity equivalent to
+    * content identity (the [[changesBetween]] pruning argument).
+    */
+  private def bucketsChangedSince(fs: FileSystem, root: Path,
+      fromV: Option[Long], toV: Long): Set[Int] = {
+    val eTo = manifestEntries(fs, root, toV)
+    fromV match {
+      case None => eTo.keySet
+      case Some(f) =>
+        val eFrom = manifestEntries(fs, root, f)
+        (eFrom.keySet ++ eTo.keySet).filter { b =>
+          eFrom.getOrElse(b, Nil).sorted != eTo.getOrElse(b, Nil).sorted
+        }
+    }
+  }
+
+  /** Sweep THIS writer's crashed optimistic attempt, if any. The staged
+    * marker lists every file the attempt moved in; whether the attempt
+    * COMMITTED is decided by reference — a file named by any retained
+    * manifest is live (the crash was after the commit point, only the
+    * marker cleanup was lost), an unreferenced file set is a dead
+    * attempt and is deleted. Never touches other writers' markers:
+    * theirs may be live in-flight commits, not crashes.
+    */
+  private def sweepOwnOcc(fs: FileSystem, root: Path, rootStr: String,
+      spark: SparkSession, writerId: String): Unit = {
+    val marker = occStagedPath(root, writerId)
+    IndexProtocol.readLinesIfExists(fs, marker).foreach { listed =>
+      val files = listed.filter(_.nonEmpty)
+      val live: Set[String] = versions(spark, rootStr)
+        .flatMap(v => manifestEntries(fs, root, v).values.flatten)
+        .map(p => fs.makeQualified(new Path(p)).toString).toSet
+      val committed =
+        files.exists(f => live.contains(fs.makeQualified(new Path(f)).toString))
+      if (!committed) files.foreach(f => fs.delete(new Path(f), false))
+      fs.delete(marker, false)
+    }
+    // stage-dir litter from a crash mid-stage (before any move): this
+    // writer's dirs only — other writers' stages may be live
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"_stage_occ-$writerId-"))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Upsert `incoming` by `key` as one atomic committed version WITHOUT
+    * the writer lease — the multi-writer path. Same merge semantics and
+    * touched-bucket cost as [[commitMerge]]; the commit point runs the
+    * optimistic protocol:
+    *
+    *   1. sweep this writer's own crashed prior attempt (reference-
+    *      checked — see [[sweepOwnOcc]]);
+    *   2. read the head version `r`, merge into the touched buckets'
+    *      state at `r`, stage, and move the files in under
+    *      attempt-unique names (`occ-<writerId>-r<r>-…` — two in-flight
+    *      writers can share a bucket directory without name collisions;
+    *      visibility is manifest-only, so moved-in files are inert);
+    *   3. publish loop: let `h` be the current head. If `h > r`,
+    *      compute the buckets changed in (r, h] from the manifest
+    *      lists; an overlap with this commit's touched buckets ABORTS
+    *      (staged files deleted, [[CommitConflictException]]) — the
+    *      merge read stale bucket content. Disjoint → REBASE: target
+    *      version `h+1`, same entries (the touched buckets' state at
+    *      `r` provably equals their state at `h`). Then CAS the
+    *      manifest for the target version; losing the CAS re-enters
+    *      the loop against the newer head.
+    *
+    * The staged marker makes step 2 crash-redoable exactly-once; a
+    * crash between publish and marker cleanup is resolved by reference
+    * (the files are in a manifest — live). Refuses when the table has a
+    * single-writer lease (mixing modes would let a leased writer's
+    * sweep delete an optimistic writer's in-flight files); pick ONE
+    * mode per table. Concurrent writers must use distinct `writerId`s
+    * and must not make conflicting schema changes. Returns the
+    * committed version id.
+    */
+  def commitMergeOptimistic(spark: SparkSession, rootStr: String,
+      incoming: DataFrame, key: String, numBuckets: Int = 16,
+      writerId: String = "w0", resolveOrder: Seq[Column] = Nil,
+      hooks: OccHooks = OccHooks.none, maxRebase: Int = 100): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    require(!fs.exists(new Path(commitsDir(root), "writer")),
+      s"commitMergeOptimistic: $rootStr holds a single-writer lease — a " +
+        "table is operated in EITHER leased OR optimistic mode, never " +
+        "both (releaseLease first if the leased writer is decommissioned)")
+    sweepOwnOcc(fs, root, rootStr, spark, writerId)
+    val readV = latestVersion(spark, rootStr)
+    val withBucket = incoming
+      .withColumn("__bucket",
+        pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+      .withColumn("__gen", lit(1))
+    val merged = readV match {
+      case None => withBucket
+      case Some(v) =>
+        // bounded collect: ≤ numBuckets ids
+        val affected = withBucket.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        val existing = read(spark, rootStr, Some(v), Some(affected))
+          .withColumn("__gen", lit(0))
+        val w = Window.partitionBy(col(key)).orderBy(
+          (if (resolveOrder.nonEmpty) resolveOrder
+           else Seq(col("__gen").desc)): _*)
+        existing.unionByName(withBucket, allowMissingColumns = true)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
+    occPublish(spark, fs, root, rootStr, readV, merged.drop("__gen"),
+      rewrittenBuckets = None, writerId, hooks, maxRebase)
+  }
+
+  /** Delete by key without the writer lease — [[commitDelete]]'s
+    * semantics (bucket-pruned, hit-nothing commits no version) under
+    * the optimistic protocol of [[commitMergeOptimistic]].
+    */
+  def commitDeleteOptimistic(spark: SparkSession, rootStr: String,
+      doomedKeys: DataFrame, key: String, numBuckets: Int = 16,
+      writerId: String = "w0", hooks: OccHooks = OccHooks.none,
+      maxRebase: Int = 100): Long = {
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    require(!fs.exists(new Path(commitsDir(root), "writer")),
+      s"commitDeleteOptimistic: $rootStr holds a single-writer lease — " +
+        "releaseLease first; a table runs in one commit mode only")
+    sweepOwnOcc(fs, root, rootStr, spark, writerId)
+    val readV = latestVersion(spark, rootStr)
+    require(readV.nonEmpty,
+      s"commitDeleteOptimistic: no committed version at $rootStr")
+    val doomed = doomedKeys.select(col(key)).distinct()
+      .withColumn("__bucket",
+        pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+    val affected = doomed.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val candidates = read(spark, rootStr, readV, Some(affected))
+    val hit = candidates.join(doomed.select(col(key)), Seq(key), "left_semi")
+      .select("__bucket").distinct().collect().map(_.getInt(0)).toIndexedSeq
+    if (hit.isEmpty) return readV.get
+    val survivors = candidates.filter(col("__bucket").isin(hit: _*))
+      .join(doomed.select(col(key)), Seq(key), "left_anti")
+    occPublish(spark, fs, root, rootStr, readV, survivors,
+      rewrittenBuckets = Some(hit.toSet), writerId, hooks, maxRebase)
+  }
+
+  /** Steps 2–3 of the optimistic protocol: stage `touched`, move in
+    * under attempt-unique names guarded by this writer's staged marker,
+    * then run the conflict-check / rebase / manifest-CAS loop.
+    */
+  private def occPublish(spark: SparkSession, fs: FileSystem, root: Path,
+      rootStr: String, readV: Option[Long], touched: DataFrame,
+      rewrittenBuckets: Option[Set[Int]], writerId: String,
+      hooks: OccHooks, maxRebase: Int): Long = {
+    require(writerId.nonEmpty && !writerId.exists(c => c == '/' || c == '\t'),
+      s"writerId must be path/manifest-safe: '$writerId'")
+    val marker = occStagedPath(root, writerId)
+    val attempt = s"occ-$writerId-r${readV.getOrElse(-1L)}-"
+    val stage = new Path(root, s"_stage_$attempt")
+    fs.delete(stage, true)
+    touched.repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__bucket")
+      .parquet(stage.toString)
+    val moved = IndexProtocol.moveStagedIn(fs, stage, root,
+      "__bucket=", attempt, marker)
+    val newEntries: Map[Int, Seq[String]] = moved
+      .map(p => (bucketOf(p), fs.makeQualified(p).toString))
+      .groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2).sorted }
+    val myBuckets = rewrittenBuckets.getOrElse(newEntries.keySet)
+    val schemaDdl = touched.schema.toDDL
+    require(!schemaDdl.contains("\t") && !schemaDdl.contains("\n"),
+      s"schema DDL not manifest-safe: $schemaDdl")
+    hooks.beforePublish()
+
+    def abortConflict(since: Long, overlap: Set[Int]): Nothing = {
+      IndexProtocol.redoFromManifest(fs, marker)
+      fs.delete(marker, false)
+      throw new CommitConflictException(
+        s"optimistic commit by '$writerId' on $rootStr conflicts: " +
+          s"bucket(s) ${overlap.toSeq.sorted.mkString(",")} were " +
+          s"rewritten by commits after read version ${readV.getOrElse(-1L)} " +
+          s"(head now $since). Staged files cleaned; retry from a fresh " +
+          "snapshot.")
+    }
+
+    var rebases = 0
+    while (true) {
+      val head = latestVersion(spark, rootStr)
+      // conflict check OUTSIDE the lock (metadata reads only)
+      head.filter(h => readV.forall(_ < h)).foreach { h =>
+        val changed = bucketsChangedSince(fs, root, readV, h)
+        val overlap = changed intersect myBuckets
+        if (overlap.nonEmpty) abortConflict(h, overlap)
+      }
+      val next = head.map(_ + 1).getOrElse(0L)
+      val isFull = head.isEmpty || next % checkpointEvery == 0
+      val body: Seq[String] =
+        if (isFull) {
+          val carried: Map[Int, Seq[String]] = head match {
+            case None => Map.empty
+            case Some(h) => manifestEntries(fs, root, h)
+              .filterNot { case (b, _) => myBuckets.contains(b) }
+          }
+          (carried ++ newEntries).toSeq.sortBy(_._1)
+            .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") }
+        } else {
+          myBuckets.toSeq.sorted.map(b => s"!$b") ++
+            newEntries.toSeq.sortBy(_._1)
+              .flatMap { case (b, ps) => ps.sorted.map(p => s"$b\t$p") }
+        }
+      val header =
+        s"#graft.v2 ${if (isFull) "full" else "delta"} schema=$schemaDdl"
+      val lines = header +: body
+      val won = occLock(fs.makeQualified(root).toString).synchronized {
+        // a lease appearing after this commit's start-of-commit check
+        // means a vacuum (or a mode flip) is in progress — publishing
+        // under it could land a version the vacuum's sweep never saw.
+        // Checked INSIDE the lock so it orders against vacuum's pass.
+        if (fs.exists(new Path(commitsDir(root), "writer"))) {
+          IndexProtocol.redoFromManifest(fs, marker)
+          fs.delete(marker, false)
+          throw new CommitConflictException(
+            s"optimistic commit by '$writerId' on $rootStr aborted: a " +
+              "writer lease appeared mid-commit (vacuum or a mode flip " +
+              "is in progress). Staged files cleaned; retry once it " +
+              "finishes.")
+        }
+        val target = manifestPath(root, next)
+        if (fs.exists(target)) false
+        else {
+          // tmp + rename keeps the publish atomic for READERS; the
+          // exists-check + in-JVM lock arbitrates WRITERS (exact in
+          // one JVM; rename-no-replace on HDFS; conditional put on
+          // object stores — see [[occLock]])
+          val tmp = new Path(commitsDir(root), s".v_$next.$writerId.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, target)) { fs.delete(tmp, false); false }
+          else true
+        }
+      }
+      if (won) {
+        hooks.afterPublish()
+        fs.delete(marker, false)
+        return next
+      }
+      rebases += 1
+      if (rebases > maxRebase) {
+        IndexProtocol.redoFromManifest(fs, marker)
+        fs.delete(marker, false)
+        throw new CommitConflictException(
+          s"optimistic commit by '$writerId' on $rootStr lost the " +
+            s"manifest race $maxRebase times — giving up (staged files " +
+            "cleaned; retry)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Change-data-feed read DERIVED FROM THE MANIFESTS (the Delta CDF
