@@ -182,6 +182,17 @@ object VersionedTable {
     manifestEntries(fsOf(spark, root), root, v)
   }
 
+  /** Manifest-recorded schema DDL of a committed version (None on
+    * legacy schema-less manifests) plus the resolved entries — what the
+    * streaming CDF source ([[graft.streaming.VtCdfStream]]) plans from
+    * without reading any data file.
+    */
+  private[graft] def resolvedWithSchema(spark: SparkSession, rootStr: String,
+      v: Long): (Map[Int, Seq[String]], Option[String]) = {
+    val root = new Path(rootStr)
+    resolveManifest(fsOf(spark, root), root, v)
+  }
+
   /** Snapshot read of the table at `asOf` (default: latest committed).
     * Resolves the version manifest to an exact file list — concurrent
     * commits are invisible, torn states unobservable. Reading a

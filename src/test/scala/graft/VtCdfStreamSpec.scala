@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+import graft.streaming.{VtCdfStream, VtCdfMicroBatchStream, VtCdfOffset, VtCdfPartition}
+
+/** The streaming CDF source ([[VtCdfStream]] — readStream over a
+  * VersionedTable's commit history; the r11 verdict's Missing #3).
+  * Pins: per-version change rows equal [[VersionedTable.changesBetween]]
+  * for every adjacent pair (and the oldest retained version streams as
+  * pure inserts); restart from a checkpoint emits ONLY versions
+  * committed since; `startingVersion=latest` skips history; planning is
+  * bucket-pruned (one partition per version step × CHANGED bucket — no
+  * partition for untouched buckets); vacuuming past a stream's offset
+  * refuses loudly at the next plan; additive schema evolution
+  * null-fills and classifies updates correctly.
+  */
+class VtCdfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  private def buildTable(root: String): Unit = {
+    val base = (1 to 40).map(k => (k.toLong, k * 10L, s"n$k"))
+      .toDF("k", "price", "name")
+    val upd = (1 to 40).filter(_ % 8 == 0)
+      .map(k => (k.toLong, k * 10L + 1, s"n$k")).toDF("k", "price", "name")
+    val ins = Seq((101L, 7L, "new1"), (102L, 8L, "new2")).toDF("k", "price", "name")
+    VersionedTable.commitMerge(spark, root, base, "k", 8)            // v0
+    VersionedTable.commitMerge(spark, root, upd.unionByName(ins), "k", 8) // v1
+    VersionedTable.commitDelete(spark, root,
+      (1 to 40).filter(_ % 10 == 0).map(_.toLong).toDF("k"), "k", 8) // v2
+  }
+
+  private def collectStream(root: String, name: String,
+      checkpoint: String, startingVersion: Option[String] = None)
+      : Seq[(String, Long, Long, Long, String)] = {
+    val r0 = spark.readStream.format(VtCdfStream.format)
+      .option("root", root).option("key", "k")
+    val r = startingVersion.fold(r0)(v => r0.option("startingVersion", v))
+    // foreachBatch, not the memory sink: memory cannot RECOVER from a
+    // checkpoint, and restart semantics are exactly what these tests pin
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, Long, String)]
+    val q = r.load().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("change_op", "_commit_version", "k", "price", "name")
+          .collect()
+          .foreach(row => buf.add((row.getString(0), row.getLong(1),
+            row.getLong(2), row.getLong(3), row.getString(4))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    buf.iterator().asScala.toSeq
+  }
+
+  private def cdfRows(root: String, fromV: Long, toV: Long, v: Long) =
+    VersionedTable.changesBetween(spark, root, "k", fromV, toV)
+      .select(col("change_op"), lit(v).as("_commit_version"),
+        col("k"), col("price"), col("name"))
+      .collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getString(4))).toSeq
+
+  test("full-history stream: v0 as inserts, then per-version rows equal " +
+      "changesBetween for every adjacent pair") {
+    val dir = freshDir("vtcdf1")
+    val root = s"$dir/t"
+    buildTable(root)
+    val got = collectStream(root, "vtcdf_all", s"$dir/ck")
+    val v0 = VersionedTable.read(spark, root, Some(0L))
+      .select(lit("insert").as("op"), lit(0L).as("v"),
+        col("k"), col("price"), col("name"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    val expect = v0 ++ cdfRows(root, 0, 1, 1L) ++ cdfRows(root, 1, 2, 2L)
+    assert(got.sorted === expect.sorted)
+    // spot-check the vocabulary composes: updates carry both images
+    assert(got.count(_._1 == "update_pre") === 5)  // k%8==0 → 8,16,24,32,40
+    assert(got.count(_._1 == "update_post") === 5)
+    assert(got.count(t => t._1 == "delete" && t._2 == 2L) === 4) // 10,20,30,40
+  }
+
+  test("restart from a checkpoint emits only versions committed since") {
+    val dir = freshDir("vtcdf2")
+    val root = s"$dir/t"
+    buildTable(root)
+    collectStream(root, "vtcdf_r1", s"$dir/ck")
+    // new commit AFTER the first run drained to the head
+    VersionedTable.commitMerge(spark, root,
+      Seq((200L, 5L, "late")).toDF("k", "price", "name"), "k", 8) // v3
+    val got2 = collectStream(root, "vtcdf_r2", s"$dir/ck")
+    // memory sink table is fresh per query name: only the NEW rows land
+    assert(got2 === Seq(("insert", 3L, 200L, 5L, "late")))
+  }
+
+  test("startingVersion=latest skips history; a later commit streams") {
+    val dir = freshDir("vtcdf3")
+    val root = s"$dir/t"
+    buildTable(root)
+    val got = collectStream(root, "vtcdf_l1", s"$dir/ck",
+      startingVersion = Some("latest"))
+    assert(got.isEmpty)
+    VersionedTable.commitMerge(spark, root,
+      Seq((300L, 6L, "post")).toDF("k", "price", "name"), "k", 8) // v3
+    val got2 = collectStream(root, "vtcdf_l2", s"$dir/ck",
+      startingVersion = Some("latest"))
+    assert(got2 === Seq(("insert", 3L, 300L, 6L, "post")))
+  }
+
+  test("planning is bucket-pruned: one partition per version step x " +
+      "CHANGED bucket only") {
+    val dir = freshDir("vtcdf4")
+    val root = s"$dir/t"
+    buildTable(root)
+    val schema = VtCdfStream.fullSchema(VtCdfStream.dataSchema(spark, root))
+    val mbs = new VtCdfMicroBatchStream(schema, root, "k", "earliest")
+    // v1 -> v2 is the delete of 4 keys: only their buckets changed
+    val delBuckets = (1 to 40).filter(_ % 10 == 0).map(_.toLong).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(8L)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val parts = mbs.planInputPartitions(VtCdfOffset(1L), VtCdfOffset(2L))
+      .map(_.asInstanceOf[VtCdfPartition])
+    assert(parts.map(_.bucket).toSet === delBuckets)
+    assert(parts.forall(_.version == 2L))
+    // v0 (floor) plans with NO old files — the full-state insert replay
+    val p0 = mbs.planInputPartitions(VtCdfOffset(-1L), VtCdfOffset(0L))
+      .map(_.asInstanceOf[VtCdfPartition])
+    assert(p0.nonEmpty && p0.forall(_.oldFiles.isEmpty))
+  }
+
+  test("vacuum past the stream's offset refuses loudly at the next plan") {
+    val dir = freshDir("vtcdf5")
+    val root = s"$dir/t"
+    buildTable(root)
+    val schema = VtCdfStream.fullSchema(VtCdfStream.dataSchema(spark, root))
+    val mbs = new VtCdfMicroBatchStream(schema, root, "k", "earliest")
+    VersionedTable.vacuum(spark, root, retainLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      mbs.planInputPartitions(VtCdfOffset(0L), VtCdfOffset(2L))
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
+  test("additive schema evolution: old generations null-fill the new " +
+      "column; update classification stays exact") {
+    val dir = freshDir("vtcdf6")
+    val root = s"$dir/t"
+    VersionedTable.commitMerge(spark, root,
+      (1 to 10).map(k => (k.toLong, k * 10L)).toDF("k", "price"), "k", 4) // v0
+    VersionedTable.commitMerge(spark, root,
+      Seq((3L, 31L, "tagged")).toDF("k", "price", "tag"), "k", 4)        // v1
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, Long, Option[String])]
+    val q = spark.readStream.format(VtCdfStream.format)
+      .option("root", root).option("key", "k").load()
+      .writeStream.option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("change_op", "_commit_version", "k", "price", "tag")
+          .collect()
+          .foreach(r => buf.add((r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), Option(r.getString(4)))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val rows = buf.iterator().asScala.toSeq
+    assert(rows.count(_._2 == 0L) === 10)
+    assert(rows.filter(_._2 == 0L).forall(r => r._1 == "insert" && r._5.isEmpty))
+    val v1 = rows.filter(_._2 == 1L).sortBy(_._1)
+    assert(v1 === Seq( // sorted by op name: post < pre lexicographically
+      ("update_post", 1L, 3L, 31L, Some("tagged")),
+      ("update_pre", 1L, 3L, 30L, None)))
+  }
+}
