@@ -35,7 +35,7 @@ object ScaleProbe {
         "dsir", "phrase", "cdc", "clf", "clone", "gapfill", "analytics",
         "mvrewrite", "bloomskip", "mvrefresh",
         "triangles", "ranktopk", "ivftrain", "recovery", "annrank",
-        "snapshot", "vtable", "manifest", "mvext")
+        "snapshot", "vtable", "manifest", "mvext", "occ", "vtstream")
     def on(p: String) = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -780,7 +780,8 @@ object ScaleProbe {
     // scoped merge, bucketed tables) measured under replication
     if (probes.intersect(
         Set("q59", "q62", "q63", "q69", "q70", "q71", "clone",
-          "vtable", "mvrewrite", "bloomskip", "mvrefresh", "manifest", "mvext")).nonEmpty) {
+          "vtable", "mvrewrite", "bloomskip", "mvrefresh", "manifest", "mvext",
+          "occ", "vtstream")).nonEmpty) {
       val orders1 = graft.sources.Tables.load(spark, sfDir, "orders")
       val ordersN = (0 until mult).map { r =>
         orders1.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
@@ -971,6 +972,91 @@ object ScaleProbe {
             dv.toLong * 1000000L + df
           }
           batch.unpersist(blocking = false)
+          deleteTree(wh)
+        }
+        if (on("occ")) {
+          // optimistic commits (r12): a one-bucket optimistic commit's
+          // cost must track BUCKET volume (stage + move + manifest CAS),
+          // not table size, and a forced REBASE (another writer lands
+          // between move-in and publish) must add only metadata work —
+          // the conflict check is a manifest-resolution diff, the rebase
+          // re-publishes the same staged files at head+1 with zero data
+          // movement. At 100 TB this is what lets N pipelines feed one
+          // table: data cost per writer stays per-writer, arbitration is
+          // metadata.
+          import graft.sources.VersionedTable
+          import graft.sources.VersionedTable.OccHooks
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_occ_").toString
+          val root = s"$wh/t"
+          val nb = if (label == "1x") 16 else 16 * mult
+          val base = src.filter(col("k") % 3 === 0)
+          VersionedTable.commitMergeOptimistic(spark, root, base, "k", nb,
+            writerId = "boot")
+          val mine = base
+            .filter(pmod(xxhash64(col("k")), lit(nb.toLong)) === 3)
+            .withColumn("price", (col("price") +
+              lit(500).cast("decimal(18,2)")).cast("decimal(18,2)"))
+            .persist()
+          val other = base
+            .filter(pmod(xxhash64(col("k")), lit(nb.toLong)) === 7)
+            .withColumn("price", (col("price") +
+              lit(900).cast("decimal(18,2)")).cast("decimal(18,2)"))
+            .persist()
+          val mn = mine.count(); other.count()
+          t(s"q135_occ_commit_1bkt_$label") {
+            VersionedTable.commitMergeOptimistic(spark, root, mine, "k", nb,
+              writerId = "wA")
+            mn
+          }
+          t(s"q135_occ_rebase_$label") {
+            // writer B's full commit runs INSIDE A's publish window —
+            // A's loop re-checks, sees a disjoint bucket, rebases
+            VersionedTable.commitMergeOptimistic(spark, root, mine, "k", nb,
+              writerId = "wA", hooks = OccHooks(beforePublish = () =>
+                VersionedTable.commitMergeOptimistic(spark, root, other,
+                  "k", nb, writerId = "wB")))
+            VersionedTable.versions(spark, root).size.toLong
+          }
+          mine.unpersist(blocking = false)
+          other.unpersist(blocking = false)
+          deleteTree(wh)
+        }
+        if (on("vtstream")) {
+          // streaming manifest CDF (r12): draining a ONE-BUCKET-change
+          // version must read two generations of ONE bucket regardless
+          // of table size — planning is manifest metadata, partitions
+          // are (version x changed bucket). The probe times a fresh
+          // stream from startingVersion=<v0> over a table whose v1
+          // touched exactly one bucket, at 1x and multx table volume.
+          import graft.sources.VersionedTable
+          val wh = java.nio.file.Files
+            .createTempDirectory("probe_vts_").toString
+          val root = s"$wh/t"
+          val nb = if (label == "1x") 16 else 16 * mult
+          val base = src.filter(col("k") % 3 === 0)
+          VersionedTable.commitMerge(spark, root, base, "k", nb)
+          val batch = base
+            .filter(pmod(xxhash64(col("k")), lit(nb.toLong)) === 3)
+            .withColumn("price", (col("price") +
+              lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+          VersionedTable.commitMerge(spark, root, batch, "k", nb)
+          t(s"q136_vtstream_tail_$label") {
+            // startingVersion=0: offset begins AT v0 (already emitted),
+            // so the drain covers exactly the one-bucket v1 diff
+            val buf = new java.util.concurrent.atomic.AtomicLong
+            val q = spark.readStream
+              .format(graft.streaming.VtCdfStream.format)
+              .option("root", root).option("key", "k")
+              .option("startingVersion", "0").load()
+              .writeStream
+              .option("checkpointLocation", s"$wh/ck_$label")
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                buf.addAndGet(df.count()); ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            buf.get()
+          }
           deleteTree(wh)
         }
         if (on("mvext")) {

@@ -7123,6 +7123,40 @@ object SparkEntry {
       |  CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END AS DOUBLE)
       |FROM s0 WHERE k % 9 = 0""".stripMargin
 
+  /** Stream-driven index replication (q137 — q133's manifest-diff sync
+    * re-expressed on the STREAMING runtime): the same three-commit
+    * versioned table, but the BM25 index is fed by `readStream` over
+    * [[graft.streaming.VtCdfStream]] + `foreachBatch` applying each
+    * `_commit_version` in order through the q109 exactly-once legs
+    * (version ids = batch ids — crash/redelivery fast-paths off the
+    * markers). Run TWICE from the same checkpoint: the second pass is
+    * a restart that must find nothing new — the idempotence pin. The
+    * streamed index serves bit-identically to a batch rebuild (q109's
+    * oracle verbatim, the third consumer of that contract after q109
+    * and q133).
+    */
+  private val vtStreamIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.TableWriter]
+
+  private def q137VtStreamIndexSync(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    q133VtIndexSync(s, dir).count() // ensures the versioned table exists
+    val writer = vtStreamIdxCache.getOrElseUpdate((s, dir), {
+      val wh = s"$q40Scratch/vtidx_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val w = new graft.sources.TableWriter(wh)
+      val ck = s"$wh/vtsdocs_ck"
+      Retrieval.syncBm25IndexFromVtStream(s, s"$wh/docs_vt", w, "vtsdocs", ck)
+      Retrieval.syncBm25IndexFromVtStream(s, s"$wh/docs_vt", w, "vtsdocs", ck)
+      w
+    })
+    val fin = VersionedTable.read(s, writer.path("docs_vt"))
+      .select(col("doc_id"), col("text"))
+    val qs = Retrieval.queryTerms(fin, col("doc_id") % 97 === 0, bm25QTerms)
+    Retrieval.queryBm25Index(s, writer, "vtsdocs", qs,
+        k = bm25K, k1 = bm25K1, b = bm25B, excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7360,6 +7394,7 @@ object SparkEntry {
     "q134_mv_expr_rewrite" -> (q134MvExprRewrite _),
     "q135_vt_occ" -> (q135VtOcc _),
     "q136_vt_cdf_stream" -> (q136VtCdfStream _),
+    "q137_vt_stream_index_sync" -> (q137VtStreamIndexSync _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8769,6 +8804,7 @@ object SparkEntry {
     "q134_mv_expr_rewrite" -> q134OracleSql,
     "q135_vt_occ" -> q135OracleSql,
     "q136_vt_cdf_stream" -> q136OracleSql,
+    "q137_vt_stream_index_sync" -> q109OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

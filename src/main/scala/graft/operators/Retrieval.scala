@@ -1958,6 +1958,66 @@ object Retrieval {
     }
   }
 
+  /** The STREAMING variant of [[syncBm25IndexFromVersionedTable]]
+    * (closing the r11 loop "the index sync replays changesBetween in a
+    * batch loop"): a `readStream` over the table's commit history
+    * ([[graft.streaming.VtCdfStream]] — offsets ARE version ids) drives
+    * the same exactly-once legs through `foreachBatch`. A micro-batch
+    * may span several versions (backlog catch-up); rows carry
+    * `_commit_version`, so the batch is applied PER VERSION ascending —
+    * the strike-before-append discipline holds within and across
+    * versions, and version ids double as the protocol batch ids, so a
+    * crash anywhere (including a redelivered micro-batch after a
+    * checkpoint rollback) fast-paths convergently off the markers, and
+    * the streamed index serves bit-identically to a batch rebuild. The
+    * stream's own retention rule applies: vacuum must keep every
+    * unstreamed version (the source refuses loudly otherwise).
+    *
+    * `processAll = true` drains the currently-committed history and
+    * stops (the finite-source oracle shape); a deployment passes
+    * `false` and owns the returned query's lifecycle.
+    */
+  def syncBm25IndexFromVtStream(spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String, writer: graft.sources.TableWriter, name: String,
+      checkpoint: String, buckets: Int = 64, vocabBuckets: Int = 16,
+      keyCol: String = "doc_id", textCol: String = "text",
+      writerId: String = "default", processAll: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream
+      .format(graft.streaming.VtCdfStream.format)
+      .option("root", tableRoot).option("key", keyCol).load()
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val batch = df.persist()
+        try {
+          // bounded collect: one id per version in the micro-batch
+          val versions = batch.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          for (v <- versions) {
+            val b = batch.filter(col("_commit_version") === v)
+            deleteFromBm25IndexBatch(
+              b.filter(col("change_op").isin("delete", "update_pre"))
+                .select(col(keyCol), col(textCol)),
+              writer, name, batchId = v, buckets = buckets,
+              vocabBuckets = vocabBuckets, idCol = keyCol,
+              textCol = textCol, writerId = writerId)
+            appendBm25IndexBatch(
+              b.filter(col("change_op").isin("insert", "update_post"))
+                .select(col(keyCol), col(textCol)),
+              writer, name, batchId = v, buckets = buckets,
+              vocabBuckets = vocabBuckets, idCol = keyCol,
+              textCol = textCol, writerId = writerId)
+          }
+        } finally batch.unpersist()
+        ()
+      }.start()
+    if (processAll) {
+      try q.processAllAvailable() finally q.stop()
+    }
+    q
+  }
+
   /** Exact top-k tokens per group by frequency (count desc, token asc).
     * The corpus-sized work is the single (group, token) count shuffle
     * with map-side combine; the window that ranks it runs on the

@@ -120,11 +120,13 @@ class VtCdfSourceProvider extends TableProvider {
     new VtCdfTable(schema, properties.get("root"),
       Option(properties.get("key")).getOrElse(
         throw new IllegalArgumentException("VtCdfStream: option 'key' required")),
-      Option(properties.get("startingVersion")).getOrElse("earliest"))
+      Option(properties.get("startingVersion")).getOrElse("earliest"),
+      Option(properties.get("maxVersionsPerTrigger")).map(_.toLong))
 }
 
 private[streaming] class VtCdfTable(tblSchema: StructType, root: String,
-    key: String, startingVersion: String) extends Table with SupportsRead {
+    key: String, startingVersion: String,
+    maxVersionsPerTrigger: Option[Long]) extends Table with SupportsRead {
   require(tblSchema.fieldNames.contains(key),
     s"VtCdfStream: key column '$key' not in table schema " +
       tblSchema.fieldNames.mkString("(", ", ", ")"))
@@ -137,7 +139,8 @@ private[streaming] class VtCdfTable(tblSchema: StructType, root: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tblSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new VtCdfMicroBatchStream(tblSchema, root, key, startingVersion)
+          new VtCdfMicroBatchStream(tblSchema, root, key, startingVersion,
+            maxVersionsPerTrigger)
       }
     }
 }
@@ -148,9 +151,27 @@ private[graft] case class VtCdfOffset(version: Long) extends Offset {
 }
 
 private[graft] class VtCdfMicroBatchStream(schema: StructType,
-    root: String, key: String, startingVersion: String)
-    extends MicroBatchStream {
+    root: String, key: String, startingVersion: String,
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   private def spark = SparkSession.active
+
+  // admission control: a stream far behind a busy table catches up in
+  // bounded micro-batches instead of one giant one — each batch admits
+  // at most maxVersionsPerTrigger versions (default: all available)
+  override def latestOffset(startOffset: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val head = VersionedTable.latestVersion(spark, root).getOrElse(-1L)
+    val from = startOffset.asInstanceOf[VtCdfOffset].version
+    maxVersionsPerTrigger match {
+      case Some(m) if head - from > m => VtCdfOffset(from + m)
+      case _ => VtCdfOffset(head)
+    }
+  }
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def initialOffset(): Offset = startingVersion match {
     case "earliest" =>

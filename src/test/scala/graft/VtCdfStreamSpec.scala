@@ -135,6 +135,28 @@ class VtCdfStreamSpec extends SparkSpec {
     assert(p0.nonEmpty && p0.forall(_.oldFiles.isEmpty))
   }
 
+  test("maxVersionsPerTrigger=1: a 3-version backlog drains in three " +
+      "single-version micro-batches (admission control)") {
+    val dir = freshDir("vtcdf7")
+    val root = s"$dir/t"
+    buildTable(root)
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]
+    val q = spark.readStream.format(VtCdfStream.format)
+      .option("root", root).option("key", "k")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch.add(df.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val batches = perBatch.iterator().asScala.toSeq.filter(_.nonEmpty)
+    assert(batches === Seq(Set(0L), Set(1L), Set(2L)),
+      s"each micro-batch must admit exactly one version, got $batches")
+  }
+
   test("vacuum past the stream's offset refuses loudly at the next plan") {
     val dir = freshDir("vtcdf5")
     val root = s"$dir/t"
