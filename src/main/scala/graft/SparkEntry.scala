@@ -7157,6 +7157,86 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** MV compensation over the TABLE LAYER (q138 — rounds 10-12
+    * composed): the summary view is built AS OF version 0 of a
+    * [[graft.sources.VersionedTable]] and registered with
+    * `CompDef.versioned` — the frontier is a VERSION id and the
+    * compensation tail is the manifest-derived CDF
+    * (`changesBetween(frontier, latest)`), so NO change feed is
+    * maintained anywhere. Queries against the table's LATEST snapshot
+    * re-aggregate view partials + signed CDF contributions; the
+    * rewrite verifies the scan pins exactly the latest version's file
+    * set (a racing commit → base-scan fall-through, still exact). The
+    * base is matched through the versioned layout itself (every
+    * scanned file under the root's `__bucket=` dirs), and the CDF read is
+    * bucket-pruned by manifest diff — at 100 TB a stale view answers
+    * the exactly-fresh aggregate reading |grain| + changed buckets,
+    * never the fact table. The entry REQUIRES the view in the plan.
+    */
+  private def q138VtMvComp(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    import graft.sources.VersionedTable
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 50).as("cust"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val wh = s"$q40Scratch/vtmv_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val root = s"$wh/orders_vt"
+    val mvPath = s"$wh/orders_vtmv"
+    MvRegistry.deregister(s, root) // maintenance runs unregistered
+    val base = o.filter(col("k") % 3 === 0)
+    VersionedTable.commitMerge(s, root, base, "k")               // v0
+    VersionedTable.read(s, root, Some(0L)).groupBy("cust")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    VersionedTable.commitMerge(s, root,
+      base.filter(col("k") % 7 === 0)
+        .withColumn("price",
+          (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)"))
+        .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 5 === 0)),
+      "k")                                                       // v1
+    VersionedTable.commitDelete(s, root,
+      base.filter(col("k") % 9 === 0).select("k"), "k")          // v2
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, root, MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef.versioned(root, "k", 0L))))
+    val q = VersionedTable.read(s, root).groupBy("cust")
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total"))
+    val roots = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(roots.exists(_.endsWith("orders_vtmv")),
+      s"vt-CDF MV compensation did not fire: plan scans $roots")
+    q.select(col("cust"), col("n_orders"),
+      col("total").cast("double").as("total"))
+  }
+
+  private def q138OracleSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_custkey % 50 AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |), s2 AS (
+      |  SELECT k, cust,
+      |    CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+      |      AS DECIMAL(18,2)) AS price
+      |  FROM src WHERE k % 3 = 0 AND k % 9 <> 0
+      |  UNION ALL
+      |  SELECT k, cust, price FROM src WHERE k % 3 = 1 AND k % 5 = 0
+      |)
+      |SELECT cust, count(*) AS n_orders,
+      |  CAST(SUM(price) AS DOUBLE) AS total
+      |FROM s2 GROUP BY cust""".stripMargin
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7395,6 +7475,7 @@ object SparkEntry {
     "q135_vt_occ" -> (q135VtOcc _),
     "q136_vt_cdf_stream" -> (q136VtCdfStream _),
     "q137_vt_stream_index_sync" -> (q137VtStreamIndexSync _),
+    "q138_vt_mv_comp" -> (q138VtMvComp _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8805,6 +8886,7 @@ object SparkEntry {
     "q135_vt_occ" -> q135OracleSql,
     "q136_vt_cdf_stream" -> q136OracleSql,
     "q137_vt_stream_index_sync" -> q109OracleSql,
+    "q138_vt_mv_comp" -> q138OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -76,12 +76,29 @@ object MvRegistry {
     * between its swap renames serves the PRIOR view with the matching
     * frontier + the un-refolded tail, still exactly fresh.
     */
-  final case class CompDef(feedRoot: String, frontier: Long) {
+  final case class CompDef(feedRoot: String, frontier: Long,
+      vtKey: String = "") {
     def isDynamic: Boolean = frontier == CompDef.Dynamic
+    /** Versioned-table mode: `feedRoot` is a
+      * [[graft.sources.VersionedTable]] root, `frontier` a VERSION id,
+      * and the compensation tail is the manifest-derived CDF
+      * (`changesBetween(frontier, latest)`) — no feed maintained at
+      * write time at all.
+      */
+    def isVt: Boolean = vtKey.nonEmpty
   }
   object CompDef {
     val Dynamic: Long = Long.MinValue
     def dynamic(feedRoot: String): CompDef = CompDef(feedRoot, Dynamic)
+    /** Compensate from a VersionedTable's commit history: the view
+      * holds the aggregate AS OF `version`, and queries against the
+      * table's LATEST state fold the manifest CDF past it. The rewrite
+      * verifies the query's scan pins exactly the latest version's
+      * file set (a commit racing the read makes it fall through to the
+      * base scan — correct either way, never a mixed answer).
+      */
+    def versioned(tableRoot: String, key: String, version: Long): CompDef =
+      CompDef(tableRoot, version, vtKey = key)
   }
 
   /** `mvPath` holds rows at grain `groupCols` with an additive row
@@ -178,8 +195,26 @@ object MvRegistry {
   private[plans] def find(rootPaths: Seq[String]): Seq[MvDef] =
     rootPaths match {
       case Seq(one) => reg.getOrElse(one, Seq.empty)
-      case _ => Seq.empty // multi-root scans are never a registered base
+      case many if many.size > 1 =>
+        // a VersionedTable snapshot read scans an EXPLICIT file list
+        // (manifest-pinned), so the relation has one root per file:
+        // <table>/__bucket=<b>/<gen>.parquet. If every file sits under
+        // one table root in that layout, the table root is the base.
+        val roots = many.map(vtRootOf).distinct
+        roots match {
+          case Seq(Some(r)) => reg.getOrElse(r, Seq.empty)
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
     }
+
+  /** `<table>/__bucket=<b>/<file>` → `Some(<table>)`, else None. */
+  private def vtRootOf(file: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    Option(p.getParent)
+      .filter(_.getName.startsWith("__bucket="))
+      .flatMap(b => Option(b.getParent)).map(_.toString)
+  }
 
   private[plans] def findByTable(key: Option[String]): Seq[MvDef] =
     key.map(k => regByTable.getOrElse(k, Seq.empty)).getOrElse(Seq.empty)
@@ -517,14 +552,46 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     mv.comp match {
       case None => viewWith(viewExtrema)
       case Some(c) =>
-        val tailDirs = feedBatchDirsPast(c.feedRoot, resolvedFrontier.get)
+        // the compensation tail: change rows past the frontier, either
+        // from a maintained CDC feed (batch dirs) or — vt mode — from
+        // the VersionedTable's manifest CDF, where the frontier is a
+        // VERSION id and no feed exists at all. In vt mode the rewrite
+        // additionally verifies the query's scan pins EXACTLY the
+        // latest version's file set: a commit racing the user's read
+        // would otherwise compensate to a different version than the
+        // scan serves — the mismatch throws, tryRewriteSafely falls
+        // back to the (correct) base scan.
+        val tailOpt: Option[DataFrame] =
+          if (c.isVt) {
+            import graft.sources.VersionedTable
+            val latest = VersionedTable.latestVersion(spark, c.feedRoot)
+              .getOrElse(throw new IllegalStateException(
+                s"vt compensation: no committed version at ${c.feedRoot}"))
+            val pinned = plan_files(baseChild)
+            val latestFiles = VersionedTable
+              .resolvedEntries(spark, c.feedRoot, latest)
+              .values.flatten
+              .map(p => new org.apache.hadoop.fs.Path(p).toString).toSet
+            require(pinned == latestFiles,
+              s"vt compensation: the query's scan pins a file set that " +
+                s"is not version $latest of ${c.feedRoot} (a commit landed " +
+                "since the read resolved) — base scan answers instead")
+            val f = resolvedFrontier.get
+            if (latest <= f) None
+            else Some(VersionedTable.changesBetween(
+              spark, c.feedRoot, c.vtKey, f, latest))
+          } else {
+            val tailDirs = feedBatchDirsPast(c.feedRoot, resolvedFrontier.get)
+            if (tailDirs.isEmpty) None
+            else Some(spark.read.parquet(tailDirs: _*))
+          }
         // a fresh view (empty tail) serves extrema directly
-        if (tailDirs.isEmpty) viewWith(viewExtrema)
+        if (tailOpt.isEmpty) viewWith(viewExtrema)
         else {
           val sumTypes = mv.sumCols.map { case (m, s) =>
             m -> viewRaw.schema(s).dataType
           }
-          val tail = spark.read.parquet(tailDirs: _*)
+          val tail = tailOpt.get
           val pos = col("change_op").isin("insert", "update_post")
           val extremaNull: Seq[org.apache.spark.sql.Column] =
             wantMin.map(m => lit(null).cast(viewRaw.schema(mv.minCols(m))
@@ -632,6 +699,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
   }
+
+  /** The exact file set a base subtree's parquet scan pins (qualified,
+    * Path-normalized) — vt compensation's version-pin check.
+    */
+  private def plan_files(plan: LogicalPlan): Set[String] = plan.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+      case _ => Seq.empty[String]
+    }
+  }.flatten.map(p => new org.apache.hadoop.fs.Path(p).toString).toSet
 
   /** Bounded driver-side listing (one listStatus on the feed root):
     * the batch directories with id strictly past the view's frontier.

@@ -1003,6 +1003,80 @@ class MvRewriteSpec extends SparkSpec {
     finally MvRegistry.register(spark, basePath, dateMvDef(dateDirs._2))
   }
 
+  // ---- compensation over a VersionedTable (manifest CDF, no feed) ------
+
+  test("vt compensation: a view built at v0 answers the latest state via " +
+      "the manifest CDF; dead grain vanishes; version-pin falls through " +
+      "on a racing commit") {
+    import graft.sources.VersionedTable
+    val d = java.nio.file.Files.createTempDirectory("mvrw_vt").toFile
+    d.deleteOnExit()
+    val root = d.getPath + "/vtb"
+    val mvPath = d.getPath + "/vtmv"
+    val base = (1 to 300).map { i =>
+      (i.toLong, s"g${i % 5}", BigDecimal(i))
+    }.toDF("k", "g", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+    VersionedTable.commitMerge(spark, root, base, "k", 8)          // v0
+    // the view: the aggregate AS OF v0
+    VersionedTable.read(spark, root, Some(0L)).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, root, MvRegistry.MvDef(
+      mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef.versioned(root, "k", 0L))))
+    try {
+      // v1: updates + inserts; v2: delete g4 ENTIRELY (dead grain)
+      VersionedTable.commitMerge(spark, root,
+        ((1 to 300).filter(_ % 9 == 0).map(i =>
+          (i.toLong, s"g${i % 5}", BigDecimal(i) + 1000)) ++
+          Seq((901L, "g1", BigDecimal(7))))
+          .toDF("k", "g", "price")
+          .withColumn("price", col("price").cast("decimal(18,2)")), "k", 8)
+      VersionedTable.commitDelete(spark, root,
+        (1 to 300).filter(_ % 5 == 4).map(_.toLong).toDF("k"), "k", 8)
+      def agg() = VersionedTable.read(spark, root)
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+      val q = agg()
+      // the plan must read the VIEW (plus the CDF's changed buckets) —
+      // never re-aggregate the full table
+      val roots = scanRoots(q)
+      assert(roots.exists(_.endsWith("/vtmv")),
+        s"vt compensation must serve from the view, got $roots")
+      val got = q.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+      MvRegistry.deregister(spark, root)
+      val exp = agg().collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+      MvRegistry.register(spark, root, MvRegistry.MvDef(
+        mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+        comp = Some(MvRegistry.CompDef.versioned(root, "k", 0L))))
+      assert(got === exp)
+      assert(!got.contains("g4"), "fully-deleted grain must vanish")
+      // version-pin: a commit landing AFTER the scan resolved makes the
+      // rewrite fall through (the pinned file set is no longer latest)
+      val stale = agg() // resolves v2's file list eagerly
+      VersionedTable.commitMerge(spark, root,
+        Seq((902L, "g0", BigDecimal(1))).toDF("k", "g", "price")
+          .withColumn("price", col("price").cast("decimal(18,2)")), "k", 8)
+      assert(!readsMv(stale),
+        "a scan pinning a superseded version must NOT rewrite")
+      // and it still answers v2's state exactly (snapshot isolation)
+      val staleGot = stale.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+      assert(staleGot === exp)
+      // a FRESH read after the commit rewrites again, against v3
+      val fresh = agg()
+      assert(readsMv(fresh) || scanRoots(fresh).exists(_.endsWith("/vtmv")))
+      assert(fresh.collect().map(r => r.getLong(1)).sum ===
+        exp.values.map(_._1).sum + 1)
+    } finally MvRegistry.deregister(spark, root)
+  }
+
   test("grain-expression grouping: SQL GROUP BY date_trunc('month', d) " +
       "serves from the day-grain view (count/sum/min/max)") {
     val (basePath, _) = dateDirs
