@@ -7237,6 +7237,61 @@ object SparkEntry {
       |  CAST(SUM(price) AS DOUBLE) AS total
       |FROM s2 GROUP BY cust""".stripMargin
 
+  /** Online re-bucketing (q139 — the maintenance op behind the sizing
+    * rule "grow bucket count with the table"): the table migrates 8 →
+    * 32 buckets as ONE committed version mid-history. Readers flip
+    * atomically, prior versions stay readable, the manifest CDF nets
+    * EMPTY across the migration (moved-but-equal rows cancel — index
+    * syncs and CDF streams replay a no-op, not a phantom full-table
+    * churn), commits still passing the stale count are fenced loudly
+    * by the pinned `_commits/buckets`, and post-migration commits are
+    * bucket-pruned under the new layout. At 100 TB this is what keeps
+    * bucket volume — the unit of commit cost, OCC conflict granularity
+    * and stream-diff memory — constant as the table grows.
+    */
+  private def q139VtRebucket(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val wh = s"$q40Scratch/vtrb_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val root = s"$wh/orders_rb"
+    VersionedTable.commitMerge(s, root, base, "k", 8)            // v0 @ 8
+    VersionedTable.commitMerge(s, root,
+      base.filter(col("k") % 7 === 0)
+        .withColumn("price",
+          (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)")),
+      "k", 8)                                                    // v1 @ 8
+    val v2 = VersionedTable.rebucket(s, root, "k", 32)           // v2 @ 32
+    require(v2 == 2L && VersionedTable.bucketCount(s, root).contains(32),
+      "rebucket must commit one version and pin the new count")
+    require(VersionedTable.changesBetween(s, root, "k", 1L, 2L).count() == 0L,
+      "the migration must be CDF-invisible (moved-but-equal rows cancel)")
+    // a stale-count commit is fenced; the new count proceeds pruned
+    val fenced =
+      try { VersionedTable.commitMerge(s, root,
+        base.limit(1).select("k", "price"), "k", 8); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("bucketed at 32") }
+    require(fenced, "a stale bucket count must refuse loudly")
+    VersionedTable.commitDelete(s, root,
+      base.filter(col("k") % 9 === 0).select("k"), "k", 32)      // v3 @ 32
+    VersionedTable.read(s, root)
+      .select(col("k"), col("price").cast("double").as("price"))
+  }
+
+  private def q139OracleSql: String =
+    """SELECT k,
+      |  CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+      |    AS DOUBLE) AS price
+      |FROM (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |)
+      |WHERE k % 9 <> 0""".stripMargin
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7476,6 +7531,7 @@ object SparkEntry {
     "q136_vt_cdf_stream" -> (q136VtCdfStream _),
     "q137_vt_stream_index_sync" -> (q137VtStreamIndexSync _),
     "q138_vt_mv_comp" -> (q138VtMvComp _),
+    "q139_vt_rebucket" -> (q139VtRebucket _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8887,6 +8943,7 @@ object SparkEntry {
     "q136_vt_cdf_stream" -> q136OracleSql,
     "q137_vt_stream_index_sync" -> q109OracleSql,
     "q138_vt_mv_comp" -> q138OracleSql,
+    "q139_vt_rebucket" -> q139OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -326,6 +326,7 @@ object VersionedTable {
     val epoch = IndexProtocol.acquireLease(fs, commitsDir(root), writerId,
       "commitMerge", leaseTtlMs)
     assertNoOcc(fs, root, "commitMerge")
+    pinBucketCount(fs, root, numBuckets, "commitMerge")
     sweepCrashed(fs, root)
     val cur = latestVersion(spark, rootStr)
     val next = cur.map(_ + 1).getOrElse(0L)
@@ -371,6 +372,7 @@ object VersionedTable {
     val epoch = IndexProtocol.acquireLease(fs, commitsDir(root), writerId,
       "commitDelete", leaseTtlMs)
     assertNoOcc(fs, root, "commitDelete")
+    pinBucketCount(fs, root, numBuckets, "commitDelete")
     sweepCrashed(fs, root)
     val cur = latestVersion(spark, rootStr)
     require(cur.nonEmpty, s"commitDelete: no committed version at $rootStr")
@@ -544,6 +546,86 @@ object VersionedTable {
     (dropped.size, deleted)
   }
 
+  /** The recorded bucket count, if any commit or [[rebucket]] has
+    * pinned one (`_commits/buckets`). Commits must agree with it — a
+    * commit hashing keys under a DIFFERENT count would read the wrong
+    * "affected buckets" and silently lose rows, the classic mixed-
+    * bucketing corruption.
+    */
+  def bucketCount(spark: SparkSession, rootStr: String): Option[Int] = {
+    val root = new Path(rootStr)
+    IndexProtocol.readLinesIfExists(fsOf(spark, root),
+        new Path(commitsDir(root), "buckets"))
+      .flatMap(_.headOption).map(_.trim.toInt)
+  }
+
+  private def pinBucketCount(fs: FileSystem, root: Path, n: Int,
+      what: String): Unit = {
+    val p = new Path(commitsDir(root), "buckets")
+    def recorded(): Option[Int] = IndexProtocol.readLinesIfExists(fs, p)
+      .flatMap(_.headOption).map(_.trim.toInt)
+    val rec = recorded().orElse {
+      // first pin: concurrent optimistic bootstraps race on the shared
+      // tmp name — losing the rename is benign (the winner wrote the
+      // same file); what matters is the value we READ BACK
+      try IndexProtocol.writeLinesAtomic(fs, p, Seq(n.toString))
+      catch { case _: java.io.IOException | _: java.io.FileNotFoundException => () }
+      recorded()
+    }
+    rec.foreach(r => require(r == n,
+      s"$what: table ${root} is bucketed at $r but the caller passed " +
+        s"numBuckets=$n — a mixed-count commit reads the wrong affected " +
+        "buckets and silently loses rows. Pass $r, or migrate with " +
+        "VersionedTable.rebucket."))
+  }
+
+  /** Re-bucket the table to `newNumBuckets` as ONE committed version —
+    * the maintenance op behind the sizing rule "grow bucket count with
+    * the table so bucket volume stays constant" (commit cost, OCC
+    * conflict granularity, stream-diff memory are all bucket-bounded
+    * because of it). Content is IDENTICAL by construction:
+    *   - readers flip atomically at the manifest commit (snapshot
+    *     isolation; prior versions' files survive until [[vacuum]]);
+    *   - the manifest CDF nets EMPTY — moved-but-equal rows cancel in
+    *     [[changesBetween]]'s null-safe compare, so index syncs, MV
+    *     compensation, and [[graft.streaming.VtCdfStream]] consumers
+    *     replay a no-op version instead of a phantom full-table churn;
+    *   - subsequent commits are fenced to the new count (the pinned
+    *     `_commits/buckets` — a stale pipeline still passing the old
+    *     count refuses loudly instead of corrupting).
+    * Runs like [[vacuum]] on an optimistic-mode table: lease for its
+    * own duration under the publish lock, released after. Returns the
+    * committed version.
+    */
+  def rebucket(spark: SparkSession, rootStr: String, key: String,
+      newNumBuckets: Int, writerId: String = "default",
+      leaseTtlMs: Long = Long.MaxValue): Long = {
+    require(newNumBuckets >= 1, "newNumBuckets must be >= 1")
+    val root = new Path(rootStr)
+    val fs = fsOf(spark, root)
+    val occMode = !fs.exists(new Path(commitsDir(root), "writer"))
+    val epoch = IndexProtocol.acquireLease(fs, commitsDir(root), writerId,
+      "rebucket", leaseTtlMs)
+    try occLock(fs.makeQualified(root).toString).synchronized {
+      sweepCrashed(fs, root)
+      val cur = latestVersion(spark, rootStr).getOrElse(
+        throw new IllegalArgumentException(
+          s"rebucket: no committed version at $rootStr"))
+      val oldBuckets = manifestEntries(fs, root, cur).keySet
+      val touched = read(spark, rootStr, Some(cur))
+        .drop("__bucket")
+        .withColumn("__bucket",
+          pmod(xxhash64(col(key)), lit(newNumBuckets.toLong)).cast("int"))
+      commitStaged(spark, fs, root, rootStr, cur + 1, Some(cur), touched,
+        CommitHooks.none, rewrittenBuckets = Some(oldBuckets),
+        writerId = writerId, epoch = epoch)
+      IndexProtocol.writeLinesAtomic(fs,
+        new Path(commitsDir(root), "buckets"), Seq(newNumBuckets.toString))
+      cur + 1
+    }
+    finally if (occMode) IndexProtocol.releaseLease(fs, commitsDir(root))
+  }
+
   /** Hand the table over to a new writer id (only safe once the owning
     * writer is decommissioned) — the index families' lease contract.
     */
@@ -695,6 +777,7 @@ object VersionedTable {
       s"commitMergeOptimistic: $rootStr holds a single-writer lease — a " +
         "table is operated in EITHER leased OR optimistic mode, never " +
         "both (releaseLease first if the leased writer is decommissioned)")
+    pinBucketCount(fs, root, numBuckets, "commitMergeOptimistic")
     sweepOwnOcc(fs, root, rootStr, spark, writerId)
     val readV = latestVersion(spark, rootStr)
     val withBucket = incoming
@@ -733,6 +816,7 @@ object VersionedTable {
     require(!fs.exists(new Path(commitsDir(root), "writer")),
       s"commitDeleteOptimistic: $rootStr holds a single-writer lease — " +
         "releaseLease first; a table runs in one commit mode only")
+    pinBucketCount(fs, root, numBuckets, "commitDeleteOptimistic")
     sweepOwnOcc(fs, root, rootStr, spark, writerId)
     val readV = latestVersion(spark, rootStr)
     require(readV.nonEmpty,

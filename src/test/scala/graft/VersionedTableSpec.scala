@@ -260,6 +260,58 @@ class VersionedTableSpec extends SparkSpec {
     assert(d2 === Set(("insert", 100001L, 42L)))
   }
 
+  test("rebucket: one CDF-invisible committed version; new layout " +
+      "correct; prior versions intact; stale bucket count fenced") {
+    val root = freshRoot()
+    VersionedTable.commitMerge(spark, root, base, "k", 4)
+    VersionedTable.commitMerge(spark, root, changes, "k", 4)
+    val preState = state(root)
+    val v = VersionedTable.rebucket(spark, root, "k", 16)
+    assert(v === 2L)
+    assert(VersionedTable.bucketCount(spark, root) === Some(16))
+    // layout moved to 16 buckets, content identical
+    val post = VersionedTable.resolvedEntries(spark, root, 2L)
+    assert(post.keySet.exists(_ >= 4), "keys must spread past the old count")
+    assert(state(root) === preState)
+    // CDF-invisible: every row moved buckets, none changed — the
+    // null-safe compare cancels them all
+    assert(VersionedTable.changesBetween(spark, root, "k", 1L, 2L).count() === 0)
+    // prior versions still read exactly (old generations survive)
+    assert(state(root, Some(1L)) === preState)
+    // a commit still passing the OLD count refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitMerge(spark, root,
+        Seq((99L, 5L)).toDF("k", "price"), "k", 4)
+    }
+    assert(e.getMessage.contains("bucketed at 16"))
+    // the NEW count commits; bucket-pruned reads work under it
+    VersionedTable.commitMerge(spark, root,
+      Seq((99L, 5L)).toDF("k", "price"), "k", 16)
+    assert(state(root) === preState + (99L -> 5L))
+    // vacuum reclaims the pre-rebucket generations
+    val (_, deleted) = VersionedTable.vacuum(spark, root, retainLast = 1)
+    assert(deleted > 0)
+    assert(state(root) === preState + (99L -> 5L))
+  }
+
+  test("rebucket on an optimistic-mode table releases the lease after; " +
+      "optimistic commits are fenced to the new count") {
+    val root = freshRoot()
+    VersionedTable.commitMergeOptimistic(spark, root, base, "k", 4,
+      writerId = "w1")
+    VersionedTable.rebucket(spark, root, "k", 8)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitMergeOptimistic(spark, root,
+        Seq((99L, 5L)).toDF("k", "price"), "k", 4, writerId = "w1")
+    }
+    assert(e.getMessage.contains("bucketed at 8"))
+    // still optimistic: the next lease-free commit (right count) works
+    val v = VersionedTable.commitMergeOptimistic(spark, root,
+      Seq((99L, 5L)).toDF("k", "price"), "k", 8, writerId = "w1")
+    assert(v === 2L)
+    assert(state(root).get(99L) === Some(5L))
+  }
+
   test("checkpoint cadence: full at v0 and every checkpointEvery-th; " +
       "long chains resolve exactly") {
     val root = freshRoot()
