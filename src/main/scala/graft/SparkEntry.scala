@@ -7292,6 +7292,111 @@ object SparkEntry {
       |)
       |WHERE k % 9 <> 0""".stripMargin
 
+  /** Register-once MV serving over the TABLE LAYER (q140 — q132's
+    * dynamic-frontier loop re-expressed on [[graft.sources.VersionedTable]]):
+    * the view is maintained by
+    * [[graft.sources.MvMaintain.refreshFromVersionedTable]] (frontier =
+    * a VERSION id embedded in the view dir; bootstrap = one snapshot
+    * aggregate; incremental = the manifest-CDF fold) and registered
+    * ONCE with `CompDef.versionedDynamic`. Three phases under that one
+    * registration: fresh (view alone), stale after two commits (view +
+    * bucket-pruned CDF tail — never the base aggregate), fresh again
+    * after a refresh with no re-registration. Phases materialize at
+    * phase time (the q130 lesson: they observe different table
+    * states). No change feed exists anywhere in this pipeline.
+    */
+  private def q140VtMvDynamic(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    import graft.sources.{MvMaintain, VersionedTable}
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 30).as("grp"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+    val base = o.filter(col("k") % 3 === 0)
+    val wh = s"$q40Scratch/vtdyn_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val root = s"$wh/vtdyn_base"
+    val mvPath = s"$wh/vtdyn_mv"
+    MvRegistry.deregister(s, root)
+    val vdef = MvMaintain.ViewDef(Seq("grp"), Map("v" -> "sum_v"), "n")
+    VersionedTable.commitMerge(s, root, base, "k")                // v0
+    require(MvMaintain.refreshFromVersionedTable(s, root, "k", mvPath,
+      vdef) == 0L, "bootstrap refresh must land at version 0")
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    // THE one registration — never repeated below
+    MvRegistry.register(s, root, MvRegistry.MvDef(
+      mvPath, Set("grp"), Map("v" -> "sum_v"), "n",
+      comp = Some(MvRegistry.CompDef.versionedDynamic(root, "k"))))
+    def roots(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    def serve(): DataFrame = VersionedTable.read(s, root)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("total"))
+    def materialize(df: DataFrame, phase: String): Seq[(String, Long, Long, Double)] =
+      df.select(col("grp"), col("n_orders"),
+          col("total").cast("double").as("total"))
+        .collect().map(r => (phase, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val p1 = serve()
+    require(roots(p1).nonEmpty && roots(p1).forall(_.endsWith("vtdyn_mv")),
+      s"phase 1 (fresh) must serve the view alone: ${roots(p1)}")
+    val out1 = materialize(p1, "fresh1")
+    // the table moves (update + delete); the registration does NOT
+    VersionedTable.commitMerge(s, root,
+      base.filter(col("k") % 7 === 0)
+        .withColumn("v", (col("v") + lit(2000).cast("decimal(18,2)"))
+          .cast("decimal(18,2)")), "k")                           // v1
+    VersionedTable.commitDelete(s, root,
+      base.filter(col("k") % 5 === 1).select("k"), "k")           // v2
+    val p2 = serve()
+    val r2 = roots(p2)
+    require(r2.exists(_.endsWith("vtdyn_mv"))
+        && r2.exists(_.contains("__bucket=")),
+      s"phase 2 (stale) must serve view + CDF tail: $r2")
+    val out2 = materialize(p2, "stale_tail")
+    // refresh under the SAME registration; the next query is fresh
+    require(MvMaintain.refreshFromVersionedTable(s, root, "k", mvPath,
+      vdef) == 2L, "second refresh must fold to version 2")
+    val p3 = serve()
+    require(roots(p3).nonEmpty && roots(p3).forall(_.endsWith("vtdyn_mv")),
+      s"phase 3 (fresh again) must serve the view alone: ${roots(p3)}")
+    val out3 = materialize(p3, "fresh2")
+    import s.implicits._
+    (out1 ++ out2 ++ out3).toDF("phase", "grp", "n_orders", "total")
+  }
+
+  private def q140OracleSql: String =
+    """WITH s1 AS (
+      |  SELECT o_custkey % 30 AS grp, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), s2 AS (
+      |  SELECT o_custkey % 30 AS grp,
+      |    CAST(CASE WHEN o_orderkey % 7 = 0
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) + 2000
+      |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(18,2)) AS v
+      |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 1
+      |), a1 AS (
+      |  SELECT grp, COUNT(*) AS n_orders, CAST(SUM(v) AS DOUBLE) AS total
+      |  FROM s1 GROUP BY 1
+      |), a2 AS (
+      |  SELECT grp, COUNT(*) AS n_orders, CAST(SUM(v) AS DOUBLE) AS total
+      |  FROM s2 GROUP BY 1
+      |)
+      |SELECT 'fresh1' AS phase, grp, n_orders, total FROM a1
+      |UNION ALL
+      |SELECT 'stale_tail', grp, n_orders, total FROM a2
+      |UNION ALL
+      |SELECT 'fresh2', grp, n_orders, total FROM a2""".stripMargin
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7532,6 +7637,7 @@ object SparkEntry {
     "q137_vt_stream_index_sync" -> (q137VtStreamIndexSync _),
     "q138_vt_mv_comp" -> (q138VtMvComp _),
     "q139_vt_rebucket" -> (q139VtRebucket _),
+    "q140_vt_mv_dynamic" -> (q140VtMvDynamic _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8944,6 +9050,7 @@ object SparkEntry {
     "q137_vt_stream_index_sync" -> q109OracleSql,
     "q138_vt_mv_comp" -> q138OracleSql,
     "q139_vt_rebucket" -> q139OracleSql,
+    "q140_vt_mv_dynamic" -> q140OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

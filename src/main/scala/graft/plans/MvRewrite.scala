@@ -99,6 +99,16 @@ object MvRegistry {
       */
     def versioned(tableRoot: String, key: String, version: Long): CompDef =
       CompDef(tableRoot, version, vtKey = key)
+    /** [[versioned]] with the frontier UNPINNED: the rewrite resolves
+      * the (view dir, frontier VERSION) pair per query from the view's
+      * own in-dir `_frontier` — the pair
+      * [[graft.sources.MvMaintain.refreshFromVersionedTable]] commits
+      * atomically. Register once, refresh on any cadence; queries stay
+      * exactly fresh via the manifest-CDF tail past whatever version
+      * the last committed refresh folded.
+      */
+    def versionedDynamic(tableRoot: String, key: String): CompDef =
+      CompDef(tableRoot, Dynamic, vtKey = key)
   }
 
   /** `mvPath` holds rows at grain `groupCols` with an additive row

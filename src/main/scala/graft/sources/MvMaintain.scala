@@ -170,6 +170,19 @@ object MvMaintain {
 
     val tail = spark.read.parquet(
       tailIds.map(id => s"$feedRoot/batch=$id"): _*)
+    val merged = foldInto(spark, mvPath, fr.isDefined, tail, v)
+    stageAndSwap(spark, fs, mvPath, merged.filter(col(v.countCol) > 0),
+      newFrontier, hooks)
+    newFrontier
+  }
+
+  /** Signed per-grain deltas of a CDC tail folded into the existing
+    * view (or standing alone when no view exists yet). Column types
+    * stay pinned to the first-committed view schema, so refresh ==
+    * full-refold frame-for-frame at any depth.
+    */
+  private def foldInto(spark: SparkSession, mvPath: String,
+      haveView: Boolean, tail: DataFrame, v: ViewDef): DataFrame = {
     val pos = col("change_op").isin("insert", "update_post")
     val sign = when(pos, lit(1L)).otherwise(lit(-1L))
     val mKeys = v.sumCols.keys.toSeq.sorted
@@ -177,35 +190,37 @@ object MvMaintain {
       .agg(sum(sign).as("__dn"),
         mKeys.map(m => sum(when(pos, col(m)).otherwise(-col(m)))
           .as(s"__d_$m")): _*)
-
-    val merged: DataFrame = fr match {
-      case None =>
-        deltas.select(v.grain.map(col) ++
-          Seq(col("__dn").as(v.countCol)) ++
-          mKeys.map(m => col(s"__d_$m").as(v.sumCols(m))): _*)
-      case Some(_) =>
-        val old = spark.read.parquet(mvPath)
-        val schema = old.schema
-        // column types stay pinned to the first-committed view schema,
-        // so refresh == full-refold frame-for-frame at any depth
-        old.join(deltas, v.grain, "full_outer")
-          .select(v.grain.map(col) ++
-            Seq((coalesce(col(v.countCol), lit(0L)) +
-              coalesce(col("__dn"), lit(0L)))
-              .cast(schema(v.countCol).dataType).as(v.countCol)) ++
-            mKeys.map { m =>
-              val s = v.sumCols(m)
-              (coalesce(col(s), lit(0).cast(schema(s).dataType)) +
-                coalesce(col(s"__d_$m"), lit(0).cast(schema(s).dataType)))
-                .cast(schema(s).dataType).as(s)
-            }: _*)
+    if (!haveView)
+      deltas.select(v.grain.map(col) ++
+        Seq(col("__dn").as(v.countCol)) ++
+        mKeys.map(m => col(s"__d_$m").as(v.sumCols(m))): _*)
+    else {
+      val old = spark.read.parquet(mvPath)
+      val schema = old.schema
+      old.join(deltas, v.grain, "full_outer")
+        .select(v.grain.map(col) ++
+          Seq((coalesce(col(v.countCol), lit(0L)) +
+            coalesce(col("__dn"), lit(0L)))
+            .cast(schema(v.countCol).dataType).as(v.countCol)) ++
+          mKeys.map { m =>
+            val s = v.sumCols(m)
+            (coalesce(col(s), lit(0).cast(schema(s).dataType)) +
+              coalesce(col(s"__d_$m"), lit(0).cast(schema(s).dataType)))
+              .cast(schema(s).dataType).as(s)
+          }: _*)
     }
-    val alive = merged.filter(col(v.countCol) > 0)
+  }
 
-    // stage → embed frontier → RETAINING swap: the prior view survives
-    // under `__old` until the new one is in place, so a crash at any
-    // point leaves a committed view readable (prior or new) — see the
-    // class doc. `__old` is dropped last (litter if we crash before).
+  /** Stage → embed frontier → RETAINING swap: the prior view survives
+    * under `__old` until the new one is in place, so a crash at any
+    * point leaves a committed view readable (prior or new) — see the
+    * class doc. `__old` is dropped last (litter if we crash before).
+    */
+  private def stageAndSwap(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, mvPath: String,
+      alive: DataFrame, newFrontier: Long, hooks: SwapHooks): Unit = {
+    val mvP = new org.apache.hadoop.fs.Path(mvPath)
+    val oldP = oldPath(mvPath)
     val tmp = s"${mvPath}__stage"
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
@@ -224,6 +239,60 @@ object MvMaintain {
     require(fs.rename(tmpPath, mvP),
       s"refresh: rename $tmp -> $mvPath failed")
     fs.delete(oldP, true)
-    newFrontier
+  }
+
+  /** Refresh a view maintained over a [[VersionedTable]] — the TABLE-
+    * LAYER twin of [[refresh]]: the frontier is a VERSION id, the tail
+    * is the manifest-derived CDF
+    * ([[VersionedTable.changesBetween]](frontier, latest) — bucket-
+    * pruned, no feed maintained anywhere), and a view with no committed
+    * frontier BOOTSTRAPS from the table's latest snapshot (a one-time
+    * base aggregate — always legal because the snapshot is complete,
+    * unlike a possibly-truncated feed). Same retaining-swap durability;
+    * same O(|tail| + |grain|) steady cost. Composes with
+    * [[graft.plans.MvRegistry.CompDef.versionedDynamic]]: register the
+    * view ONCE, refresh on any cadence, and queries stay exactly fresh
+    * — compensated from the CDF past whatever frontier the last
+    * committed refresh embedded. Retention contract: vacuum must keep
+    * the frontier version (the CDF diff needs it; [[VersionedTable.read]]
+    * refuses loudly otherwise).
+    */
+  def refreshFromVersionedTable(spark: SparkSession, tableRoot: String,
+      key: String, mvPath: String, v: ViewDef): Long =
+    refreshFromVersionedTable(spark, tableRoot, key, mvPath, v, SwapHooks.none)
+
+  private[graft] def refreshFromVersionedTable(spark: SparkSession,
+      tableRoot: String, key: String, mvPath: String, v: ViewDef,
+      hooks: SwapHooks): Long = {
+    val mvP = new org.apache.hadoop.fs.Path(mvPath)
+    val fs = fsOf(spark, mvP)
+    val oldP = oldPath(mvPath)
+    if (fs.exists(oldP)) { // torn-swap repair, as in [[refresh]]
+      if (fs.exists(mvP)) fs.delete(oldP, true)
+      else require(fs.rename(oldP, mvP),
+        s"refreshFromVersionedTable: rollback rename $oldP -> $mvPath failed")
+    }
+    val latest = VersionedTable.latestVersion(spark, tableRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshFromVersionedTable: no committed version at $tableRoot"))
+    frontier(spark, mvPath) match {
+      case Some(f) if f >= latest => f
+      case Some(f) =>
+        val tail = VersionedTable.changesBetween(spark, tableRoot, key,
+          f, latest)
+        val merged = foldInto(spark, mvPath, haveView = true, tail, v)
+        stageAndSwap(spark, fs, mvPath,
+          merged.filter(col(v.countCol) > 0), latest, hooks)
+        latest
+      case None =>
+        // bootstrap: one snapshot aggregate — complete by construction
+        val mKeys = v.sumCols.keys.toSeq.sorted
+        val full = VersionedTable.read(spark, tableRoot, Some(latest))
+          .groupBy(v.grain.map(col): _*)
+          .agg(count(lit(1)).as(v.countCol),
+            mKeys.map(m => sum(col(m)).as(v.sumCols(m))): _*)
+        stageAndSwap(spark, fs, mvPath, full, latest, hooks)
+        latest
+    }
   }
 }

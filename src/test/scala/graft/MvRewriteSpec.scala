@@ -1077,6 +1077,82 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRegistry.deregister(spark, root)
   }
 
+  test("vt dynamic frontier: refreshFromVersionedTable bootstrap + " +
+      "incremental folds; one registration serves exactly fresh " +
+      "across commits and refreshes") {
+    import graft.sources.{MvMaintain, VersionedTable}
+    val d = java.nio.file.Files.createTempDirectory("mvrw_vtd").toFile
+    d.deleteOnExit()
+    val root = d.getPath + "/vtdb"
+    val mvPath = d.getPath + "/vtdmv"
+    val vdef = MvMaintain.ViewDef(Seq("g"), Map("price" -> "sum_price"))
+    val base = (1 to 200).map(i => (i.toLong, s"g${i % 4}", BigDecimal(i)))
+      .toDF("k", "g", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+    VersionedTable.commitMerge(spark, root, base, "k", 8)           // v0
+    // bootstrap refresh: frontier-less view builds from the snapshot
+    assert(MvMaintain.refreshFromVersionedTable(spark, root, "k",
+      mvPath, vdef) === 0L)
+    assert(MvMaintain.frontier(spark, mvPath) === Some(0L))
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    // ONE registration, dynamic vt frontier
+    MvRegistry.register(spark, root, MvRegistry.MvDef(
+      mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef.versionedDynamic(root, "k"))))
+    def agg() = VersionedTable.read(spark, root).groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    def baseline() = {
+      MvRegistry.deregister(spark, root)
+      try collectMap(agg())
+      finally MvRegistry.register(spark, root, MvRegistry.MvDef(
+        mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+        comp = Some(MvRegistry.CompDef.versionedDynamic(root, "k"))))
+    }
+    def servesView(df: org.apache.spark.sql.DataFrame): Boolean =
+      scanRoots(df).exists(_.endsWith("/vtdmv"))
+    try {
+      // phase 1: fresh view, no tail
+      val q1 = agg()
+      assert(servesView(q1), s"fresh vt-dynamic must rewrite, got ${scanRoots(q1)}")
+      assert(collectMap(q1) === baseline())
+      // phase 2: commit v1 (update + delete-grain-shrink) — STALE view,
+      // CDF tail compensates
+      VersionedTable.commitMerge(spark, root,
+        (1 to 200).filter(_ % 10 == 0).map(i =>
+          (i.toLong, s"g${i % 4}", BigDecimal(i) + 500))
+          .toDF("k", "g", "price")
+          .withColumn("price", col("price").cast("decimal(18,2)")), "k", 8)
+      val q2 = agg()
+      assert(servesView(q2))
+      assert(collectMap(q2) === baseline())
+      // phase 3: refresh folds the CDF tail (no re-registration), then
+      // another commit — served from the NEW frontier
+      assert(MvMaintain.refreshFromVersionedTable(spark, root, "k",
+        mvPath, vdef) === 1L)
+      VersionedTable.commitDelete(spark, root,
+        (1 to 200).filter(_ % 4 == 3).map(_.toLong).toDF("k"), "k", 8)
+      val q3 = agg()
+      assert(servesView(q3))
+      val m3 = collectMap(q3)
+      assert(m3 === baseline())
+      assert(!m3.contains("g3"), "fully-deleted grain must vanish")
+      // refresh to head: view alone serves, tail empty
+      assert(MvMaintain.refreshFromVersionedTable(spark, root, "k",
+        mvPath, vdef) === 2L)
+      // idempotent at head
+      assert(MvMaintain.refreshFromVersionedTable(spark, root, "k",
+        mvPath, vdef) === 2L)
+      val q4 = agg()
+      assert(servesView(q4))
+      assert(collectMap(q4) === m3)
+    } finally MvRegistry.deregister(spark, root)
+  }
+
   test("grain-expression grouping: SQL GROUP BY date_trunc('month', d) " +
       "serves from the day-grain view (count/sum/min/max)") {
     val (basePath, _) = dateDirs
