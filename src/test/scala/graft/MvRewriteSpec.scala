@@ -1191,6 +1191,59 @@ class MvRewriteSpec extends SparkSpec {
       baselineAgainst(basePath)(aliased()))
   }
 
+  test("grain-expression grouping composes with COMPENSATION: month " +
+      "rollup over a stale day-grain view folds the CDC tail exactly") {
+    val wh = java.nio.file.Files.createTempDirectory("mvrw_excomp").toString
+    val w = new graft.sources.TableWriter(wh)
+    val r1 = (0 until 400).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i % 90)), BigDecimal(i) + BigDecimal("0.5"))
+    }.toDF("k", "d", "amt")
+      .withColumn("amt", col("amt").cast("decimal(18,2)"))
+    w.mergeByKeyCdc(spark, "xg", r1, "k", batchId = 1L)
+    val basePath = w.path("xg")
+    val mvPath = s"$wh/xgmv"
+    spark.read.parquet(basePath).groupBy("d")
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("s_amt"))
+      .write.mode("overwrite").parquet(mvPath)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    MvRegistry.register(spark, basePath, MvRegistry.MvDef(
+      mvPath, Set("d"), Map("amt" -> "s_amt"), "n",
+      comp = Some(MvRegistry.CompDef(w.path("xg_changes"), frontier = 1L))))
+    try {
+      // tail: delete all of February, update some January amounts
+      w.deleteByKeyCdc(spark, "xg",
+        (0 until 400).filter(i => i % 90 >= 31 && i % 90 < 60)
+          .map(_.toLong).toDF("k"), "k", batchId = 2L)
+      w.mergeByKeyCdc(spark, "xg",
+        (0 until 400).filter(_ % 90 == 3).map { i =>
+          (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 4)),
+            BigDecimal(9000))
+        }.toDF("k", "d", "amt")
+          .withColumn("amt", col("amt").cast("decimal(18,2)")),
+        "k", batchId = 3L)
+      def run() = spark.read.parquet(basePath)
+        .groupBy(date_trunc("month", col("d")).cast("date").as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("amt")).as("sa"))
+      val q = run()
+      assert(scanRoots(q).exists(_.endsWith("/xgmv")),
+        s"stale month rollup must still serve the view, got ${scanRoots(q)}")
+      val got = q.collect().map(r =>
+        (r.getDate(0).toString, r.getLong(1), BigDecimal(r.getDecimal(2))))
+        .sortBy(_._1).toSeq
+      MvRegistry.deregister(spark, basePath)
+      val exp = run().collect().map(r =>
+        (r.getDate(0).toString, r.getLong(1), BigDecimal(r.getDecimal(2))))
+        .sortBy(_._1).toSeq
+      assert(got === exp)
+      // February vanished entirely (every row deleted → HAVING net)
+      assert(!got.exists(_._1.startsWith("2024-02")),
+        s"fully-deleted month must vanish, got $got")
+    } finally MvRegistry.deregister(spark, basePath)
+  }
+
   test("grain-expression grouping: expression over a NON-grain column " +
       "falls through to the base scan") {
     val (basePath, _) = dateDirs
