@@ -170,6 +170,70 @@ class VtCdfStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum"))
   }
 
+  test("composes with optimistic writers: racing commits stream as " +
+      "contiguous exact versions (no torn or skipped micro-batch)") {
+    import graft.sources.VersionedTable.CommitConflictException
+    val dir = freshDir("vtcdf8")
+    val root = s"$dir/t"
+    // 3 concurrent optimistic writers, 2 commits each, overlapping keys
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 3).map { t =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until 2) {
+            var done = false
+            var tries = 0
+            while (!done) {
+              try {
+                VersionedTable.commitMergeOptimistic(spark, root,
+                  (1 to 60).filter(_ % 3 == t)
+                    .map(k => (k.toLong, k * 100L + t * 10 + i, s"w$t"))
+                    .toDF("k", "price", "name"),
+                  "k", 8, writerId = s"w$t")
+                done = true
+              } catch {
+                case _: CommitConflictException =>
+                  tries += 1
+                  if (tries > 50) throw new IllegalStateException("starved")
+              }
+            }
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    val vs = VersionedTable.versions(spark, root)
+    assert(vs === (0L until 6L).toSeq)
+    // drain the whole history; every version's rows must equal the
+    // batch CDF for that pair — racing writers never tear a version
+    val got = collectStream(root, "vtcdf_occ", s"$dir/ck")
+    val byV = got.groupBy(_._2)
+    assert(byV.keySet === (0L until 6L).toSet,
+      s"every version must stream, got ${byV.keySet}")
+    val v0 = VersionedTable.read(spark, root, Some(0L))
+      .select(lit("insert").as("op"), lit(0L).as("v"),
+        col("k"), col("price"), col("name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(byV(0L).sorted === v0.sorted)
+    (1L until 6L).foreach { v =>
+      assert(byV.getOrElse(v, Nil).sorted === cdfRows(root, v - 1, v, v).sorted,
+        s"version $v's streamed rows must equal its batch CDF")
+    }
+    // final replay: applying post-images/deletes in version order
+    // reproduces the table (the replica contract, writer races included)
+    val replay = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    got.sortBy(_._2).foreach {
+      case ("insert" | "update_post", _, k, p, n) => replay(k) = (p, n)
+      case ("delete", _, k, _, _) => replay.remove(k)
+      case _ => ()
+    }
+    val fin = VersionedTable.read(spark, root).select("k", "price", "name")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(replay.toMap === fin)
+  }
+
   test("additive schema evolution: old generations null-fill the new " +
       "column; update classification stays exact") {
     val dir = freshDir("vtcdf6")
