@@ -7465,6 +7465,91 @@ object SparkEntry {
     Seq("month", "quarter", "year").map(arm).mkString("\nUNION ALL\n")
   }
 
+  /** Time travel THROUGH the view (q142): one summary view frozen AS
+    * OF a mid-history version answers `asOf` queries at ANY retained
+    * version — the rewrite identifies the pinned version from the
+    * scan's manifest-resolved file set, then compensates the view
+    * FORWARD (manifest CDF past the frontier) or BACKWARD (the same
+    * CDF with the op vocabulary inverted: insert ↔ delete, update_pre
+    * ↔ update_post — the signed fold undoes exactly what those commits
+    * did). Both directions are bucket-pruned diffs; at 100 TB every
+    * retained `asOf` aggregate reads |grain| + changed buckets, never
+    * a snapshot scan. Both phases' plans are REQUIRED to serve the
+    * view; phases materialize at phase time (they pin different
+    * versions).
+    */
+  private def q142VtMvTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvRegistry, MvRewrite}
+    import graft.sources.VersionedTable
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 50).as("cust"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("k") % 3 === 0)
+    val wh = s"$q40Scratch/vttt_${java.lang.Integer.toHexString(dir.hashCode)}"
+    deleteTree(java.nio.file.Paths.get(wh))
+    val root = s"$wh/orders_tt"
+    val mvPath = s"$wh/orders_ttmv"
+    MvRegistry.deregister(s, root)
+    VersionedTable.commitMerge(s, root, base, "k")                // v0
+    VersionedTable.commitMerge(s, root,
+      base.filter(col("k") % 7 === 0)
+        .withColumn("price",
+          (col("price") + lit(1000).cast("decimal(18,2)")).cast("decimal(18,2)")),
+      "k")                                                        // v1
+    // the view: frozen AS OF v1 (mid-history)
+    VersionedTable.read(s, root, Some(1L)).groupBy("cust")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    VersionedTable.commitDelete(s, root,
+      base.filter(col("k") % 9 === 0).select("k"), "k")           // v2
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite(s)
+    MvRegistry.register(s, root, MvRegistry.MvDef(
+      mvPath, Set("cust"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef.versioned(root, "k", 1L))))
+    def phase(asOf: Long): Seq[(Long, Long, Long, Double)] = {
+      val q = VersionedTable.read(s, root, Some(asOf)).groupBy("cust")
+        .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total"))
+      val roots = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      require(roots.exists(_.endsWith("orders_ttmv")),
+        s"asOf=$asOf must serve from the view, got $roots")
+      q.select(col("cust"), col("n_orders"),
+          col("total").cast("double").as("total"))
+        .collect().map(r => (asOf, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    }
+    import s.implicits._
+    (phase(0L) ++ phase(2L))
+      .toDF("asof", "cust", "n_orders", "total")
+  }
+
+  private def q142OracleSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_custkey % 50 AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), s2 AS (
+      |  SELECT k, cust,
+      |    CAST(CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+      |      AS DECIMAL(18,2)) AS price
+      |  FROM src WHERE k % 9 <> 0
+      |)
+      |SELECT CAST(0 AS BIGINT) AS asof, cust, COUNT(*) AS n_orders,
+      |  CAST(SUM(price) AS DOUBLE) AS total
+      |FROM src GROUP BY cust
+      |UNION ALL
+      |SELECT 2, cust, COUNT(*), CAST(SUM(price) AS DOUBLE)
+      |FROM s2 GROUP BY cust""".stripMargin
+
   // ================================================================ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7707,6 +7792,7 @@ object SparkEntry {
     "q139_vt_rebucket" -> (q139VtRebucket _),
     "q140_vt_mv_dynamic" -> (q140VtMvDynamic _),
     "q141_spend_rollup_mv" -> (q141SpendRollupMv _),
+    "q142_vt_mv_timetravel" -> (q142VtMvTimeTravel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9121,6 +9207,7 @@ object SparkEntry {
     "q139_vt_rebucket" -> q139OracleSql,
     "q140_vt_mv_dynamic" -> q140OracleSql,
     "q141_spend_rollup_mv" -> q141OracleSql,
+    "q142_vt_mv_timetravel" -> q142OracleSql,
     "v15_ann_filtered" -> v15OracleSql,
     "q94_rebucket" -> q94OracleSql,
     "d43_quality_classifier" -> d43OracleSql,

@@ -574,22 +574,50 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val tailOpt: Option[DataFrame] =
           if (c.isVt) {
             import graft.sources.VersionedTable
-            val latest = VersionedTable.latestVersion(spark, c.feedRoot)
-              .getOrElse(throw new IllegalStateException(
-                s"vt compensation: no committed version at ${c.feedRoot}"))
+            val vs = VersionedTable.versions(spark, c.feedRoot)
+            require(vs.nonEmpty,
+              s"vt compensation: no committed version at ${c.feedRoot}")
             val pinned = plan_files(baseChild)
-            val latestFiles = VersionedTable
-              .resolvedEntries(spark, c.feedRoot, latest)
-              .values.flatten
-              .map(p => new org.apache.hadoop.fs.Path(p).toString).toSet
-            require(pinned == latestFiles,
+            // which retained version does the query's scan pin? Checked
+            // newest-first (the overwhelmingly common case is latest);
+            // the manifest-resolved file set identifies the version
+            // EXACTLY (immutable files). This is also what makes TIME
+            // TRAVEL serve from the view: a `read(asOf = v)` scan pins
+            // v's files, and the tail below compensates the view to v —
+            // forward past the frontier, or BACKWARD (inverted CDF ops)
+            // when the view is NEWER than the pinned snapshot. A scan
+            // matching no retained version (a commit landed since the
+            // read resolved, then vacuum dropped it) throws — base scan
+            // answers instead, exact either way.
+            val target = vs.reverse.find { v =>
+              VersionedTable.resolvedEntries(spark, c.feedRoot, v)
+                .values.flatten
+                .map(p => new org.apache.hadoop.fs.Path(p).toString)
+                .toSet == pinned
+            }.getOrElse(throw new IllegalStateException(
               s"vt compensation: the query's scan pins a file set that " +
-                s"is not version $latest of ${c.feedRoot} (a commit landed " +
-                "since the read resolved) — base scan answers instead")
+                s"matches no retained version of ${c.feedRoot} — base " +
+                "scan answers instead"))
             val f = resolvedFrontier.get
-            if (latest <= f) None
-            else Some(VersionedTable.changesBetween(
-              spark, c.feedRoot, c.vtKey, f, latest))
+            if (target == f) None
+            else if (target > f)
+              Some(VersionedTable.changesBetween(
+                spark, c.feedRoot, c.vtKey, f, target))
+            else {
+              // backward: the view already folded (target, f]; subtract
+              // it by replaying the diff with the op VOCABULARY inverted
+              // (insert ↔ delete, update_pre ↔ update_post) — the signed
+              // fold and the touched-grain logic downstream then undo
+              // exactly what those commits did
+              val inv = org.apache.spark.sql.functions.when(
+                col("change_op") === "insert", "delete")
+                .when(col("change_op") === "delete", "insert")
+                .when(col("change_op") === "update_pre", "update_post")
+                .otherwise("update_pre")
+              Some(VersionedTable.changesBetween(
+                  spark, c.feedRoot, c.vtKey, target, f)
+                .withColumn("change_op", inv))
+            }
           } else {
             val tailDirs = feedBatchDirsPast(c.feedRoot, resolvedFrontier.get)
             if (tailDirs.isEmpty) None

@@ -1077,6 +1077,60 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRegistry.deregister(spark, root)
   }
 
+  test("vt time travel: asOf queries serve from the view — forward CDF " +
+      "past the frontier, BACKWARD (inverted ops) before it") {
+    import graft.sources.VersionedTable
+    val d = java.nio.file.Files.createTempDirectory("mvrw_vtt").toFile
+    d.deleteOnExit()
+    val root = d.getPath + "/vttb"
+    val mvPath = d.getPath + "/vttmv"
+    val base = (1 to 240).map(i => (i.toLong, s"g${i % 4}", BigDecimal(i)))
+      .toDF("k", "g", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+    VersionedTable.commitMerge(spark, root, base, "k", 8)          // v0
+    VersionedTable.commitMerge(spark, root,
+      (1 to 240).filter(_ % 6 == 0).map(i =>
+        (i.toLong, s"g${i % 4}", BigDecimal(i) + 300))
+        .toDF("k", "g", "price")
+        .withColumn("price", col("price").cast("decimal(18,2)")), "k", 8) // v1
+    // the view: AS OF v1 (mid-history)
+    VersionedTable.read(spark, root, Some(1L)).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    VersionedTable.commitDelete(spark, root,
+      (1 to 240).filter(_ % 4 == 2).map(_.toLong).toDF("k"), "k", 8) // v2
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite(spark)
+    def register(): Unit = MvRegistry.register(spark, root, MvRegistry.MvDef(
+      mvPath, Set("g"), Map("price" -> "sum_price"), "n",
+      comp = Some(MvRegistry.CompDef.versioned(root, "k", 1L))))
+    register()
+    def agg(asOf: Option[Long]) = VersionedTable.read(spark, root, asOf)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    def baseline(asOf: Option[Long]) = {
+      MvRegistry.deregister(spark, root)
+      try collectMap(agg(asOf)) finally register()
+    }
+    try {
+      for (asOf <- Seq(Some(0L), Some(1L), Some(2L), None)) {
+        val q = agg(asOf)
+        assert(scanRoots(q).exists(_.endsWith("/vttmv")),
+          s"asOf=$asOf must serve from the view, got ${scanRoots(q)}")
+        assert(collectMap(q) === baseline(asOf), s"asOf=$asOf mismatch")
+      }
+      // asOf=2/latest: g2 fully deleted — the forward tail nets it out
+      assert(!collectMap(agg(None)).contains(Some("g2")))
+      // asOf=0: the backward tail UNDID v1's updates — totals match the
+      // original base exactly
+      assert(collectMap(agg(Some(0L))).values.map(_._1).sum === 240L)
+    } finally MvRegistry.deregister(spark, root)
+  }
+
   test("vt dynamic frontier: refreshFromVersionedTable bootstrap + " +
       "incremental folds; one registration serves exactly fresh " +
       "across commits and refreshes") {
