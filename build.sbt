@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's final stdout line must be machine-parseable (the driver
+// captures the stdout tail and json-parses the last line). sbt's default
+// LoggedOutput wraps every forked-JVM line as "[info] ..." and appends a
+// "[success] Total time ..." epilogue after the program exits — both break
+// that parse. StdoutOutput forwards the forked JVM's stdout raw, and
+// showSuccess drops the epilogue, so graft.Bench's compact summary JSON is
+// genuinely the last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

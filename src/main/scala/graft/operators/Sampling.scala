@@ -141,17 +141,34 @@ object Sampling {
           % lit(buckets.toLong))
       .groupBy("doc_id", "is_tgt", "b")
       .agg(count(lit(1)).as("cnt"))
+    // ONE pass builds the whole bag model: a ≤`buckets`-row aggregate
+    // collected in a single job, with the totals and the per-bin log
+    // weights derived on the driver. This replaces the former TWO model
+    // jobs (a totals collect plus a broadcast-join subtree that
+    // re-tokenized the corpus a third time) — the corpus tokenize+count
+    // shuffle now runs twice (model pass + scoring pass), the structural
+    // minimum for importance resampling (the model must be complete
+    // before any document can be scored). Bit-equality with the former
+    // Column form: same +/×// double ops in the same order, and
+    // StrictMath.log IS Spark's `log` (catalyst Log delegates to it in
+    // both interpreted and codegen paths).
     val model = perDoc.groupBy("b").agg(
-      sum(col("cnt")).as("raw"),
-      sum(when(col("is_tgt"), col("cnt")).otherwise(lit(0L))).as("tgt"))
-    val tot = model.agg(sum(col("raw")), sum(col("tgt"))).collect()(0)
-    val (nRaw, nTgt) = (tot.getLong(0), tot.getLong(1))
-    val logw = model.select(col("b"),
-      log((col("tgt").cast("double") + lit(1.0))
-          * lit(nRaw.toDouble + buckets)
-          / ((col("raw").cast("double") + lit(1.0))
-            * lit(nTgt.toDouble + buckets))).as("logw"))
-    val scored = perDoc.join(broadcast(logw), Seq("b"))
+        sum(col("cnt")).as("raw"),
+        sum(when(col("is_tgt"), col("cnt")).otherwise(lit(0L))).as("tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nRaw = model.map(_._2).sum
+    val nTgt = model.map(_._3).sum
+    val logwByBin = new Array[Double](buckets)
+    model.foreach { case (b, raw, tgt) =>
+      logwByBin(b.toInt) = StrictMath.log(
+        (tgt.toDouble + 1.0) * (nRaw.toDouble + buckets)
+          / ((raw.toDouble + 1.0) * (nTgt.toDouble + buckets)))
+    }
+    // the weights attach as a constant-folding array subscript — no
+    // broadcast exchange, no join, nothing corpus-sized recomputed
+    val scored = perDoc
+      .withColumn("logw",
+        element_at(lit(logwByBin), col("b").cast("int") + lit(1)))
       .groupBy("doc_id")
       .agg(sum((col("cnt").cast("double") * col("logw"))
           .cast("decimal(38,18)")).as("w"),

@@ -559,8 +559,27 @@ object VersionedTable {
       .flatMap(_.headOption).map(_.trim.toInt)
   }
 
+  /** Two-phase marker for [[rebucket]]'s count flip: written (atomic)
+    * BEFORE the rebucketed manifest commits, confirmed (deleted) only
+    * after the new `buckets` pin is on disk. While it exists the
+    * physical bucket count is ambiguous — a crash may have landed the
+    * manifest without the pin — so every count-fenced commit refuses
+    * loudly instead of hashing keys under a possibly-stale count (the
+    * silent mixed-bucketing corruption the pin exists to prevent).
+    */
+  private def rebucketIntentPath(root: Path): Path =
+    new Path(commitsDir(root), "rebucket_intent")
+
   private def pinBucketCount(fs: FileSystem, root: Path, n: Int,
       what: String): Unit = {
+    IndexProtocol.readLinesIfExists(fs, rebucketIntentPath(root)).foreach { ls =>
+      throw new IllegalStateException(
+        s"$what: table $root has an interrupted rebucket (intent to " +
+          s"${ls.headOption.map(_.trim).getOrElse("?")} buckets recorded " +
+          "but never confirmed) — the physical bucket count is ambiguous. " +
+          "Re-run VersionedTable.rebucket to finish the migration before " +
+          "committing.")
+    }
     val p = new Path(commitsDir(root), "buckets")
     def recorded(): Option[Int] = IndexProtocol.readLinesIfExists(fs, p)
       .flatMap(_.headOption).map(_.trim.toInt)
@@ -575,7 +594,7 @@ object VersionedTable {
     rec.foreach(r => require(r == n,
       s"$what: table ${root} is bucketed at $r but the caller passed " +
         s"numBuckets=$n — a mixed-count commit reads the wrong affected " +
-        "buckets and silently loses rows. Pass $r, or migrate with " +
+        s"buckets and silently loses rows. Pass $r, or migrate with " +
         "VersionedTable.rebucket."))
   }
 
@@ -616,11 +635,21 @@ object VersionedTable {
         .drop("__bucket")
         .withColumn("__bucket",
           pmod(xxhash64(col(key)), lit(newNumBuckets.toLong)).cast("int"))
+      // two-phase count flip: intent BEFORE the manifest commit, pin +
+      // confirm after. A crash between manifest and pin used to leave the
+      // table physically at newNumBuckets with the pin still recording the
+      // old count — a subsequent commit passing the old count would pass
+      // the fence, hash its keys under the wrong count, and commit
+      // duplicate keys. With the intent on disk, [[pinBucketCount]]
+      // refuses loudly until a re-run of rebucket confirms the flip.
+      IndexProtocol.writeLinesAtomic(fs, rebucketIntentPath(root),
+        Seq(newNumBuckets.toString))
       commitStaged(spark, fs, root, rootStr, cur + 1, Some(cur), touched,
         CommitHooks.none, rewrittenBuckets = Some(oldBuckets),
         writerId = writerId, epoch = epoch)
       IndexProtocol.writeLinesAtomic(fs,
         new Path(commitsDir(root), "buckets"), Seq(newNumBuckets.toString))
+      fs.delete(rebucketIntentPath(root), false)
       cur + 1
     }
     finally if (occMode) IndexProtocol.releaseLease(fs, commitsDir(root))
@@ -881,7 +910,23 @@ object VersionedTable {
       val head = latestVersion(spark, rootStr)
       // conflict check OUTSIDE the lock (metadata reads only)
       head.filter(h => readV.forall(_ < h)).foreach { h =>
-        val changed = bucketsChangedSince(fs, root, readV, h)
+        val changed =
+          try bucketsChangedSince(fs, root, readV, h)
+          catch {
+            case e: IllegalArgumentException =>
+              // the read version (or part of its delta chain) was dropped
+              // by a retention sweep while this commit was in flight — the
+              // conflict set is undecidable against a vacuumed snapshot.
+              // Clean up like any other conflict instead of leaking the
+              // staged marker behind a raw missing-manifest error.
+              IndexProtocol.redoFromManifest(fs, marker)
+              fs.delete(marker, false)
+              throw new CommitConflictException(
+                s"optimistic commit by '$writerId' on $rootStr cannot " +
+                  s"verify conflicts: read version ${readV.getOrElse(-1L)} " +
+                  s"is no longer resolvable (${e.getMessage}). Staged " +
+                  "files cleaned; retry from a fresh snapshot.")
+          }
         val overlap = changed intersect myBuckets
         if (overlap.nonEmpty) abortConflict(h, overlap)
       }

@@ -145,9 +145,33 @@ private[streaming] class VtCdfTable(tblSchema: StructType, root: String,
     }
 }
 
-/** Offset = the last version already emitted (−1 = nothing yet). */
-private[graft] case class VtCdfOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** Offset = the last version already emitted (−1 = nothing yet).
+  * `replayBase` (−1 = none) records the ONE version this stream is
+  * entitled to emit as a full-state insert replay: the retention floor
+  * at stream initialization (or the floor an explicit
+  * `startingVersion = floor − 1` named). Carrying it in the offset —
+  * and so through the checkpoint — is what distinguishes a virgin
+  * stream's legitimate full replay from a vacuum landing exactly on a
+  * non-virgin stream's frontier: without it, a stream that had already
+  * emitted versions 0..v−1 would silently re-emit the whole table as
+  * inserts when vacuum dropped v's predecessor, duplicating every row
+  * in downstream consumers. Serialized as the plain version long when
+  * no replay entitlement exists (the historical format), else as
+  * `<version>@<replayBase>`.
+  */
+private[graft] case class VtCdfOffset(version: Long, replayBase: Long = -1L)
+    extends Offset {
+  override def json(): String =
+    if (replayBase < 0) version.toString else s"$version@$replayBase"
+}
+
+private[graft] object VtCdfOffset {
+  def parse(json: String): VtCdfOffset = json.trim.split('@') match {
+    case Array(v) => VtCdfOffset(v.toLong)
+    case Array(v, rb) => VtCdfOffset(v.toLong, rb.toLong)
+    case _ => throw new IllegalArgumentException(
+      s"VtCdfStream: unparseable offset '$json'")
+  }
 }
 
 private[graft] class VtCdfMicroBatchStream(schema: StructType,
@@ -163,11 +187,14 @@ private[graft] class VtCdfMicroBatchStream(schema: StructType,
   override def latestOffset(startOffset: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val head = VersionedTable.latestVersion(spark, root).getOrElse(-1L)
-    val from = startOffset.asInstanceOf[VtCdfOffset].version
-    maxVersionsPerTrigger match {
-      case Some(m) if head - from > m => VtCdfOffset(from + m)
-      case _ => VtCdfOffset(head)
+    val so = startOffset.asInstanceOf[VtCdfOffset]
+    // the replay entitlement rides along so a restart that re-plans the
+    // first batch from the checkpoint still proves its full replay
+    val to = maxVersionsPerTrigger match {
+      case Some(m) if head - so.version > m => so.version + m
+      case _ => head
     }
+    VtCdfOffset(to, so.replayBase)
   }
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -178,8 +205,9 @@ private[graft] class VtCdfMicroBatchStream(schema: StructType,
       val vs = VersionedTable.versions(spark, root)
       require(vs.nonEmpty, s"VtCdfStream: no committed version at $root")
       // the oldest retained version must itself be emitted (as pure
-      // inserts) — the offset sits just below it
-      VtCdfOffset(vs.head - 1)
+      // inserts) — the offset sits just below it, and the floor version
+      // is recorded as this stream's one full-replay entitlement
+      VtCdfOffset(vs.head - 1, replayBase = vs.head)
     case "latest" =>
       VtCdfOffset(VersionedTable.latestVersion(spark, root).getOrElse(-1L))
     case other =>
@@ -187,20 +215,23 @@ private[graft] class VtCdfMicroBatchStream(schema: StructType,
       val vs = VersionedTable.versions(spark, root)
       require(vs.contains(v) || v == vs.head - 1,
         s"VtCdfStream: startingVersion $v not retained (${vs.mkString(", ")})")
-      VtCdfOffset(v)
+      // starting just below the floor means the caller wants the floor
+      // emitted as a full replay; starting AT a retained version diffs
+      VtCdfOffset(v, replayBase = if (v == vs.head - 1) vs.head else -1L)
   }
 
   override def latestOffset(): Offset =
     VtCdfOffset(VersionedTable.latestVersion(spark, root).getOrElse(-1L))
 
   override def deserializeOffset(json: String): Offset =
-    VtCdfOffset(json.trim.toLong)
+    VtCdfOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[VtCdfOffset].version
+    val so = start.asInstanceOf[VtCdfOffset]
+    val from = so.version
     val to = end.asInstanceOf[VtCdfOffset].version
     if (to <= from) return Array.empty
     val vs = VersionedTable.versions(spark, root)
@@ -216,13 +247,22 @@ private[graft] class VtCdfMicroBatchStream(schema: StructType,
           "requires vacuum to keep every unstreamed version; restart from a " +
           "fresh checkpoint to full-replay the retained head")
       val eNew = VersionedTable.resolvedWithSchema(spark, root, v)._1
+      // full-state-as-inserts is legal ONLY for the stream's recorded
+      // replay entitlement (the floor at initialization, carried in the
+      // offset/checkpoint). `v == floor` alone is NOT proof: a vacuum
+      // that dropped exactly this non-virgin stream's predecessor would
+      // otherwise silently re-emit the entire table as inserts,
+      // duplicating every row in downstream consumers.
       val eOld: Map[Int, Seq[String]] =
-        if (v == floor) Map.empty // oldest retained: full state as inserts
+        if (v == floor && v == so.replayBase) Map.empty
         else {
           require(vs.contains(v - 1),
             s"VtCdfStream: predecessor ${v - 1} of version $v was vacuumed " +
-              s"(retained: ${vs.mkString(", ")}) — cannot diff; refusing " +
-              "loudly rather than emitting a wrong delta")
+              s"(retained: ${vs.mkString(", ")}) and this stream already " +
+              "emitted earlier versions — cannot diff; refusing loudly " +
+              "rather than re-emitting the full state as duplicate inserts. " +
+              "Restart from a fresh checkpoint to full-replay the retained " +
+              "head")
           VersionedTable.resolvedWithSchema(spark, root, v - 1)._1
         }
       val changed = (eOld.keySet ++ eNew.keySet).filter { b =>
@@ -265,13 +305,21 @@ private[streaming] class VtCdfPartitionReader(p: VtCdfPartition)
   private val keyIdx = dataType.fieldIndex(p.key)
   private val conf = new Configuration()
 
+  // every reader opened by this task, closed on normal exhaustion AND in
+  // close() — a task failed or interrupted mid-diff must not leak open
+  // parquet file handles
+  private val openReaders = new java.util.ArrayList[
+    org.apache.parquet.hadoop.ParquetReader[
+      org.apache.parquet.example.data.Group]]()
+
   private def readFile(file: String): Iterator[Array[Any]] = {
     val path = new Path(file)
     val reader = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
       .withConf(conf).build()
+    openReaders.add(reader)
     Iterator.continually(reader.read()).takeWhile { g =>
-      if (g == null) reader.close()
+      if (g == null) { reader.close(); openReaders.remove(reader) }
       g != null
     }.map(groupToRow)
   }
@@ -366,5 +414,11 @@ private[streaming] class VtCdfPartitionReader(p: VtCdfPartition)
     if (rows.hasNext) { current = rows.next(); true } else false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    val it = openReaders.iterator()
+    while (it.hasNext) {
+      try it.next().close() catch { case _: java.io.IOException => () }
+    }
+    openReaders.clear()
+  }
 }

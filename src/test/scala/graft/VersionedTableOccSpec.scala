@@ -129,6 +129,42 @@ class VersionedTableOccSpec extends SparkSpec {
       shared(2) -> (shared(2) * 100L + 7), shared(3) -> (shared(3) * 100L + 5)))
   }
 
+  test("read version vacuumed mid-commit: CommitConflictException with " +
+      "cleanup, not a raw missing-manifest error leaking the marker") {
+    val root = freshRoot()
+    val a = keysInBucket(1).take(3)
+    val b = keysInBucket(2).take(3)
+    VersionedTable.commitMergeOptimistic(spark, root, rows(a, 0),
+      "k", B, writerId = "w1")
+    // while wA is between stage and publish, wB advances the head and a
+    // retention sweep drops wA's read version — the conflict set is
+    // undecidable, so wA must abort CLEANLY (conflict exception, staged
+    // files + marker cleaned), not blow up on "no manifest for version 0"
+    val hooks = OccHooks(beforePublish = () => {
+      VersionedTable.commitMergeOptimistic(spark, root, rows(b, 7),
+        "k", B, writerId = "wB")
+      VersionedTable.vacuum(spark, root, retainLast = 1)
+    })
+    val e = intercept[CommitConflictException] {
+      VersionedTable.commitMergeOptimistic(spark, root, rows(a, 5),
+        "k", B, writerId = "wA", hooks = hooks)
+    }
+    assert(e.getMessage.contains("no longer resolvable"))
+    val cd = new java.io.File(root, "_commits")
+    assert(!cd.listFiles().exists(_.getName === "staged_occ_wA"))
+    val orphans = new java.io.File(root).listFiles().toSeq
+      .filter(_.getName.startsWith("__bucket="))
+      .flatMap(_.listFiles().toSeq)
+      .filter(_.getName.startsWith("occ-wA-"))
+    assert(orphans.isEmpty, s"aborted attempt left files: $orphans")
+    // the advised retry lands from a fresh snapshot
+    val v = VersionedTable.commitMergeOptimistic(spark, root, rows(a, 5),
+      "k", B, writerId = "wA")
+    assert(v === 2L)
+    assert(state(root) === (a.map(k => k -> (k * 100L + 5)) ++
+      b.map(k => k -> (k * 100L + 7))).toMap)
+  }
+
   test("crash BEFORE publish: the dead attempt's files are swept by " +
       "reference on the writer's next commit") {
     val root = freshRoot()

@@ -294,6 +294,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(state(root) === preState + (99L -> 5L))
   }
 
+  test("rebucket torn between manifest and pin: count-fenced commits " +
+      "refuse loudly until a re-run confirms the flip") {
+    val root = freshRoot()
+    VersionedTable.commitMerge(spark, root, base, "k", 4)
+    // simulate the crash window the two-phase pin closes: the intent is
+    // on disk (as rebucket writes it before committing the rebucketed
+    // manifest) but the confirm never ran — the physical count is
+    // ambiguous, so commits at EITHER count must refuse
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val intent = new org.apache.hadoop.fs.Path(s"$root/_commits/rebucket_intent")
+    graft.operators.IndexProtocol.writeLinesAtomic(fs, intent, Seq("16"))
+    val eOld = intercept[IllegalStateException] {
+      VersionedTable.commitMerge(spark, root,
+        Seq((99L, 5L)).toDF("k", "price"), "k", 4)
+    }
+    assert(eOld.getMessage.contains("interrupted rebucket"))
+    val eNew = intercept[IllegalStateException] {
+      VersionedTable.commitMerge(spark, root,
+        Seq((99L, 5L)).toDF("k", "price"), "k", 16)
+    }
+    assert(eNew.getMessage.contains("interrupted rebucket"))
+    // re-running rebucket finishes the migration, confirms (intent gone),
+    // and commits at the new count flow again
+    VersionedTable.rebucket(spark, root, "k", 16)
+    assert(!fs.exists(intent))
+    assert(VersionedTable.bucketCount(spark, root) === Some(16))
+    VersionedTable.commitMerge(spark, root,
+      Seq((99L, 5L)).toDF("k", "price"), "k", 16)
+    assert(state(root).get(99L) === Some(5L))
+  }
+
   test("rebucket on an optimistic-mode table releases the lease after; " +
       "optimistic commits are fenced to the new count") {
     val root = freshRoot()

@@ -129,10 +129,48 @@ class VtCdfStreamSpec extends SparkSpec {
       .map(_.asInstanceOf[VtCdfPartition])
     assert(parts.map(_.bucket).toSet === delBuckets)
     assert(parts.forall(_.version == 2L))
-    // v0 (floor) plans with NO old files — the full-state insert replay
-    val p0 = mbs.planInputPartitions(VtCdfOffset(-1L), VtCdfOffset(0L))
+    // v0 (floor) plans with NO old files — the full-state insert replay,
+    // which requires the offset's recorded replay entitlement
+    val p0 = mbs.planInputPartitions(
+        VtCdfOffset(-1L, replayBase = 0L), VtCdfOffset(0L))
       .map(_.asInstanceOf[VtCdfPartition])
     assert(p0.nonEmpty && p0.forall(_.oldFiles.isEmpty))
+  }
+
+  test("offset json round-trips both forms (plain version and " +
+      "version@replayBase)") {
+    assert(VtCdfOffset.parse("7") === VtCdfOffset(7L))
+    assert(VtCdfOffset.parse(VtCdfOffset(7L).json()) === VtCdfOffset(7L))
+    assert(VtCdfOffset.parse(VtCdfOffset(-1L, 0L).json())
+      === VtCdfOffset(-1L, 0L))
+    assert(VtCdfOffset(3L, 4L).json() === "3@4")
+  }
+
+  test("a NON-virgin stream whose predecessor was vacuumed refuses " +
+      "loudly instead of re-emitting the full state as inserts") {
+    val dir = freshDir("vtcdf9")
+    val root = s"$dir/t"
+    buildTable(root) // v0..v2
+    val schema = VtCdfStream.fullSchema(VtCdfStream.dataSchema(spark, root))
+    val mbs = new VtCdfMicroBatchStream(schema, root, "k", "earliest")
+    // the stream emitted v0..v1 (offset 1, replay entitlement was v0);
+    // vacuum drops v0..v1, leaving v2 as the floor — planning v2 must
+    // NOT treat "v == floor" as a full-insert replay (that would
+    // duplicate every row downstream); it must refuse loudly
+    VersionedTable.vacuum(spark, root, retainLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      mbs.planInputPartitions(VtCdfOffset(1L, replayBase = 0L),
+        VtCdfOffset(2L, replayBase = 0L))
+    }
+    assert(e.getMessage.contains("duplicate inserts"))
+    // a VIRGIN stream over the vacuumed table still full-replays the
+    // new floor: its entitlement names v2
+    val virgin = new VtCdfMicroBatchStream(schema, root, "k", "earliest")
+    val init = virgin.initialOffset().asInstanceOf[VtCdfOffset]
+    assert(init === VtCdfOffset(1L, replayBase = 2L))
+    val parts = virgin.planInputPartitions(init, VtCdfOffset(2L, 2L))
+      .map(_.asInstanceOf[VtCdfPartition])
+    assert(parts.nonEmpty && parts.forall(_.oldFiles.isEmpty))
   }
 
   test("maxVersionsPerTrigger=1: a 3-version backlog drains in three " +
