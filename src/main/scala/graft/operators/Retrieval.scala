@@ -33,6 +33,39 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Read the one-row `{name}_stats` table's two longs with a direct
+    * driver-side parquet read — a protocol batch pays one file open for
+    * them, not a full Spark job submission (plan + schedule + collect),
+    * which was a fixed ~50-100 ms driver round trip per batch on every
+    * append/delete leg. The table is always a one-row (n_docs, sum_dl)
+    * materialization; anything else fails loudly.
+    */
+  private def readStatsDirect(writer: graft.sources.TableWriter,
+      name: String): (Long, Long) = {
+    val dir = new org.apache.hadoop.fs.Path(writer.path(s"${name}_stats"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir).filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+    var out: Option[(Long, Long)] = None
+    parts.foreach { st =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          st.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          require(out.isEmpty, s"stats table at $dir has more than one row")
+          out = Some((g.getLong("n_docs", 0), g.getLong("sum_dl", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.getOrElse(
+      throw new IllegalStateException(s"stats table at $dir is empty"))
+  }
+
   /** Distinct (query_id, term) rows from the first `nTerms` tokens of
     * each predicate-selected document — the deterministic query workload
     * used by the v10/v11 entries. Query sets are assumed (and asserted
@@ -302,25 +335,28 @@ object Retrieval {
       .filter(col("df") > 0)
       .withColumn("vocab_bucket",
         pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int"))
+    // publish by stage-then-swap (TableWriter.swapStagedDirs): the merged
+    // buckets are physically written ONCE, partitioned — the old plan
+    // wrote them flat to a stage, read the stage back, and re-wrote
+    // everything under dynamic partition overwrite (every merged byte
+    // written twice plus an extra read and a distinct-collect job).
+    // The merge plan reads the very files being replaced, which is why
+    // the write lands in a stage dir first and reaches the live bucket
+    // dirs only as renames.
     val stage = writer.path(s"__stage_vocab_$name")
-    val fs = new org.apache.hadoop.fs.Path(vocabPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val surviving: Set[Int] = try {
-      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(stage)
-      val staged = spark.read.parquet(stage)
-      staged.repartition(col("vocab_bucket")) // one file per bucket dir
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("vocab_bucket")
-        .parquet(vocabPath)
-      staged.select("vocab_bucket").distinct().collect()
-        .map(_.getInt(0)).toSet
-    } finally {
-      val sp = new org.apache.hadoop.fs.Path(stage)
-      sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
-    }
+    val stageP = new org.apache.hadoop.fs.Path(stage)
     val root = new org.apache.hadoop.fs.Path(vocabPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val surviving: Set[Int] = try {
+      merged.repartition(col("vocab_bucket")) // one file per bucket dir
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("vocab_bucket")
+        .parquet(stage)
+      graft.sources.TableWriter
+        .swapStagedDirs(fs, stageP, root, "vocab_bucket=").toSet
+    } finally {
+      fs.delete(stageP, true)
+    }
     touched.filterNot(surviving).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"vocab_bucket=$b"), true)
     }
@@ -379,16 +415,15 @@ object Retrieval {
 
       // stats: two longs via the driver — derived from the pinned
       // postings ((doc_id, dl) is distinct per doc there; every doc has
-      // ≥1 posting since split("") = [""]); the read is collected before
+      // ≥1 posting since split("") = [""]); the read happens before
       // the overwrite, so there is no read-your-own-write hazard
-      val old = writer.read(spark, s"${name}_stats").collect()(0)
+      val (oldN, oldS) = readStatsDirect(writer, name)
       val b = tfB.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
         .collect()(0)
       import spark.implicits._
       writer.materialize(s"${name}_stats",
-        Seq((old.getAs[Long]("n_docs") + b.getAs[Long]("n"),
-          old.getAs[Long]("sum_dl") + b.getAs[Long]("s")))
+        Seq((oldN + b.getAs[Long]("n"), oldS + b.getAs[Long]("s")))
           .toDF("n_docs", "sum_dl"))
     } finally tfB.unpersist(blocking = false)
   }
@@ -590,9 +625,7 @@ object Retrieval {
           else rebuildAllFromPostings() // non-divisible bucket layout
         case None =>
           // incremental: snapshot pre-merge stats INTO the flag first
-          val old = writer.read(spark, s"${name}_stats").collect()(0)
-          val (n0, s0) =
-            (old.getAs[Long]("n_docs"), old.getAs[Long]("sum_dl"))
+          val (n0, s0) = readStatsDirect(writer, name)
           IndexProtocol.writeLinesAtomic(fs, dirty,
             Seq(batchId.toString, s"$n0\t$s0"))
           mergeVocab(spark, writer, name,
@@ -634,8 +667,7 @@ object Retrieval {
     val conf = spark.sessionState.newHadoopConf()
     def path(p: String) = new org.apache.hadoop.fs.Path(writer.path(p))
     val fs = path(s"${name}_commits").getFileSystem(conf)
-    val old = writer.read(spark, s"${name}_stats").collect()(0)
-    val (n0, s0) = (old.getAs[Long]("n_docs"), old.getAs[Long]("sum_dl"))
+    val (n0, s0) = readStatsDirect(writer, name)
     // step 2: postings staged and moved in behind the staged manifest
     val tfB = postingsOf(newDocs, idCol, textCol)
       .withColumn("term_bucket",
@@ -806,25 +838,23 @@ object Retrieval {
       val survivors = pruned
         .filter(col("term_bucket").isin(hit.toIndexedSeq: _*))
         .join(struck.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      // stage-then-swap (TableWriter.swapStagedDirs): survivors written
+      // ONCE, partitioned, instead of flat-stage + read-back + dynamic
+      // overwrite (twice the bytes plus an extra read and collect job)
       val stage = writer.path(s"__stage_del_$name")
-      val surviving: Set[Int] = try {
-        survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(stage)
-        val staged = spark.read.parquet(stage)
-        staged.repartition(col("term_bucket")) // one file per bucket
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("term_bucket")
-          .parquet(postPath)
-        staged.select("term_bucket").distinct().collect()
-          .map(_.getInt(0)).toSet
-      } finally {
-        val sp = new org.apache.hadoop.fs.Path(stage)
-        sp.getFileSystem(spark.sessionState.newHadoopConf())
-          .delete(sp, true)
-      }
+      val stageP = new org.apache.hadoop.fs.Path(stage)
       val root = new org.apache.hadoop.fs.Path(postPath)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val surviving: Set[Int] = try {
+        survivors.repartition(col("term_bucket")) // one file per bucket
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("term_bucket")
+          .parquet(stage)
+        graft.sources.TableWriter
+          .swapStagedDirs(fs, stageP, root, "term_bucket=").toSet
+      } finally {
+        fs.delete(stageP, true)
+      }
       hit.filterNot(surviving).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"term_bucket=$b"), true)
       }
@@ -843,13 +873,12 @@ object Retrieval {
       // stats: two longs down, mirror of append's two longs up — the dl
       // is the INDEXED document length riding the struck rows, distinct
       // per (doc_id, dl), consistent with what build/append summed
-      val old = writer.read(spark, s"${name}_stats").collect()(0)
+      val (oldN, oldS) = readStatsDirect(writer, name)
       val b = struck.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
         .collect()(0)
       writer.materialize(s"${name}_stats",
-        Seq((old.getAs[Long]("n_docs") - b.getAs[Long]("n"),
-          old.getAs[Long]("sum_dl") - b.getAs[Long]("s")))
+        Seq((oldN - b.getAs[Long]("n"), oldS - b.getAs[Long]("s")))
           .toDF("n_docs", "sum_dl"))
     } finally {
       val sp = new org.apache.hadoop.fs.Path(struckStage)
@@ -947,9 +976,8 @@ object Retrieval {
 
     // ---- step 3: stats snapshot write-ahead (pre-delete, once) ----
     if (!fs.exists(state)) {
-      val old = writer.read(spark, s"${name}_stats").collect()(0)
-      IndexProtocol.writeLinesAtomic(fs, state,
-        Seq(s"${old.getAs[Long]("n_docs")}\t${old.getAs[Long]("sum_dl")}"))
+      val (oldN, oldS) = readStatsDirect(writer, name)
+      IndexProtocol.writeLinesAtomic(fs, state, Seq(s"$oldN\t$oldS"))
     }
     val Array(n0, s0) =
       IndexProtocol.readLines(fs, state).head.split("\t").map(_.toLong)
@@ -963,18 +991,18 @@ object Retrieval {
       .filter(col("term_bucket").isin(hit.toIndexedSeq: _*))
     val survivors = pruned
       .join(struck.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // stage-then-swap (TableWriter.swapStagedDirs): survivors written
+    // ONCE, partitioned — see [[deleteFromBm25Index]]. Idempotent under
+    // replay: re-running the strike from any partial state re-stages
+    // the same survivors and re-swaps.
     val stage = path(s"__stage_delb${batchId}_$name")
     val surviving: Set[Int] = try {
-      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(stage.toString)
-      val staged = spark.read.parquet(stage.toString)
-      staged.repartition(col("term_bucket")) // one file per bucket
+      survivors.repartition(col("term_bucket")) // one file per bucket
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("term_bucket")
-        .parquet(postRoot.toString)
-      staged.select("term_bucket").distinct().collect()
-        .map(_.getInt(0)).toSet
+        .parquet(stage.toString)
+      graft.sources.TableWriter
+        .swapStagedDirs(fs, stage, postRoot, "term_bucket=").toSet
     } finally fs.delete(stage, true)
     hit.filterNot(surviving).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(postRoot, s"term_bucket=$b"),

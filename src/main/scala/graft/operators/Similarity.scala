@@ -1036,24 +1036,23 @@ object Similarity {
         .filter(col("cent_id").isin(affected.toIndexedSeq: _*))
       val survivors = lists
         .join(tombs.select(col("nbr_id")), Seq("nbr_id"), "left_anti")
+      // stage-then-swap (TableWriter.swapStagedDirs): survivors written
+      // ONCE, partitioned, instead of flat-stage + read-back + dynamic
+      // overwrite (twice the bytes plus an extra read and collect job)
       val stage = writer.path(s"__stage_vacuum_$name")
-      val surviving: Set[Long] = try {
-        survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(stage)
-        val staged = spark.read.parquet(stage)
-        staged.repartition(col("cent_id"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cent_id")
-          .parquet(listsPath)
-        // bounded collect: ≤ K list ids
-        staged.select("cent_id").distinct().collect()
-          .map(_.getLong(0)).toSet
-      } finally {
-        val sp = new org.apache.hadoop.fs.Path(stage)
-        sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
-      }
+      val stageP = new org.apache.hadoop.fs.Path(stage)
       val root = new org.apache.hadoop.fs.Path(listsPath)
+      val surviving: Set[Long] = try {
+        survivors.repartition(col("cent_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cent_id")
+          .parquet(stage)
+        graft.sources.TableWriter
+          .swapStagedDirs(fs, stageP, root, "cent_id=")
+          .map(_.toLong).toSet
+      } finally {
+        fs.delete(stageP, true)
+      }
       affected.filterNot(surviving).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"cent_id=$c"), true)
       }

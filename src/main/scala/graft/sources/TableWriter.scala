@@ -234,27 +234,58 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       incoming: DataFrame, key: String, numBuckets: Int = 16,
       resolveOrder: Seq[org.apache.spark.sql.Column] = Nil): String = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     val withBucket = incoming
       .withColumn("__bucket",
         pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
       .withColumn("__gen", lit(1))
     val p = new org.apache.hadoop.fs.Path(path(name))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val merged = if (!fs.exists(p)) withBucket
+    if (!fs.exists(p))
+      mergeStagedSwap(spark, name, withBucket.drop("__gen"))
     else {
-      // bounded collect: ≤ numBuckets ids
-      val affected = withBucket.select("__bucket").distinct()
-        .collect().map(_.getInt(0))
-      val existing = readResolved(spark, name, Some(affected.toIndexedSeq))
-        .withColumn("__gen", lit(0))
-      val w = Window.partitionBy(col(key)).orderBy(
-        (if (resolveOrder.nonEmpty) resolveOrder
-         else Seq(col("__gen").desc)): _*) // default: incoming wins
-      existing.unionByName(withBucket)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      // pin the incoming side for the scope of the merge: the affected-
+      // bucket collect and the merged write both consume it, and without
+      // the pin each re-runs the caller's full source plan (scan +
+      // filters) from scratch — one batch-sized materialization replaces
+      // two source passes
+      val pinned = withBucket.persist()
+      try {
+        // bounded collect: ≤ numBuckets ids
+        val affected = pinned.select("__bucket").distinct()
+          .collect().map(_.getInt(0))
+        val existing = readResolved(spark, name, Some(affected.toIndexedSeq))
+          .withColumn("__gen", lit(0))
+        mergeStagedSwap(spark, name,
+          resolveMerge(pinned, existing, key, resolveOrder))
+      } finally pinned.unpersist(blocking = false)
     }
+    path(name)
+  }
+
+  /** The merge's resolution pass: existing ∪ incoming, one row per key
+    * kept by `resolveOrder` (default: incoming — `__gen` desc — wins).
+    */
+  private def resolveMerge(withBucket: DataFrame, existing: DataFrame,
+      key: String,
+      resolveOrder: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(
+      (if (resolveOrder.nonEmpty) resolveOrder
+       else Seq(col("__gen").desc)): _*) // default: incoming wins
+    existing.unionByName(withBucket)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn").drop("__gen")
+  }
+
+  /** Stage-then-swap publication of a merged table state (the write half
+    * of [[mergeByKey]], shared with [[mergeByKeyCdc]]).
+    */
+  private def mergeStagedSwap(spark: org.apache.spark.sql.SparkSession,
+      name: String, merged: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // stage first (writing the table in place would overwrite the path the
     // merge plan itself is reading), then SWAP the staged bucket dirs into
     // the table root — renames are metadata ops, so the touched-bucket
@@ -271,34 +302,24 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     val stage = path(s"__stage_$name")
     val stageP = new org.apache.hadoop.fs.Path(stage)
     try {
-      merged.drop("__gen")
+      merged
         .repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket")
         .parquet(stage)
       if (!fs.exists(p)) fs.mkdirs(p)
-      // sweep trash a previous crashed swap may have left
-      fs.listStatus(p).filter(_.getPath.getName.startsWith("_trash_"))
-        .foreach(st => fs.delete(st.getPath, true))
-      val swapped = fs.listStatus(stageP)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
-        .map { st =>
-          val bucketDir = st.getPath.getName
-          val dst = new org.apache.hadoop.fs.Path(p, bucketDir)
-          val trash = new org.apache.hadoop.fs.Path(p,
-            "_trash_" + bucketDir.replace("=", "_"))
-          if (fs.exists(dst)) fs.rename(dst, trash)
-          fs.rename(st.getPath, dst)
-          fs.delete(trash, true)
-          bucketDir.stripPrefix("__bucket=").toInt
-        }
+      val swapped = swapStagedDirs(fs, stageP, p, "__bucket=")
       // COW bookkeeping on clones: swapped buckets are local now
       dropManifestEntries(fs, name, swapped.toSet)
     } finally {
       fs.delete(stageP, true)
     }
-    path(name)
   }
+
+  private def swapStagedDirs(fs: org.apache.hadoop.fs.FileSystem,
+      stageP: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path,
+      prefix: String): Seq[Int] =
+    TableWriter.swapStagedDirs(fs, stageP, dest, prefix)
 
   /** Targeted delete-by-key on a [[mergeByKey]]-layout table — the
     * right-to-be-forgotten operator (at 100 TB, "delete these 10k user
@@ -322,13 +343,34 @@ final class TableWriter(warehouseDir: String) extends Serializable {
   def deleteByKey(spark: org.apache.spark.sql.SparkSession, name: String,
       doomedKeys: DataFrame, key: String, numBuckets: Int = 16): String = {
     import org.apache.spark.sql.functions._
+    // doomed feeds three passes (bucket collect, hit probe, anti-join)
+    // and candidates two (probe, anti-join) — pin both for the op's scope
+    // instead of re-running the doomed source plan and the touched-bucket
+    // parquet read each time
     val doomed = doomedKeys.select(col(key)).distinct()
       .withColumn("__bucket",
         pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
-    // bounded collect: ≤ numBuckets ids
-    val affected = doomed.select("__bucket").distinct()
-      .collect().map(_.getInt(0))
-    val candidates = readResolved(spark, name, Some(affected.toIndexedSeq))
+      .persist()
+    try {
+      // bounded collect: ≤ numBuckets ids
+      val affected = doomed.select("__bucket").distinct()
+        .collect().map(_.getInt(0))
+      val candidates = readResolved(spark, name, Some(affected.toIndexedSeq))
+        .persist()
+      try deletePrepared(spark, name, doomed, candidates, key)
+      finally candidates.unpersist(blocking = false)
+    } finally doomed.unpersist(blocking = false)
+    path(name)
+  }
+
+  /** The delete's probe + rewrite over pinned inputs (shared by
+    * [[deleteByKey]] and [[deleteByKeyCdc]], which pins the same two
+    * frames for its change feed as well).
+    */
+  private def deletePrepared(spark: org.apache.spark.sql.SparkSession,
+      name: String, doomed: DataFrame, candidates: DataFrame,
+      key: String): Unit = {
+    import org.apache.spark.sql.functions._
     // rewrite ONLY buckets that actually hold a doomed row — keys absent
     // from the table (and re-runs of the same delete) cost a bucket-pruned
     // semi-join probe, zero writes (bounded collect: ≤ numBuckets ids)
@@ -337,32 +379,33 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     if (hit.nonEmpty) {
       val existing = candidates.filter(col("__bucket").isin(hit.toIndexedSeq: _*))
       val survivors = existing.join(doomed.select(col(key)), Seq(key), "left_anti")
+      // publish by stage-then-swap (see [[mergeStagedSwap]]): the
+      // survivors are physically written ONCE, partitioned by bucket —
+      // the old plan wrote them flat to a stage, then read the stage
+      // back and re-wrote everything under dynamic partition overwrite
+      // (every surviving byte written twice plus an extra read and a
+      // distinct-collect job)
       val stage = path(s"__stage_$name")
-      val surviving: Set[Int] = try {
-        survivors.write.mode(SaveMode.Overwrite).parquet(stage)
-        val staged = spark.read.parquet(stage)
-        // see mergeByKey: cluster by bucket so file count tracks buckets
-        staged.repartition(col("__bucket"))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bucket")
-          .parquet(path(name))
-        // bounded collect: ≤ numBuckets ids
-        staged.select("__bucket").distinct().collect()
-          .map(_.getInt(0)).toSet
-      } finally {
-        val sp = new org.apache.hadoop.fs.Path(stage)
-        sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
-      }
+      val stageP = new org.apache.hadoop.fs.Path(stage)
       val root = new org.apache.hadoop.fs.Path(path(name))
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val surviving: Set[Int] = try {
+        // see mergeByKey: cluster by bucket so file count tracks buckets
+        survivors.repartition(col("__bucket"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("__bucket")
+          .parquet(stage)
+        swapStagedDirs(fs, stageP, root, "__bucket=").toSet
+      } finally {
+        fs.delete(stageP, true)
+      }
+      // a bucket whose every row was doomed has no staged dir — drop it
       hit.filterNot(surviving).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"__bucket=$b"), true)
       }
       // COW bookkeeping on clones: every hit bucket is now local (or gone)
       dropManifestEntries(fs, name, hit.toSet)
     }
-    path(name)
   }
 
   /** Re-bucket a [[mergeByKey]]-layout table — the bucket-count
@@ -433,38 +476,53 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val outCols = (Seq(col("batch_id"), col("change_op"), col(key))
       ++ valueCols.map(col))
-    val changes: DataFrame =
-      if (!fs.exists(p))
-        incoming.withColumn("batch_id", lit(batchId))
-          .withColumn("change_op", lit("insert"))
-          .select(outCols: _*)
-      else {
-        val withBucket = incoming.withColumn("__bucket",
-          pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+    if (!fs.exists(p)) {
+      val changes = incoming.withColumn("batch_id", lit(batchId))
+        .withColumn("change_op", lit("insert"))
+        .select(outCols: _*)
+      writeFeedBatch(s"${name}_changes", batchId, changes, feedMaxRowsPerFile)
+      mergeByKey(spark, name, incoming, key, numBuckets)
+    } else {
+      // the change computation and the merge consume the SAME two inputs
+      // (the batch, and the touched buckets of the table) — pin both once
+      // instead of re-running the batch's source plan four times (bucket
+      // collect, change join, merge's own bucket collect, merged write)
+      // and the touched-bucket parquet read twice
+      val withBucket = incoming.withColumn("__bucket",
+        pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+        .persist()
+      try {
         // bounded collect: ≤ numBuckets ids
         val affected = withBucket.select("__bucket").distinct()
           .collect().map(_.getInt(0))
         val existing = readResolved(spark, name, Some(affected.toIndexedSeq))
-          .drop("__bucket")
-        val n = incoming.alias("n")
-        val o = existing.alias("o")
-        val j = n.join(o, col(s"n.$key") === col(s"o.$key"), "left")
-        val unchanged = valueCols
-          .map(c => col(s"n.$c") <=> col(s"o.$c"))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        def img(side: String, op: String): Seq[org.apache.spark.sql.Column] =
-          Seq(lit(batchId).as("batch_id"), lit(op).as("change_op"),
-            col(s"$side.$key").as(key)) ++
-            valueCols.map(c => col(s"$side.$c").as(c))
-        val inserts = j.filter(col(s"o.$key").isNull)
-          .select(img("n", "insert"): _*)
-        val updated = j.filter(col(s"o.$key").isNotNull && !unchanged)
-        inserts
-          .unionByName(updated.select(img("o", "update_pre"): _*))
-          .unionByName(updated.select(img("n", "update_post"): _*))
-      }
-    writeFeedBatch(s"${name}_changes", batchId, changes, feedMaxRowsPerFile)
-    mergeByKey(spark, name, incoming, key, numBuckets)
+          .persist()
+        try {
+          val n = withBucket.drop("__bucket").alias("n")
+          val o = existing.drop("__bucket").alias("o")
+          val j = n.join(o, col(s"n.$key") === col(s"o.$key"), "left")
+          val unchanged = valueCols
+            .map(c => col(s"n.$c") <=> col(s"o.$c"))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          def img(side: String, op: String): Seq[org.apache.spark.sql.Column] =
+            Seq(lit(batchId).as("batch_id"), lit(op).as("change_op"),
+              col(s"$side.$key").as(key)) ++
+              valueCols.map(c => col(s"$side.$c").as(c))
+          val inserts = j.filter(col(s"o.$key").isNull)
+            .select(img("n", "insert"): _*)
+          val updated = j.filter(col(s"o.$key").isNotNull && !unchanged)
+          val changes = inserts
+            .unionByName(updated.select(img("o", "update_pre"): _*))
+            .unionByName(updated.select(img("n", "update_post"): _*))
+          writeFeedBatch(s"${name}_changes", batchId, changes,
+            feedMaxRowsPerFile)
+          mergeStagedSwap(spark, name,
+            resolveMerge(withBucket.withColumn("__gen", lit(1)),
+              existing.withColumn("__gen", lit(0)), key, Nil))
+        } finally existing.unpersist(blocking = false)
+      } finally withBucket.unpersist(blocking = false)
+    }
+    path(name)
   }
 
   /** Write one change-feed batch into its OWN directory
@@ -590,23 +648,33 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     val p = new org.apache.hadoop.fs.Path(path(name))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) {
+      // feed and delete consume the same doomed set and the same touched
+      // buckets — pin both once (see deleteByKey) and run the delete over
+      // the pinned frames instead of re-reading everything
       val doomed = doomedKeys.select(col(key)).distinct()
         .withColumn("__bucket",
           pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
-      // bounded collect: ≤ numBuckets ids
-      val affected = doomed.select("__bucket").distinct()
-        .collect().map(_.getInt(0))
-      val victims = readResolved(spark, name, Some(affected.toIndexedSeq))
-        .drop("__bucket")
-        .join(doomed.select(col(key)), Seq(key), "left_semi")
-      val valueCols = victims.columns.filterNot(_ == key).toSeq
-      writeFeedBatch(s"${name}_changes", batchId,
-        victims.select((Seq(lit(batchId).as("batch_id"),
-          lit("delete").as("change_op"), col(key))
-          ++ valueCols.map(col)): _*),
-        feedMaxRowsPerFile)
-    }
-    deleteByKey(spark, name, doomedKeys, key, numBuckets)
+        .persist()
+      try {
+        // bounded collect: ≤ numBuckets ids
+        val affected = doomed.select("__bucket").distinct()
+          .collect().map(_.getInt(0))
+        val candidates = readResolved(spark, name,
+          Some(affected.toIndexedSeq)).persist()
+        try {
+          val victims = candidates.drop("__bucket")
+            .join(doomed.select(col(key)), Seq(key), "left_semi")
+          val valueCols = victims.columns.filterNot(_ == key).toSeq
+          writeFeedBatch(s"${name}_changes", batchId,
+            victims.select((Seq(lit(batchId).as("batch_id"),
+              lit("delete").as("change_op"), col(key))
+              ++ valueCols.map(col)): _*),
+            feedMaxRowsPerFile)
+          deletePrepared(spark, name, doomed, candidates, key)
+        } finally candidates.unpersist(blocking = false)
+      } finally doomed.unpersist(blocking = false)
+      path(name)
+    } else deleteByKey(spark, name, doomedKeys, key, numBuckets)
   }
 
   /** Small-file compaction — the 100 TB housekeeping operator (a trickle
@@ -736,4 +804,36 @@ final class TableWriter(warehouseDir: String) extends Serializable {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(name)
+}
+
+object TableWriter {
+
+  /** Swap staged `<prefix><id>` partition dirs into `dest` via renames
+    * (old content trashed under an underscore-prefixed, '='-free name
+    * first — hidden from partition discovery — so readers never see two
+    * generations of one dir; a crash mid-swap leaves at most a briefly-
+    * missing dir and trash the next swap sweeps). Returns the swapped
+    * ids. Shared by the merge, delete, and index vocab-merge publish
+    * paths — the write-once alternative to dynamic partition overwrite,
+    * which forces the staged content through a second full write.
+    */
+  private[graft] def swapStagedDirs(fs: org.apache.hadoop.fs.FileSystem,
+      stageP: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path,
+      prefix: String): Seq[Int] = {
+    // sweep trash a previous crashed swap may have left
+    fs.listStatus(dest).filter(_.getPath.getName.startsWith("_trash_"))
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(stageP)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map { st =>
+        val bucketDir = st.getPath.getName
+        val dst = new org.apache.hadoop.fs.Path(dest, bucketDir)
+        val trash = new org.apache.hadoop.fs.Path(dest,
+          "_trash_" + bucketDir.replace("=", "_"))
+        if (fs.exists(dst)) fs.rename(dst, trash)
+        fs.rename(st.getPath, dst)
+        fs.delete(trash, true)
+        bucketDir.stripPrefix(prefix).toInt
+      }.toSeq
+  }
 }
