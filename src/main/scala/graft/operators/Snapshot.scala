@@ -337,6 +337,16 @@ object SnapshotStore {
         "never persisted — out-of-order backfill would leave a delta later " +
         "runs never merged (readers would disagree); run dates monotonically " +
         "or re-run an existing snap_run date")
+    // whether the merge input comes from the SIDECAR (or the table is
+    // empty): then the merge plan never reads the history root, and the
+    // delta can be written straight into its fresh `snap_run=asOf`
+    // partition — one physical write instead of stage + read-back +
+    // re-write. Only the re-run and stale-sidecar fallback paths (whose
+    // plans DO read the history root) still need the staging copy.
+    val sidecarSafe = !isRerun && (runs.isEmpty || {
+      val openRuns = sidecarRuns(spark, writer, name)
+      openRuns.nonEmpty && openRuns.max >= runs.max
+    })
     val prior =
       if (runs.isEmpty) None
       else if (isRerun)
@@ -345,17 +355,28 @@ object SnapshotStore {
           .filter(col("valid_to").isNull))
       else openRows(spark, writer, name, key)
     val merged = Snapshot.scd2(prior, src, key, checkCols, asOf, closeDeleted)
+    val mergedDelta = merged.filter(
+      col("valid_to") === lit(asOf) || col("valid_from") === lit(asOf))
     // always clean the scratch dir — a failure between the stage write
     // and the partition upsert must not leave __stage_* shadowing the
     // table namespace
     val stage = writer.path(s"__stage_$name")
     try {
-      merged.filter(
-          col("valid_to") === lit(asOf) || col("valid_from") === lit(asOf))
-        .write.mode("overwrite").parquet(stage)
-      val delta = spark.read.parquet(stage)
-      writer.upsertPartitions(
-        delta.withColumn("snap_run", lit(asOf)), name, Seq("snap_run"))
+      val delta =
+        if (sidecarSafe) {
+          // pinned: the delta feeds the history write, the opened rows,
+          // and the anti-join below — one merge computation, not three
+          val d = mergedDelta.persist()
+          writer.upsertPartitions(
+            d.withColumn("snap_run", lit(asOf)), name, Seq("snap_run"))
+          d
+        } else {
+          mergedDelta.write.mode("overwrite").parquet(stage)
+          val d = spark.read.parquet(stage)
+          writer.upsertPartitions(
+            d.withColumn("snap_run", lit(asOf)), name, Seq("snap_run"))
+          d
+        }
       val opened = delta.filter(col("valid_from") === lit(asOf) &&
         col("valid_to").isNull)
       val newOpen = prior match {
@@ -367,6 +388,7 @@ object SnapshotStore {
       }
       newOpen.write.mode("overwrite")
         .parquet(s"${writer.path(openName(name))}/run_$asOf")
+      if (sidecarSafe) delta.unpersist(blocking = false)
       val openRoot = new org.apache.hadoop.fs.Path(writer.path(openName(name)))
       val fs = openRoot.getFileSystem(spark.sessionState.newHadoopConf())
       sidecarRuns(spark, writer, name).filter(_ < asOf.toString)
