@@ -1824,6 +1824,7 @@ object SparkEntry {
     snapIvfCache.clear()
     feedRetCache.clear()
     commitCompactCache.clear()
+    graft.sources.VersionedTable.clearManifestCache()
     deleteTree(java.nio.file.Paths.get(q40Scratch))
   }
 

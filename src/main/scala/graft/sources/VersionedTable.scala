@@ -125,6 +125,46 @@ object VersionedTable {
   private final case class Manifest(isFull: Boolean, schemaDdl: Option[String],
       rewritten: Set[Int], entries: Map[Int, Seq[String]])
 
+  /** Parsed-manifest cache. Manifest files are WRITE-ONCE per (root,
+    * version) — committed via atomic rename, never modified in place —
+    * so a parse can be reused as long as the file on disk is provably
+    * the same one (modificationTime + length re-validated on EVERY hit;
+    * a vacuumed manifest misses loudly via getFileStatus, a recreated
+    * table at the same path misses via the changed mtime). This is the
+    * Delta/Iceberg snapshot-cache analogue: without it every snapshot
+    * read, CDF batch plan, and conflict check re-reads the whole delta
+    * chain file-by-file — O(chain) opens per resolve, quadratic over a
+    * stream's lifetime. Validation is metadata-only, so resolves cost
+    * one getFileStatus per chain element instead of open+read+parse.
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Long, Long, Manifest)]()
+
+  private[graft] def clearManifestCache(): Unit = manifestCache.clear()
+
+  private def parseManifestCached(fs: FileSystem, root: Path,
+      v: Long): Manifest = {
+    val mf = manifestPath(root, v)
+    val st =
+      try fs.getFileStatus(mf)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          manifestCache.remove((root.toString, v))
+          throw new IllegalArgumentException(
+            s"no manifest for version $v under $root")
+      }
+    val key = (root.toString, v)
+    val cur = manifestCache.get(key)
+    if (cur != null && cur._1 == st.getModificationTime
+        && cur._2 == st.getLen) cur._3
+    else {
+      val m = parseManifest(fs, root, v)
+      if (manifestCache.size > 4096) manifestCache.clear() // bound, not LRU
+      manifestCache.put(key, (st.getModificationTime, st.getLen, m))
+      m
+    }
+  }
+
   private def parseManifest(fs: FileSystem, root: Path, v: Long): Manifest = {
     val mf = manifestPath(root, v)
     val lines = IndexProtocol.readLinesIfExists(fs, mf).getOrElse(
@@ -157,13 +197,13 @@ object VersionedTable {
     */
   private def resolveManifest(fs: FileSystem, root: Path,
       v: Long): (Map[Int, Seq[String]], Option[String]) = {
-    var chain = List(parseManifest(fs, root, v))
+    var chain = List(parseManifestCached(fs, root, v))
     var i = v
     while (!chain.head.isFull) {
       i -= 1
       require(i >= 0, s"delta chain of version $v under $root reaches " +
         "below version 0 without a full checkpoint — corrupt manifest set")
-      chain ::= parseManifest(fs, root, i)
+      chain ::= parseManifestCached(fs, root, i)
     }
     val entries = chain.foldLeft(Map.empty[Int, Seq[String]]) { (acc, m) =>
       (acc -- m.rewritten) ++ m.entries
