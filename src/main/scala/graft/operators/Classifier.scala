@@ -61,9 +61,14 @@ object Classifier {
 
     var w: Map[Int, Double] =
       ((-1 until buckets).map(_ -> 0.0)).toMap
+    // the weight vector attaches as a constant-folded array subscript
+    // (b ∈ [-1, buckets) → 1-based index b+2) instead of a broadcast
+    // join: one exchange-free Project per score pass, not a
+    // BroadcastExchange + BroadcastHashJoin per iteration. Arithmetic
+    // is unchanged (same w·x per row, exact decimal sum — order-free).
     def score(wm: Map[Int, Double]): DataFrame = {
-      val wDf = broadcast(wm.toSeq.toDF("b", "w"))
-      feat.join(wDf, Seq("b"))
+      val arr = Array.tabulate(buckets + 1)(i => wm(i - 1))
+      feat.withColumn("w", element_at(lit(arr), col("b") + lit(2)))
         .groupBy("doc_id", "y")
         .agg(sum((col("w") * col("x")).cast("decimal(38,18)")).as("zs"))
         .select(col("doc_id"), col("y"), col("zs").cast("double").as("z"))
