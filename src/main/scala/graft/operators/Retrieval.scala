@@ -316,13 +316,17 @@ object Retrieval {
     */
   private def mergeVocab(spark: org.apache.spark.sql.SparkSession,
       writer: graft.sources.TableWriter, name: String, delta: DataFrame,
-      vocabBuckets: Int, combine: (Column, Column) => Column): Unit = {
+      vocabBuckets: Int, combine: (Column, Column) => Column,
+      touchedOpt: Option[Seq[Int]] = None): Unit = {
     val vocabPath = writer.path(s"${name}_vocab")
     val withBucket = delta.withColumn("vocab_bucket",
       pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).cast("int"))
-    // bounded collect: ≤ vocabBuckets ids
-    val touched = withBucket.select("vocab_bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // bounded collect: ≤ vocabBuckets ids — or the caller's precomputed
+    // set (the batch-append leg collects it fused with the batch stats,
+    // saving a job per batch)
+    val touched = touchedOpt.map(_.sorted.toArray).getOrElse(
+      withBucket.select("vocab_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted)
     if (touched.isEmpty) return
     val existing = spark.read.parquet(vocabPath)
       .withColumn("vocab_bucket", col("vocab_bucket").cast("int"))
@@ -528,13 +532,28 @@ object Retrieval {
         partitionPrefix = "term_bucket=", batchPrefix = s"b$batchId-",
         manifest = stagedMf)
 
-      // batch contribution to stats — deterministic from the (pinned)
-      // batch postings; used by both the incremental and recovery paths
-      lazy val bStat = {
-        val b = tfB.select(col("doc_id"), col("dl")).distinct()
-          .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
-          .collect()(0)
-        (b.getAs[Long]("n"), b.getAs[Long]("s"))
+      // batch contribution to stats AND the batch's touched vocab
+      // buckets in ONE collect (two tiny tagged frames unioned — both
+      // derive from the pinned batch postings, and each former separate
+      // collect was a fixed driver round trip per batch): tag 0 rows are
+      // the distinct vocab-bucket ids, the tag 1 row is (n_docs, Σdl).
+      // Used by both the incremental and recovery paths.
+      lazy val (bStat: (Long, Long), touchedVb: Seq[Int]) = {
+        val rows = tfB
+          .select(lit(0).as("tag"),
+            pmod(xxhash64(col("term")), lit(vocabBuckets.toLong)).as("a"),
+            lit(0L).as("b"))
+          .distinct()
+          .unionAll(tfB.select(col("doc_id"), col("dl")).distinct()
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
+            .select(lit(1).as("tag"), col("n").as("a"), col("s").as("b")))
+          .collect()
+        val touched = rows.filter(_.getInt(0) == 0)
+          .map(_.getLong(1).toInt).toSeq
+        val st = rows.find(_.getInt(0) == 1)
+          .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+        (st, touched)
       }
       def writeStats(n: Long, s: Long): Unit =
         writer.materialize(s"${name}_stats",
@@ -565,11 +584,8 @@ object Retrieval {
       // bucket and is complete for them by construction.
       def recoverTouchedVocabBuckets(): Boolean = {
         if (buckets % vocabBuckets != 0) return false
-        // bounded collect: ≤ vocabBuckets ids — the batch's own buckets
-        val touched = tfB
-          .select(pmod(xxhash64(col("term")), lit(vocabBuckets.toLong))
-            .cast("int").as("vb"))
-          .distinct().collect().map(_.getInt(0)).toSet
+        // the batch's own buckets, from the fused collect
+        val touched = touchedVb.toSet
         if (touched.isEmpty) return true
         val pb = (0 until buckets).filter(b => touched.contains(b % vocabBuckets))
         writer.read(spark, s"${name}_postings")
@@ -631,7 +647,8 @@ object Retrieval {
           mergeVocab(spark, writer, name,
             tfB.groupBy("term").agg(count(lit(1)).as("df_delta")),
             vocabBuckets,
-            (o, delta) => coalesce(o, lit(0L)) + coalesce(delta, lit(0L)))
+            (o, delta) => coalesce(o, lit(0L)) + coalesce(delta, lit(0L)),
+            touchedOpt = Some(touchedVb))
           writeStats(n0 + bStat._1, s0 + bStat._2)
       }
       // ---- step 4: commit, then clear the flags ----
