@@ -374,23 +374,34 @@ object VersionedTable {
       .withColumn("__bucket",
         pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
       .withColumn("__gen", lit(1))
-    val merged = cur match {
-      case None => withBucket
+    cur match {
+      case None =>
+        commitStaged(spark, fs, root, rootStr, next, cur,
+          withBucket.drop("__gen"), hooks, writerId = writerId,
+          epoch = epoch)
       case Some(v) =>
-        // bounded collect: ≤ numBuckets ids
-        val affected = withBucket.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toIndexedSeq
-        val existing = read(spark, rootStr, Some(v), Some(affected))
-          .withColumn("__gen", lit(0))
-        val w = Window.partitionBy(col(key)).orderBy(
-          (if (resolveOrder.nonEmpty) resolveOrder
-           else Seq(col("__gen").desc)): _*)
-        existing.unionByName(withBucket, allowMissingColumns = true)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        // pin the batch for the scope of the commit: the affected-bucket
+        // collect and the staged write both consume it, and without the
+        // pin each re-runs the caller's full source plan (see
+        // TableWriter.mergeByKey — same discipline)
+        val pinned = withBucket.persist()
+        try {
+          // bounded collect: ≤ numBuckets ids
+          val affected = pinned.select("__bucket").distinct()
+            .collect().map(_.getInt(0)).toIndexedSeq
+          val existing = read(spark, rootStr, Some(v), Some(affected))
+            .withColumn("__gen", lit(0))
+          val w = Window.partitionBy(col(key)).orderBy(
+            (if (resolveOrder.nonEmpty) resolveOrder
+             else Seq(col("__gen").desc)): _*)
+          val merged = existing
+            .unionByName(pinned, allowMissingColumns = true)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          commitStaged(spark, fs, root, rootStr, next, cur,
+            merged.drop("__gen"), hooks, writerId = writerId, epoch = epoch)
+        } finally pinned.unpersist(blocking = false)
     }
-    commitStaged(spark, fs, root, rootStr, next, cur,
-      merged.drop("__gen"), hooks, writerId = writerId, epoch = epoch)
     next
   }
 
@@ -416,24 +427,34 @@ object VersionedTable {
     sweepCrashed(fs, root)
     val cur = latestVersion(spark, rootStr)
     require(cur.nonEmpty, s"commitDelete: no committed version at $rootStr")
+    // pin both sides: doomed feeds three passes (bucket collect, hit
+    // probe, anti-join), candidates two (probe, anti-join) — see
+    // TableWriter.deleteByKey, same discipline
     val doomed = doomedKeys.select(col(key)).distinct()
       .withColumn("__bucket",
         pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
-    // bounded collect: ≤ numBuckets ids
-    val affected = doomed.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
-    val candidates = read(spark, rootStr, cur, Some(affected))
-    // bounded collect: ≤ numBuckets ids
-    val hit = candidates.join(doomed.select(col(key)), Seq(key), "left_semi")
-      .select("__bucket").distinct().collect().map(_.getInt(0)).toIndexedSeq
-    if (hit.isEmpty) return cur.get
-    val next = cur.get + 1
-    val survivors = candidates.filter(col("__bucket").isin(hit: _*))
-      .join(doomed.select(col(key)), Seq(key), "left_anti")
-    commitStaged(spark, fs, root, rootStr, next, cur, survivors, hooks,
-      rewrittenBuckets = Some(hit.toSet), writerId = writerId,
-      epoch = epoch)
-    next
+      .persist()
+    try {
+      // bounded collect: ≤ numBuckets ids
+      val affected = doomed.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val candidates = read(spark, rootStr, cur, Some(affected)).persist()
+      try {
+        // bounded collect: ≤ numBuckets ids
+        val hit = candidates
+          .join(doomed.select(col(key)), Seq(key), "left_semi")
+          .select("__bucket").distinct().collect()
+          .map(_.getInt(0)).toIndexedSeq
+        if (hit.isEmpty) return cur.get
+        val next = cur.get + 1
+        val survivors = candidates.filter(col("__bucket").isin(hit: _*))
+          .join(doomed.select(col(key)), Seq(key), "left_anti")
+        commitStaged(spark, fs, root, rootStr, next, cur, survivors, hooks,
+          rewrittenBuckets = Some(hit.toSet), writerId = writerId,
+          epoch = epoch)
+        next
+      } finally candidates.unpersist(blocking = false)
+    } finally doomed.unpersist(blocking = false)
   }
 
   /** Steps 4–6 of the protocol: stage `touched` (its `__bucket` column
@@ -853,23 +874,30 @@ object VersionedTable {
       .withColumn("__bucket",
         pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
       .withColumn("__gen", lit(1))
-    val merged = readV match {
-      case None => withBucket
+    readV match {
+      case None =>
+        occPublish(spark, fs, root, rootStr, readV, withBucket.drop("__gen"),
+          rewrittenBuckets = None, writerId, hooks, maxRebase)
       case Some(v) =>
-        // bounded collect: ≤ numBuckets ids
-        val affected = withBucket.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toIndexedSeq
-        val existing = read(spark, rootStr, Some(v), Some(affected))
-          .withColumn("__gen", lit(0))
-        val w = Window.partitionBy(col(key)).orderBy(
-          (if (resolveOrder.nonEmpty) resolveOrder
-           else Seq(col("__gen").desc)): _*)
-        existing.unionByName(withBucket, allowMissingColumns = true)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        // pin the batch: the affected-bucket collect and the staged write
+        // both consume it (see commitMerge — same discipline)
+        val pinned = withBucket.persist()
+        try {
+          // bounded collect: ≤ numBuckets ids
+          val affected = pinned.select("__bucket").distinct()
+            .collect().map(_.getInt(0)).toIndexedSeq
+          val existing = read(spark, rootStr, Some(v), Some(affected))
+            .withColumn("__gen", lit(0))
+          val w = Window.partitionBy(col(key)).orderBy(
+            (if (resolveOrder.nonEmpty) resolveOrder
+             else Seq(col("__gen").desc)): _*)
+          val merged = existing.unionByName(pinned, allowMissingColumns = true)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          occPublish(spark, fs, root, rootStr, readV, merged.drop("__gen"),
+            rewrittenBuckets = None, writerId, hooks, maxRebase)
+        } finally pinned.unpersist(blocking = false)
     }
-    occPublish(spark, fs, root, rootStr, readV, merged.drop("__gen"),
-      rewrittenBuckets = None, writerId, hooks, maxRebase)
   }
 
   /** Delete by key without the writer lease — [[commitDelete]]'s
@@ -890,19 +918,27 @@ object VersionedTable {
     val readV = latestVersion(spark, rootStr)
     require(readV.nonEmpty,
       s"commitDeleteOptimistic: no committed version at $rootStr")
+    // pinned for the same reuses as commitDelete (probe + anti-join)
     val doomed = doomedKeys.select(col(key)).distinct()
       .withColumn("__bucket",
         pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
-    val affected = doomed.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
-    val candidates = read(spark, rootStr, readV, Some(affected))
-    val hit = candidates.join(doomed.select(col(key)), Seq(key), "left_semi")
-      .select("__bucket").distinct().collect().map(_.getInt(0)).toIndexedSeq
-    if (hit.isEmpty) return readV.get
-    val survivors = candidates.filter(col("__bucket").isin(hit: _*))
-      .join(doomed.select(col(key)), Seq(key), "left_anti")
-    occPublish(spark, fs, root, rootStr, readV, survivors,
-      rewrittenBuckets = Some(hit.toSet), writerId, hooks, maxRebase)
+      .persist()
+    try {
+      val affected = doomed.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val candidates = read(spark, rootStr, readV, Some(affected)).persist()
+      try {
+        val hit = candidates
+          .join(doomed.select(col(key)), Seq(key), "left_semi")
+          .select("__bucket").distinct().collect()
+          .map(_.getInt(0)).toIndexedSeq
+        if (hit.isEmpty) return readV.get
+        val survivors = candidates.filter(col("__bucket").isin(hit: _*))
+          .join(doomed.select(col(key)), Seq(key), "left_anti")
+        occPublish(spark, fs, root, rootStr, readV, survivors,
+          rewrittenBuckets = Some(hit.toSet), writerId, hooks, maxRebase)
+      } finally candidates.unpersist(blocking = false)
+    } finally doomed.unpersist(blocking = false)
   }
 
   /** Steps 2–3 of the optimistic protocol: stage `touched`, move in
