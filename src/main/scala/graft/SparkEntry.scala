@@ -3189,8 +3189,7 @@ object SparkEntry {
     val wh = s"$q40Scratch/streambm25r"
     deleteTree(java.nio.file.Paths.get(wh))
     val writer = new graft.sources.TableWriter(wh)
-    runStreamRestartIngest(s, stage,
-      (0 to 3).map(c => d.filter(pmod(col("doc_id"), lit(4)) === c)),
+    runStreamRestartIngest(s, stage, d, pmod(col("doc_id"), lit(4)),
       d.schema,
       (b, id) => Retrieval.appendBm25IndexBatch(b, writer, "docs", id))
     val qs = Retrieval.queryTerms(d, col("doc_id") % 97 === 0, bm25QTerms)
@@ -3209,15 +3208,21 @@ object SparkEntry {
     * exactly-once batch-append under test.
     */
   private def runStreamRestartIngest(s: SparkSession, stageDir: String,
-      chunks: Seq[DataFrame], schema: org.apache.spark.sql.types.StructType,
+      base: DataFrame, chunkOf: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType,
       apply: (DataFrame, Long) => Unit): Unit = {
     val in = s"$stageDir/in"
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(in))
-    chunks.zipWithIndex.foreach { case (c, i) =>
-      c.coalesce(1).write.parquet(s"$stageDir/c$i")
-    }
+    // ONE partitioned pass lands all four chunks — the former per-chunk
+    // coalesce(1) writes re-ran the source scan once per chunk (4 jobs,
+    // 4 scans). repartition on the chunk key puts each chunk in one
+    // task, so each chunk dir still holds exactly one file (what land()
+    // copies); chunk content is identical, only the write plan changed.
+    base.withColumn("__chunk", chunkOf.cast("int"))
+      .repartition(col("__chunk"))
+      .write.partitionBy("__chunk").parquet(s"$stageDir/chunks")
     def land(c: Int): Unit = {
-      val src = new java.io.File(s"$stageDir/c$c").listFiles
+      val src = new java.io.File(s"$stageDir/chunks/__chunk=$c").listFiles
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(src.toPath,
         java.nio.file.Paths.get(s"$in/c$c.parquet"))
@@ -3263,8 +3268,7 @@ object SparkEntry {
     val wh = s"$q40Scratch/streamposr"
     deleteTree(java.nio.file.Paths.get(wh))
     val writer = new graft.sources.TableWriter(wh)
-    runStreamRestartIngest(s, stage,
-      (0 to 3).map(c => d.filter(pmod(col("doc_id"), lit(4)) === c)),
+    runStreamRestartIngest(s, stage, d, pmod(col("doc_id"), lit(4)),
       d.schema,
       (b, id) => Retrieval.appendPositionalIndexBatch(b, writer, "docs", id))
     val phrases = d
@@ -3295,8 +3299,7 @@ object SparkEntry {
     val wh = s"$q40Scratch/streamivfr"
     deleteTree(java.nio.file.Paths.get(wh))
     val writer = new graft.sources.TableWriter(wh)
-    runStreamRestartIngest(s, stage,
-      (0 to 3).map(c => e.filter(pmod(col("vec_id"), lit(4)) === c)),
+    runStreamRestartIngest(s, stage, e, pmod(col("vec_id"), lit(4)),
       e.schema,
       (b, id) => Similarity.appendIvfIndexBatch(b, writer, "emb", id,
         trainIters = ivfIters))
