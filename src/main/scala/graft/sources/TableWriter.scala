@@ -477,11 +477,19 @@ final class TableWriter(warehouseDir: String) extends Serializable {
     val outCols = (Seq(col("batch_id"), col("change_op"), col(key))
       ++ valueCols.map(col))
     if (!fs.exists(p)) {
-      val changes = incoming.withColumn("batch_id", lit(batchId))
-        .withColumn("change_op", lit("insert"))
-        .select(outCols: _*)
-      writeFeedBatch(s"${name}_changes", batchId, changes, feedMaxRowsPerFile)
-      mergeByKey(spark, name, incoming, key, numBuckets)
+      // fresh table: the feed write and the table write both consume the
+      // batch — pin it once (same discipline as the incremental branch)
+      val withBucket = incoming.withColumn("__bucket",
+        pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+        .persist()
+      try {
+        val changes = withBucket.withColumn("batch_id", lit(batchId))
+          .withColumn("change_op", lit("insert"))
+          .select(outCols: _*)
+        writeFeedBatch(s"${name}_changes", batchId, changes,
+          feedMaxRowsPerFile)
+        mergeStagedSwap(spark, name, withBucket)
+      } finally withBucket.unpersist(blocking = false)
     } else {
       // the change computation and the merge consume the SAME two inputs
       // (the batch, and the touched buckets of the table) — pin both once
